@@ -1,0 +1,40 @@
+"""Vector math over array<float>/array<double> columns — pure built-ins.
+
+Used by operators/simsearch.py and the embedding near-dup path. All math is
+done in DOUBLE regardless of the storage type (embeddings.parquet stores
+array<float>) so results are deterministic and oracle-comparable.
+
+JVM-side by design: ``F.zip_with`` + ``F.aggregate`` run inside codegen; no
+Python UDF in the hot path (100 TB goal — a row-at-a-time UDF here would
+dominate the scan cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _dbl(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] in double, left-to-right fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot(a,b) / (|a||b|); NULL if either norm is 0."""
+    d = dot(a, b)
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None))

@@ -1,0 +1,74 @@
+"""Integrity validation — Spark analog of the reference's Postgres
+constraints (reference initdb.sql:3-46; rollback behavior
+etl/tests/test_shift_data_processor.py:242-300, SURVEY.md §2.12).
+
+Spark enforces no constraints, so PK/FK/NOT-NULL become pre-write validation
+DataFrames; any violation raises IntegrityError BEFORE anything is written,
+which combined with the staged atomic sink gives the reference's
+"duplicate PK ⇒ zero rows persisted" semantics at job granularity.
+
+Scale notes: PK check is one hash-aggregate on the key (map-side partial
+count makes the shuffle tiny); FK check is a left-anti join where the parent
+key set is broadcast when dim-sized. Both short-circuit via ``.isEmpty()``
+(Spark only materializes the first partition that yields a violation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class IntegrityError(Exception):
+    """Raised on PK/FK/NOT-NULL violation — the engine's analog of
+    psycopg2.IntegrityError in the reference rollback test."""
+
+
+def duplicate_keys(df: DataFrame, key: str) -> DataFrame:
+    return (
+        df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    )
+
+
+def check_unique(df: DataFrame, key: str, table: str = "?") -> None:
+    dups = duplicate_keys(df, key)
+    if not dups.isEmpty():
+        sample = [r[key] for r in dups.limit(5).collect()]
+        raise IntegrityError(
+            f"duplicate primary key in {table}.{key}: {sample}"
+        )
+
+
+def orphan_rows(child: DataFrame, key: str, parent: DataFrame) -> DataFrame:
+    return child.join(
+        F.broadcast(parent.select(key).distinct()), key, "left_anti"
+    )
+
+
+def check_foreign_key(
+    child: DataFrame, key: str, parent: DataFrame, table: str = "?"
+) -> None:
+    orphans = orphan_rows(child, key, parent)
+    if not orphans.isEmpty():
+        sample = [r[key] for r in orphans.select(key).limit(5).collect()]
+        raise IntegrityError(f"orphan foreign key in {table}.{key}: {sample}")
+
+
+def check_not_null(df: DataFrame, cols: list[str], table: str = "?") -> None:
+    preds = [F.col(c).isNull() for c in cols]
+    cond = preds[0]
+    for p in preds[1:]:
+        cond = cond | p
+    if not df.where(cond).isEmpty():
+        raise IntegrityError(f"NULL in NOT NULL column(s) {cols} of {table}")
+
+
+def validate_tables(tables: dict[str, DataFrame]) -> None:
+    """Run the reference's constraint set over the 4 flattened tables."""
+    from ..schemas import FOREIGN_KEYS, PRIMARY_KEYS
+
+    for name, pk in PRIMARY_KEYS.items():
+        if name in tables:
+            check_unique(tables[name], pk, name)
+    for name, (key, parent) in FOREIGN_KEYS.items():
+        if name in tables and parent in tables:
+            check_foreign_key(tables[name], key, tables[parent], name)
