@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``shifts_etl_spark`` (see SURVEY.md §2 inventory →
+shifts_etl_spark/plans/relational.py and plans/extensions.py; each QuerySpec
+pairs a DataFrame program with its ANSI-SQL oracle twin, aliases matched).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shifts_etl_spark.plans.catalog import CATALOG  # noqa: E402
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    # engine semantics are defined in UTC (SURVEY.md §7.4 #1)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's 6-KPI
+    union shape (scalar aggregates + join-filter + gaps-and-islands top-1)
+    recast over the testdata tables."""
+    return CATALOG["q8_kpi_union"].spark(_utc(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ north-star
+    extension ops x1-x12)."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return spec.spark(_utc(spark), sf_dir)
+
+        run.__name__ = spec.name
+        return run
+
+    return {name: wrap(spec) for name, spec in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each oracle-checkable query.
+    Omitted (rows-only check) for xxhash64/Pandas-UDF based ops:
+    x3_dedup_minhash_lsh, x4_dedup_simhash, x8_sim_topk_lsh."""
+    return {
+        name: spec.oracle for name, spec in CATALOG.items() if spec.oracle
+    }

@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines over ``documents``
+(north-star extension ops, BASELINE.json): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design (100 TB):
+  - Exact dedup is one hash-aggregate on the content hash — the canonical
+    map-side-combinable shuffle; never dropDuplicates on the raw text column
+    (shuffling full documents) when a 128-bit hash key suffices.
+  - MinHash/LSH: signatures are computed scan-side with built-in expression
+    trees (xxhash64 over shingles — no Python in the loop). Candidate
+    generation shuffles only (band_id, band_hash, doc_id) triples; documents
+    never move. Bucket-join fan-out is bounded by banding parameters.
+  - SimHash: 64-bit signature folded JVM-side; near-dup candidates via the
+    pigeonhole principle (split signature into b chunks → hamming ≤ b-1
+    pairs share ≥1 chunk) then exact hamming filter with bit_count(xor).
+  - Embedding near-dup: blocked brute force (block = label / LSH bucket) so
+    the cross product never materializes globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import normalize_text, tokens
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One representative (min id) per distinct text + its multiplicity.
+    GroupBy on md5(text) — map-side partial agg, tiny shuffle rows."""
+    h = F.md5(F.col(text_col))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_normalized(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup after normalization (lower/strip punct/collapse ws)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def word_shingles(c, n: int = 3):
+    """n-token shingles of the normalized text, distinct, JVM-side:
+    transform over token positions → concat_ws of the n-token slice."""
+    t = tokens(normalize_text(c))
+    k = F.size(t) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures, computed columnar: explode shingles →
+    ``num_hashes`` map-side-combinable MIN aggregates (hash family =
+    xxhash64(shingle, j)). One narrow explode + one tiny shuffle of
+    (doc, 64 longs) — never a nested per-row expression tree (which
+    re-evaluates the shingle pipeline per hash and is ~100× slower)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    aggs = [
+        F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows_per_band = num_hashes / bands; two docs collide if any band of
+    their signatures matches exactly. Returns distinct (id_a < id_b) pairs
+    with the estimated Jaccard (fraction of matching signature slots).
+    Only (band, band_hash, doc) triples shuffle for the bucket join —
+    signatures are re-attached per side, documents never move.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    with_sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+
+    banded = with_sig.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * r + 1, r)), b
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("l.sig", "r.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc, computed columnar: explode tokens → 64
+    map-side-combinable SUM(+1/-1) bit votes → fold sign bits into one
+    long. (Bit 63 uses shiftleft overflow-wrap to land on the sign bit.)"""
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(normalize_text(F.col(text_col)))).alias("t")
+    )
+    h = F.xxhash64("t")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    voted = tok.groupBy("doc").agg(*votes)
+    bits = [
+        F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    sh = bits[0]
+    for b in bits[1:]:
+        sh = sh.bitwiseOR(b)
+    return voted.select("doc", sh.alias("sh"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by chunk
+    banding (pigeonhole: ≤3 differing bits over 4 16-bit chunks ⇒ some chunk
+    identical) then exact bit_count(xor) filter."""
+    width = 64 // chunks
+    sh = simhash_signatures(docs, text_col, id_col)
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned("sh", i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(chunks)
+        ]
+    )
+    chunked = sh.select(
+        "doc", "sh", F.posexplode(chunk_arr).alias("chunk", "chunk_val")
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(r, ["chunk", "chunk_val"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification or blocked comparison)
+# --------------------------------------------------------------------------
+
+def jaccard(a, b):
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for given (id_a, id_b) candidate pairs —
+    the verification stage after LSH candidate generation."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard("sh_a", "sh_b"), 6).alias("jaccard")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_nn_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Per-vector nearest neighbor within its block (blocked brute force) +
+    near-dup flag at ``threshold``. Blocking bounds the pair count: the
+    cross product is per-block, never global — swap ``block_col`` for an
+    LSH bucket at 100 TB."""
+    from pyspark.sql import Window
+    from ..functions.vectors import cosine_similarity
+
+    e = emb.select(
+        F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    sim = cosine_similarity(F.col("l.v"), F.col("r.v"))
+    pairs = l.join(
+        r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.vid") != F.col("r.vid"))
+    ).select(
+        F.col("l.vid").alias("vec_id"),
+        F.col("r.vid").alias("neighbor_id"),
+        F.round(sim, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "cosine",
+            (F.col("cosine") >= threshold).alias("is_near_dup"),
+        )
+    )

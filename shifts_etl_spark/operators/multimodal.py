@@ -1,0 +1,115 @@
+"""Multimodal column plumbing — image/audio/video as opaque ``binary``
+columns with typed metadata (north-star extension op, BASELINE.json).
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(``decode_image`` raises NotImplementedError unless handed a registered fake
+decoder); everything Spark-side is real and tested: schema, Arrow batch
+shape, ``mapInPandas`` signatures, partitioning. Swapping the stub for
+Pillow/librosa is a one-function change on the executors.
+
+Design for 100 TB: blobs ride in parquet binary columns; feature extraction
+is mapInPandas so each task processes a whole Arrow batch of blobs without
+JVM↔Python per-row chatter; metadata-only queries never touch blob bytes
+(column pruning keeps them out of the scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+BLOB_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def attach_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Make an opaque binary column (+ media_type tag). Test stand-in for a
+    real image/audio payload: the utf-8 bytes of the text. Everything
+    downstream treats it as opaque bytes."""
+    return docs.withColumn("blob", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "media_type", F.lit("application/octet-stream")
+    )
+
+
+def decode_image(blob: bytes):  # pragma: no cover - stub by design
+    """STUB: real deployments register a decoder (Pillow etc.) here."""
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "container; register a decoder or use extract_features' "
+        "deterministic byte-level features"
+    )
+
+
+def blob_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Typed metadata per blob via mapInPandas (Arrow-batched)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "byte_len": blobs.map(len).astype("int64"),
+                    "sha256": blobs.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, "media_type", "blob").mapInPandas(
+        extract, BLOB_META_SCHEMA
+    )
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 256, n_buckets: int = 8
+) -> DataFrame:
+    """'Decode + featurize' with a deterministic fake decoder: frame-sample
+    the byte stream every ``frame_bytes`` bytes and emit a byte-histogram
+    feature vector. The Spark plumbing (schema, batching, partition
+    behavior) is exactly what a real image featurizer uses."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                b = bytes(blob)
+                frames = [
+                    b[i : i + frame_bytes] for i in range(0, max(len(b), 1), frame_bytes)
+                ]
+                hist = [0.0] * n_buckets
+                for by in b:
+                    hist[by % n_buckets] += 1.0
+                total = max(len(b), 1)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "byte_len": len(b),
+                        "n_frames": len(frames),
+                        "mean_byte": (sum(b) / total) if b else 0.0,
+                        "features": [h / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "blob").mapInPandas(featurize, FEATURE_SCHEMA)

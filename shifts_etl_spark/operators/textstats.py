@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table (north-star extension ops, BASELINE.json).
+
+All hot-path logic is built-in `pyspark.sql.functions` — JVM-side, inside
+whole-stage codegen, no Python UDFs — so every operator here scales linearly
+with input and pushes column pruning to the parquet scan (only ``text`` and
+the grouping keys are read).
+
+Operators:
+  - tokenization + token counting (whitespace + BPE-ish regex word pieces)
+  - quality scoring (length / punctuation / stopword / digit ratios)
+  - language-ID (stopword-hit n-gram heuristic)
+  - document fingerprinting (md5 content hash + 64-bit rolling hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the heuristic language scorer.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+    "de": ["der", "die", "und", "das", "ein", "nicht"],
+}
+
+# BPE-ish pieces: runs of letters, runs of digits, or any single non-space.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def normalize_text(c: Column) -> Column:
+    """lower → strip non-alnum punctuation → collapse whitespace → trim."""
+    out = F.lower(c)
+    out = F.regexp_replace(out, "[^a-z0-9\\s]", " ")
+    out = F.regexp_replace(out, "\\s+", " ")
+    return F.trim(out)
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens (empty-token free)."""
+    return F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def piece_count(c: Column) -> Column:
+    """BPE-ish piece count via regexp extraction (letters/digits/other)."""
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def punct_ratio(c: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(c, "[^.,;:!?'\"()-]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio(c: Column) -> Column:
+    return F.length(F.regexp_replace(c, "[^0-9]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_hits(c: Column, lang: str = "en") -> Column:
+    """How many tokens are stopwords of ``lang`` (array-fold, JVM-side)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(F.lower(c)), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    return stopword_hits(c, lang) / F.greatest(token_count(c), F.lit(1))
+
+
+def mean_token_len(c: Column) -> Column:
+    t = tokens(c)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic [0,1] quality score: favor texts with a reasonable token
+    count, mid-range mean token length, some stopwords, few digits.
+    Deliberately simple + closed-form so the DuckDB oracle can mirror it."""
+    n = token_count(c)
+    len_ok = F.when((n >= 10) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    mtl = mean_token_len(c)
+    mtl_ok = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(c) >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+    dig_ok = F.when(digit_ratio(c) <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    return len_ok + mtl_ok + sw_ok + dig_ok
+
+
+def predict_lang(c: Column) -> Column:
+    """Argmax of per-language stopword hit counts; 'und' when all zero.
+    Deterministic tie-break: language list order en > es > fr > de."""
+    hits = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        n = hits[lang]
+        cond = n >= F.greatest(best_n, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return best
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def fingerprint_rolling(c: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """64-bit-safe polynomial rolling hash over the normalized characters:
+    h = Σ h*base + ascii(ch) (mod p). Array-fold, JVM-side."""
+    chars = F.split(normalize_text(c), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with the full stat set (rounded for comparability)."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        piece_count(c).alias("n_pieces"),
+        F.round(mean_token_len(c), 4).alias("mean_token_len"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(digit_ratio(c), 4).alias("digit_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(quality_score(c), 4).alias("quality_score"),
+    )

@@ -1,0 +1,120 @@
+"""Window / time-series operators.
+
+Batch analogs of the streaming window zoo over ``events`` (SURVEY.md §2.10:
+the reference is strictly batch, so tumbling/sliding/session windows are
+expressed as group-bys — SQL-expressible, DuckDB-oracle-checkable), plus the
+scale-out replacement for the reference's single-partition running-sum
+window (SURVEY.md §4, W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def tumbling_window(
+    events: DataFrame, every: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling event-time window aggregate (batch). Uses date_trunc so the
+    oracle SQL is identical; F.window() would emit a struct column DuckDB
+    can't mirror."""
+    unit = every.split()[-1].rstrip("s")
+    return (
+        events.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sliding_window(
+    events: DataFrame, width_hours: int = 2, slide_hours: int = 1, ts_col: str = "ts"
+) -> DataFrame:
+    """Sliding window as explode-to-assignments: each event lands in
+    width/slide hourly buckets. Equivalent to F.window(ts, '2 hours',
+    '1 hour') but mirrors into plain SQL."""
+    n = width_hours // slide_hours
+    hour = F.date_trunc("hour", F.col(ts_col))
+    assignments = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: hour - F.make_interval(hours=i * slide_hours),
+    )
+    return (
+        events.select(F.explode(assignments).alias("window_start"), "value")
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def session_window(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Sessionization (batch): a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_minutes``. Classic
+    lag + cumsum — partitioned by user, so it scales (no global window).
+    ``tiebreak_col`` makes the intra-user ordering total (ts ties)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    ts_secs = F.col(ts_col).cast("double")
+    prev = F.lag(ts_secs).over(w)
+    new_session = F.when(
+        prev.isNull() | (ts_secs - prev > gap_minutes * 60), 1
+    ).otherwise(0)
+    sessions = events.withColumn(
+        "session_id", F.sum(new_session).over(w).cast("long")
+    )
+    return (
+        sessions.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def scalable_running_sum(
+    df: DataFrame, order_col: str, value_col, out_col: str = "running_sum"
+) -> DataFrame:
+    """Two-pass prefix sum — the 100 TB replacement for an ORDER BY-only
+    window (which collapses to ONE partition, the reference's W1 hazard,
+    SURVEY.md §4):
+
+      1. range-partition by the global order (repartitionByRange keeps
+         ordering across partitions);
+      2. per-partition local running sum + per-partition totals (tiny);
+      3. broadcast the prefix-summed partition offsets back and add.
+
+    ROWS-frame semantics (each row gets its own prefix including itself).
+    """
+    from pyspark.sql.window import Window as W
+
+    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    with_local = ranged.withColumn("_local", F.sum(value_col).over(local_w))
+    totals = (
+        with_local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_total"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_total").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        with_local.join(F.broadcast(totals), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_offset"))
+        .drop("_pid", "_local")
+    )

@@ -1,0 +1,335 @@
+"""LLM-training-data pipeline queries (north-star extension ops,
+BASELINE.json) over documents / embeddings, with DuckDB oracles where the
+semantics are SQL-expressible. Non-SQL-expressible ops (xxhash64-based
+MinHash/SimHash, Pandas-UDF LSH) are registered without an oracle — the
+driver records a rows-only check and pytest covers their semantics
+(recall / planted-duplicate tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, multimodal, simsearch, textstats
+from ..sources.tables import load_table as _t_impl
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _t_impl(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def x1_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+X1_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def x2_dedup_exact_normalized(spark, sf_dir):
+    return dedup.exact_dedup_normalized(_t(spark, sf_dir, "documents"))
+
+
+X2_SQL = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def x3_dedup_minhash_lsh(spark, sf_dir):
+    """Candidate near-dup pairs via 64-hash / 16-band MinHash-LSH.
+    xxhash64-based → no SQL oracle; verified by planted-dup tests."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def x4_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 via 4-chunk pigeonhole).
+    xxhash64-based → no SQL oracle; verified by planted-dup tests."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def x5_ngram_jaccard(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard for consecutive doc-id pairs — the
+    verification stage of LSH dedup, demonstrated on a deterministic
+    pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+    )
+    return dedup.ngram_jaccard_pairs(docs, pairs)
+
+
+X5_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM norm
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def x6_embedding_nn(spark, sf_dir):
+    """Embedding-cosine near-dup: per-vector nearest neighbor within its
+    label block + near-dup flag at 0.9."""
+    return dedup.embedding_nn_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+X6_SQL = """
+WITH elem AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b ON a.label = b.label AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.neighbor_id = nb.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
+FROM ranked WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def x7_sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for query vectors 0-4 (the ANN baseline)."""
+    return simsearch.brute_force_topk(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5)
+
+
+X7_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def x8_sim_topk_lsh(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH (Pandas-UDF signatures,
+    bucket join, exact re-rank). No SQL oracle — recall vs brute force is
+    asserted in tests."""
+    return simsearch.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, dim=64, k=5
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def x9_text_stats(spark, sf_dir):
+    return textstats.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_STOP_EN = "['the','a','of','and','to','in','is']"
+
+X9_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+derived AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+           / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                  t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS swr,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digr,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punctr
+  FROM base
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_pieces,
+       round(mtl, 4) AS mean_token_len,
+       round(punctr, 4) AS punct_ratio,
+       round(digr, 4) AS digit_ratio,
+       round(swr, 4) AS stopword_ratio,
+       CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+           + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+           + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+           + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS quality_score
+FROM derived
+"""
+
+
+def x10_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        textstats.predict_lang(c).alias("pred_lang"),
+        (textstats.predict_lang(c) == F.col("lang")).alias("is_match"),
+    )
+
+
+def _hits_sql(words: list[str]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        r"len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''), t -> t), "
+        + f"t -> list_contains({arr}, t)))"
+    )
+
+
+X10_SQL = rf"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {_hits_sql(textstats.STOPWORDS['en'])} AS h_en,
+         {_hits_sql(textstats.STOPWORDS['es'])} AS h_es,
+         {_hits_sql(textstats.STOPWORDS['fr'])} AS h_fr,
+         {_hits_sql(textstats.STOPWORDS['de'])} AS h_de
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(h_en, h_es, h_fr, h_de) < 1 THEN 'und'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            ELSE 'de' END AS pred_lang,
+       (CASE WHEN greatest(h_en, h_es, h_fr, h_de) < 1 THEN 'und'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            ELSE 'de' END) = lang AS is_match
+FROM hits
+"""
+
+
+def x11_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.fingerprint_md5(c).alias("fp_md5"),
+        textstats.fingerprint_rolling(c).alias("fp_rolling"),
+    )
+
+
+X11_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id,
+       md5(nt) AS fp_md5,
+       list_reduce(list_transform(string_split(nt, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
+FROM norm
+"""
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+def x12_multimodal_features(spark, sf_dir):
+    """Opaque-binary pipeline: attach blob → mapInPandas feature extraction
+    (byte-frame sampling + byte histogram). Scalar outputs are mirrored in
+    plain SQL over the source text (the blob is its utf-8 bytes)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.attach_blob(docs))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "n_frames",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+X12_SQL = r"""
+WITH codes AS (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+         list_transform(string_split(text, ''), ch -> ascii(ch)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(ceil(CAST(greatest(byte_len, 1) AS DOUBLE) / 256) AS BIGINT) AS n_frames,
+       round(CAST(list_aggregate(cs, 'sum') AS DOUBLE) / greatest(byte_len, 1), 6) AS mean_byte,
+       round(CAST(len(list_filter(cs, c -> c % 8 = 0)) AS DOUBLE) / greatest(byte_len, 1), 6) AS f0
+FROM codes
+"""
+
+EXTENSIONS = {
+    "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
+    "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
+    "x3_dedup_minhash_lsh": (x3_dedup_minhash_lsh, None),
+    "x4_dedup_simhash": (x4_dedup_simhash, None),
+    "x5_ngram_jaccard": (x5_ngram_jaccard, X5_SQL),
+    "x6_embedding_nn": (x6_embedding_nn, X6_SQL),
+    "x7_sim_topk_bruteforce": (x7_sim_topk_bruteforce, X7_SQL),
+    "x8_sim_topk_lsh": (x8_sim_topk_lsh, None),
+    "x9_text_stats": (x9_text_stats, X9_SQL),
+    "x10_text_langid": (x10_text_langid, X10_SQL),
+    "x11_text_fingerprint": (x11_text_fingerprint, X11_SQL),
+    "x12_multimodal_features": (x12_multimodal_features, X12_SQL),
+}

@@ -1,0 +1,741 @@
+"""Relational operator coverage queries (SURVEY.md §2) over the driver's
+TPC-H-ish testdata. Every query has a DuckDB oracle twin with identical
+column names/aliases (driver hash-compares sorted columns).
+
+Naming convention maps to the SURVEY §2 inventory: s*=sources, t*=transform,
+f*=filter, j*=join, a*=aggregate, w*=window, q*=subquery/set/top-k.
+
+Determinism rules applied throughout:
+  - every float aggregate is ROUND()ed identically on both sides (double
+    summation order differs between engines at the ulp level);
+  - DuckDB integer SUM() returns HUGEINT → always CAST(... AS BIGINT);
+  - top-k/row_number ties broken by a unique key;
+  - fixed anchor dates instead of CURRENT_DATE (SURVEY §7.4 #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.windows import scalable_running_sum, session_window, sliding_window, tumbling_window
+from ..sources.tables import load_table as _t_impl
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _t_impl(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# S — sources / scans
+# --------------------------------------------------------------------------
+
+def s5_scan_pushdown(spark, sf_dir):
+    """Projection + predicate that must reach the parquet scan
+    (PushedFilters / 2-column ReadSchema in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+S5_SQL = """
+SELECT l_orderkey, l_extendedprice
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+"""
+
+# --------------------------------------------------------------------------
+# T — flatten / projection / scalar derivations
+# --------------------------------------------------------------------------
+
+def t1_explode_tokens(spark, sf_dir):
+    """T1 explode with parent-key propagation, on documents' token arrays."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), "\\s+"), lambda t: t != "")
+    return docs.select("doc_id", F.explode(toks).alias("token"))
+
+
+T1_SQL = r"""
+SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS token
+FROM documents
+"""
+
+
+def t2_rename_projection(spark, sf_dir):
+    """T2 rename-map semantics: known keys renamed, unknown pass through."""
+    c = _t(spark, sf_dir, "customer")
+    return c.withColumnsRenamed(
+        {"c_custkey": "cust_id", "c_name": "cust_name", "not_a_col": "ignored"}
+    ).select("cust_id", "cust_name", "c_mktsegment")
+
+
+T2_SQL = """
+SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment FROM customer
+"""
+
+
+def t3_array_fold_sum(spark, sf_dir):
+    """T3/A7 array-fold: collect per-order quantity array, fold-sum it
+    (values are integral doubles → exact across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qs"))
+    folded = F.aggregate("qs", F.lit(0.0), lambda acc, x: acc + x)
+    return arr.select("l_orderkey", folded.alias("total_qty"))
+
+
+T3_SQL = """
+SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def t5_epoch_seconds(spark, sf_dir):
+    """T5 epoch arithmetic: timestamp → whole epoch seconds (floor), with
+    the reference's positive-guard shape."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.floor(F.col("ts").cast("double"))
+    return ev.select(
+        "event_id",
+        F.when(secs > 0, secs).otherwise(F.lit(None)).cast("long").alias("epoch_s"),
+    )
+
+
+T5_SQL = """
+SELECT event_id,
+       CASE WHEN floor(epoch(ts)) > 0 THEN CAST(floor(epoch(ts)) AS BIGINT) END AS epoch_s
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# F — filters / predicates
+# --------------------------------------------------------------------------
+
+def f1_predicates(spark, sf_dir):
+    """F1 equality + range predicates, F4 CASE flag, F5 COALESCE default."""
+    ev = _t(spark, sf_dir, "events")
+    high = F.when(F.col("value") > 90, 1).otherwise(0)
+    return (
+        ev.where((F.col("value") > 50) & (F.col("event_type") != "error"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(high), F.lit(0)).cast("long").alias("n_high"),
+        )
+    )
+
+
+F1_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(coalesce(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_high
+FROM events WHERE value > 50 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
+def f2_date_range(spark, sf_dir):
+    """F2 trailing-14-day filter against a fixed anchor (deterministic
+    stand-in for CURRENT_DATE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.date_sub(F.to_date(F.lit("2001-08-01")), 14)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.where(F.col("l_shipdate").cast("date") >= cutoff)
+        .agg(F.round(F.coalesce(rev, F.lit(0.0)), 2).alias("revenue_14d"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+F2_SQL = """
+SELECT round(coalesce(SUM(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue_14d,
+       count(*) AS n_items
+FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '2001-08-01' - INTERVAL 14 DAY
+"""
+
+# --------------------------------------------------------------------------
+# J — joins
+# --------------------------------------------------------------------------
+
+def j1_inner_broadcast(spark, sf_dir):
+    """J1 many-to-one equi inner join chain with broadcast dims:
+    orders ⋈ customer ⋈ nation → revenue per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT n_name, round(SUM(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def j2_left_join(spark, sf_dir):
+    """J2 left-outer preserving orderless customers (count=0, not NULL)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+J2_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def j3_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+J3_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j4_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+J4_SQL = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j5_cross_join(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b)
+
+
+J5_SQL = """
+SELECT a.r_name AS region_a, b.r_name AS region_b FROM region a CROSS JOIN region b
+"""
+
+
+def j6_range_join(spark, sf_dir):
+    """Range/theta join: equi on user + time-band predicate — follow-up
+    events within 5 minutes."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("eid_b"), F.col("ts").alias("ts_b")
+    )
+    pairs = a.join(
+        b,
+        ["u"],
+    ).where(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return pairs.groupBy(F.col("u").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_followups")
+    )
+
+
+J6_SQL = """
+SELECT a.user_id AS user_id, count(*) AS n_followups
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id
+"""
+
+# --------------------------------------------------------------------------
+# A — aggregations
+# --------------------------------------------------------------------------
+
+def a1_global_aggregates(spark, sf_dir):
+    """A1-A5 shapes: avg/min/max/count + COALESCE-on-empty, one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.coalesce(F.avg("l_quantity"), F.lit(0.0)), 4).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+A1_SQL = """
+SELECT round(coalesce(AVG(l_quantity), 0), 4) AS avg_qty,
+       round(MIN(l_extendedprice), 2) AS min_price,
+       round(MAX(l_extendedprice), 2) AS max_price,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+
+def a6_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (headline bench query): grouped
+    sums/avgs/counts with derived expressions, map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+A6_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       round(AVG(l_extendedprice), 4) AS avg_price,
+       round(AVG(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def a7_distinct_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+A7_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def a8_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+A8_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def a9_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+A9_SQL = """
+SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# --------------------------------------------------------------------------
+# W — window functions
+# --------------------------------------------------------------------------
+
+def w1_running_sum(spark, sf_dir):
+    """W1 running sum over a global order (unique key → RANGE==ROWS).
+    Exact reference-parity shape; see w4 for the scale-out variant."""
+    ev = _t(spark, sf_dir, "events")
+    flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w = Window.orderBy("event_id")
+    return ev.select(
+        "event_id", F.sum(flag).over(w).cast("long").alias("running_errors")
+    )
+
+
+W1_SQL = """
+SELECT event_id,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            OVER (ORDER BY event_id) AS BIGINT) AS running_errors
+FROM events
+"""
+
+
+def w2_gaps_islands(spark, sf_dir):
+    """W1+W2+A6+Q2 composed exactly like the reference KPI: longest streak
+    of consecutive non-'error' events (gaps-and-islands + top-1)."""
+    ev = _t(spark, sf_dir, "events")
+    flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    grp = F.sum(flag).over(Window.orderBy("event_id"))
+    grps = ev.select(grp.alias("grp"))
+    islands = grps.groupBy("grp").agg(
+        (
+            F.count(F.lit(1))
+            - F.when(F.col("grp") == 0, F.lit(0)).otherwise(F.lit(1))
+        ).alias("cnt")
+    )
+    return (
+        islands.orderBy(F.col("cnt").desc())
+        .limit(1)
+        .select(F.col("cnt").cast("long").alias("max_streak"))
+    )
+
+
+W2_SQL = """
+WITH grps AS (
+  SELECT SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         OVER (ORDER BY event_id) AS grp
+  FROM events
+)
+SELECT CAST(count(*) - CASE WHEN grp = 0 THEN 0 ELSE 1 END AS BIGINT) AS max_streak
+FROM grps GROUP BY grp ORDER BY max_streak DESC LIMIT 1
+"""
+
+
+def w3_rank_lag(spark, sf_dir):
+    """rank/row_number + lag coverage: top-3 events per type by value with
+    the gap to the previous ranked value."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.lag("value").over(w) - F.col("value"), 4).alias("gap_to_prev"),
+    )
+    return ranked.where(F.col("rn") <= 3)
+
+
+W3_SQL = """
+SELECT * FROM (
+  SELECT event_type, event_id, round(value, 4) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+         round(LAG(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) - value, 4) AS gap_to_prev
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def w4_scalable_prefix_sum(spark, sf_dir):
+    """The 100 TB replacement for W1: two-pass range-partitioned prefix sum
+    (no single-partition window). Semantics identical to SUM OVER (ORDER BY
+    unique key)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = scalable_running_sum(ev, "event_id", "value", "running_value")
+    return out.select(
+        "event_id", F.round("running_value", 2).alias("running_value")
+    )
+
+
+W4_SQL = """
+SELECT event_id, round(SUM(value) OVER (ORDER BY event_id), 2) AS running_value
+FROM events
+"""
+
+
+def w5_tumbling(spark, sf_dir):
+    return tumbling_window(_t(spark, sf_dir, "events"), "1 hour")
+
+
+W5_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def w6_sliding(spark, sf_dir):
+    return sliding_window(_t(spark, sf_dir, "events"), 2, 1)
+
+
+W6_SQL = """
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+)
+SELECT window_start, count(*) AS n_events, round(SUM(value), 4) AS sum_value
+FROM assigned GROUP BY 1
+"""
+
+
+def w7_session(spark, sf_dir):
+    return session_window(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+W7_SQL = """
+WITH flagged AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events, round(SUM(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+# --------------------------------------------------------------------------
+# Q — subqueries / set ops / sort / limit
+# --------------------------------------------------------------------------
+
+def q1_scalar_subquery(spark, sf_dir):
+    """Q1 uncorrelated scalar subquery via Spark SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above_avg, round(SUM(o_totalprice), 2) AS total_above_avg
+        FROM orders_v
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+Q1_SQL = """
+SELECT count(*) AS n_above_avg, round(SUM(o_totalprice), 2) AS total_above_avg
+FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+def q2_topk(spark, sf_dir):
+    """Q2 ORDER BY ... LIMIT k → TakeOrderedAndProject (top-k, no full
+    sort). Unique tie-break key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+Q2_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q3_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+Q3_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q4_set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == set EXCEPT (exceptAll would be multiset difference)
+    return c.subtract(s)
+
+
+Q4_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q5_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+Q5_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q6_scalar_functions(spark, sf_dir):
+    """§2.9 scalar-function sweep: date parts/arithmetic, string ops,
+    numeric rounding/floor — one deterministic projection."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = F.to_date(F.lit("2001-08-01"))
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.datediff(anchor, F.col("o_orderdate").cast("date")).cast("long").alias("days_before_anchor"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.concat(F.lower("o_orderstatus"), F.lit("-"), F.substring("o_orderpriority", 1, 1)).alias("status_tag"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.round(F.col("o_totalprice") / 7.0, 2).alias("weekly_price"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("price_bucket"),
+        (F.col("o_orderkey") % 10).cast("long").alias("key_mod"),
+    )
+
+
+Q6_SQL = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS order_month,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01') AS days_before_anchor,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       lower(o_orderstatus) || '-' || substring(o_orderpriority, 1, 1) AS status_tag,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       round(o_totalprice / 7.0, 2) AS weekly_price,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_bucket,
+       o_orderkey % 10 AS key_mod
+FROM orders
+"""
+
+
+def q7_json_extract(spark, sf_dir):
+    """JSON props extraction (events.props is a JSON string column)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.round(F.avg(k), 4).alias("avg_k")
+    )
+
+
+Q7_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       round(AVG(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q8_kpi_union(spark, sf_dir):
+    """The reference's flagship 6-KPI VALUES-of-scalar-subqueries shape
+    (K3/Q1/Q3) recast over the testdata, fixed anchor 2001-08-01."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    anchor = F.to_date(F.lit("2001-08-01"))
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("kpi_name"),
+            F.round(F.col("v").cast("double"), 2).alias("kpi_value"),
+        )
+
+    mean_qty = one("mean_lineitem_qty", li.agg(F.coalesce(F.avg("l_quantity"), F.lit(0.0)).alias("v")))
+    mean_order = one("mean_order_value", o.agg(F.coalesce(F.avg("o_totalprice"), F.lit(0.0)).alias("v")))
+    max_14d = one(
+        "max_order_value_14d",
+        o.where(F.col("o_orderdate").cast("date") >= F.date_sub(anchor, 14)).agg(
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("v")
+        ),
+    )
+    min_order = one("min_order_value", o.agg(F.coalesce(F.min("o_totalprice"), F.lit(0.0)).alias("v")))
+    n_open = one(
+        "total_open_orders",
+        o.where(F.col("o_orderstatus") == "O").agg(F.count(F.lit(1)).cast("double").alias("v")),
+    )
+    streak = w2_gaps_islands(spark, sf_dir).select(
+        F.lit("max_no_error_streak").alias("kpi_name"),
+        F.col("max_streak").cast("double").alias("kpi_value"),
+    )
+    out = mean_qty
+    for f in (mean_order, max_14d, min_order, n_open, streak):
+        out = out.unionByName(f)
+    return out
+
+
+Q8_SQL = """
+SELECT 'mean_lineitem_qty' AS kpi_name,
+       round(coalesce(AVG(l_quantity), 0), 2) AS kpi_value FROM lineitem
+UNION ALL
+SELECT 'mean_order_value', round(coalesce(AVG(o_totalprice), 0), 2) FROM orders
+UNION ALL
+SELECT 'max_order_value_14d', round(coalesce(MAX(o_totalprice), 0), 2)
+FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2001-08-01' - INTERVAL 14 DAY
+UNION ALL
+SELECT 'min_order_value', round(coalesce(MIN(o_totalprice), 0), 2) FROM orders
+UNION ALL
+SELECT 'total_open_orders', CAST(count(*) AS DOUBLE) FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'max_no_error_streak', CAST((
+  WITH grps AS (
+    SELECT SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (ORDER BY event_id) AS grp
+    FROM events
+  )
+  SELECT count(*) - CASE WHEN grp = 0 THEN 0 ELSE 1 END AS cnt
+  FROM grps GROUP BY grp ORDER BY cnt DESC LIMIT 1
+) AS DOUBLE)
+"""
+
+RELATIONAL = {
+    "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
+    "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
+    "t2_rename_projection": (t2_rename_projection, T2_SQL),
+    "t3_array_fold_sum": (t3_array_fold_sum, T3_SQL),
+    "t5_epoch_seconds": (t5_epoch_seconds, T5_SQL),
+    "f1_predicates": (f1_predicates, F1_SQL),
+    "f2_date_range": (f2_date_range, F2_SQL),
+    "j1_inner_broadcast": (j1_inner_broadcast, J1_SQL),
+    "j2_left_join": (j2_left_join, J2_SQL),
+    "j3_semi_join": (j3_semi_join, J3_SQL),
+    "j4_anti_join": (j4_anti_join, J4_SQL),
+    "j5_cross_join": (j5_cross_join, J5_SQL),
+    "j6_range_join": (j6_range_join, J6_SQL),
+    "a1_global_aggregates": (a1_global_aggregates, A1_SQL),
+    "a6_pricing_summary": (a6_pricing_summary, A6_SQL),
+    "a7_distinct_agg": (a7_distinct_agg, A7_SQL),
+    "a8_rollup": (a8_rollup, A8_SQL),
+    "a9_cube": (a9_cube, A9_SQL),
+    "w1_running_sum": (w1_running_sum, W1_SQL),
+    "w2_gaps_islands": (w2_gaps_islands, W2_SQL),
+    "w3_rank_lag": (w3_rank_lag, W3_SQL),
+    "w4_scalable_prefix_sum": (w4_scalable_prefix_sum, W4_SQL),
+    "w5_tumbling_window": (w5_tumbling, W5_SQL),
+    "w6_sliding_window": (w6_sliding, W6_SQL),
+    "w7_session_window": (w7_session, W7_SQL),
+    "q1_scalar_subquery": (q1_scalar_subquery, Q1_SQL),
+    "q2_topk": (q2_topk, Q2_SQL),
+    "q3_set_intersect": (q3_set_intersect, Q3_SQL),
+    "q4_set_except": (q4_set_except, Q4_SQL),
+    "q5_union_distinct": (q5_union_distinct, Q5_SQL),
+    "q6_scalar_functions": (q6_scalar_functions, Q6_SQL),
+    "q7_json_extract": (q7_json_extract, Q7_SQL),
+    "q8_kpi_union": (q8_kpi_union, Q8_SQL),
+}

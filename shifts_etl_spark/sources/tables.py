@@ -14,6 +14,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects
+        # natively; read nanos as long and floor to microseconds (the
+        # testdata's actual precision — all values are whole microseconds,
+        # so this matches DuckDB's ns→us semantics exactly).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,96 @@
+"""Structured Streaming analog of the reference's page loop.
+
+The reference's pull-process-commit pagination (reference
+etl/app/shift_data_processor.py:185-215) is a hand-rolled micro-batch
+pipeline: one page = one epoch, committed transactionally. Structured
+Streaming gives the same contract natively — each micro-batch of
+``foreachBatch`` is processed exactly-once into the staged sink, and the
+checkpoint replaces the `links.next` cursor.
+
+`stream_etl` reads nested shift-doc JSON files as they land (the file-drop
+equivalent of pages), flattens each micro-batch with the SAME operators as
+the batch path, and commits all four tables atomically per epoch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import flatten
+from ..schemas import SHIFT_DOC_SCHEMA
+from ..sinks.staged import StagedWriter
+
+
+def stream_etl(
+    spark: SparkSession,
+    input_dir: str | Path,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+):
+    """readStream(json pages) → flatten → atomic per-epoch multi-table write.
+
+    With ``available_now`` the stream drains existing files and stops —
+    batch-equivalent semantics for tests; without it, it runs continuously.
+    """
+    docs = (
+        spark.readStream.schema(SHIFT_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(str(input_dir))
+    )
+    writer = StagedWriter(output_dir)
+
+    def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            tables = flatten.flatten_all(batch_df)
+            writer.write_batch(tables, batch_id=f"epoch{epoch_id:06d}")
+        finally:
+            batch_df.unpersist()
+
+    stream = docs.writeStream.foreachBatch(commit_epoch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        q = stream.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return stream.start()
+
+
+def streaming_event_counts(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+):
+    """Event-time tumbling-window counts with a watermark for late data —
+    the streaming twin of operators.windows.tumbling_window. Returns the
+    started query writing to an in-memory sink named 'event_counts'."""
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .json(str(input_dir))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    # complete mode: append would hold back windows the watermark hasn't
+    # passed yet — with availableNow that means every window still open at
+    # end-of-input would never surface in the memory sink.
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("event_counts")
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,81 @@
+"""Semantics tests for the non-SQL-oracle ops: MinHash-LSH and SimHash must
+find planted near-duplicates (and not everything else); LSH ANN must reach
+reasonable recall vs brute force."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from shifts_etl_spark.operators import dedup, simsearch
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """20 real docs + 3 planted near-dup pairs (small token edits)."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows = [Row(doc_id=r.doc_id, text=r.text) for r in docs]
+    for i, r in enumerate(docs[:3]):
+        words = r.text.split()
+        words[len(words) // 2] = "PLANTEDWORD"
+        rows.append(Row(doc_id=1000 + i, text=" ".join(words)))
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_finds_planted_dups(spark, planted):
+    pairs = dedup.minhash_lsh_pairs(planted).collect()
+    found = {(p.id_a, p.id_b) for p in pairs if p.est_jaccard >= 0.5}
+    for i in range(3):
+        orig = planted.where(F.col("doc_id") == 1000 + i).first()
+        assert any(1000 + i in pr for pr in found), f"planted pair {i} missed: {orig}"
+
+
+def test_minhash_est_jaccard_high_for_dups(spark, planted):
+    pairs = {
+        (p.id_a, p.id_b): p.est_jaccard
+        for p in dedup.minhash_lsh_pairs(planted).collect()
+    }
+    planted_pairs = [p for p in pairs if p[1] >= 1000]
+    assert planted_pairs, "no planted pair retrieved at all"
+    assert max(pairs[p] for p in planted_pairs) >= 0.7
+
+
+def test_simhash_finds_planted_dups(spark, planted):
+    pairs = dedup.simhash_pairs(planted, max_hamming=10).collect()
+    hits = {p.id_b for p in pairs} | {p.id_a for p in pairs}
+    assert {1000, 1001, 1002} & hits, "simhash missed all planted dups"
+
+
+def test_exact_dedup_counts(spark, planted):
+    # identical copy → n_copies 2 for that hash
+    doubled = planted.union(planted.where(F.col("doc_id") == planted.first().doc_id))
+    out = dedup.exact_dedup(doubled)
+    assert out.where(F.col("n_copies") == 2).count() == 1
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.lsh_topk(emb, qids, dim=64, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 16 hyperplanes / 4 bands on random-ish 64-d data: modest but real recall
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_embedding_nn_symmetric_sanity(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nn = dedup.embedding_nn_pairs(emb)
+    assert nn.count() == emb.count()  # one NN row per vector
+    assert nn.where(F.col("cosine") > 1.0001).count() == 0

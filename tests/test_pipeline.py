@@ -1,0 +1,99 @@
+"""End-to-end pipeline semantics: pagination equivalence, rollback
+atomicity, clear — the engine analogs of the reference's test suite
+(reference etl/tests/test_shift_data_processor.py:127-300)."""
+
+import copy
+
+import pytest
+
+from shifts_etl_spark.operators.quality import IntegrityError
+from shifts_etl_spark.pipeline import clear_data, run_etl
+from shifts_etl_spark.sinks.staged import StagedWriter
+from shifts_etl_spark.sources.generator import generate_shift_docs, paginate
+from shifts_etl_spark.sources.pages import docs_from_pages, iter_http_pages
+
+from .golden import GOLDEN_DOCS
+
+
+def test_pagination_equivalence(spark, tmp_path):
+    """2-page split produces identical outputs to a single page."""
+    docs = generate_shift_docs(days=20)
+    one = docs_from_pages(spark, paginate(docs, limit=30))
+    two = docs_from_pages(spark, paginate(docs, limit=7))
+    assert one.count() == two.count() == 20
+    assert one.exceptAll(two).count() == 0
+
+
+def test_run_etl_counts_golden(spark, tmp_path):
+    out = tmp_path / "out"
+    counts = run_etl(
+        spark,
+        pages=paginate(GOLDEN_DOCS, limit=1),
+        output_dir=out,
+        anchor_date="2024-01-15",
+    )
+    assert counts == {
+        "shifts": 2,
+        "breaks": 2,
+        "allowances": 3,
+        "award_interpretations": 2,
+        "kpis": 6,
+    }
+
+
+def test_rollback_on_duplicate_pk(spark, tmp_path):
+    """Reference rollback test analog: duplicate break_id across two shifts
+    → IntegrityError and ZERO rows persisted in any table."""
+    docs = copy.deepcopy(GOLDEN_DOCS)
+    docs[1]["breaks"][0]["id"] = docs[0]["breaks"][0]["id"]
+    out = tmp_path / "out"
+    with pytest.raises(IntegrityError):
+        run_etl(spark, pages=paginate(docs, limit=10), output_dir=out)
+    w = StagedWriter(out)
+    for t in ["shifts", "breaks", "allowances", "award_interpretations"]:
+        assert not w.table_exists(t), f"{t} partially persisted"
+
+
+def test_rollback_on_orphan_fk(spark, tmp_path):
+    docs = copy.deepcopy(GOLDEN_DOCS)
+    # simulate an orphan by post-processing: a break pointing nowhere can't
+    # arise from nested input, so check the validator directly instead
+    from shifts_etl_spark.operators import flatten, quality
+    from shifts_etl_spark.schemas import SHIFT_DOC_SCHEMA
+
+    d = spark.createDataFrame(docs, SHIFT_DOC_SCHEMA)
+    tables = flatten.flatten_all(d)
+    breaks_bad = tables["breaks"].withColumn(
+        "shift_id", tables["breaks"].shift_id.substr(1, 5)
+    )
+    with pytest.raises(quality.IntegrityError):
+        quality.check_foreign_key(breaks_bad, "shift_id", tables["shifts"], "breaks")
+
+
+def test_clear_data(spark, tmp_path):
+    out = tmp_path / "out"
+    run_etl(spark, pages=paginate(GOLDEN_DOCS, 5), output_dir=out, anchor_date="2024-01-15")
+    clear_data(out)
+    w = StagedWriter(out)
+    assert not any(w.table_exists(t) for t in ["shifts", "breaks", "kpis"])
+
+
+def test_http_pagination_iterator(spark):
+    """links.next following with an injected fetch (mock-HTTP analog)."""
+    pages = paginate(generate_shift_docs(days=10), limit=4, base="http://x/api/shifts")
+    by_url = {"http://x/api/shifts": pages[0]}
+    for p in pages:
+        nxt = p["links"].get("next")
+        if nxt:
+            from urllib.parse import urljoin
+
+            by_url[urljoin("http://x/api/shifts", nxt)] = pages[
+                (p["start"] + p["limit"]) // p["limit"]
+            ]
+    seen = list(iter_http_pages("http://x/api/shifts", fetch=by_url.get))
+    assert sum(len(p["results"]) for p in seen) == 10
+
+
+def test_fetch_failure_raises(spark):
+    with pytest.raises(ValueError, match="Failed to fetch"):
+        list(iter_http_pages("http://x/api/shifts", fetch=lambda u: None))

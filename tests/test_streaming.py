@@ -1,0 +1,44 @@
+"""Structured Streaming micro-batch analog of the page loop: drain a file
+drop with availableNow and verify batch-equivalent results + windowed agg."""
+
+import json
+
+from shifts_etl_spark.sinks.staged import StagedWriter
+from shifts_etl_spark.sources.generator import generate_shift_docs
+from shifts_etl_spark.streaming import stream_etl, streaming_event_counts
+
+
+def test_stream_etl_drains_files(spark, tmp_path):
+    docs = generate_shift_docs(days=12)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i in range(0, 12, 4):  # 3 files = "pages"
+        with open(inp / f"page{i}.json", "w") as f:
+            for d in docs[i : i + 4]:
+                f.write(json.dumps(d) + "\n")
+    out = tmp_path / "out"
+    stream_etl(spark, inp, out, tmp_path / "ckpt", available_now=True)
+    w = StagedWriter(out)
+    assert w.read_table(spark, "shifts").count() == 12
+    n_breaks = sum(len(d["breaks"]) for d in docs)
+    assert w.read_table(spark, "breaks").count() == n_breaks
+
+
+def test_streaming_window_counts(spark, tmp_path):
+    inp = tmp_path / "ev"
+    inp.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T0{i % 3}:10:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+        for i in range(9)
+    ]
+    with open(inp / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    q = streaming_event_counts(spark, inp, tmp_path / "ckpt2")
+    q.awaitTermination()
+    got = {
+        (r.window_start.hour, r.n_events)
+        for r in spark.sql("SELECT * FROM event_counts").collect()
+    }
+    assert got == {(0, 3), (1, 3), (2, 3)}
