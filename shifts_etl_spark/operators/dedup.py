@@ -24,6 +24,18 @@ from pyspark.sql import DataFrame, functions as F
 from .textstats import normalize_text, tokens
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across all cores before CPU-heavy per-row
+    work (shingling, bit votes). A compact parquet file arrives as ONE
+    input split, which would serialize the expensive projection; one cheap
+    round-robin shuffle of the raw rows buys full parallelism. No-op cost
+    at scale (big inputs already have many splits, and the shuffle is
+    bounded by the input size)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -74,6 +86,42 @@ def word_shingles(c, n: int = 3):
     )
 
 
+def shingle_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, shingle) rows via posexplode(tokens) + window LEAD — the scale
+    shape for shingling. Exploding a transform(sequence, slice(tokens,...))
+    array instead re-evaluates the whole tokenize pipeline per shingle
+    position (no CSE through lambda+generator → ~100× slower); here tokens
+    are materialized once and shingles assembled from LEADs. Duplicate
+    shingles are kept: downstream MIN/vote aggregates are set-insensitive.
+    Docs shorter than ``shingle_n`` tokens emit their full token string."""
+    from pyspark.sql import Window
+
+    tok = _fan_out(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("t")] + [
+        F.lead("t", i).over(w) for i in range(1, shingle_n)
+    ]
+    last = F.lead("t", shingle_n - 1).over(w)
+    return (
+        tok.select(
+            "doc",
+            "pos",
+            F.concat_ws(" ", *leads).alias("s"),  # concat_ws skips NULL tails
+            last.alias("_last"),
+        )
+        .where(F.col("_last").isNotNull() | (F.col("pos") == 0))
+        .select("doc", "s")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -81,15 +129,11 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures, computed columnar: explode shingles →
+    """MinHash signatures, computed columnar: shingle rows →
     ``num_hashes`` map-side-combinable MIN aggregates (hash family =
-    xxhash64(shingle, j)). One narrow explode + one tiny shuffle of
-    (doc, 64 longs) — never a nested per-row expression tree (which
-    re-evaluates the shingle pipeline per hash and is ~100× slower)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
-    )
+    xxhash64(shingle, j)). The shuffle carries (doc, 64 longs) — documents
+    never move."""
+    sh = shingle_rows(docs, text_col, id_col, shingle_n)
     aggs = [
         F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
     ]
@@ -165,7 +209,7 @@ def simhash_signatures(
     """64-bit SimHash per doc, computed columnar: explode tokens → 64
     map-side-combinable SUM(+1/-1) bit votes → fold sign bits into one
     long. (Bit 63 uses shiftleft overflow-wrap to land on the sign bit.)"""
-    tok = docs.select(
+    tok = _fan_out(docs).select(
         F.col(id_col).alias("doc"), F.explode(tokens(normalize_text(F.col(text_col)))).alias("t")
     )
     h = F.xxhash64("t")
