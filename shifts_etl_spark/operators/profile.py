@@ -1,0 +1,48 @@
+"""Table profiling — per-column summary statistics in ONE pass.
+
+The data-quality companion to operators/quality.py: where quality.py
+enforces constraints, profile.py measures (row counts, null rates, numeric
+min/max/mean, distinct estimates). One job per table regardless of column
+count — every statistic is a map-side-combinable aggregate over a single
+scan, so profiling a 100 TB table costs one read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
+    """Long-format profile: one row per column with
+    (column, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val) —
+    min/max/mean as strings/doubles so heterogeneous columns stack.
+    ``approx_distinct`` uses HyperLogLog++ (the only sane choice at scale);
+    exact mode exists for oracle comparison."""
+    aggs = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        distinct = (
+            F.approx_count_distinct(f.name)
+            if approx_distinct
+            else F.countDistinct(f.name)
+        )
+        is_num = isinstance(f.dataType, NumericType)
+        aggs.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(c.isNull().cast("long")).alias("n_nulls"),
+                distinct.alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+                (
+                    F.round(F.avg(c), 4) if is_num else F.lit(None).cast("double")
+                ).alias("mean_val"),
+            ).alias(f"_{f.name}")
+        )
+    one_row = df.agg(*aggs)
+    stacked = one_row.select(
+        F.explode(F.array(*[f"_{f.name}" for f in df.schema.fields])).alias("p")
+    )
+    return stacked.select("p.*")

@@ -53,6 +53,74 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_stride: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into cells around
+    centroid vectors, search only the ``n_probe`` cells nearest each query.
+
+    Centroids are a deterministic 1-in-``centroid_stride`` sample of the
+    corpus (id % stride == 0) — at scale you'd k-means them, but cell
+    mechanics (the part Spark executes) are identical. Cost model:
+    assignment is |corpus| × |centroids| cosine ops against a BROADCAST
+    centroid table (no shuffle of vectors); the probe join then touches only
+    |corpus| × n_probe / |centroids| pairs instead of |corpus| × |queries|.
+    """
+    cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+
+    def nearest_cells(side: DataFrame, id_name: str, v_name: str, n: int) -> DataFrame:
+        sim = cosine_similarity(F.col(v_name), F.col("cent_v"))
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            id_name, v_name, "cent_id", sim.alias("cent_sim")
+        )
+        w = Window.partitionBy(id_name).orderBy(
+            F.col("cent_sim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n)
+            .drop("_r", "cent_sim")
+        )
+
+    corpus = nearest_cells(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+        1,
+    )
+    queries = nearest_cells(
+        emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        n_probe,
+    )
+    cand = (
+        queries.join(corpus, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype("float64")
 

@@ -77,7 +77,11 @@ def session_window(
 
 
 def scalable_running_sum(
-    df: DataFrame, order_col: str, value_col, out_col: str = "running_sum"
+    df: DataFrame,
+    order_col: str,
+    value_col,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Two-pass prefix sum — the 100 TB replacement for an ORDER BY-only
     window (which collapses to ONE partition, the reference's W1 hazard,
@@ -92,9 +96,11 @@ def scalable_running_sum(
     """
     from pyspark.sql.window import Window as W
 
-    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, F.col(order_col))
+    else:
+        ranged = df.repartitionByRange(F.col(order_col))
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
     local_w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup, multimodal, simsearch, textstats
+from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
 
@@ -319,6 +320,55 @@ SELECT doc_id,
 FROM codes
 """
 
+def x13_sim_topk_ivf(spark, sf_dir):
+    """IVF-cell approximate top-5 (deterministic centroid sample, 4-probe).
+    No SQL oracle — recall vs brute force asserted in tests."""
+    return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5)
+
+
+def x14_table_profile(spark, sf_dir):
+    """One-pass per-column profile of orders (exact distinct mode so the
+    oracle can mirror; approx mode is the scale default)."""
+    return profile_table(_t(spark, sf_dir, "orders"), approx_distinct=False)
+
+
+def _profile_col_sql(name: str, numeric: bool, cast_minmax: bool = True) -> str:
+    mm = f"CAST(MIN({name}) AS VARCHAR)" if cast_minmax else f"MIN({name})"
+    mx = f"CAST(MAX({name}) AS VARCHAR)" if cast_minmax else f"MAX({name})"
+    mean = f"round(AVG({name}), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{name}' AS \"column\", count(*) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"count(DISTINCT {name}) AS n_distinct, "
+        f"{mm} AS min_val, {mx} AS max_val, {mean} AS mean_val FROM orders"
+    )
+
+
+X14_SQL = "\nUNION ALL\n".join(
+    [
+        _profile_col_sql("o_orderkey", True),
+        _profile_col_sql("o_custkey", True),
+        _profile_col_sql("o_orderstatus", False),
+        _profile_col_sql("o_totalprice", True),
+        _profile_col_sql("o_orderdate", False),
+        _profile_col_sql("o_orderpriority", False),
+    ]
+)
+
+
+def x15_approx_aggregates(spark, sf_dir):
+    """Sketch aggregates (HyperLogLog++ distinct, approximate quantiles) —
+    estimator implementations differ per engine, so rows-only check; the
+    companion test bounds the error against exact values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -332,4 +382,7 @@ EXTENSIONS = {
     "x10_text_langid": (x10_text_langid, X10_SQL),
     "x11_text_fingerprint": (x11_text_fingerprint, X11_SQL),
     "x12_multimodal_features": (x12_multimodal_features, X12_SQL),
+    "x13_sim_topk_ivf": (x13_sim_topk_ivf, None),
+    "x14_table_profile": (x14_table_profile, X14_SQL),
+    "x15_approx_aggregates": (x15_approx_aggregates, None),
 }

@@ -1,0 +1,107 @@
+"""Windows operators, scalable prefix sum equivalence, table profile, IVF
+recall, approx-aggregate error bounds, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from shifts_etl_spark.operators import multimodal, simsearch
+from shifts_etl_spark.operators.profile import profile_table
+from shifts_etl_spark.operators.windows import scalable_running_sum
+from shifts_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scalable_prefix_sum_matches_global_window(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    two_pass = {
+        r.event_id: r.rs
+        for r in scalable_running_sum(ev, "event_id", "value", "rs").collect()
+    }
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    single = {
+        r.event_id: r.rs
+        for r in ev.select("event_id", F.sum("value").over(w).alias("rs")).collect()
+    }
+    assert set(two_pass) == set(single)
+    for k in single:
+        assert two_pass[k] == pytest.approx(single[k], rel=1e-9)
+
+
+def test_scalable_prefix_sum_partition_count(spark):
+    """The point of the two-pass form: no single-partition stage."""
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    # AQE legitimately coalesces this tiny dataset to one partition; disable
+    # coalescing to observe the range-partitioned execution shape itself
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out = scalable_running_sum(ev, "event_id", "value", "rs", num_partitions=8)
+        assert out.rdd.getNumPartitions() > 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # and the result is still the exact global prefix sum
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    single = {
+        r.event_id: r.rs
+        for r in ev.select("event_id", F.sum("value").over(w).alias("rs")).collect()
+    }
+    for r in out.collect():
+        assert r.rs == pytest.approx(single[r.event_id], rel=1e-9)
+
+
+def test_profile_table_shape(spark):
+    orders = load_table(spark, SF, "orders")
+    prof = profile_table(orders).collect()
+    by_col = {r.column: r for r in prof}
+    assert set(by_col) == set(orders.columns)
+    assert by_col["o_orderkey"].n_nulls == 0
+    assert by_col["o_orderkey"].n_rows == orders.count()
+    assert by_col["o_orderstatus"].mean_val is None
+
+
+def test_ivf_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.ivf_topk(emb, qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_approx_aggregates_error_bound(spark):
+    li = load_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a"),
+        F.countDistinct("l_orderkey").alias("e"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("m"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("me"),
+    ).first()
+    assert abs(row.a - row.e) / row.e < 0.1
+    assert abs(row.m - row.me) / row.me < 0.1
+
+
+def test_multimodal_metadata_and_features(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    blobs = multimodal.attach_blob(docs)
+    meta = multimodal.blob_metadata(blobs).collect()
+    assert len(meta) == 50
+    src = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    for r in meta:
+        assert r.byte_len == src[r.doc_id]  # ascii text: bytes == chars
+        assert len(r.sha256) == 64
+    feats = multimodal.extract_features(blobs).collect()
+    for r in feats:
+        assert r.n_frames == (max(r.byte_len, 1) + 255) // 256
+        assert sum(r.features) == pytest.approx(1.0)
+        assert 0 < r.mean_byte < 128  # ascii
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
