@@ -1,0 +1,79 @@
+"""CLI control surface — the engine analog of the reference's two FastAPI
+endpoints (reference etl/app/main.py:31-67) plus local utilities:
+
+  python -m shifts_etl_spark run-etl   [--days N] [--batch-size 1..30]
+                                       [--output DIR] [--api-url URL]
+  python -m shifts_etl_spark clear-data [--output DIR]
+  python -m shifts_etl_spark show-kpis  [--output DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="shifts_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run-etl", help="ingest → flatten → validate → load → KPIs")
+    run.add_argument("--days", type=int, default=360, help="synthetic generator days")
+    run.add_argument("--batch-size", type=int, default=7, help="page size 1..30")
+    run.add_argument("--output", default="/tmp/shifts_etl_spark_out")
+    run.add_argument("--api-url", default=None, help="paginated JSON API (else generator)")
+    run.add_argument("--anchor-date", default=None, help="YYYY-MM-DD (default: today)")
+
+    clear = sub.add_parser("clear-data", help="drop all five output tables")
+    clear.add_argument("--output", default="/tmp/shifts_etl_spark_out")
+
+    show = sub.add_parser("show-kpis", help="print the kpis table")
+    show.add_argument("--output", default="/tmp/shifts_etl_spark_out")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "run-etl" and not 1 <= args.batch_size <= 30:
+        # same bound as the reference API's validation (api/app/main.py:84-90)
+        print("batch-size must be in [1, 30]", file=sys.stderr)
+        return 2
+
+    if args.cmd == "clear-data":
+        from .pipeline import clear_data
+
+        clear_data(args.output)
+        print(f"cleared {args.output}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"shifts_etl_spark.{args.cmd}")
+
+    if args.cmd == "show-kpis":
+        from .sinks.staged import StagedWriter
+
+        StagedWriter(args.output).read_table(spark, "kpis").show(100, False)
+        return 0
+
+    # run-etl
+    from .pipeline import run_etl
+
+    if args.api_url:
+        counts = run_etl(
+            spark,
+            api_url=args.api_url,
+            output_dir=args.output,
+            anchor_date=args.anchor_date,
+        )
+    else:
+        from .sources.generator import generate_shift_docs, paginate
+
+        pages = paginate(generate_shift_docs(days=args.days), limit=args.batch_size)
+        counts = run_etl(
+            spark, pages=pages, output_dir=args.output, anchor_date=args.anchor_date
+        )
+    print({"status": "ETL job completed successfully", "rows": counts})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

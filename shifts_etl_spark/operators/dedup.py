@@ -162,7 +162,13 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    with_sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    # persist: the self-join would otherwise recompute the whole shingle +
+    # signature pipeline for both sides (Spark's exchange reuse does not
+    # fire across the join aliases here — verified in the physical plan).
+    # The cached footprint is (doc_id, 64 longs) ≈ 0.5 KB/doc.
+    with_sig = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_n
+    ).persist()
 
     banded = with_sig.select(
         "doc",
@@ -243,7 +249,8 @@ def simhash_pairs(
     banding (pigeonhole: ≤3 differing bits over 4 16-bit chunks ⇒ some chunk
     identical) then exact bit_count(xor) filter."""
     width = 64 // chunks
-    sh = simhash_signatures(docs, text_col, id_col)
+    # persist for the same self-join-recompute reason as minhash_lsh_pairs
+    sh = simhash_signatures(docs, text_col, id_col).persist()
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned("sh", i * width).bitwiseAND(

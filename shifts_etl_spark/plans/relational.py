@@ -704,6 +704,160 @@ SELECT 'max_no_error_streak', CAST((
 ) AS DOUBLE)
 """
 
+def a10_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): by status, by priority,
+    and grand total in one pass."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(AVG(o_totalprice), 2) AS avg_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+A10_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def a11_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+    )
+
+
+A11_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def w8_ntile_first_last(spark, sf_dir):
+    """ntile/first_value/last_value coverage: price quartiles within order
+    priority + the priority's min/max key carried on each row, aggregated
+    back down so the result is compact and deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tiled = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last_value("o_orderkey").over(wf).alias("priciest_key"),
+    )
+    return tiled.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.min("cheapest_key").alias("cheapest_key"),
+        F.max("priciest_key").alias("priciest_key"),
+    )
+
+
+W8_SQL = """
+WITH tiled AS (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(4) OVER w AS quartile,
+         FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_key,
+         LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, quartile, count(*) AS n,
+       round(AVG(o_totalprice), 2) AS avg_price,
+       MIN(cheapest_key) AS cheapest_key, MAX(priciest_key) AS priciest_key
+FROM tiled GROUP BY o_orderpriority, quartile
+"""
+
+
+def q9_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery: orders beating their customer's own
+    average order value."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, count(*) AS n_above_own_avg
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
+                              FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        """
+    )
+
+
+Q9_SQL = """
+SELECT o_custkey, count(*) AS n_above_own_avg
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
+                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_custkey
+"""
+
+
+def q10_in_subquery(spark, sf_dir):
+    """IN-subquery: customers from nations that also have suppliers."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey FROM customer_v
+        WHERE c_nationkey IN (SELECT s_nationkey FROM supplier_v)
+        """
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+def q11_pivot(spark, sf_dir):
+    """Pivot order counts: one row per status, one column per priority
+    bucket (fixed value list so the schema is static)."""
+    o = _t(spark, sf_dir, "orders")
+    prio = F.substring("o_orderpriority", 1, 1)
+    return (
+        o.select("o_orderstatus", prio.alias("p"))
+        .groupBy("o_orderstatus")
+        .pivot("p", ["1", "2", "3", "4", "5"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(f"prio_{v}") for v in "12345"],
+        )
+    )
+
+
+Q11_SQL = """
+SELECT o_orderstatus,
+       CAST(coalesce(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '1' THEN 1 END), 0) AS BIGINT) AS prio_1,
+       CAST(coalesce(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '2' THEN 1 END), 0) AS BIGINT) AS prio_2,
+       CAST(coalesce(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '3' THEN 1 END), 0) AS BIGINT) AS prio_3,
+       CAST(coalesce(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '4' THEN 1 END), 0) AS BIGINT) AS prio_4,
+       CAST(coalesce(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '5' THEN 1 END), 0) AS BIGINT) AS prio_5
+FROM orders GROUP BY o_orderstatus
+"""
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -723,6 +877,8 @@ RELATIONAL = {
     "a7_distinct_agg": (a7_distinct_agg, A7_SQL),
     "a8_rollup": (a8_rollup, A8_SQL),
     "a9_cube": (a9_cube, A9_SQL),
+    "a10_grouping_sets": (a10_grouping_sets, A10_SQL),
+    "a11_percentiles": (a11_percentiles, A11_SQL),
     "w1_running_sum": (w1_running_sum, W1_SQL),
     "w2_gaps_islands": (w2_gaps_islands, W2_SQL),
     "w3_rank_lag": (w3_rank_lag, W3_SQL),
@@ -730,6 +886,7 @@ RELATIONAL = {
     "w5_tumbling_window": (w5_tumbling, W5_SQL),
     "w6_sliding_window": (w6_sliding, W6_SQL),
     "w7_session_window": (w7_session, W7_SQL),
+    "w8_ntile_first_last": (w8_ntile_first_last, W8_SQL),
     "q1_scalar_subquery": (q1_scalar_subquery, Q1_SQL),
     "q2_topk": (q2_topk, Q2_SQL),
     "q3_set_intersect": (q3_set_intersect, Q3_SQL),
@@ -738,4 +895,7 @@ RELATIONAL = {
     "q6_scalar_functions": (q6_scalar_functions, Q6_SQL),
     "q7_json_extract": (q7_json_extract, Q7_SQL),
     "q8_kpi_union": (q8_kpi_union, Q8_SQL),
+    "q9_correlated_subquery": (q9_correlated_subquery, Q9_SQL),
+    "q10_in_subquery": (q10_in_subquery, Q10_SQL),
+    "q11_pivot": (q11_pivot, Q11_SQL),
 }
