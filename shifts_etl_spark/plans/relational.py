@@ -858,6 +858,36 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+def j7_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one; see operators/asof.py): each
+    purchase event paired with the user's most recent view at-or-before it.
+    Oracle uses DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, key="user_id", ts_col="ts")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_ts").alias("view_ts"),
+        F.round("view_value", 4).alias("view_value"),
+    )
+
+
+J7_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, v.ts AS view_ts,
+       round(v.value, 4) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -872,6 +902,7 @@ RELATIONAL = {
     "j4_anti_join": (j4_anti_join, J4_SQL),
     "j5_cross_join": (j5_cross_join, J5_SQL),
     "j6_range_join": (j6_range_join, J6_SQL),
+    "j7_asof_join": (j7_asof_join, J7_SQL),
     "a1_global_aggregates": (a1_global_aggregates, A1_SQL),
     "a6_pricing_summary": (a6_pricing_summary, A6_SQL),
     "a7_distinct_agg": (a7_distinct_agg, A7_SQL),
