@@ -858,6 +858,24 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+def q12_offset_limit(spark, sf_dir):
+    """Keyset-style pagination: ORDER BY + OFFSET/LIMIT — the engine analog
+    of the reference API's start/limit slicing (api/app/main.py:92)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+Q12_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+ORDER BY o_orderkey LIMIT 10 OFFSET 20
+"""
+
+
 def j7_asof_join(spark, sf_dir):
     """As-of join (Spark has no native one; see operators/asof.py): each
     purchase event paired with the user's most recent view at-or-before it.
@@ -929,4 +947,5 @@ RELATIONAL = {
     "q9_correlated_subquery": (q9_correlated_subquery, Q9_SQL),
     "q10_in_subquery": (q10_in_subquery, Q10_SQL),
     "q11_pivot": (q11_pivot, Q11_SQL),
+    "q12_offset_limit": (q12_offset_limit, Q12_SQL),
 }
