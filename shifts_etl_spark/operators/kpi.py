@@ -28,8 +28,6 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-EPOCH_SECONDS = lambda c: F.unix_timestamp(c)  # noqa: E731
-
 
 def _date_anchor(anchor_date: dt.date | str | None):
     if anchor_date is None:

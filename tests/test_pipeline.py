@@ -97,3 +97,17 @@ def test_http_pagination_iterator(spark):
 def test_fetch_failure_raises(spark):
     with pytest.raises(ValueError, match="Failed to fetch"):
         list(iter_http_pages("http://x/api/shifts", fetch=lambda u: None))
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    """Drive the CLI entry points in-process (reuses the test session)."""
+    from shifts_etl_spark.__main__ import main
+
+    out = str(tmp_path / "cli")
+    assert main(["run-etl", "--days", "5", "--batch-size", "3",
+                 "--output", out, "--anchor-date", "2023-02-01"]) == 0
+    assert "ETL job completed successfully" in capsys.readouterr().out
+    assert main(["show-kpis", "--output", out]) == 0
+    assert "mean_shift_cost" in capsys.readouterr().out
+    assert main(["clear-data", "--output", out]) == 0
+    assert main(["run-etl", "--batch-size", "31"]) == 2
