@@ -121,6 +121,77 @@ def fingerprint_rolling(c: Column, base: int = 31, mod: int = 1_000_000_007) -> 
     )
 
 
+# PII-ish scrubbing patterns — deliberately simple so Java regex (Spark)
+# and RE2 (DuckDB) agree: no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url": "https?://[^\\s]+",
+    "number_long": "[0-9]{7,}",
+}
+
+
+def scrub_pii(c: Column) -> Column:
+    """Replace emails, URLs, and long digit runs with typed placeholders —
+    the standard pre-training scrub pass, pure regexp_replace chain."""
+    out = c
+    for tag, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{tag.upper()}>")
+    return out
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    return {
+        tag: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for tag, pat in PII_PATTERNS.items()
+    }
+
+
+def vocabulary(
+    docs: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: token → document frequency + total count, top-N
+    by count (tie-break token). The canonical map-side-combinable word
+    count; at 100 TB the shuffle carries (token, partial counts) only."""
+    tok = docs.select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+        F.col("doc_id"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n_total").desc(), F.col("token"))
+        .limit(top_n)
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_digit_ratio: float = 0.2,
+    min_mean_token_len: float = 3.0,
+) -> DataFrame:
+    """Training-data quality gate: keep/drop per doc with the FIRST failing
+    reason (deterministic reason priority), the composable filter stage of
+    a data pipeline. Pure expressions — the filter pushes to the scan."""
+    c = F.col(text_col)
+    n = token_count(c)
+    reason = (
+        F.when(n < min_tokens, F.lit("too_few_tokens"))
+        .when(digit_ratio(c) > max_digit_ratio, F.lit("too_many_digits"))
+        .when(mean_token_len(c) < min_mean_token_len, F.lit("tokens_too_short"))
+        .otherwise(F.lit(None))
+    )
+    return docs.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("ok")).alias("reason"),
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full stat set (rounded for comparability)."""
     c = F.col(text_col)

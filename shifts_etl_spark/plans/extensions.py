@@ -369,6 +369,76 @@ def x15_approx_aggregates(spark, sf_dir):
     )
 
 
+def x16_pii_scrub(spark, sf_dir):
+    """PII scrub pass: per-doc replacement counts + scrubbed-text hash
+    (hash instead of full text keeps the compared payload small)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    counts = textstats.pii_counts(c)
+    return docs.select(
+        "doc_id",
+        F.md5(textstats.scrub_pii(c)).alias("scrubbed_md5"),
+        *[v.cast("long").alias(f"n_{k}") for k, v in counts.items()],
+    )
+
+
+X16_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[0-9]{7,}', '<NUMBER_LONG>', 'g')) AS scrubbed_md5,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_number_long
+FROM documents
+"""
+
+
+def x17_vocabulary(spark, sf_dir):
+    """Corpus vocabulary top-100 (total count + doc frequency)."""
+    return textstats.vocabulary(_t(spark, sf_dir, "documents"))
+
+
+X17_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_total DESC, token LIMIT 100
+"""
+
+
+def x18_quality_filter(spark, sf_dir):
+    """Quality gate with deterministic first-failing-reason labels."""
+    return textstats.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+X18_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digr
+  FROM documents
+),
+derived AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 20 THEN 'too_few_tokens'
+              WHEN digr > 0.2 THEN 'too_many_digits'
+              WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                   / greatest(len(toks), 1) < 3.0 THEN 'tokens_too_short'
+         END AS reason
+  FROM base
+)
+SELECT doc_id, reason IS NULL AS keep, coalesce(reason, 'ok') AS reason
+FROM derived
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -385,4 +455,7 @@ EXTENSIONS = {
     "x13_sim_topk_ivf": (x13_sim_topk_ivf, None),
     "x14_table_profile": (x14_table_profile, X14_SQL),
     "x15_approx_aggregates": (x15_approx_aggregates, None),
+    "x16_pii_scrub": (x16_pii_scrub, X16_SQL),
+    "x17_vocabulary": (x17_vocabulary, X17_SQL),
+    "x18_quality_filter": (x18_quality_filter, X18_SQL),
 }

