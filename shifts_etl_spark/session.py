@@ -40,6 +40,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # static conf: keep managed tables (bucketed layouts) out of the cwd
+        .config("spark.sql.warehouse.dir", "/tmp/shifts_etl_spark_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

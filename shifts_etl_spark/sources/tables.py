@@ -23,9 +23,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div: ns values (~1.7e18) exceed double's exact-integer
-        # range, so `/ 1000` would be off by ±1 µs on some rows
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div: ns values (~1.7e18) exceed double's exact-integer
+            # range, so `/ 1000` would be off by ±1 µs on some rows
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df  # re-materialized copies already store µs timestamps
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

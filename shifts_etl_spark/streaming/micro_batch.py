@@ -60,6 +60,36 @@ def stream_etl(
     return stream.start()
 
 
+def streaming_dedupe(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    key: str = "event_id",
+    watermark: str = "1 hour",
+    query_name: str = "deduped_events",
+):
+    """Exactly-once event ingestion: dropDuplicates on the event key within
+    the watermark horizon — the streaming analog of the PK-uniqueness gate
+    (state holds one entry per key until the watermark passes it, so state
+    size is bounded by arrival rate × horizon, not by history)."""
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .json(str(input_dir))
+    )
+    deduped = events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_event_counts(
     spark: SparkSession,
     input_dir: str | Path,
