@@ -520,13 +520,14 @@ FROM sessions GROUP BY user_id, session_id
 
 def q1_scalar_subquery(spark, sf_dir):
     """Q1 uncorrelated scalar subquery via Spark SQL."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    o = _t(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT count(*) AS n_above_avg, round(SUM(o_totalprice), 2) AS total_above_avg
-        FROM orders_v
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
-        """
+        FROM {orders}
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM {orders})
+        """,
+        orders=o,
     )
 
 
@@ -706,15 +707,16 @@ SELECT 'max_no_error_streak', CAST((
 
 def a10_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (beyond rollup/cube): by status, by priority,
-    and grand total in one pass."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    and grand total in one pass. DataFrame-parameterized spark.sql — no
+    shared temp-view names, so concurrent driver runs can't race."""
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                round(AVG(o_totalprice), 2) AS avg_price
-        FROM orders_v
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+        """,
+        orders=_t(spark, sf_dir, "orders"),
     )
 
 
@@ -791,16 +793,17 @@ FROM tiled GROUP BY o_orderpriority, quartile
 def q9_correlated_subquery(spark, sf_dir):
     """Correlated scalar subquery: orders beating their customer's own
     average order value."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    o = _t(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_custkey, count(*) AS n_above_own_avg
-        FROM orders_v o
+        FROM {orders} o
         WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
-                              FROM orders_v o2
+                              FROM {orders} o2
                               WHERE o2.o_custkey = o.o_custkey)
         GROUP BY o_custkey
-        """
+        """,
+        orders=o,
     )
 
 
@@ -815,13 +818,13 @@ GROUP BY o_custkey
 
 def q10_in_subquery(spark, sf_dir):
     """IN-subquery: customers from nations that also have suppliers."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
     return spark.sql(
         """
-        SELECT c_custkey, c_nationkey FROM customer_v
-        WHERE c_nationkey IN (SELECT s_nationkey FROM supplier_v)
-        """
+        SELECT c_custkey, c_nationkey FROM {customer}
+        WHERE c_nationkey IN (SELECT s_nationkey FROM {supplier})
+        """,
+        customer=_t(spark, sf_dir, "customer"),
+        supplier=_t(spark, sf_dir, "supplier"),
     )
 
 
