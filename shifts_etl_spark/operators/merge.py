@@ -1,0 +1,64 @@
+"""MERGE / upsert — lakehouse-style `MERGE INTO target USING updates ON key`
+over the staged-parquet layout (no Delta in this container; same contract).
+
+Semantics (the common subset):
+  - matched rows  → replaced by the update row (whole-row upsert)
+  - unmatched     → inserted
+  - ``delete_col``: updates with that boolean column true delete instead
+
+Plan shape: ONE full-outer join between target and updates on the key —
+the update side is usually dim-sized, so it broadcasts; the rewrite cost is
+one pass over the target. (Table formats with file-level stats prune the
+rewrite to touched files; the staged layout rewrites the table — the join
+itself is identical.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sinks.staged import StagedWriter, clear_outputs
+
+
+def merge_dataframes(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Pure-DataFrame MERGE: returns the post-merge table."""
+    if delete_col is not None:
+        deletes = updates.where(F.col(delete_col)).select(key)
+        updates = updates.where(~F.col(delete_col)).drop(delete_col)
+        target = target.join(F.broadcast(deletes), key, "left_anti")
+    # upsert = updates win on key collision, target rows otherwise
+    survivors = target.join(
+        F.broadcast(updates.select(key)), key, "left_anti"
+    )
+    return survivors.unionByName(updates)
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    updates: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE into a staged-sink table in place (atomic batch swap):
+    read current → merge → write merged batch → drop old batches.
+    Returns the post-merge row count."""
+    writer = StagedWriter(root)
+    current = writer.read_table(spark, table)
+    merged = merge_dataframes(current, updates, key, delete_col).persist()
+    n = merged.count()  # materialize BEFORE clearing the source batches
+    old = sorted((writer.root / table).glob("batch=*"))
+    writer.write_batch({table: merged}, batch_id="merge-staging")
+    # promote: drop pre-merge batches only after the merged batch landed
+    import shutil
+
+    for d in old:
+        shutil.rmtree(d, ignore_errors=True)
+    merged.unpersist()
+    return n

@@ -64,6 +64,23 @@ class StagedWriter:
         d = self.root / name
         return d.exists() and any(d.glob("batch=*"))
 
+    def compact(self, spark: SparkSession, name: str, target_partitions: int = 1) -> int:
+        """Small-file management: rewrite all batch dirs of a table into one
+        compacted batch (atomic: the compacted batch is staged and promoted
+        before the source batches are removed). Returns batches removed.
+        At scale this is the nightly OPTIMIZE pass — per-epoch micro-batches
+        otherwise accumulate one file set per commit forever."""
+        old = sorted((self.root / name).glob("batch=*"))
+        if len(old) <= 1:
+            return 0
+        df = self.read_table(spark, name).coalesce(target_partitions)
+        # materialize under staging first; promote, then drop the originals
+        batch_id = f"compact-{uuid.uuid4().hex[:8]}"
+        self.write_batch({name: df}, batch_id=batch_id)
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(old)
+
 
 def clear_outputs(root: str | Path, tables: list[str] | None = None) -> None:
     """K4 — cascade-delete analog: wipe every output table together."""

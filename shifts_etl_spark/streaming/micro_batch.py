@@ -29,11 +29,17 @@ def stream_etl(
     output_dir: str | Path,
     checkpoint_dir: str | Path,
     available_now: bool = True,
+    refresh_kpis: bool = False,
+    anchor_date=None,
 ):
     """readStream(json pages) → flatten → atomic per-epoch multi-table write.
 
     With ``available_now`` the stream drains existing files and stops —
     batch-equivalent semantics for tests; without it, it runs continuously.
+    With ``refresh_kpis`` each epoch also recomputes the six KPIs over the
+    cumulative tables (the reference runs KPIs once after all pages; a
+    continuously-refreshing variant is the streaming-native analog —
+    equivalence with the batch path is asserted in tests).
     """
     docs = (
         spark.readStream.schema(SHIFT_DOC_SCHEMA)
@@ -47,6 +53,22 @@ def stream_etl(
         try:
             tables = flatten.flatten_all(batch_df)
             writer.write_batch(tables, batch_id=f"epoch{epoch_id:06d}")
+            if refresh_kpis:
+                from ..operators import kpi
+
+                sp = batch_df.sparkSession
+                kpis = kpi.compute_kpis(
+                    sp,
+                    writer.read_table(sp, "shifts"),
+                    writer.read_table(sp, "breaks"),
+                    writer.read_table(sp, "allowances"),
+                    anchor_date,
+                )
+                # overwrite-style refresh: latest epoch's KPI batch wins
+                from ..sinks.staged import clear_outputs
+
+                clear_outputs(Path(output_dir), ["kpis"])
+                writer.write_batch({"kpis": kpis}, batch_id=f"epoch{epoch_id:06d}-kpis")
         finally:
             batch_df.unpersist()
 

@@ -1,0 +1,81 @@
+"""MERGE/upsert, compaction, and streaming-vs-batch KPI equivalence."""
+
+import json
+
+from pyspark.sql import Row, functions as F
+
+from shifts_etl_spark.operators.merge import merge_into
+from shifts_etl_spark.pipeline import run_etl
+from shifts_etl_spark.sinks.staged import StagedWriter
+from shifts_etl_spark.sources.generator import generate_shift_docs, paginate
+from shifts_etl_spark.streaming.micro_batch import stream_etl
+
+
+def test_merge_upsert_and_delete(spark, tmp_path):
+    out = tmp_path / "t"
+    run_etl(spark, pages=paginate(generate_shift_docs(days=10), 5), output_dir=out,
+            anchor_date="2023-02-01")
+    w = StagedWriter(out)
+    before = {r.shift_id: r for r in w.read_table(spark, "shifts").collect()}
+    ids = sorted(before)
+
+    updates = spark.createDataFrame(
+        [
+            Row(**{**before[ids[0]].asDict(), "shift_cost": None, "_del": False}),
+            Row(**{**before[ids[1]].asDict(), "_del": True}),
+            Row(shift_id="NEW-1", shift_date=before[ids[0]].shift_date,
+                shift_start=None, shift_finish=None, shift_cost=None, _del=False),
+        ],
+        w.read_table(spark, "shifts").schema.add("_del", "boolean"),
+    )
+    n = merge_into(spark, out, "shifts", updates, "shift_id", delete_col="_del")
+    after = {r.shift_id: r for r in w.read_table(spark, "shifts").collect()}
+    assert n == len(after) == 10  # 10 - 1 delete + 1 insert
+    assert ids[1] not in after                      # deleted
+    assert after[ids[0]].shift_cost is None         # updated
+    assert "NEW-1" in after                         # inserted
+    assert after[ids[2]] == before[ids[2]]          # untouched rows survive
+
+
+def test_compaction(spark, tmp_path):
+    out = tmp_path / "c"
+    # 4 pages → 1 batch each? no: run_etl writes one batch per run; run twice
+    run_etl(spark, pages=paginate(generate_shift_docs(days=4), 2), output_dir=out,
+            anchor_date="2023-02-01")
+    run_etl(spark, pages=paginate(generate_shift_docs(days=4, seed=7), 2),
+            output_dir=out, anchor_date="2023-02-01")
+    w = StagedWriter(out)
+    n_before = w.read_table(spark, "breaks").count()
+    removed = w.compact(spark, "breaks")
+    assert removed >= 2
+    assert len(list((w.root / "breaks").glob("batch=*"))) == 1
+    assert w.read_table(spark, "breaks").count() == n_before
+
+
+def test_streaming_kpis_equal_batch(spark, tmp_path):
+    """The streaming pipeline with per-epoch KPI refresh converges to
+    exactly the batch pipeline's KPI values on the same input."""
+    docs = generate_shift_docs(days=16)
+
+    batch_out = tmp_path / "batch"
+    run_etl(spark, pages=paginate(docs, 8), output_dir=batch_out,
+            anchor_date="2023-02-01")
+    batch_kpis = {
+        r.kpi_name: r.kpi_value
+        for r in StagedWriter(batch_out).read_table(spark, "kpis").collect()
+    }
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i in range(0, 16, 4):
+        with open(inp / f"p{i}.json", "w") as f:
+            for d in docs[i : i + 4]:
+                f.write(json.dumps(d) + "\n")
+    stream_out = tmp_path / "stream"
+    stream_etl(spark, inp, stream_out, tmp_path / "ck", available_now=True,
+               refresh_kpis=True, anchor_date="2023-02-01")
+    stream_kpis = {
+        r.kpi_name: r.kpi_value
+        for r in StagedWriter(stream_out).read_table(spark, "kpis").collect()
+    }
+    assert stream_kpis == batch_kpis
