@@ -81,6 +81,42 @@ def blob_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 256, stride: int = 2
+) -> DataFrame:
+    """Frame sampling: explode each blob into every ``stride``-th
+    fixed-size frame — the video-keyframe / audio-chunk shape. One blob row
+    in, O(len/frame_bytes/stride) frame rows out, all inside one Arrow
+    batch pass (no per-row JVM↔Python crossings)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                b = bytes(blob)
+                for idx, off in enumerate(range(0, max(len(b), 1), frame_bytes)):
+                    if idx % stride == 0:
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "frame_idx": idx,
+                                "frame": b[off : off + frame_bytes],
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select(id_col, "blob").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 256, n_buckets: int = 8
 ) -> DataFrame:

@@ -166,6 +166,42 @@ def vocabulary(
     )
 
 
+def tf_idf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Sparse TF-IDF rows (doc_id, token, tf, df, tfidf) with
+    tfidf = tf · ln(N / df). Two map-side-combinable aggregations + one
+    broadcast-sized join on the document-frequency table; the classic
+    bag-of-words featurizer at corpus scale. Deterministic and
+    SQL-mirrorable (ln in double, rounded)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n"))
+    out = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    return out
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

@@ -439,6 +439,48 @@ FROM derived
 """
 
 
+def x19_tf_idf(spark, sf_dir):
+    """Sparse TF-IDF featurization (tf · ln(N/df), df ≥ 2)."""
+    return textstats.tf_idf(_t(spark, sf_dir, "documents"))
+
+
+X19_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+"""
+
+
+def x20_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: blob → every 2nd 256-byte frame via
+    mapInPandas; compared on frame count + md5 of each frame's bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(multimodal.attach_blob(docs))
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    )
+
+
+X20_SQL = """
+WITH offs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 256)) AS i
+  FROM documents
+)
+SELECT doc_id, CAST((i - 1) // 256 AS BIGINT) AS frame_idx,
+       md5(substring(text, i, 256)) AS frame_md5
+FROM offs WHERE ((i - 1) // 256) % 2 = 0
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -458,4 +500,6 @@ EXTENSIONS = {
     "x16_pii_scrub": (x16_pii_scrub, X16_SQL),
     "x17_vocabulary": (x17_vocabulary, X17_SQL),
     "x18_quality_filter": (x18_quality_filter, X18_SQL),
+    "x19_tf_idf": (x19_tf_idf, X19_SQL),
+    "x20_frame_sample": (x20_frame_sample, X20_SQL),
 }

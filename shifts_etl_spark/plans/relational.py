@@ -239,24 +239,15 @@ SELECT a.r_name AS region_a, b.r_name AS region_b FROM region a CROSS JOIN regio
 
 def j6_range_join(spark, sf_dir):
     """Range/theta join: equi on user + time-band predicate — follow-up
-    events within 5 minutes."""
+    events within 5 minutes. Uses the binned strategy (operators/joins.py)
+    so the intermediate is bounded per (user, 5-min bin), not per user."""
+    from ..operators.joins import banded_range_join
+
     ev = _t(spark, sf_dir, "events")
-    a = ev.select(
-        F.col("user_id").alias("u"), F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a")
-    )
-    b = ev.select(
-        F.col("user_id").alias("u"), F.col("event_id").alias("eid_b"), F.col("ts").alias("ts_b")
-    )
-    pairs = a.join(
-        b,
-        ["u"],
-    ).where(
-        (F.col("ts_b") > F.col("ts_a"))
-        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
-    )
-    return pairs.groupBy(F.col("u").alias("user_id")).agg(
-        F.count(F.lit(1)).alias("n_followups")
-    )
+    a = ev.select("user_id", F.col("event_id").alias("eid_a"), "ts")
+    b = ev.select("user_id", F.col("event_id").alias("eid_b"), "ts")
+    pairs = banded_range_join(a, b, key="user_id", band_seconds=300)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_followups"))
 
 
 J6_SQL = """

@@ -36,8 +36,14 @@ SINGLE_PARTITION_OK = {
     "x15_approx_aggregates",
     "q1_scalar_subquery",  # global AVG subquery + global count: 1-row aggs
     "x14_table_profile",  # one-pass profile = single 1-row aggregate
+    "x19_tf_idf",  # global doc count N = one-row aggregate
 }
-CROSS_JOIN_OK = {"j5_cross_join", "x7_sim_topk_bruteforce", "x13_sim_topk_ivf"}
+CROSS_JOIN_OK = {
+    "j5_cross_join",
+    "x7_sim_topk_bruteforce",
+    "x13_sim_topk_ivf",
+    "x19_tf_idf",  # crossJoin with the broadcast 1-row N scalar
+}
 
 
 def audit(name: str, df) -> list[str]:
