@@ -72,3 +72,34 @@ def test_salted_join_matches_plain(spark):
     plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
     salted = salted_join(o, c, "o_custkey").groupBy("c_mktsegment").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Purchases attributed to views of the same user within 10 minutes,
+    both sides streaming."""
+    import json as _json
+
+    from shifts_etl_spark.streaming.stream_join import run_purchase_attribution
+
+    inp = tmp_path / "ss"
+    inp.mkdir()
+
+    def ev(eid, ts, uid, etype, v):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype, "value": v, "props": "{}"}
+
+    rows = [
+        ev(1, "2024-01-01T10:00:00.000Z", 1, "view", 5.0),
+        ev(2, "2024-01-01T10:05:00.000Z", 1, "purchase", 0.0),  # attributed to 1
+        ev(3, "2024-01-01T09:40:00.000Z", 2, "view", 7.0),
+        ev(4, "2024-01-01T10:00:00.000Z", 2, "purchase", 0.0),  # view too old
+        ev(5, "2024-01-01T10:20:00.000Z", 3, "purchase", 0.0),  # no view at all
+    ]
+    with open(inp / "a.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    q = run_purchase_attribution(spark, inp, tmp_path / "ck3", query_name="attr_t")
+    q.awaitTermination()
+    got = {(r.purchase_id, r.view_value)
+           for r in spark.sql("SELECT * FROM attr_t").collect()}
+    assert got == {(2, 5.0)}
