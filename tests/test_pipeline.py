@@ -111,3 +111,27 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert "mean_shift_cost" in capsys.readouterr().out
     assert main(["clear-data", "--output", out]) == 0
     assert main(["run-etl", "--batch-size", "31"]) == 2
+
+
+def test_run_etl_over_real_http(spark, tmp_path):
+    """Full E1 over an actual HTTP boundary: threaded stdlib server serving
+    the reference's page envelope, urllib-based page iterator, full
+    pipeline, golden counts."""
+    from shifts_etl_spark.sources.generator import generate_shift_docs
+    from shifts_etl_spark.sources.http_service import ShiftsApiServer
+
+    docs = generate_shift_docs(days=15)
+    server = ShiftsApiServer(docs, default_limit=4)
+    url = server.start()
+    try:
+        counts = run_etl(
+            spark,
+            api_url=f"{url}?limit=4",
+            output_dir=tmp_path / "http_out",
+            anchor_date="2023-02-01",
+        )
+        assert counts["shifts"] == 15
+        assert counts["breaks"] == sum(len(d["breaks"]) for d in docs)
+        assert counts["kpis"] == 6
+    finally:
+        server.stop()
