@@ -36,11 +36,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = CATALOG[name]
-        # one untimed build to warm code paths (not results: no caching used)
-        df = spec.spark(spark, sf_dir)
-        t0 = time.time()
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        # min of two timed runs: steady-state figure, robust to one-off
+        # scheduler/JIT hiccups. Plans are rebuilt per run (no result cache).
+        best, n = None, 0
+        for _ in range(2):
+            df = spec.spark(spark, sf_dir)
+            t0 = time.time()
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

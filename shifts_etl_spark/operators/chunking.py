@@ -1,0 +1,69 @@
+"""Document chunking + sequence packing — the two structural transforms of
+an LLM pre-training data pipeline (context-window preparation).
+
+- `chunk_documents`: split each document into fixed-token-count chunks with
+  overlap (sliding context windows). Narrow: one explode per doc, chunk
+  count ≈ n_tokens/stride, no shuffle.
+- `pack_sequences`: assign chunks/docs to fixed-token-budget packs by
+  running total over a deterministic order — the batch-shaping step before
+  tokenizer export. Uses the prefix-sum shape (scalable variant available
+  via operators/windows.scalable_running_sum); packs are
+  floor(cum_before/budget), i.e. boundary docs spill into the next pack
+  (deterministic, SQL-mirrorable — exact greedy packing is inherently
+  sequential and lives in streaming/stateful.py territory if ever needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import normalize_text, tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_tokens) — token-window slices with
+    ``overlap`` tokens of left context repeated per chunk."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    t = tokens(normalize_text(F.col(text_col)))
+    toked = docs.select(F.col(id_col), t.alias("tk"))
+    n = F.size("tk")
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    chunked = toked.select(id_col, "tk", idx)
+    piece = F.slice("tk", F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_id, pack_offset) — documents laid out
+    consecutively (ordered by id) into token-budget packs."""
+    n = F.size(tokens(normalize_text(F.col(text_col))))
+    sized = docs.select(F.col(id_col), n.alias("n_tokens"))
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sized.select(
+        id_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long").alias("pack_id"),
+        ((cum - F.col("n_tokens")) % budget_tokens).cast("long").alias("pack_offset"),
+    )

@@ -481,6 +481,55 @@ FROM offs WHERE ((i - 1) // 256) % 2 = 0
 """
 
 
+_NORM_TOKS_SQL = r"list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')"
+
+
+def x21_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 100-token chunks, 20-token overlap."""
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+X21_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS tk FROM documents
+),
+idx AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, CAST(greatest(ceil((len(tk) - 20) / 80.0), 1) AS BIGINT) - 1)) AS chunk_idx
+  FROM toked
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(tk[chunk_idx * 80 + 1 : chunk_idx * 80 + 100], ' ') AS chunk_text,
+       CAST(len(tk[chunk_idx * 80 + 1 : chunk_idx * 80 + 100]) AS INT) AS n_tokens
+FROM idx
+"""
+
+
+def x22_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (512-token packs, id order)."""
+    from ..operators.chunking import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+X22_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id, len({_NORM_TOKS_SQL}) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM sized
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+       CAST((c - n_tokens) % 512 AS BIGINT) AS pack_offset
+FROM cum
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -502,4 +551,6 @@ EXTENSIONS = {
     "x18_quality_filter": (x18_quality_filter, X18_SQL),
     "x19_tf_idf": (x19_tf_idf, X19_SQL),
     "x20_frame_sample": (x20_frame_sample, X20_SQL),
+    "x21_chunk_documents": (x21_chunk_documents, X21_SQL),
+    "x22_pack_sequences": (x22_pack_sequences, X22_SQL),
 }
