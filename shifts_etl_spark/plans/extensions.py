@@ -530,6 +530,70 @@ FROM cum
 """
 
 
+def x23_stratified_sample(spark, sf_dir):
+    """Deterministic stratified subsample: keep the first 20% of docs per
+    language (doc_id order) — reproducible corpus downsampling (the seeded
+    `sampleBy` analog whose sample is stable across engines/runs)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    n = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(n).alias("n_lang"),
+        )
+        .where(F.col("rn") <= F.ceil(F.col("n_lang") * 0.2))
+        .select("doc_id", "lang")
+    )
+
+
+X23_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= ceil(n_lang * 0.2)
+"""
+
+
+def x24_dataset_split(spark, sf_dir):
+    """Stable train/val/test assignment from a content-independent hash of
+    the id: bucket = md5 first-two-chars → 0..255; <5% val, <10% test,
+    rest train. Identical assignment on any engine — the property that
+    matters for split leakage audits."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train")
+    )
+    return docs.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+X24_SQL = """
+WITH assigned AS (
+  SELECT doc_id,
+         (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 5 THEN 'val' WHEN bucket < 15 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM assigned GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -553,4 +617,6 @@ EXTENSIONS = {
     "x20_frame_sample": (x20_frame_sample, X20_SQL),
     "x21_chunk_documents": (x21_chunk_documents, X21_SQL),
     "x22_pack_sequences": (x22_pack_sequences, X22_SQL),
+    "x23_stratified_sample": (x23_stratified_sample, X23_SQL),
+    "x24_dataset_split": (x24_dataset_split, X24_SQL),
 }
