@@ -311,6 +311,63 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Transitive closure of near-dup pairs → (doc, cluster_id) with
+    cluster_id = min doc id in the component; the step that turns pairwise
+    candidates into keep/drop decisions (keep doc == cluster_id).
+
+    Distributed label propagation (the Spark union-find): every node starts
+    as its own label; each round every node adopts the min label in its
+    neighborhood; converged when no label changes. Rounds needed =
+    O(component diameter) — near-dup clusters are shallow (stars/cliques),
+    so 2-3 rounds typical; each round is one join + one groupBy-min on
+    (node, label) pairs only. localCheckpoint per round truncates the
+    lineage so plans don't grow exponentially.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        converged = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.label") != F.col("l.label"))
+            .isEmpty()
+        )
+        labels = updated
+        if converged:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

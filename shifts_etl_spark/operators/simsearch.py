@@ -171,11 +171,13 @@ def lsh_topk(
     query; exact cosine re-rank among candidates. Recall measured in tests
     against brute_force_topk."""
     sig = add_lsh_signature(emb, dim, n_planes, bands, seed, vec_col)
+    # persist: query and corpus sides below would otherwise each re-run the
+    # Pandas-UDF signature pass (self-join recompute, no exchange reuse)
     flat = sig.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         F.explode("buckets").alias("bucket"),
-    )
+    ).persist()
     q = flat.where(F.col("vid").isin(query_ids)).withColumnsRenamed(
         {"vid": "query_id", "v": "qv"}
     )

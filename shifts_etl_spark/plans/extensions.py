@@ -530,6 +530,29 @@ FROM cum
 """
 
 
+def x25_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup removal: MinHash-LSH candidates → exact-Jaccard
+    verification (≥ 0.5) → connected components → keep/drop per doc.
+    xxhash64-based → rows-only check; component semantics pytest-covered."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(docs)
+    verified = dedup.ngram_jaccard_pairs(docs, cand.select("id_a", "id_b")).where(
+        F.col("jaccard") >= 0.5
+    )
+    clusters = dedup.dedup_clusters(verified)
+    return (
+        docs.select("doc_id")
+        .join(clusters, docs.doc_id == clusters.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            (
+                F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )
+
+
 def x23_stratified_sample(spark, sf_dir):
     """Deterministic stratified subsample: keep the first 20% of docs per
     language (doc_id order) — reproducible corpus downsampling (the seeded
@@ -619,4 +642,5 @@ EXTENSIONS = {
     "x22_pack_sequences": (x22_pack_sequences, X22_SQL),
     "x23_stratified_sample": (x23_stratified_sample, X23_SQL),
     "x24_dataset_split": (x24_dataset_split, X24_SQL),
+    "x25_dedup_pipeline": (x25_dedup_pipeline, None),
 }

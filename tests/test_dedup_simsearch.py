@@ -79,3 +79,26 @@ def test_embedding_nn_symmetric_sanity(spark):
     nn = dedup.embedding_nn_pairs(emb)
     assert nn.count() == emb.count()  # one NN row per vector
     assert nn.where(F.col("cosine") > 1.0001).count() == 0
+
+
+def test_dedup_clusters_transitive(spark):
+    """Chain a-b, b-c, plus isolated pair x-y → components {a,b,c}, {x,y}."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11),
+         Row(id_a=5, id_b=4)]  # reversed order pair
+    )
+    got = {r.doc: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    fixpoint loop, not just one hop."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
+    got = {r.doc: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13

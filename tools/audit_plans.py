@@ -37,6 +37,8 @@ SINGLE_PARTITION_OK = {
     "q1_scalar_subquery",  # global AVG subquery + global count: 1-row aggs
     "x14_table_profile",  # one-pass profile = single 1-row aggregate
     "x19_tf_idf",  # global doc count N = one-row aggregate
+    "x22_pack_sequences",  # global-order layout is the op's contract;
+    # swap in scalable_running_sum when corpus >> memory (docs/SCALE.md)
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
