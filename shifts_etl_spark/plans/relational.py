@@ -852,6 +852,63 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+def j8_full_outer(spark, sf_dir):
+    """Full-outer join: per-nation customer vs supplier presence, keeping
+    nations that have only one side (NULL-preserving on both)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = c.join(s, c.ck == s.sk, "full_outer")
+    return j.select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+J8_SQL = """
+WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS sk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT coalesce(ck, sk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON ck = sk
+"""
+
+
+def t6_explode_outer(spark, sf_dir):
+    """explode_outer semantics: rows with empty arrays survive as NULL
+    (vs T1's inner explode where they vanish). Every 7th doc's token array
+    is emptied to force the boundary case."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), "\\s+"), lambda t: t != "")
+    arr = F.when((F.col("doc_id") % 7) == 0, F.array().cast("array<string>")).otherwise(
+        F.slice(toks, 1, 3)
+    )
+    return docs.select("doc_id", F.explode_outer(arr).alias("token"))
+
+
+T6_SQL = r"""
+WITH prepared AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')[1:3]
+         END AS arr
+  FROM documents
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE arr END) AS token
+FROM prepared
+"""
+
+
 def q12_offset_limit(spark, sf_dir):
     """Keyset-style pagination: ORDER BY + OFFSET/LIMIT — the engine analog
     of the reference API's start/limit slicing (api/app/main.py:92)."""
@@ -915,6 +972,8 @@ RELATIONAL = {
     "j5_cross_join": (j5_cross_join, J5_SQL),
     "j6_range_join": (j6_range_join, J6_SQL),
     "j7_asof_join": (j7_asof_join, J7_SQL),
+    "j8_full_outer": (j8_full_outer, J8_SQL),
+    "t6_explode_outer": (t6_explode_outer, T6_SQL),
     "a1_global_aggregates": (a1_global_aggregates, A1_SQL),
     "a6_pricing_summary": (a6_pricing_summary, A6_SQL),
     "a7_distinct_agg": (a7_distinct_agg, A7_SQL),
