@@ -909,6 +909,29 @@ FROM prepared
 """
 
 
+def q13_decimal_exact(spark, sf_dir):
+    """Exact decimal aggregation (the reference's NUMERIC money-column
+    semantics): cast to DECIMAL before summing — bit-exact across engines,
+    unlike double sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(dec).cast("decimal(18,2)").alias("total_price"),
+            F.avg(dec).cast("decimal(18,6)").alias("avg_price"),
+        )
+    )
+
+
+Q13_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price,
+       CAST(AVG(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q12_offset_limit(spark, sf_dir):
     """Keyset-style pagination: ORDER BY + OFFSET/LIMIT — the engine analog
     of the reference API's start/limit slicing (api/app/main.py:92)."""
@@ -1001,4 +1024,5 @@ RELATIONAL = {
     "q10_in_subquery": (q10_in_subquery, Q10_SQL),
     "q11_pivot": (q11_pivot, Q11_SQL),
     "q12_offset_limit": (q12_offset_limit, Q12_SQL),
+    "q13_decimal_exact": (q13_decimal_exact, Q13_SQL),
 }
