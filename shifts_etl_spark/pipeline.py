@@ -70,3 +70,69 @@ def run_etl(
 def clear_data(output_dir: str | Path) -> None:
     """E2 — wipe all five outputs together (the FK-cascade analog)."""
     clear_outputs(output_dir, OUTPUT_TABLES + ["_staging"])
+
+
+def prepare_training_data(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str | Path | None = None,
+    min_jaccard: float = 0.5,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    budget_tokens: int = 512,
+) -> dict[str, DataFrame]:
+    """The LLM-data capstone pipeline, composed from the extension
+    operators: quality-filter → PII-scrub → near-dup removal (LSH →
+    exact-Jaccard verify → connected components) → context-window chunking
+    → sequence packing → stable train/val/test split.
+
+    Returns the intermediate DataFrames keyed by stage (and writes each
+    stage as a table batch when ``output_dir`` is given), so callers can
+    audit per-stage row drops — the shape of a production curation run.
+    Input: any DataFrame with (doc_id long, text string).
+    """
+    from pyspark.sql import functions as F
+
+    from .operators import dedup
+    from .operators.chunking import chunk_documents, pack_sequences
+    from .operators.textstats import quality_filter, scrub_pii
+
+    docs = docs.select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+
+    quality = quality_filter(docs)
+    kept = docs.join(quality.where(F.col("keep")).select("doc_id"), "doc_id")
+
+    scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
+    scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    cand = dedup.minhash_lsh_pairs(scrubbed)
+    verified = dedup.ngram_jaccard_pairs(scrubbed, cand.select("id_a", "id_b")).where(
+        F.col("jaccard") >= min_jaccard
+    )
+    clusters = dedup.dedup_clusters(verified)
+    deduped = (
+        scrubbed.join(clusters, scrubbed.doc_id == clusters.doc, "left")
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+
+    chunks = chunk_documents(deduped, chunk_tokens, overlap)
+    packs = pack_sequences(deduped, budget_tokens)
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
+    split = deduped.select(
+        "doc_id",
+        F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train").alias("split"),
+    )
+
+    stages = {
+        "quality": quality,
+        "deduped": deduped,
+        "chunks": chunks,
+        "packs": packs,
+        "split": split,
+    }
+    if output_dir is not None:
+        StagedWriter(output_dir).write_batch(stages)
+    return stages

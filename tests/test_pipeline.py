@@ -135,3 +135,16 @@ def test_run_etl_over_real_http(spark, tmp_path):
         assert counts["kpis"] == 6
     finally:
         server.stop()
+
+
+def test_distributed_fetch_df(spark):
+    """Executor-side page fetch: URLs distributed, bodies parsed on
+    executors with the fixed schema."""
+    from shifts_etl_spark.sources.pages import distributed_fetch_df
+
+    docs = generate_shift_docs(days=9)
+    pages = paginate(docs, limit=3, base="http://x/api/shifts")
+    by_url = {f"http://x/api/shifts?p={i}": p for i, p in enumerate(pages)}
+    df = distributed_fetch_df(spark, list(by_url), fetch=by_url.get)
+    assert df.count() == 9
+    assert {r.id for r in df.select("id").collect()} == {d["id"] for d in docs}

@@ -1,0 +1,53 @@
+"""Capstone training-data pipeline: filter → scrub → dedup → chunk → pack
+→ split, with planted duplicates and PII."""
+
+from pyspark.sql import Row, functions as F
+
+from shifts_etl_spark.pipeline import prepare_training_data
+from shifts_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_prepare_training_data(spark, tmp_path):
+    base = load_table(spark, SF, "documents").select("doc_id", "text").limit(40)
+    rows = [Row(doc_id=r.doc_id, text=r.text) for r in base.collect()]
+    # plant: a near-duplicate of doc rows[0] and a PII-laden doc
+    words = rows[0].text.split()
+    words[0] = "CHANGED"
+    rows.append(Row(doc_id=9001, text=" ".join(words)))
+    rows.append(
+        Row(
+            doc_id=9002,
+            text="contact me at someone@example.com or https://example.com/x "
+            + " ".join(["filler"] * 30),
+        )
+    )
+    rows.append(Row(doc_id=9003, text="too short"))  # fails quality gate
+    docs = spark.createDataFrame(rows)
+
+    stages = prepare_training_data(spark, docs, output_dir=tmp_path / "out")
+
+    quality = {r.doc_id: r.keep for r in stages["quality"].collect()}
+    assert quality[9003] is False
+    assert quality[9002] is True
+
+    deduped_ids = {r.doc_id for r in stages["deduped"].collect()}
+    # the planted near-dup cluster keeps only the min id
+    assert rows[0].doc_id in deduped_ids
+    assert 9001 not in deduped_ids
+    assert 9003 not in deduped_ids  # quality-dropped before dedup
+
+    scrub_row = stages["deduped"].where(F.col("doc_id") == 9002).first()
+    assert "<EMAIL>" in scrub_row.text and "<URL>" in scrub_row.text
+    assert "example.com" not in scrub_row.text.replace("<EMAIL>", "").replace("<URL>", "")
+
+    # chunking covers every surviving doc; packs are budget-shaped
+    assert {r.doc_id for r in stages["chunks"].select("doc_id").distinct().collect()} == deduped_ids
+    packs = stages["packs"].collect()
+    assert {r.doc_id for r in packs} == deduped_ids
+    assert all(0 <= r.pack_offset < 512 for r in packs)
+
+    splits = {r.doc_id: r.split for r in stages["split"].collect()}
+    assert set(splits) == deduped_ids
+    assert set(splits.values()) <= {"train", "val", "test"}
