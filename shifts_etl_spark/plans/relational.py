@@ -909,6 +909,76 @@ FROM prepared
 """
 
 
+def q14_string_functions(spark, sf_dir):
+    """String-function sweep: pad/repeat/reverse/translate/position/case
+    transforms over supplier names (tiny table, full projection)."""
+    s = _t(spark, sf_dir, "supplier")
+    name = F.col("s_name")
+    return s.select(
+        "s_suppkey",
+        F.lpad(name, 25, ".").alias("lpadded"),
+        F.rpad(name, 25, "_").alias("rpadded"),
+        F.reverse(name).alias("reversed"),
+        F.translate(name, "#", "-").alias("translated"),
+        F.instr(name, "#").cast("long").alias("hash_pos"),
+        F.upper(name).alias("uppered"),
+        F.trim(F.substring(name, 1, 8)).alias("prefix8"),
+        F.length(F.regexp_replace(name, "[0-9]", "")).cast("long").alias("n_alpha"),
+        F.split(name, "#").getItem(0).alias("before_hash"),
+    )
+
+
+Q14_SQL = """
+SELECT s_suppkey,
+       lpad(s_name, 25, '.') AS lpadded,
+       rpad(s_name, 25, '_') AS rpadded,
+       reverse(s_name) AS reversed,
+       replace(s_name, '#', '-') AS translated,
+       CAST(strpos(s_name, '#') AS BIGINT) AS hash_pos,
+       upper(s_name) AS uppered,
+       trim(substring(s_name, 1, 8)) AS prefix8,
+       CAST(length(regexp_replace(s_name, '[0-9]', '', 'g')) AS BIGINT) AS n_alpha,
+       string_split(s_name, '#')[1] AS before_hash
+FROM supplier
+"""
+
+
+def q15_math_functions(spark, sf_dir):
+    """Math-function sweep over part prices: roots/powers/logs/abs/sign/
+    least-greatest/mod, rounded identically on both engines."""
+    p = _t(spark, sf_dir, "part")
+    x = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt(x), 6).alias("sqrt_price"),
+        F.round(F.pow(x, 2), 4).alias("price_sq"),
+        F.round(F.log10(x), 6).alias("log10_price"),
+        F.round(F.log(x), 6).alias("ln_price"),
+        F.abs(x - 1000.0).alias("abs_diff"),
+        F.signum(x - 1000.0).alias("sign_diff"),
+        F.greatest(x, F.lit(500.0)).alias("floor500"),
+        F.least(x, F.lit(1500.0)).alias("cap1500"),
+        (F.col("p_size") % 5).cast("long").alias("size_mod"),
+        F.round(F.sin(F.col("p_size")), 6).alias("sin_size"),
+    )
+
+
+Q15_SQL = """
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(pow(p_retailprice, 2), 4) AS price_sq,
+       round(log10(p_retailprice), 6) AS log10_price,
+       round(ln(p_retailprice), 6) AS ln_price,
+       abs(p_retailprice - 1000.0) AS abs_diff,
+       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sign_diff,
+       greatest(p_retailprice, 500.0) AS floor500,
+       least(p_retailprice, 1500.0) AS cap1500,
+       p_size % 5 AS size_mod,
+       round(sin(p_size), 6) AS sin_size
+FROM part
+"""
+
+
 def q13_decimal_exact(spark, sf_dir):
     """Exact decimal aggregation (the reference's NUMERIC money-column
     semantics): cast to DECIMAL before summing — bit-exact across engines,
@@ -1025,4 +1095,6 @@ RELATIONAL = {
     "q11_pivot": (q11_pivot, Q11_SQL),
     "q12_offset_limit": (q12_offset_limit, Q12_SQL),
     "q13_decimal_exact": (q13_decimal_exact, Q13_SQL),
+    "q14_string_functions": (q14_string_functions, Q14_SQL),
+    "q15_math_functions": (q15_math_functions, Q15_SQL),
 }
