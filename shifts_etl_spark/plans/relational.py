@@ -979,6 +979,40 @@ FROM part
 """
 
 
+def q16_date_spine(spark, sf_dir):
+    """Generated date spine (calendar) left-joined to daily event counts —
+    gap-free time series with explicit zero days; fixed spine bounds."""
+    ev = _t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("2024-01-01")),
+                F.to_date(F.lit("2024-02-04")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+Q16_SQL = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-04',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+)
+SELECT day, coalesce(n, 0) AS n_events
+FROM spine LEFT JOIN daily USING (day)
+"""
+
+
 def q13_decimal_exact(spark, sf_dir):
     """Exact decimal aggregation (the reference's NUMERIC money-column
     semantics): cast to DECIMAL before summing — bit-exact across engines,
@@ -1097,4 +1131,5 @@ RELATIONAL = {
     "q13_decimal_exact": (q13_decimal_exact, Q13_SQL),
     "q14_string_functions": (q14_string_functions, Q14_SQL),
     "q15_math_functions": (q15_math_functions, Q15_SQL),
+    "q16_date_spine": (q16_date_spine, Q16_SQL),
 }
