@@ -81,6 +81,46 @@ def blob_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """'Decode → resize → re-encode' with the decode stubbed: treats the
+    blob as a byte matrix and nearest-neighbor-samples it to width×height
+    bytes (deterministic fake in place of a real codec — swap the sampler
+    for Pillow's `Image.resize` on executors with codecs installed). The
+    Spark contract is the real one: binary in, fixed-size binary +
+    dimensions out, Arrow-batched."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                b = bytes(blob) or b"\x00"
+                out = bytes(b[(i * len(b)) // target] for i in range(target))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": width,
+                        "height": height,
+                        "resized": out,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "resized"])
+
+    return df.select(id_col, "blob").mapInPandas(resize, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -105,3 +105,17 @@ def test_multimodal_metadata_and_features(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_resize_images(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    resized = multimodal.resize_images(multimodal.attach_blob(docs), 16, 8).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert (r.width, r.height) == (16, 8)
+        assert len(r.resized) == 16 * 8
+    # deterministic: same input → same bytes
+    again = {r.doc_id: bytes(r.resized)
+             for r in multimodal.resize_images(multimodal.attach_blob(docs), 16, 8).collect()}
+    for r in resized:
+        assert bytes(r.resized) == again[r.doc_id]
