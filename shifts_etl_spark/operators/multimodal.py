@@ -69,9 +69,13 @@ def blob_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "media_type": pdf["media_type"],
-                    "byte_len": blobs.map(len).astype("int64"),
+                    "byte_len": blobs.map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
                     "sha256": blobs.map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        lambda b: hashlib.sha256(
+                            bytes(b) if b is not None else b""
+                        ).hexdigest()
                     ),
                 }
             )
@@ -91,8 +95,14 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _as_bytes(blob) -> bytes:
+    """NULL-safe blob coercion: None and b'' both become a 1-byte payload
+    so downstream math never divides by zero or calls bytes(None)."""
+    return bytes(blob) if blob is not None and len(blob) else b"\x00"
+
+
 def resize_images(
-    df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id"
+    df: DataFrame, id_col: str = "doc_id", width: int = 32, height: int = 32
 ) -> DataFrame:
     """'Decode → resize → re-encode' with the decode stubbed: treats the
     blob as a byte matrix and nearest-neighbor-samples it to width×height
@@ -106,7 +116,7 @@ def resize_images(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
-                b = bytes(blob) or b"\x00"
+                b = _as_bytes(blob)
                 out = bytes(b[(i * len(b)) // target] for i in range(target))
                 rows.append(
                     {
@@ -142,7 +152,7 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
-                b = bytes(blob)
+                b = bytes(blob) if blob is not None else b""
                 for idx, off in enumerate(range(0, max(len(b), 1), frame_bytes)):
                     if idx % stride == 0:
                         rows.append(
@@ -169,7 +179,7 @@ def extract_features(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
-                b = bytes(blob)
+                b = bytes(blob) if blob is not None else b""
                 frames = [
                     b[i : i + frame_bytes] for i in range(0, max(len(b), 1), frame_bytes)
                 ]

@@ -617,6 +617,33 @@ FROM assigned GROUP BY 1
 """
 
 
+def x26_resize_images(spark, sf_dir):
+    """Multimodal resize (stub decoder, nearest-neighbor byte sampling to
+    16×8): compared on the md5 of the resized payload — the sampling index
+    math is mirrored in plain SQL over the source text bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    resized = multimodal.resize_images(
+        multimodal.attach_blob(docs), width=16, height=8
+    )
+    return resized.select(
+        "doc_id", "width", "height", F.md5("resized").alias("resized_md5")
+    )
+
+
+X26_SQL = """
+WITH sampled AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(0, 127),
+                          i -> substring(text, 1 + (i * length(text)) // 128, 1)),
+           '') AS resized
+  FROM documents
+)
+SELECT doc_id, 16 AS width, 8 AS height, md5(resized) AS resized_md5
+FROM sampled
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -643,4 +670,5 @@ EXTENSIONS = {
     "x23_stratified_sample": (x23_stratified_sample, X23_SQL),
     "x24_dataset_split": (x24_dataset_split, X24_SQL),
     "x25_dedup_pipeline": (x25_dedup_pipeline, None),
+    "x26_resize_images": (x26_resize_images, X26_SQL),
 }

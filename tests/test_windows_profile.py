@@ -108,14 +108,45 @@ def test_decode_image_is_stubbed():
 
 
 def test_resize_images(spark):
-    docs = load_table(spark, SF, "documents").limit(20)
-    resized = multimodal.resize_images(multimodal.attach_blob(docs), 16, 8).collect()
+    # orderBy before limit: a bare limit() may pick different rows per job
+    docs = load_table(spark, SF, "documents").orderBy("doc_id").limit(20)
+    resized = multimodal.resize_images(
+        multimodal.attach_blob(docs), width=16, height=8
+    ).collect()
     assert len(resized) == 20
     for r in resized:
         assert (r.width, r.height) == (16, 8)
         assert len(r.resized) == 16 * 8
     # deterministic: same input → same bytes
-    again = {r.doc_id: bytes(r.resized)
-             for r in multimodal.resize_images(multimodal.attach_blob(docs), 16, 8).collect()}
+    again = {
+        r.doc_id: bytes(r.resized)
+        for r in multimodal.resize_images(
+            multimodal.attach_blob(docs), width=16, height=8
+        ).collect()
+    }
     for r in resized:
         assert bytes(r.resized) == again[r.doc_id]
+
+
+def test_multimodal_null_blob_safe(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, blob=None, media_type="x"),
+         Row(doc_id=2, blob=b"abc", media_type="x")],
+        schema,
+    )
+    meta = {r.doc_id: r for r in multimodal.blob_metadata(df).collect()}
+    assert meta[1].byte_len == 0
+    rs = {r.doc_id: r for r in multimodal.resize_images(df, width=4, height=2).collect()}
+    assert len(rs[1].resized) == 8  # null blob → 1-byte placeholder sampled
+    fr = multimodal.frame_sample(df).collect()
+    assert {r.doc_id for r in fr} == {1, 2}
