@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, simsearch, textstats
+from ..operators import bloom, dedup, multimodal, simsearch, textstats
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -644,6 +644,40 @@ FROM sampled
 """
 
 
+def x27_bloom_semi_join(spark, sf_dir):
+    """Exact semi-join executed as bloom prune → semi join
+    (operators/bloom.py): lineitem rows whose order is URGENT, aggregated
+    by return flag. The bloom bitset filters the fact side above its scan,
+    so the semi-join's exchange only carries surviving rows — the 100 TB
+    shape for selective FK joins where the key side is too big to
+    broadcast. Result is EXACT (the bloom's false positives are removed by
+    the semi join), hence the plain IN-subquery oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = bloom.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+X27_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -671,4 +705,5 @@ EXTENSIONS = {
     "x24_dataset_split": (x24_dataset_split, X24_SQL),
     "x25_dedup_pipeline": (x25_dedup_pipeline, None),
     "x26_resize_images": (x26_resize_images, X26_SQL),
+    "x27_bloom_semi_join": (x27_bloom_semi_join, X27_SQL),
 }

@@ -1,0 +1,63 @@
+"""Bloom-filter join pruning (operators/bloom.py): no false negatives,
+real pruning, and exact semi-join equivalence."""
+
+from pyspark.sql import functions as F
+
+from shifts_etl_spark.operators import bloom
+
+
+def _tables(spark):
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    # small side: 2% of the key space, plus keys outside it entirely
+    small = spark.range(0, 5000, 50).select(F.col("id").alias("k"))
+    return big, small
+
+
+def test_no_false_negatives(spark):
+    big, small = _tables(spark)
+    bf = bloom.build_bloom(small, "k", num_bits=1 << 12, num_hashes=5)
+    survivors = {
+        r["k"] for r in big.where(bloom.might_contain(bf, F.col("k"))).collect()
+    }
+    true_keys = {r["k"] for r in small.collect()}
+    assert true_keys <= survivors
+
+
+def test_prune_is_selective_superset(spark):
+    big, small = _tables(spark)
+    pruned = bloom.bloom_prune(big, small, "k", num_bits=1 << 12)
+    n = pruned.count()
+    # 100 true keys; a correctly sized filter keeps far less than the
+    # full 5000 even with false positives
+    assert 100 <= n < 1000
+
+
+def test_semi_join_exact_equivalence(spark):
+    big, small = _tables(spark)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in bloom.bloom_semi_join(big, small, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in big.join(small, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) == 100
+
+
+def test_empty_small_side_prunes_everything(spark):
+    big, small = _tables(spark)
+    empty = small.where(F.lit(False))
+    assert bloom.bloom_semi_join(big, empty, "k").count() == 0
+
+
+def test_null_keys_never_match(spark):
+    big, small = _tables(spark)
+    with_null = big.withColumn(
+        "k", F.when(F.col("k") < 2500, F.col("k"))
+    )
+    got = bloom.bloom_semi_join(with_null, small, "k").count()
+    want = with_null.join(small, "k", "left_semi").count()
+    assert got == want
