@@ -1084,6 +1084,96 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
+
+def q17_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (adapted to the testdata schema): three-way
+    fact-to-dim join with filters on every input, grouped revenue, top 10.
+    Scale notes: both filters reach the parquet scans (pushed predicates);
+    customer is broadcast (small after the segment filter) so only the
+    orders⋈lineitem equi-join shuffles; the top-k is
+    TakeOrderedAndProject, never a global sort. Tie-broken by l_orderkey
+    for determinism."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q17_SQL = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1998-01-01'
+  AND l_shipdate  > '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q18_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (adapted): six-way join region→nation→customer ⋈
+    orders ⋈ lineitem ⋈ supplier with the 'local supplier' constraint
+    (customer and supplier share a nation), revenue per nation. Scale
+    notes: the dim chain region→nation→customer and supplier are all
+    broadcast, so the only shuffles are the orders⋈lineitem equi-join and
+    the final per-nation aggregate; Catalyst prunes every unused column
+    at the scans."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(dims),
+            (o.o_custkey == dims.c_custkey)
+            & (s.s_nationkey == dims.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+Q18_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+"""
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -1132,4 +1222,6 @@ RELATIONAL = {
     "q14_string_functions": (q14_string_functions, Q14_SQL),
     "q15_math_functions": (q15_math_functions, Q15_SQL),
     "q16_date_spine": (q16_date_spine, Q16_SQL),
+    "q17_shipping_priority": (q17_shipping_priority, Q17_SQL),
+    "q18_local_supplier_volume": (q18_local_supplier_volume, Q18_SQL),
 }
