@@ -242,3 +242,59 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
         F.round(quality_score(c), 4).alias("quality_score"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals, one row per doc with
+    ≥1 token: distinct-token ratio, most-frequent-token fraction, and
+    duplicate-bigram fraction (the published repetition filters for LLM
+    training corpora — Rae et al. 2021 §A1.1, RefinedWeb §3.2).
+
+    All JVM-side: posexplode tokens → window LEAD for bigrams (the same
+    scale shape as dedup.shingle_rows — array-lambda forms re-inline the
+    tokenizer per element through projection collapse, measured ~100×
+    slower there). Two doc-keyed aggregate branches (per-doc counts and
+    per-(doc,token) mode) joined on doc — every aggregate is map-side
+    combinable and the join keys are the shuffle keys, so at 100 TB the
+    cost is two token-row shuffles and a doc-keyed merge."""
+    from pyspark.sql import Window
+
+    from .dedup import _fan_out
+
+    tok = _fan_out(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    big = tok.select(
+        "doc", "t", F.lead("t", 1).over(w).alias("t2")
+    )
+    perdoc = big.groupBy("doc").agg(
+        F.count("t").alias("n_tokens"),
+        F.count_distinct("t").alias("n_distinct"),
+        F.count("t2").alias("n_bigrams"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.concat_ws(" ", "t", "t2"))
+        ).alias("n_distinct_bigrams"),
+    )
+    topf = (
+        tok.groupBy("doc", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("top_c"))
+    )
+    n = F.col("n_tokens").cast("double")
+    return perdoc.join(topf, "doc").select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        (F.col("n_distinct") / n).alias("distinct_token_ratio"),
+        (F.col("top_c") / n).alias("top_token_frac"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            1 - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )

@@ -678,6 +678,59 @@ GROUP BY l_returnflag
 """
 
 
+def x28_repetition_stats(spark, sf_dir):
+    """Intra-document repetition signals (textstats.repetition_stats):
+    the published Gopher/RefinedWeb repetition filters, rounded to 4 dp
+    for cross-engine comparability."""
+    stats = textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
+        F.round("top_token_frac", 4).alias("top_token_frac"),
+        F.round("dup_bigram_frac", 4).alias("dup_bigram_frac"),
+    )
+
+
+X28_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(t) AS tk,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM base
+), big AS (
+  SELECT doc_id, tk,
+         lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS tk2
+  FROM tok
+), perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT tk) AS n_distinct,
+         count(tk2) AS n_bigrams,
+         count(DISTINCT CASE WHEN tk2 IS NOT NULL
+                             THEN tk || ' ' || tk2 END) AS n_distinct_bigrams
+  FROM big GROUP BY doc_id
+), topf AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       n_tokens,
+       ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_token_ratio,
+       ROUND(top_c / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
+       CASE WHEN n_bigrams > 0
+            THEN ROUND(1 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM perdoc p JOIN topf USING (doc_id)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -706,4 +759,5 @@ EXTENSIONS = {
     "x25_dedup_pipeline": (x25_dedup_pipeline, None),
     "x26_resize_images": (x26_resize_images, X26_SQL),
     "x27_bloom_semi_join": (x27_bloom_semi_join, X27_SQL),
+    "x28_repetition_stats": (x28_repetition_stats, X28_SQL),
 }

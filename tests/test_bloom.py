@@ -1,6 +1,7 @@
 """Bloom-filter join pruning (operators/bloom.py): no false negatives,
 real pruning, and exact semi-join equivalence."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from shifts_etl_spark.operators import bloom
@@ -61,3 +62,23 @@ def test_null_keys_never_match(spark):
     got = bloom.bloom_semi_join(with_null, small, "k").count()
     want = with_null.join(small, "k", "left_semi").count()
     assert got == want
+
+
+def test_repetition_stats_ranks_repetitive_doc(spark):
+    from pyspark.sql import Row
+
+    from shifts_etl_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat and then ran far away"),
+            Row(doc_id=2, text="spam spam spam spam spam spam spam spam"),
+            Row(doc_id=3, text="one"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[2]["top_token_frac"] == 1.0
+    assert got[2]["dup_bigram_frac"] == pytest.approx(6 / 7)
+    assert got[1]["distinct_token_ratio"] > got[2]["distinct_token_ratio"]
+    # single-token doc: no bigrams → fraction defined as 0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
