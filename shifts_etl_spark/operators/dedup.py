@@ -410,3 +410,25 @@ def embedding_nn_pairs(
             (F.col("cosine") >= threshold).alias("is_near_dup"),
         )
     )
+
+
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingestion dedup: collapse the incoming batch on its
+    normalized content hash, then drop every hash already present in the
+    historical corpus (left_anti). Both sides reduce to hashes before any
+    join — the anti-join shuffles (16-byte hash, id, count) rows, never
+    documents, and at 100 TB the history side is a pre-computed hash table
+    you append each batch's survivors to (this function only ever reads
+    ``history``'s text to build that table on the fly)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    batch = (
+        incoming.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    seen = history.select(h.alias("content_hash")).dropDuplicates()
+    return batch.join(seen, "content_hash", "left_anti")

@@ -731,6 +731,32 @@ FROM perdoc p JOIN topf USING (doc_id)
 """
 
 
+def x29_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion dedup (dedup.incremental_exact_dedup): odd
+    doc_ids arrive as the new batch, even doc_ids are the historical
+    corpus; survivors are batch docs (collapsed within-batch) whose
+    normalized hash history has never seen."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_exact_dedup(incoming, history)
+
+
+X29_SQL = r"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS ch
+  FROM documents
+), batch AS (
+  SELECT ch AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_copies
+  FROM hashed WHERE doc_id % 2 = 1 GROUP BY 1
+)
+SELECT content_hash, keep_id, n_copies
+FROM batch
+WHERE content_hash NOT IN (SELECT ch FROM hashed WHERE doc_id % 2 = 0)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -760,4 +786,5 @@ EXTENSIONS = {
     "x26_resize_images": (x26_resize_images, X26_SQL),
     "x27_bloom_semi_join": (x27_bloom_semi_join, X27_SQL),
     "x28_repetition_stats": (x28_repetition_stats, X28_SQL),
+    "x29_incremental_dedup": (x29_incremental_dedup, X29_SQL),
 }

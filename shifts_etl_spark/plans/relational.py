@@ -1085,6 +1085,65 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def q19_event_funnel(spark, sf_dir):
+    """Ordered event funnel view → click → purchase per user: first view,
+    first click strictly after it, first purchase strictly after that;
+    per-stage user counts. Scale notes: a chain of conditional-MIN
+    aggregates and user-keyed joins — every stage shuffles on user_id, so
+    the same partitioning is reused end-to-end and each aggregate is
+    map-side combinable; the stage counts come from a union, never a
+    cross join of scalar subqueries."""
+    ev = _t(spark, sf_dir, "events")
+    viewed = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicked = (
+        ev.where(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchased = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = lambda df, name: df.select(F.lit(name).alias("stage"))  # noqa: E731
+    return (
+        stage(viewed, "1_view")
+        .unionAll(stage(clicked, "2_view_click"))
+        .unionAll(stage(purchased, "3_full_funnel"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+Q19_SQL = """
+WITH viewed AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), clicked AS (
+  SELECT e.user_id, MIN(ts) AS c_ts
+  FROM events e JOIN viewed u ON e.user_id = u.user_id
+  WHERE event_type = 'click' AND ts > v_ts GROUP BY e.user_id
+), purchased AS (
+  SELECT e.user_id, MIN(ts) AS p_ts
+  FROM events e JOIN clicked c ON e.user_id = c.user_id
+  WHERE event_type = 'purchase' AND ts > c_ts GROUP BY e.user_id
+), stages AS (
+  SELECT '1_view' AS stage FROM viewed
+  UNION ALL SELECT '2_view_click' FROM clicked
+  UNION ALL SELECT '3_full_funnel' FROM purchased
+)
+SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+"""
+
+
 def q17_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape (adapted to the testdata schema): three-way
     fact-to-dim join with filters on every input, grouped revenue, top 10.
@@ -1224,4 +1283,5 @@ RELATIONAL = {
     "q16_date_spine": (q16_date_spine, Q16_SQL),
     "q17_shipping_priority": (q17_shipping_priority, Q17_SQL),
     "q18_local_supplier_volume": (q18_local_supplier_volume, Q18_SQL),
+    "q19_event_funnel": (q19_event_funnel, Q19_SQL),
 }
