@@ -1,0 +1,54 @@
+"""Range-clustered layout (sinks/layout.py): files cover disjoint ranges
+of the cluster column, and a range filter's scan prunes to few files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from shifts_etl_spark.sinks.layout import file_ranges, write_range_clustered
+
+
+@pytest.fixture(scope="module")
+def clustered_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "orders")
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_range_clustered(df, path, "o_totalprice", num_files=8)
+    return path
+
+
+def test_files_cover_disjoint_ranges(spark, clustered_path):
+    ranges = [
+        (lo, hi)
+        for _, lo, hi in file_ranges(spark, clustered_path, "o_totalprice")
+        if lo is not None
+    ]
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_roundtrip_preserves_rows(spark, clustered_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = spark.read.parquet(clustered_path)
+    assert out.count() == src.count()
+    assert out.agg(F.sum("o_orderkey")).first()[0] == src.agg(
+        F.sum("o_orderkey")
+    ).first()[0]
+
+
+def test_range_filter_touches_few_files(spark, clustered_path):
+    ranges = file_ranges(spark, clustered_path, "o_totalprice")
+    los = sorted(lo for _, lo, _ in ranges if lo is not None)
+    cutoff = los[1]  # below the 2nd file's range → ≤2 files can match
+    matching = [
+        name for name, lo, hi in ranges if lo is not None and lo < cutoff
+    ]
+    assert len(matching) <= 2
+    got = spark.read.parquet(clustered_path).where(
+        F.col("o_totalprice") < cutoff
+    )
+    want = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .where(F.col("o_totalprice") < cutoff)
+    )
+    assert got.count() == want.count()
