@@ -1,0 +1,132 @@
+"""DataFrame-native k-means (Lloyd's algorithm) over an embedding column —
+the iterative-algorithm pattern on Spark, and the proper trainer for
+``simsearch.ivf_topk``'s cells (which defaults to stride-sampled centroids;
+pass ``kmeans_fit``'s output for trained ones).
+
+Scale design (100 TB):
+  - **Assignment is shuffle-free.** Each iteration broadcasts the k×dim
+    centroid matrix *inside the plan* as array literals (same
+    ship-with-the-plan mechanism as operators/bloom.py); every vector's
+    nearest cell is an argmin over k JVM-side squared-L2 expressions —
+    one scan, no join, no exchange.
+  - **Recompute is one map-side-combinable aggregate.** (cell, dim_pos)
+    partial sums/counts reduce each partition to ≤ k·dim rows before the
+    shuffle; the driver only ever materializes the k×dim centroid matrix
+    (KBs) and the per-iteration objective.
+  - Driver-side loop of ``max_iter`` jobs is the standard shape for
+    iterative algorithms on Spark (MLlib's own k-means does the same);
+    the per-iteration lineage is cut by re-reading the source, not by
+    growing a plan chain.
+
+Determinism: init picks the k rows with the smallest xxhash64(id) (a
+seedless deterministic pseudo-random sample); ties in assignment break
+toward the lower cell index. Floating-point partial-sum order can wiggle
+centroids in the last ulp, so queries built on this round their outputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass
+class KMeansModel:
+    centroids: list[list[float]]  # k × dim
+    objective: list[float]  # mean squared distance per iteration
+    sizes: list[int]  # vectors per cell at the last iteration
+
+
+def _l2_sq(vec: Column, cent: list[float]) -> Column:
+    """Σ (v[i]-c[i])² in double against a literal centroid."""
+    return F.aggregate(
+        F.zip_with(
+            vec, F.lit(cent), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array of k squared distances — per-row JVM work, no join."""
+    return F.array(*[_l2_sq(vec, c) for c in centroids])
+
+
+def _nearest(dists: Column) -> tuple[Column, Column]:
+    """(cell, dist²) of the minimum — array_position returns the FIRST
+    match, so ties break toward the lower cell index."""
+    lo = F.array_min(dists)
+    return (F.array_position(dists, lo) - 1).cast("int"), lo
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, dist²) for every vector — one shuffle-free scan."""
+    cell, dist = _nearest(_dists(F.col(vec_col), centroids))
+    return emb.select(
+        F.col(id_col), cell.alias("cell"), dist.alias("dist_sq")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> KMeansModel:
+    """Lloyd's iterations: assign (shuffle-free, literal centroids) →
+    recompute means ((cell, pos) aggregate) → repeat. Empty cells keep
+    their previous centroid. Returns centroids + per-iteration mean
+    squared distance (non-increasing, the convergence witness)."""
+    init = (
+        emb.select(
+            F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in init]
+    dim = len(centroids[0])
+    objective: list[float] = []
+    sizes: list[int] = []
+
+    for _ in range(max_iter):
+        cell, dist = _nearest(_dists(F.col(vec_col), centroids))
+        assigned = emb.select(
+            cell.alias("cell"),
+            dist.alias("dist_sq"),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            ),
+        )
+        stats = (
+            assigned.groupBy("cell", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+                F.sum("dist_sq").alias("d"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]
+        counts = [0] * k
+        total_d, total_n = 0.0, 0
+        for r in stats:
+            new_cents[r["cell"]][r["pos"]] = r["s"] / r["c"]
+            if r["pos"] == 0:
+                counts[r["cell"]] = r["c"]
+                total_d += r["d"]
+                total_n += r["c"]
+        centroids = new_cents
+        sizes = counts
+        objective.append(total_d / max(total_n, 1))
+
+    return KMeansModel(centroids=centroids, objective=objective, sizes=sizes)

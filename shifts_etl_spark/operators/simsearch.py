@@ -61,20 +61,28 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into cells around
     centroid vectors, search only the ``n_probe`` cells nearest each query.
 
-    Centroids are a deterministic 1-in-``centroid_stride`` sample of the
-    corpus (id % stride == 0) — at scale you'd k-means them, but cell
+    Default centroids are a deterministic 1-in-``centroid_stride`` sample
+    of the corpus (id % stride == 0); pass
+    ``clustering.kmeans_fit(...).centroids`` for trained cells — the cell
     mechanics (the part Spark executes) are identical. Cost model:
     assignment is |corpus| × |centroids| cosine ops against a BROADCAST
     centroid table (no shuffle of vectors); the probe join then touches only
     |corpus| × n_probe / |centroids| pairs instead of |corpus| × |queries|.
     """
-    cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
-    )
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            schema="cent_id long, cent_v array<double>",
+        )
+    else:
+        cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+        )
 
     def nearest_cells(side: DataFrame, id_name: str, v_name: str, n: int) -> DataFrame:
         sim = cosine_similarity(F.col(v_name), F.col("cent_v"))

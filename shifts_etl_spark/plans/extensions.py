@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, dedup, multimodal, simsearch, textstats
+from ..operators import bloom, clustering, dedup, multimodal, simsearch, textstats
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -757,6 +757,21 @@ WHERE content_hash NOT IN (SELECT ch FROM hashed WHERE doc_id % 2 = 0)
 """
 
 
+def x30_kmeans_cells(spark, sf_dir):
+    """DataFrame-native k-means (operators/clustering.py): 3 Lloyd
+    iterations over the embeddings, then the per-cell occupancy. Rows-only
+    (iterative, not SQL-expressible); convergence semantics are pytest-
+    covered. Counts are integers and therefore cross-run stable even
+    though fp partial-sum order can wiggle centroids in the last ulp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = clustering.kmeans_fit(emb, k=8, max_iter=3)
+    return (
+        clustering.assign_cells(emb, model.centroids)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -787,4 +802,5 @@ EXTENSIONS = {
     "x27_bloom_semi_join": (x27_bloom_semi_join, X27_SQL),
     "x28_repetition_stats": (x28_repetition_stats, X28_SQL),
     "x29_incremental_dedup": (x29_incremental_dedup, X29_SQL),
+    "x30_kmeans_cells": (x30_kmeans_cells, None),
 }
