@@ -52,3 +52,32 @@ def test_range_filter_touches_few_files(spark, clustered_path):
         .where(F.col("o_totalprice") < cutoff)
     )
     assert got.count() == want.count()
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from shifts_etl_spark.sources.evolution import (
+        read_evolving_parquet,
+        union_evolving,
+    )
+
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")]
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [Row(doc_id=3, text="gamma", lang="en")]
+    ).write.parquet(b2)
+
+    merged = read_evolving_parquet(spark, b1, b2)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+
+    unioned = union_evolving(
+        [spark.read.parquet(b1), spark.read.parquet(b2)]
+    )
+    assert set(unioned.columns) == {"doc_id", "text", "lang"}
+    assert unioned.count() == 3

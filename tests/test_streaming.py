@@ -42,3 +42,30 @@ def test_streaming_window_counts(spark, tmp_path):
         for r in spark.sql("SELECT * FROM event_counts").collect()
     }
     assert got == {(0, 3), (1, 3), (2, 3)}
+
+
+def test_stream_etl_restart_is_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a second run over the SAME checkpoint
+    must process only files that arrived since the first drain — no
+    reprocessing, no loss (the reference's links.next cursor contract,
+    carried by the Structured Streaming checkpoint)."""
+    docs = generate_shift_docs(days=8)
+    inp = tmp_path / "in"
+    inp.mkdir()
+
+    def drop(lo, hi, name):
+        with open(inp / name, "w") as f:
+            for d in docs[lo:hi]:
+                f.write(json.dumps(d) + "\n")
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    drop(0, 4, "page0.json")
+    stream_etl(spark, inp, out, ckpt, available_now=True)
+    w = StagedWriter(out)
+    assert w.read_table(spark, "shifts").count() == 4
+
+    drop(4, 8, "page1.json")
+    stream_etl(spark, inp, out, ckpt, available_now=True)
+    shifts = w.read_table(spark, "shifts")
+    assert shifts.count() == 8
+    assert shifts.select("shift_id").distinct().count() == 8
