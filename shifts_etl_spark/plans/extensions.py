@@ -772,6 +772,34 @@ def x30_kmeans_cells(spark, sf_dir):
     )
 
 
+def x31_hll_mergeable_sketches(spark, sf_dir):
+    """Mergeable HLL sketches (Datasketches via hll_sketch_agg): per-type
+    distinct-user sketches UNIONED into a global estimate without
+    re-scanning — the re-aggregation property plain approx_count_distinct
+    lacks, and the 100 TB shape for distinct counts over rollup
+    hierarchies (sketch once per leaf, merge upward). Rows-only (estimator
+    internals differ per engine); the companion pytest bounds the error
+    against exact distinct counts."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    leaf = per_type.select(
+        "event_type",
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    total = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return leaf.unionAll(total)
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -803,4 +831,5 @@ EXTENSIONS = {
     "x28_repetition_stats": (x28_repetition_stats, X28_SQL),
     "x29_incremental_dedup": (x29_incremental_dedup, X29_SQL),
     "x30_kmeans_cells": (x30_kmeans_cells, None),
+    "x31_hll_mergeable_sketches": (x31_hll_mergeable_sketches, None),
 }

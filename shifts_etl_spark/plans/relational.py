@@ -1085,6 +1085,74 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def q20_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance (uncorrelated
+    scalar subquery over the positive balances) and NO orders (anti join),
+    grouped by market segment. Scale notes: the scalar subquery is one
+    tiny broadcast value; the anti join shuffles only (custkey) pairs and
+    Catalyst rewrites NOT EXISTS to left_anti."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(SUM(c_acctbal), 2) AS total_balance
+        FROM {customer} c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM {customer}
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM {orders} o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+        """,
+        customer=c,
+        orders=o,
+    )
+
+
+Q20_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(SUM(c_acctbal), 2) AS total_balance
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def w9_range_interval_frame(spark, sf_dir):
+    """Time-based RANGE frame: per-customer trailing-30-day order spend.
+    The order column is the day number, so the frame is value-based
+    (RANGE 29 PRECEDING) — peers with the same day aggregate together
+    regardless of row order, which is the deterministic frame choice for
+    event time. Partitioned by customer → parallelism = #customers."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("day"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
+W9_SQL = """
+SELECT o_custkey, o_orderkey,
+       datediff('day', DATE '1995-01-01', o_orderdate) AS day,
+       round(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS trailing_30d_spend
+FROM orders
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1284,4 +1352,6 @@ RELATIONAL = {
     "q17_shipping_priority": (q17_shipping_priority, Q17_SQL),
     "q18_local_supplier_volume": (q18_local_supplier_volume, Q18_SQL),
     "q19_event_funnel": (q19_event_funnel, Q19_SQL),
+    "q20_idle_rich_customers": (q20_idle_rich_customers, Q20_SQL),
+    "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }

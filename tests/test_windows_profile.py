@@ -150,3 +150,19 @@ def test_multimodal_null_blob_safe(spark):
     assert len(rs[1].resized) == 8  # null blob → 1-byte placeholder sampled
     fr = multimodal.frame_sample(df).collect()
     assert {r.doc_id for r in fr} == {1, 2}
+
+
+def test_hll_union_matches_exact_within_bound(spark):
+    from shifts_etl_spark.plans.extensions import x31_hll_mergeable_sketches
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in x31_hll_mergeable_sketches(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact_all = ev.select("user_id").distinct().count()
+    assert got["__all__"] == pytest.approx(exact_all, rel=0.05)
+    exact_view = (
+        ev.where("event_type = 'view'").select("user_id").distinct().count()
+    )
+    assert got["view"] == pytest.approx(exact_view, rel=0.05)
