@@ -146,3 +146,41 @@ def streaming_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_enriched_counts(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    dim: DataFrame,
+    dim_key: str = "user_id",
+    dim_attr: str = "segment",
+    query_name: str = "enriched_counts",
+):
+    """Stream-static enrichment: each micro-batch joins the event stream to
+    a static dimension (broadcast — the dim never shuffles the stream) and
+    aggregates per dimension attribute. The static side is re-resolved per
+    micro-batch, so a dim refreshed on disk is picked up without a restart
+    — the streaming analog of the reference's FK joins, and the 100 TB
+    pattern for enriching a firehose against slowly-changing metadata."""
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .json(str(input_dir))
+    )
+    enriched = events.join(F.broadcast(dim), dim_key, "left").groupBy(
+        F.coalesce(F.col(dim_attr), F.lit("unknown")).alias(dim_attr)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

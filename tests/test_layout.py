@@ -81,3 +81,28 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     )
     assert set(unioned.columns) == {"doc_id", "text", "lang"}
     assert unioned.count() == 3
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from shifts_etl_spark.sources.quarantine import read_json_with_quarantine
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "data.jsonl").write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        "{not json at all\n"
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    clean, bad = read_json_with_quarantine(spark, str(p), schema)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2 and any("not json" in r for r in raws)

@@ -69,3 +69,28 @@ def test_stream_etl_restart_is_exactly_once(spark, tmp_path):
     shifts = w.read_table(spark, "shifts")
     assert shifts.count() == 8
     assert shifts.select("shift_id").distinct().count() == 8
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from shifts_etl_spark.streaming.micro_batch import streaming_enriched_counts
+
+    inp = tmp_path / "ev2"
+    inp.mkdir()
+    rows = [
+        {"event_id": i, "ts": "2024-01-01T00:10:00.000Z", "user_id": i % 3,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+        for i in range(12)
+    ]
+    with open(inp / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver")], ["user_id", "segment"]
+    )
+    q = streaming_enriched_counts(spark, inp, tmp_path / "ckpt3", dim)
+    q.awaitTermination()
+    got = {
+        r["segment"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM enriched_counts").collect()
+    }
+    assert got == {"gold": 4, "silver": 4, "unknown": 4}
