@@ -106,3 +106,35 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
     raws = [r["raw"] for r in bad.collect()]
     assert len(raws) == 2 and any("not json" in r for r in raws)
+
+
+def test_z_order_prunes_both_dimensions(spark, tmp_path):
+    from shifts_etl_spark.sinks.layout import write_z_ordered
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "zorders")
+    write_z_ordered(src, path, "o_totalprice", "o_custkey", num_files=16)
+
+    out = spark.read.parquet(path)
+    assert out.count() == src.count()
+
+    # per-file bounding boxes in both dimensions
+    boxes = []
+    for name, lo, hi in file_ranges(spark, path, "o_totalprice"):
+        if lo is None:
+            continue
+        (ck,) = [
+            r for r in file_ranges(spark, path, "o_custkey") if r[0] == name
+        ]
+        boxes.append((lo, hi, ck[1], ck[2]))
+    assert len(boxes) >= 8
+
+    # a box query covering ~1/4 of each dimension must prune most files
+    p_lo, p_hi = src.approxQuantile("o_totalprice", [0.25, 0.5], 0.01)
+    c_lo, c_hi = src.approxQuantile("o_custkey", [0.25, 0.5], 0.01)
+    touched = [
+        b
+        for b in boxes
+        if not (b[1] < p_lo or b[0] > p_hi or b[3] < c_lo or b[2] > c_hi)
+    ]
+    assert len(touched) <= len(boxes) // 2
