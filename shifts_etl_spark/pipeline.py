@@ -80,11 +80,14 @@ def prepare_training_data(
     chunk_tokens: int = 100,
     overlap: int = 20,
     budget_tokens: int = 512,
+    max_dup_bigram_frac: float | None = None,
 ) -> dict[str, DataFrame]:
     """The LLM-data capstone pipeline, composed from the extension
-    operators: quality-filter → PII-scrub → near-dup removal (LSH →
-    exact-Jaccard verify → connected components) → context-window chunking
-    → sequence packing → stable train/val/test split.
+    operators: quality-filter → optional repetition filter (Gopher-style
+    ``max_dup_bigram_frac`` cutoff; None disables the stage and its pass)
+    → PII-scrub → near-dup removal (LSH → exact-Jaccard verify →
+    connected components) → context-window chunking → sequence packing →
+    stable train/val/test split.
 
     Returns the intermediate DataFrames keyed by stage (and writes each
     stage as a table batch when ``output_dir`` is given), so callers can
@@ -95,12 +98,18 @@ def prepare_training_data(
 
     from .operators import dedup
     from .operators.chunking import chunk_documents, pack_sequences
-    from .operators.textstats import quality_filter, scrub_pii
+    from .operators.textstats import quality_filter, repetition_stats, scrub_pii
 
     docs = docs.select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
 
     quality = quality_filter(docs)
     kept = docs.join(quality.where(F.col("keep")).select("doc_id"), "doc_id")
+
+    if max_dup_bigram_frac is not None:
+        low_rep = repetition_stats(kept).where(
+            F.col("dup_bigram_frac") <= max_dup_bigram_frac
+        )
+        kept = kept.join(low_rep.select("doc_id"), "doc_id")
 
     scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)

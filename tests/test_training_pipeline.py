@@ -51,3 +51,22 @@ def test_prepare_training_data(spark, tmp_path):
     splits = {r.doc_id: r.split for r in stages["split"].collect()}
     assert set(splits) == deduped_ids
     assert set(splits.values()) <= {"train", "val", "test"}
+
+
+def test_repetition_stage_drops_spam_doc(spark):
+    from pyspark.sql import Row
+
+    from shifts_etl_spark.pipeline import prepare_training_data
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    spam = spark.createDataFrame(
+        [Row(doc_id=99999, text="buy now " * 40)]
+    )
+    docs = base.select("doc_id", "text").unionByName(spam)
+    with_filter = prepare_training_data(
+        spark, docs, max_dup_bigram_frac=0.5
+    )
+    surviving = {r["doc_id"] for r in with_filter["deduped"].collect()}
+    assert 99999 not in surviving
+    without = prepare_training_data(spark, docs)
+    assert 99999 in {r["doc_id"] for r in without["deduped"].collect()}
