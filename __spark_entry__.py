@@ -37,8 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ north-star
-    extension ops x1-x12)."""
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    north-star extension ops (x1-x31: dedup, similarity search, text
+    analysis, multimodal, sketches, clustering, join pruning)."""
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,8 +53,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-checkable query.
-    Omitted (rows-only check) for xxhash64/Pandas-UDF based ops:
-    x3_dedup_minhash_lsh, x4_dedup_simhash, x8_sim_topk_lsh."""
+    Omitted (rows-only check) for hash/sketch/iterative ops whose
+    estimator or hash family is engine-specific: x3 minhash, x4 simhash,
+    x8 LSH ANN, x13 IVF, x15 approx-agg, x25 dedup pipeline, x30 kmeans,
+    x31 HLL sketches."""
     return {
         name: spec.oracle for name, spec in CATALOG.items() if spec.oracle
     }

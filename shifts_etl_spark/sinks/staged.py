@@ -33,7 +33,10 @@ class StagedWriter:
         self.root = Path(root)
 
     def write_batch(self, tables: dict[str, DataFrame], batch_id: str | None = None) -> str:
-        """All-or-nothing write of several tables (one reference 'page')."""
+        """All-or-nothing write of several tables (one reference 'page').
+        Each promoted batch is appended to ``_commits.log`` — the ordered
+        commit history ``read_table(as_of=...)`` replays (Delta-lite time
+        travel; single-writer by design, like the staging-rename commit)."""
         batch_id = batch_id or uuid.uuid4().hex[:12]
         staging = self.root / "_staging" / batch_id
         try:
@@ -43,6 +46,8 @@ class StagedWriter:
                 dest = self.root / name / f"batch={batch_id}"
                 dest.parent.mkdir(parents=True, exist_ok=True)
                 (staging / name).rename(dest)
+            with open(self.root / "_commits.log", "a") as log:
+                log.write(f"{batch_id}\t{','.join(sorted(tables))}\n")
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -50,10 +55,46 @@ class StagedWriter:
             shutil.rmtree(self.root / "_staging" / batch_id, ignore_errors=True)
         return batch_id
 
-    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        # enumerate concrete batch dirs (globs make Spark's scan log spurious
-        # FileNotFoundExceptions); empty table → empty DF with declared schema
-        batches = sorted(str(p) for p in (self.root / name).glob("batch=*"))
+    def commits(self) -> list[tuple[str, set[str]]]:
+        """(batch_id, tables written) per commit, oldest first."""
+        log = self.root / "_commits.log"
+        if not log.exists():
+            return []
+        out = []
+        for ln in log.read_text().splitlines():
+            if ln:
+                bid, tabs = ln.split("\t", 1)
+                out.append((bid, set(tabs.split(","))))
+        return out
+
+    def read_table(
+        self, spark: SparkSession, name: str, as_of: str | None = None
+    ) -> DataFrame:
+        """Current state, or — with ``as_of`` = a batch id — the snapshot
+        as of that commit (every batch committed up to and including it).
+        Raises if the snapshot needs a batch that compaction has since
+        rewritten (compaction truncates history, like VACUUM)."""
+        if as_of is not None:
+            all_commits = self.commits()
+            ids = [bid for bid, _ in all_commits]
+            if as_of not in ids:
+                raise ValueError(f"unknown commit {as_of!r}")
+            wanted = [
+                bid
+                for bid, tabs in all_commits[: ids.index(as_of) + 1]
+                if name in tabs
+            ]
+            dirs = [self.root / name / f"batch={b}" for b in wanted]
+            vacuumed = [d.name for d in dirs if not d.exists()]
+            if vacuumed:
+                raise ValueError(
+                    f"snapshot {as_of!r} of {name!r} was vacuumed: {vacuumed}"
+                )
+            batches = sorted(str(d) for d in dirs)
+        else:
+            # enumerate concrete batch dirs (globs make Spark's scan log
+            # spurious FileNotFoundExceptions)
+            batches = sorted(str(p) for p in (self.root / name).glob("batch=*"))
         if not batches:
             from ..schemas import TABLE_SCHEMAS
 
@@ -90,4 +131,7 @@ def clear_outputs(root: str | Path, tables: list[str] | None = None) -> None:
     else:
         targets = [root / t for t in tables]
     for t in targets:
-        shutil.rmtree(t, ignore_errors=True)
+        if t.is_file():  # e.g. _commits.log on a full wipe
+            t.unlink(missing_ok=True)
+        else:
+            shutil.rmtree(t, ignore_errors=True)

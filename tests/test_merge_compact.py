@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from shifts_etl_spark.operators.merge import merge_into
@@ -79,3 +81,37 @@ def test_streaming_kpis_equal_batch(spark, tmp_path):
         for r in StagedWriter(stream_out).read_table(spark, "kpis").collect()
     }
     assert stream_kpis == batch_kpis
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    from pyspark.sql import Row
+
+    w = StagedWriter(tmp_path / "tt")
+    b1 = w.write_batch(
+        {"kpis": spark.createDataFrame([Row(kpi_name="a", kpi_date="d", kpi_value=1.0)])}
+    )
+    b2 = w.write_batch(
+        {"kpis": spark.createDataFrame([Row(kpi_name="b", kpi_date="d", kpi_value=2.0)])}
+    )
+    assert [c[0] for c in w.commits()] == [b1, b2]
+    assert w.read_table(spark, "kpis", as_of=b1).count() == 1
+    assert w.read_table(spark, "kpis", as_of=b2).count() == 2
+    assert w.read_table(spark, "kpis").count() == 2
+    with pytest.raises(ValueError, match="unknown commit"):
+        w.read_table(spark, "kpis", as_of="nope")
+
+
+def test_time_travel_vacuumed_by_compaction(spark, tmp_path):
+    from pyspark.sql import Row
+
+    w = StagedWriter(tmp_path / "ttc")
+    b1 = w.write_batch(
+        {"kpis": spark.createDataFrame([Row(kpi_name="a", kpi_date="d", kpi_value=1.0)])}
+    )
+    w.write_batch(
+        {"kpis": spark.createDataFrame([Row(kpi_name="b", kpi_date="d", kpi_value=2.0)])}
+    )
+    w.compact(spark, "kpis")
+    assert w.read_table(spark, "kpis").count() == 2  # current state intact
+    with pytest.raises(ValueError, match="vacuumed"):
+        w.read_table(spark, "kpis", as_of=b1)
