@@ -1153,6 +1153,40 @@ FROM orders
 """
 
 
+def q21_latest_per_key(spark, sf_dir):
+    """CDC 'current state': the latest event per user. One lexicographic
+    MAX over struct(ts, event_id, ...) — an ordinary map-side-combinable
+    aggregate, NOT a row_number window (which would sort every partition);
+    at 100 TB that is the difference between one combine-shuffle and a
+    full per-key sort. event_id breaks ts ties deterministically."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_type"),
+            F.round("m.value", 4).alias("last_value"),
+        )
+    )
+
+
+Q21_SQL = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_type, round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1353,5 +1387,6 @@ RELATIONAL = {
     "q18_local_supplier_volume": (q18_local_supplier_volume, Q18_SQL),
     "q19_event_funnel": (q19_event_funnel, Q19_SQL),
     "q20_idle_rich_customers": (q20_idle_rich_customers, Q20_SQL),
+    "q21_latest_per_key": (q21_latest_per_key, Q21_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }
