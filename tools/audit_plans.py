@@ -39,6 +39,8 @@ SINGLE_PARTITION_OK = {
     "x19_tf_idf",  # global doc count N = one-row aggregate
     "x22_pack_sequences",  # global-order layout is the op's contract;
     # swap in scalable_running_sum when corpus >> memory (docs/SCALE.md)
+    "q20_idle_rich_customers",  # global AVG scalar subquery: 1-row agg
+    "x31_hll_mergeable_sketches",  # sketch union total: k-row → 1-row agg
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
