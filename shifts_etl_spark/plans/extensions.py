@@ -800,6 +800,51 @@ def x31_hll_mergeable_sketches(spark, sf_dir):
     return leaf.unionAll(total)
 
 
+def x32_expectations(spark, sf_dir):
+    """Declarative data-quality gate (operators/expectations.py): every
+    rule compiles into ONE aggregate pass; result is the per-rule
+    violation count. On this clean testdata a negative rule (price
+    capped at 1000) is included so the op demonstrably counts."""
+    from ..operators.expectations import Expect, check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        Expect("o_orderkey", "unique"),
+        Expect("o_custkey", "not_null"),
+        Expect(
+            "o_orderpriority",
+            "in_set",
+            ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        ),
+        Expect("o_totalprice", "between", (0.0, 1000.0)),
+    ]
+    return check_expectations(o, rules).select("rule", "violations")
+
+
+X32_SQL = """
+SELECT 'o_orderkey:unique' AS rule,
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'o_custkey:not_null',
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority:in_set',
+       CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                               AND o_orderpriority NOT IN
+            ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice:between',
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                               AND (o_totalprice < 0.0 OR o_totalprice > 1000.0)
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -832,4 +877,5 @@ EXTENSIONS = {
     "x29_incremental_dedup": (x29_incremental_dedup, X29_SQL),
     "x30_kmeans_cells": (x30_kmeans_cells, None),
     "x31_hll_mergeable_sketches": (x31_hll_mergeable_sketches, None),
+    "x32_expectations": (x32_expectations, X32_SQL),
 }

@@ -43,17 +43,69 @@ def write_range_clustered(
 
 def file_ranges(spark: SparkSession, path: str, col: str) -> list[tuple]:
     """(file, min, max) per data file — the footer stats a range filter
-    prunes on. Reads each file's column min/max with a per-file aggregate
-    (test/ops helper; at scale you'd read footers, not data)."""
-    rows = []
-    for f in sorted(Path(path).rglob("*.parquet")):
-        r = (
-            spark.read.parquet(str(f))
-            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
-            .first()
-        )
-        rows.append((f.name, r["lo"], r["hi"]))
-    return rows
+    prunes on. One distributed job: group by input_file_name() (at scale
+    you'd read footers, not data; this is the write-time manifest pass)."""
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+    return sorted((Path(r["f"]).name, r["lo"], r["hi"]) for r in rows)
+
+
+def write_manifest(spark: SparkSession, path: str, col: str) -> None:
+    """Persist (file, min, max) for ``col`` as ``_manifest_<col>.json``
+    next to the data — computed once at write time, consulted by
+    ``read_range_pruned`` forever after (the poor-man's table-format
+    file index)."""
+    import json
+
+    manifest = [
+        {"file": f, "lo": lo, "hi": hi}
+        for f, lo, hi in file_ranges(spark, path, col)
+    ]
+    (Path(path) / f"_manifest_{col}.json").write_text(json.dumps(manifest, default=str))
+
+
+def read_range_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Manifest-driven file-skipping read: open only files whose
+    [min, max] intersects [lo, hi], then apply the residual row filter.
+    Identical rows to a full scan + filter; the scan just never touches
+    pruned files (returns are asserted equivalent in tests). Falls back
+    to a full scan when no manifest exists."""
+    import json
+
+    mpath = Path(path) / f"_manifest_{col}.json"
+    pred = None
+    if lo is not None:
+        pred = F.col(col) >= lo
+    if hi is not None:
+        p2 = F.col(col) <= hi
+        pred = p2 if pred is None else pred & p2
+    if not mpath.exists():
+        full = spark.read.parquet(path)
+        return full.where(pred) if pred is not None else full
+    manifest = json.loads(mpath.read_text())
+    schema = spark.read.parquet(path).schema
+    keep = []
+    for e in manifest:
+        e_lo, e_hi = e["lo"], e["hi"]
+        if lo is not None and type(lo)(e_hi) < lo:
+            continue
+        if hi is not None and type(hi)(e_lo) > hi:
+            continue
+        keep.append(str(Path(path) / e["file"]))
+    if not keep:
+        return spark.createDataFrame([], schema)
+    out = spark.read.schema(schema).parquet(*keep)
+    return out.where(pred) if pred is not None else out
 
 
 def _quantile_bucket(df: DataFrame, col: str, bits: int) -> "F.Column":

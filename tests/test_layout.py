@@ -138,3 +138,30 @@ def test_z_order_prunes_both_dimensions(spark, tmp_path):
         if not (b[1] < p_lo or b[0] > p_hi or b[3] < c_lo or b[2] > c_hi)
     ]
     assert len(touched) <= len(boxes) // 2
+
+
+def test_manifest_pruned_read_equivalence(spark, clustered_path):
+    import json
+    from pathlib import Path
+
+    from shifts_etl_spark.sinks.layout import read_range_pruned, write_manifest
+
+    write_manifest(spark, clustered_path, "o_totalprice")
+    manifest = json.loads(
+        (Path(clustered_path) / "_manifest_o_totalprice.json").read_text()
+    )
+    los = sorted(e["lo"] for e in manifest)
+    lo, hi = los[0], los[1]  # narrow band near the low end
+
+    pruned = read_range_pruned(spark, clustered_path, "o_totalprice", lo, hi)
+    full = spark.read.parquet(clustered_path).where(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    )
+    assert pruned.count() == full.count() > 0
+    # the pruned plan reads fewer files than exist
+    n_kept = sum(1 for e in manifest if not (e["hi"] < lo or e["lo"] > hi))
+    assert n_kept < len(manifest)
+    # out-of-domain range → zero files, empty frame with the right schema
+    assert read_range_pruned(
+        spark, clustered_path, "o_totalprice", 10**9, 10**9 + 1
+    ).count() == 0
