@@ -148,3 +148,31 @@ def test_distributed_fetch_df(spark):
     df = distributed_fetch_df(spark, list(by_url), fetch=by_url.get)
     assert df.count() == 9
     assert {r.id for r in df.select("id").collect()} == {d["id"] for d in docs}
+
+
+def test_custom_datasource_reads_api(spark):
+    """spark.read.format("shifts_api") — partition-per-page custom
+    DataSource over the live stdlib HTTP service."""
+    from shifts_etl_spark.sources.api_source import register
+    from shifts_etl_spark.sources.generator import generate_shift_docs
+    from shifts_etl_spark.sources.http_service import ShiftsApiServer
+
+    docs = generate_shift_docs(days=20)
+    server = ShiftsApiServer(docs)
+    base = server.start()
+    try:
+        register(spark)
+        df = (
+            spark.read.format("shifts_api")
+            .option("base_url", base)
+            .option("page_size", 7)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 3  # ceil(20/7) pages
+        got = df.collect()
+        assert len(got) == 20
+        assert {r["id"] for r in got} == {d["id"] for d in docs}
+        n_breaks = sum(len(r["breaks"]) for r in got)
+        assert n_breaks == sum(len(d["breaks"]) for d in docs)
+    finally:
+        server.stop()
