@@ -53,8 +53,12 @@ def merge_into(
     current = writer.read_table(spark, table)
     merged = merge_dataframes(current, updates, key, delete_col).persist()
     n = merged.count()  # materialize BEFORE clearing the source batches
+    import uuid
+
     old = sorted((writer.root / table).glob("batch=*"))
-    writer.write_batch({table: merged}, batch_id="merge-staging")
+    # unique id: a fixed one collides with the previous merge's promoted
+    # batch dir on the second merge into the same table
+    writer.write_batch({table: merged}, batch_id=f"merge-{uuid.uuid4().hex[:8]}")
     # promote: drop pre-merge batches only after the merged batch landed
     import shutil
 

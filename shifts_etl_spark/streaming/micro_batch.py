@@ -184,3 +184,48 @@ def streaming_enriched_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_merge_upsert(
+    spark: SparkSession,
+    input_dir: str | Path,
+    output_dir: str | Path,
+    checkpoint_dir: str | Path,
+    table: str = "kpis",
+    key: str = "kpi_name",
+    delete_col: str | None = "deleted",
+):
+    """CDC-to-table: a stream of change records (upserts + optional
+    tombstones) MERGEd into a staged-sink table once per epoch via
+    foreachBatch — the Structured-Streaming analog of a Delta MERGE sink.
+    Exactly-once comes from the checkpoint (epochs are not re-fed) plus
+    merge_into's atomic batch swap; state never accumulates in the stream
+    because the table itself is the state."""
+    from ..operators.merge import merge_into
+
+    schema = (
+        "kpi_name string, kpi_date string, kpi_value double, deleted boolean"
+    )
+    changes = spark.readStream.schema(schema).json(str(input_dir))
+
+    def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # last change per key within the epoch wins (CDC compaction)
+        latest = (
+            batch_df.groupBy(key)
+            .agg(F.max(F.struct("kpi_date", "kpi_value", "deleted")).alias("m"))
+            .select(key, "m.kpi_date", "m.kpi_value", "m.deleted")
+        )
+        merge_into(
+            batch_df.sparkSession, str(output_dir), table, latest, key, delete_col
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

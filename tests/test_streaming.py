@@ -94,3 +94,36 @@ def test_stream_static_enrichment(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_counts").collect()
     }
     assert got == {"gold": 4, "silver": 4, "unknown": 4}
+
+
+def test_streaming_merge_upsert(spark, tmp_path):
+    from shifts_etl_spark.sinks.staged import StagedWriter
+    from shifts_etl_spark.streaming.micro_batch import streaming_merge_upsert
+
+    inp = tmp_path / "cdc"
+    inp.mkdir()
+    out, ckpt = tmp_path / "tbl", tmp_path / "ck"
+
+    def drop(name, recs):
+        with open(inp / name, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+
+    drop("c1.json", [
+        {"kpi_name": "a", "kpi_date": "2024-01-01", "kpi_value": 1.0, "deleted": False},
+        {"kpi_name": "b", "kpi_date": "2024-01-01", "kpi_value": 2.0, "deleted": False},
+    ])
+    streaming_merge_upsert(spark, inp, out, ckpt)
+    w = StagedWriter(out)
+    t1 = {r["kpi_name"]: r["kpi_value"] for r in w.read_table(spark, "kpis").collect()}
+    assert t1 == {"a": 1.0, "b": 2.0}
+
+    # epoch 2: update a, delete b, insert c; checkpoint skips epoch 1 files
+    drop("c2.json", [
+        {"kpi_name": "a", "kpi_date": "2024-01-02", "kpi_value": 9.0, "deleted": False},
+        {"kpi_name": "b", "kpi_date": "2024-01-02", "kpi_value": 0.0, "deleted": True},
+        {"kpi_name": "c", "kpi_date": "2024-01-02", "kpi_value": 3.0, "deleted": False},
+    ])
+    streaming_merge_upsert(spark, inp, out, ckpt)
+    t2 = {r["kpi_name"]: r["kpi_value"] for r in w.read_table(spark, "kpis").collect()}
+    assert t2 == {"a": 9.0, "c": 3.0}
