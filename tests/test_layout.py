@@ -165,3 +165,20 @@ def test_manifest_pruned_read_equivalence(spark, clustered_path):
     assert read_range_pruned(
         spark, clustered_path, "o_totalprice", 10**9, 10**9 + 1
     ).count() == 0
+
+
+def test_hive_partitioned_write_prunes_directories(spark, tmp_path):
+    from shifts_etl_spark.sinks.layout import write_range_clustered
+
+    from shifts_etl_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_part")
+    write_range_clustered(
+        src, path, "ts", num_files=2, partition_by=["event_type"]
+    )
+    out = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    want = src.where("event_type = 'click'").count()
+    assert out.count() == want > 0
