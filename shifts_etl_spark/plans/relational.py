@@ -1187,6 +1187,57 @@ FROM (
 """
 
 
+def q22_nation_trade(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations — the
+    supplier's and customer's nations must be the chosen pair in either
+    direction, grouped by (supp_nation, cust_nation, year). Scale notes:
+    nation is broadcast twice under different aliases; supplier/customer
+    dims broadcast; only orders⋈lineitem shuffles. The disjunctive pair
+    filter lands on the joined dims, after pruning."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("yr"))
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+Q22_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1388,5 +1439,6 @@ RELATIONAL = {
     "q19_event_funnel": (q19_event_funnel, Q19_SQL),
     "q20_idle_rich_customers": (q20_idle_rich_customers, Q20_SQL),
     "q21_latest_per_key": (q21_latest_per_key, Q21_SQL),
+    "q22_nation_trade": (q22_nation_trade, Q22_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }
