@@ -166,3 +166,25 @@ def test_hll_union_matches_exact_within_bound(spark):
         ev.where("event_type = 'view'").select("user_id").distinct().count()
     )
     assert got["view"] == pytest.approx(exact_view, rel=0.05)
+
+
+def test_observed_metrics_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from shifts_etl_spark.operators.profile import observed_metrics
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = str(tmp_path / "obs")
+    result, metrics = observed_metrics(
+        li,
+        action=lambda d: d.write.mode("overwrite").parquet(out),
+        n_rows=F.count(F.lit(1)),
+        null_keys=F.sum(F.col("l_orderkey").isNull().cast("long")),
+        total_qty=F.sum("l_quantity"),
+    )
+    assert metrics["n_rows"] == li.count()
+    assert metrics["null_keys"] == 0
+    assert metrics["total_qty"] == pytest.approx(
+        li.agg(F.sum("l_quantity")).first()[0]
+    )
+    assert spark.read.parquet(out).count() == metrics["n_rows"]
