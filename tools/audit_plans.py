@@ -41,6 +41,7 @@ SINGLE_PARTITION_OK = {
     # swap in scalable_running_sum when corpus >> memory (docs/SCALE.md)
     "q20_idle_rich_customers",  # global AVG scalar subquery: 1-row agg
     "x31_hll_mergeable_sketches",  # sketch union total: k-row → 1-row agg
+    "x32_expectations",  # all rules fold into ONE 1-row global aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
