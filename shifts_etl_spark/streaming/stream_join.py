@@ -21,11 +21,17 @@ EVENT_DDL = (
 
 
 def attribute_purchases(
-    views: DataFrame, purchases: DataFrame, window_minutes: int = 10
+    views: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 10,
+    how: str = "inner",
 ) -> DataFrame:
     """purchases ⋈ views on user within the trailing attribution window.
     Inner join: purchase rows emit once a qualifying view arrives (or are
-    dropped when the watermark closes their window)."""
+    dropped when the watermark closes their window). ``how="left_outer"``
+    additionally emits NULL-padded purchase rows — but only once the
+    view-side watermark proves no qualifying view can still arrive, which
+    is why outer results trail the watermark delay (asserted in tests)."""
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -44,7 +50,7 @@ def attribute_purchases(
             >= F.col("purchase_ts") - F.make_interval(mins=F.lit(window_minutes))
         )
     )
-    return p.join(v, cond, "inner").select(
+    return p.join(v, cond, how).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
         "purchase_ts",
@@ -59,13 +65,20 @@ def run_purchase_attribution(
     checkpoint_dir: str | Path,
     window_minutes: int = 10,
     query_name: str = "attributed",
+    how: str = "inner",
 ):
     """File-drop → split into two typed streams → stream-stream join →
-    memory sink (availableNow drain for tests)."""
-    events = spark.readStream.schema(EVENT_DDL).json(str(input_dir))
+    memory sink (availableNow drain for tests). One file per micro-batch
+    so the watermark advances BETWEEN files — outer-join null emission
+    needs a later batch's watermark to close earlier windows."""
+    events = (
+        spark.readStream.schema(EVENT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(input_dir))
+    )
     views = events.where(F.col("event_type") == "view")
     purchases = events.where(F.col("event_type") == "purchase")
-    joined = attribute_purchases(views, purchases, window_minutes)
+    joined = attribute_purchases(views, purchases, window_minutes, how)
     return (
         joined.writeStream.outputMode("append")
         .format("memory")

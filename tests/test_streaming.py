@@ -127,3 +127,37 @@ def test_streaming_merge_upsert(spark, tmp_path):
     streaming_merge_upsert(spark, inp, out, ckpt)
     t2 = {r["kpi_name"]: r["kpi_value"] for r in w.read_table(spark, "kpis").collect()}
     assert t2 == {"a": 9.0, "c": 3.0}
+
+
+def test_stream_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Outer stream-stream join: the unmatched purchase emits with NULL
+    view columns only after a LATER batch's watermark closes its window."""
+    import time
+
+    from shifts_etl_spark.streaming.stream_join import run_purchase_attribution
+
+    inp = tmp_path / "oev"
+    inp.mkdir()
+
+    def ev(eid, hhmm, uid, etype):
+        return {"event_id": eid, "ts": f"2024-01-01T{hhmm}:00.000Z",
+                "user_id": uid, "event_type": etype, "value": 1.0, "props": "{}"}
+
+    with open(inp / "a_first.json", "w") as f:
+        for r in [ev(1, "00:00", 1, "view"), ev(2, "00:05", 1, "purchase"),
+                  ev(3, "00:05", 2, "purchase")]:  # user 2: no view
+            f.write(json.dumps(r) + "\n")
+    time.sleep(1.1)  # file source orders batches by modification time
+    with open(inp / "b_flush.json", "w") as f:
+        # advance BOTH sides' watermarks past 00:05 (+1h delay)
+        for r in [ev(8, "03:00", 9, "view"), ev(9, "03:00", 9, "purchase")]:
+            f.write(json.dumps(r) + "\n")
+
+    q = run_purchase_attribution(
+        spark, inp, tmp_path / "ckpt", how="left_outer", query_name="attr_outer"
+    )
+    q.awaitTermination()
+    rows = {r["purchase_id"]: r for r in spark.sql("SELECT * FROM attr_outer").collect()}
+    assert rows[2]["view_ts"] is not None  # matched within 10 min
+    assert 3 in rows and rows[3]["view_ts"] is None  # unmatched, null-padded
+    assert rows[9]["view_ts"] is not None  # same-batch match emits promptly
