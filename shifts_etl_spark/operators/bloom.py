@@ -49,8 +49,13 @@ class BloomFilter:
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    # hash the STRING form: xxhash64 is type-sensitive (int 7 and bigint 7
+    # hash differently), and a build/test type mismatch would create false
+    # negatives — the one failure mode that breaks bloom_semi_join's
+    # exactness. String form makes equal values hash equal across widths.
+    k = key.cast("string")
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        F.pmod(F.xxhash64(k, F.lit(i)), F.lit(num_bits))
         for i in range(num_hashes)
     ]
 

@@ -82,3 +82,10 @@ def test_repetition_stats_ranks_repetitive_doc(spark):
     assert got[1]["distinct_token_ratio"] > got[2]["distinct_token_ratio"]
     # single-token doc: no bigrams → fraction defined as 0
     assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_mixed_key_width_has_no_false_negatives(spark):
+    big = spark.range(0, 1000).select(F.col("id").cast("int").alias("k"))
+    small = spark.range(0, 1000, 10).select(F.col("id").alias("k"))  # bigint
+    got = {r["k"] for r in bloom.bloom_semi_join(big, small, "k").collect()}
+    assert got == set(range(0, 1000, 10))
