@@ -93,8 +93,10 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("kmeans_fit: input has no rows")
+    k = min(k, len(init))  # fewer vectors than k → one cell per vector
     centroids = [[float(x) for x in r["v"]] for r in init]
-    dim = len(centroids[0])
     objective: list[float] = []
     sizes: list[int] = []
 

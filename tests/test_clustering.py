@@ -69,3 +69,14 @@ def test_ivf_with_trained_centroids(spark, emb):
     assert set(per_q) == set(qids)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])], ["vec_id", "embedding"]
+    )
+    model = clustering.kmeans_fit(df, k=8, max_iter=2)
+    assert len(model.centroids) == 2
+    assert sum(model.sizes) == 2
+    with pytest.raises(ValueError, match="no rows"):
+        clustering.kmeans_fit(df.where("vec_id < 0"), k=2)
