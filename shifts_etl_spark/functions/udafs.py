@@ -42,7 +42,8 @@ def asof_join_pandas(
     template for per-key pandas logic Spark expressions can't reach.
     Both sides shuffle once on the key; each cogroup is two in-memory
     pandas frames, so per-key volume must fit a worker (the JVM variant
-    has no such bound — prefer it in production)."""
+    has no such bound — prefer it in production). Payload column names
+    must not collide with left-side names (same contract as any join)."""
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key, ts_col)]
     # re-alias the right side: when both frames derive from one source

@@ -79,7 +79,9 @@ def read_range_pruned(
     [min, max] intersects [lo, hi], then apply the residual row filter.
     Identical rows to a full scan + filter; the scan just never touches
     pruned files (returns are asserted equivalent in tests). Falls back
-    to a full scan when no manifest exists."""
+    to a full scan when no manifest exists. Bounds must be numeric or
+    string (the JSON manifest stores other types — timestamps — as
+    strings; pass the ISO string form to prune on those)."""
     import json
 
     mpath = Path(path) / f"_manifest_{col}.json"
