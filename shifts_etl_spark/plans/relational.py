@@ -1238,6 +1238,43 @@ GROUP BY 1, 2, 3
 """
 
 
+def q23_grouped_topk(spark, sf_dir):
+    """Top-3 orders per priority, AGGREGATE form: collect_list(struct) →
+    sort_array → slice → posexplode. One map-side-combinable-ish pass with
+    no per-partition window sort — the right shape when there are MANY
+    SMALL groups (each group's list must fit an executor; for few huge
+    groups use the row_number window instead, q2/w3). Negated price in
+    the sort struct gives (price DESC, key ASC) under one ascending
+    lexicographic sort, matching the oracle's ROW_NUMBER ordering."""
+    o = _t(spark, sf_dir, "orders")
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k")
+    )
+    top = F.slice(F.sort_array(F.collect_list(item)), 1, 3)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(top.alias("top"))
+        .select("o_orderpriority", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "o_orderpriority",
+            (F.col("pos") + 1).alias("rank"),
+            F.col("t.k").alias("o_orderkey"),
+            F.round(-F.col("t.np"), 2).alias("o_totalprice"),
+        )
+    )
+
+
+Q23_SQL = """
+SELECT o_orderpriority, CAST(rn AS INT) AS rank, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1440,5 +1477,6 @@ RELATIONAL = {
     "q20_idle_rich_customers": (q20_idle_rich_customers, Q20_SQL),
     "q21_latest_per_key": (q21_latest_per_key, Q21_SQL),
     "q22_nation_trade": (q22_nation_trade, Q22_SQL),
+    "q23_grouped_topk": (q23_grouped_topk, Q23_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }
