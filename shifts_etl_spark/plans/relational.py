@@ -1275,6 +1275,75 @@ FROM (
 """
 
 
+def q24_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer — lineitem
+    filtered to returnflag 'R', joined to orders (date window) and the
+    customer dim, top 20 by lost revenue. Scale notes: the selective
+    filters reach both scans; customer broadcasts; top-20 is
+    TakeOrderedAndProject; tie-break on c_custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.round(revenue, 2).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q24_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q25_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: share of revenue from one part type in a month —
+    a conditional-sum ratio over the lineitem⋈part join. Scale notes:
+    part broadcasts; the ratio is two map-side-combinable SUMs in one
+    aggregate, not two passes."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    economy = F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * economy / F.sum(rev), 4).alias("economy_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q25_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS economy_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1478,5 +1547,7 @@ RELATIONAL = {
     "q21_latest_per_key": (q21_latest_per_key, Q21_SQL),
     "q22_nation_trade": (q22_nation_trade, Q22_SQL),
     "q23_grouped_topk": (q23_grouped_topk, Q23_SQL),
+    "q24_returned_item_customers": (q24_returned_item_customers, Q24_SQL),
+    "q25_promo_revenue_share": (q25_promo_revenue_share, Q25_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }

@@ -42,6 +42,7 @@ SINGLE_PARTITION_OK = {
     "q20_idle_rich_customers",  # global AVG scalar subquery: 1-row agg
     "x31_hll_mergeable_sketches",  # sketch union total: k-row → 1-row agg
     "x32_expectations",  # all rules fold into ONE 1-row global aggregate
+    "q25_promo_revenue_share",  # global ratio: single-row aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
