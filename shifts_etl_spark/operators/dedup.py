@@ -151,6 +151,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -159,6 +160,16 @@ def minhash_lsh_pairs(
     with the estimated Jaccard (fraction of matching signature slots).
     Only (band, band_hash, doc) triples shuffle for the bucket join —
     signatures are re-attached per side, documents never move.
+
+    ``max_bucket_size`` caps degenerate buckets: a corpus-scale hot bucket
+    (empty docs, boilerplate headers) would otherwise re-create the
+    all-pairs blowup inside the self-join (k docs in one bucket → k² pair
+    rows). Buckets above the cap are dropped BEFORE the join, bounding the
+    per-bucket fan-out at max_bucket_size². Recall is unaffected for
+    genuine near-dup pairs (they collide in many independent bands, and a
+    bucket that large is near-identical boilerplate — exact/normalized
+    dedup, which has no quadratic step, is the right tool for those).
+    ``None`` disables the cap.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -182,6 +193,19 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        # Count-per-bucket via a window partitioned on the SAME key the
+        # self-join shuffles on — the exchange is shared, so the cap costs
+        # no extra shuffle. (band, band_hash) rows are (long, long, doc_id)
+        # triples; the count never sees documents or signatures.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     est = (

@@ -20,9 +20,36 @@ class QuerySpec:
     oracle: str | None  # ANSI/DuckDB SQL twin; None → rows-only check
 
 
+# Names that already hold a green driver-correctness row from round 1
+# (CORRECTNESS_r01.json). The driver's harness consumes CATALOG in iteration
+# order and only reaches the first ~50 entries per round, so queries WITHOUT a
+# driver row yet must iterate first; the already-verified set goes last.
+_DRIVER_VERIFIED_R01 = frozenset(
+    {
+        "s5_scan_pushdown", "t1_explode_tokens", "t2_rename_projection",
+        "t3_array_fold_sum", "t5_epoch_seconds", "f1_predicates",
+        "f2_date_range", "j1_inner_broadcast", "j2_left_join", "j3_semi_join",
+        "j4_anti_join", "j5_cross_join", "j6_range_join", "j7_asof_join",
+        "j8_full_outer", "t6_explode_outer", "a1_global_aggregates",
+        "a6_pricing_summary", "a7_distinct_agg", "a8_rollup", "a9_cube",
+        "a10_grouping_sets", "a11_percentiles", "w1_running_sum",
+        "w2_gaps_islands", "w3_rank_lag", "w4_scalable_prefix_sum",
+        "w5_tumbling_window", "w6_sliding_window", "w7_session_window",
+        "w8_ntile_first_last", "q1_scalar_subquery", "q2_topk",
+        "q3_set_intersect", "q4_set_except", "q5_union_distinct",
+        "q6_scalar_functions", "q7_json_extract", "q8_kpi_union",
+        "q9_correlated_subquery", "q10_in_subquery", "q11_pivot",
+        "q12_offset_limit", "q13_decimal_exact", "q14_string_functions",
+        "q15_math_functions", "q16_date_spine", "q17_shipping_priority",
+        "q18_local_supplier_volume", "q19_event_funnel",
+    }
+)
+
+_MERGED = {**RELATIONAL, **EXTENSIONS}
+
 CATALOG: dict[str, QuerySpec] = {
-    name: QuerySpec(name, fn, sql)
-    for name, (fn, sql) in {**RELATIONAL, **EXTENSIONS}.items()
+    name: QuerySpec(name, *_MERGED[name])
+    for name in sorted(_MERGED, key=lambda n: n in _DRIVER_VERIFIED_R01)
 }
 
 # headline queries bench.py times at sf0.1 (heaviest / most representative)

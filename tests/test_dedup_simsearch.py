@@ -45,6 +45,31 @@ def test_minhash_est_jaccard_high_for_dups(spark, planted):
     assert max(pairs[p] for p in planted_pairs) >= 0.7
 
 
+def test_lsh_hot_bucket_cap_bounds_pairs(spark, planted):
+    """A degenerate bucket (400 identical boilerplate docs → same signature
+    → same bucket in every band) must not re-create the all-pairs blowup:
+    with the cap the bucket is dropped before the self-join, while recall
+    on normal planted near-dups is unchanged."""
+    boiler = spark.range(2000, 2400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("terms of service boilerplate header repeated on every page").alias(
+            "text"
+        ),
+    )
+    corpus = planted.unionByName(boiler)
+
+    capped = dedup.minhash_lsh_pairs(corpus, max_bucket_size=50).collect()
+    ids = {p.id_a for p in capped} | {p.id_b for p in capped}
+    assert not any(i >= 2000 for i in ids), "hot-bucket pairs leaked through cap"
+    found = {(p.id_a, p.id_b) for p in capped if p.est_jaccard >= 0.5}
+    for i in range(3):
+        assert any(1000 + i in pr for pr in found), f"cap lost planted pair {i}"
+
+    # uncapped control: the same corpus explodes to >= C(400,2) pair rows
+    uncapped_n = dedup.minhash_lsh_pairs(corpus, max_bucket_size=None).count()
+    assert uncapped_n >= 400 * 399 // 2
+
+
 def test_simhash_finds_planted_dups(spark, planted):
     pairs = dedup.simhash_pairs(planted, max_hamming=10).collect()
     hits = {p.id_b for p in pairs} | {p.id_a for p in pairs}
