@@ -85,50 +85,52 @@ def kmeans_fit(
     recompute means ((cell, pos) aggregate) → repeat. Empty cells keep
     their previous centroid. Returns centroids + per-iteration mean
     squared distance (non-increasing, the convergence witness)."""
-    init = (
-        emb.select(
-            F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("_h")
-        )
-        .orderBy("_h")
-        .limit(k)
-        .collect()
-    )
-    if not init:
-        raise ValueError("kmeans_fit: input has no rows")
-    k = min(k, len(init))  # fewer vectors than k → one cell per vector
-    centroids = [[float(x) for x in r["v"]] for r in init]
-    objective: list[float] = []
-    sizes: list[int] = []
+    # Persist the (hash, double-vector) projection ONCE: every Lloyd
+    # iteration otherwise rebuilds its plan from the parquet scan (scan +
+    # decode + cast per round — measured as the dominant cost at sf0.01).
+    # The cached footprint is one double array + a long per vector.
+    feats = emb.select(
+        F.xxhash64(F.col(id_col)).alias("_h"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    try:
+        init = feats.orderBy("_h").limit(k).collect()
+        if not init:
+            raise ValueError("kmeans_fit: input has no rows")
+        k = min(k, len(init))  # fewer vectors than k → one cell per vector
+        centroids = [[float(x) for x in r["v"]] for r in init]
+        objective: list[float] = []
+        sizes: list[int] = []
 
-    for _ in range(max_iter):
-        cell, dist = _nearest(_dists(F.col(vec_col), centroids))
-        assigned = emb.select(
-            cell.alias("cell"),
-            dist.alias("dist_sq"),
-            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
-                "pos", "val"
-            ),
-        )
-        stats = (
-            assigned.groupBy("cell", "pos")
-            .agg(
-                F.sum("val").alias("s"),
-                F.count(F.lit(1)).alias("c"),
-                F.sum("dist_sq").alias("d"),
+        for _ in range(max_iter):
+            cell, dist = _nearest(_dists(F.col("v"), centroids))
+            assigned = feats.select(
+                cell.alias("cell"),
+                dist.alias("dist_sq"),
+                F.posexplode("v").alias("pos", "val"),
             )
-            .collect()
-        )
-        new_cents = [list(c) for c in centroids]
-        counts = [0] * k
-        total_d, total_n = 0.0, 0
-        for r in stats:
-            new_cents[r["cell"]][r["pos"]] = r["s"] / r["c"]
-            if r["pos"] == 0:
-                counts[r["cell"]] = r["c"]
-                total_d += r["d"]
-                total_n += r["c"]
-        centroids = new_cents
-        sizes = counts
-        objective.append(total_d / max(total_n, 1))
+            stats = (
+                assigned.groupBy("cell", "pos")
+                .agg(
+                    F.sum("val").alias("s"),
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum("dist_sq").alias("d"),
+                )
+                .collect()
+            )
+            new_cents = [list(c) for c in centroids]
+            counts = [0] * k
+            total_d, total_n = 0.0, 0
+            for r in stats:
+                new_cents[r["cell"]][r["pos"]] = r["s"] / r["c"]
+                if r["pos"] == 0:
+                    counts[r["cell"]] = r["c"]
+                    total_d += r["d"]
+                    total_n += r["c"]
+            centroids = new_cents
+            sizes = counts
+            objective.append(total_d / max(total_n, 1))
+    finally:
+        feats.unpersist()
 
     return KMeansModel(centroids=centroids, objective=objective, sizes=sizes)

@@ -9,8 +9,11 @@ Two tiers, as a scale story:
   - ``lsh_topk``: random-hyperplane (sign) LSH. Signatures computed in one
     vectorized Pandas UDF (numpy matmul over Arrow batches — the sanctioned
     slow path, ~100× faster than per-row Python); candidates = same-bucket
-    pairs in any band; exact cosine re-rank within candidates. At 100 TB the
-    bucket join shuffles only (band, bucket, id) triples, never vectors.
+    pairs in any band; exact cosine re-rank within candidates. The bucket
+    join and the (query, neighbor) pair-dedup shuffle only id/bucket
+    longs — vectors are re-attached BY ID after the dedup (query side
+    broadcast, corpus side one hash join), so no shuffle ever carries an
+    embedding.
 
 All exact math is JVM-side (zip_with/aggregate in double); the Pandas UDF
 exists only because a 64×d matmul per row is where columnar batching wins.
@@ -85,9 +88,12 @@ def ivf_topk(
         )
 
     def nearest_cells(side: DataFrame, id_name: str, v_name: str, n: int) -> DataFrame:
+        # returns (id, cent_id) ONLY — vectors are dropped after the
+        # centroid scoring so the cell join / pair dedup shuffle ids, not
+        # embeddings
         sim = cosine_similarity(F.col(v_name), F.col("cent_v"))
         scored = side.crossJoin(F.broadcast(cents)).select(
-            id_name, v_name, "cent_id", sim.alias("cent_sim")
+            id_name, "cent_id", sim.alias("cent_sim")
         )
         w = Window.partitionBy(id_name).orderBy(
             F.col("cent_sim").desc(), F.col("cent_id")
@@ -112,11 +118,21 @@ def ivf_topk(
         "qv",
         n_probe,
     )
-    cand = (
+    pair_ids = (
         queries.join(corpus, "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # re-attach vectors by id AFTER the dedup: query side is tiny →
+    # broadcast; corpus side is one hash join keyed on neighbor_id
+    qv = F.broadcast(
+        emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = pair_ids.join(qv, "query_id").join(cv, "neighbor_id")
     sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
     scored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
@@ -180,22 +196,30 @@ def lsh_topk(
     against brute_force_topk."""
     sig = add_lsh_signature(emb, dim, n_planes, bands, seed, vec_col)
     # persist: query and corpus sides below would otherwise each re-run the
-    # Pandas-UDF signature pass (self-join recompute, no exchange reuse)
-    flat = sig.select(
+    # Pandas-UDF signature pass (self-join recompute, no exchange reuse).
+    # Only (vid, bucket) longs are cached/joined — vectors stay in the
+    # parquet scan until the re-rank re-attaches them by id.
+    buckets = sig.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
         F.explode("buckets").alias("bucket"),
     ).persist()
-    q = flat.where(F.col("vid").isin(query_ids)).withColumnsRenamed(
-        {"vid": "query_id", "v": "qv"}
+    qb = buckets.where(F.col("vid").isin(query_ids)).withColumnRenamed(
+        "vid", "query_id"
     )
-    c = flat.withColumnsRenamed({"vid": "neighbor_id", "v": "cv"})
-    cand = (
-        q.join(c, "bucket")
+    cb = buckets.withColumnRenamed("vid", "neighbor_id")
+    pair_ids = (
+        qb.join(cb, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    qv = F.broadcast(
+        emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = pair_ids.join(qv, "query_id").join(cv, "neighbor_id")
     sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
     scored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
