@@ -1245,8 +1245,11 @@ def q23_grouped_topk(spark, sf_dir):
     SMALL groups (each group's list must fit an executor; for few huge
     groups use the row_number window instead, q2/w3). Negated price in
     the sort struct gives (price DESC, key ASC) under one ascending
-    lexicographic sort, matching the oracle's ROW_NUMBER ordering."""
-    o = _t(spark, sf_dir, "orders")
+    lexicographic sort, matching the oracle's ROW_NUMBER ordering.
+    NULL prices are filtered first: sort_array puts a NULL struct field
+    FIRST, while the oracle's ORDER BY ... DESC is NULLS LAST — a NULL
+    price must never outrank a real one."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     item = F.struct(
         (-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k")
     )
@@ -1271,6 +1274,7 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY o_orderpriority
                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 ) WHERE rn <= 3
 """
 

@@ -36,8 +36,16 @@ class StagedWriter:
         """All-or-nothing write of several tables (one reference 'page').
         Each promoted batch is appended to ``_commits.log`` — the ordered
         commit history ``read_table(as_of=...)`` replays (Delta-lite time
-        travel; single-writer by design, like the staging-rename commit)."""
+        travel; single-writer by design, like the staging-rename commit).
+
+        Idempotent per ``batch_id``: a replay of an already-committed batch
+        (a streaming epoch re-fed after a crash between promotion and the
+        stream's checkpoint commit) returns without writing, and orphan
+        ``batch=<id>`` dirs from a crash BEFORE the log append (partial
+        promotion) are replaced rather than wedging the rename."""
         batch_id = batch_id or uuid.uuid4().hex[:12]
+        if any(bid == batch_id for bid, _ in self.commits()):
+            return batch_id  # replayed epoch — the commit log is the truth
         staging = self.root / "_staging" / batch_id
         try:
             for name, df in tables.items():
@@ -45,6 +53,8 @@ class StagedWriter:
             for name in tables:
                 dest = self.root / name / f"batch={batch_id}"
                 dest.parent.mkdir(parents=True, exist_ok=True)
+                if dest.exists():  # orphan of an uncommitted partial promote
+                    shutil.rmtree(dest)
                 (staging / name).rename(dest)
             with open(self.root / "_commits.log", "a") as log:
                 log.write(f"{batch_id}\t{','.join(sorted(tables))}\n")

@@ -83,9 +83,11 @@ def distributed_fetch_df(
     """Scale path: fetch page bodies executor-side. The driver distributes
     only URLs; each partition fetches and parses its pages, emitting nested
     docs with the fixed schema. JSON decode happens where the data lands."""
-    from pyspark.sql import Row
-
     sc = spark.sparkContext
+    # createDataFrame(schema=...) binds rows POSITIONALLY — a Row built from
+    # a dict whose JSON key order differs from the schema would misassign
+    # columns silently. Emit schema-ordered tuples instead.
+    field_names = [f.name for f in SHIFT_DOC_SCHEMA.fields]
 
     def fetch_partition(it):
         import json as _json
@@ -100,7 +102,7 @@ def distributed_fetch_df(
             if page is None:
                 raise ValueError(f"Failed to fetch {u}")
             for doc in page["results"]:
-                yield Row(**doc)
+                yield tuple(doc.get(n) for n in field_names)
 
     rdd = sc.parallelize(urls, max(len(urls), 1)).mapPartitions(fetch_partition)
     return spark.createDataFrame(rdd, SHIFT_DOC_SCHEMA)

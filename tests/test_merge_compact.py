@@ -101,6 +101,28 @@ def test_time_travel_snapshots(spark, tmp_path):
         w.read_table(spark, "kpis", as_of="nope")
 
 
+def test_write_batch_idempotent_replay(spark, tmp_path):
+    """A streaming epoch replayed after a crash must not double-write or
+    wedge: (a) a batch_id already in _commits.log is a no-op; (b) an orphan
+    batch dir from a crash BEFORE the log append is replaced, not ENOTEMPTY."""
+    from pyspark.sql import Row
+
+    w = StagedWriter(tmp_path / "idem")
+    df = spark.createDataFrame([Row(kpi_name="a", kpi_date="d", kpi_value=1.0)])
+    w.write_batch({"kpis": df}, batch_id="epoch000001")
+    # (a) committed replay: no new rows, no new commit entry
+    w.write_batch({"kpis": df}, batch_id="epoch000001")
+    assert w.read_table(spark, "kpis").count() == 1
+    assert [c[0] for c in w.commits()] == ["epoch000001"]
+    # (b) orphan promotion without a log entry (simulated crash), then replay
+    orphan = tmp_path / "idem" / "kpis" / "batch=epoch000002"
+    orphan.mkdir(parents=True)
+    (orphan / "leftover.parquet").write_text("partial")
+    w.write_batch({"kpis": df}, batch_id="epoch000002")
+    assert w.read_table(spark, "kpis").count() == 2
+    assert not (orphan / "leftover.parquet").exists()
+
+
 def test_time_travel_vacuumed_by_compaction(spark, tmp_path):
     from pyspark.sql import Row
 

@@ -150,6 +150,23 @@ def test_distributed_fetch_df(spark):
     assert {r.id for r in df.select("id").collect()} == {d["id"] for d in docs}
 
 
+def test_distributed_fetch_df_key_order_independent(spark):
+    """Pages whose JSON key order differs from the schema must still land in
+    the right columns (rows are bound positionally by createDataFrame, so
+    the fetch path emits schema-ordered tuples, never insertion-order
+    Rows)."""
+    from shifts_etl_spark.sources.pages import distributed_fetch_df
+
+    docs = generate_shift_docs(days=3)
+    reversed_docs = [dict(reversed(list(d.items()))) for d in docs]
+    pages = paginate(reversed_docs, limit=3, base="http://x/api/shifts")
+    by_url = {f"http://x/api/shifts?p={i}": p for i, p in enumerate(pages)}
+    df = distributed_fetch_df(spark, list(by_url), fetch=by_url.get)
+    # start/finish are same-typed adjacent fields — the silent-swap case
+    got = {r.id: (r.start, r.finish) for r in df.select("id", "start", "finish").collect()}
+    assert got == {d["id"]: (d["start"], d["finish"]) for d in docs}
+
+
 def test_custom_datasource_reads_api(spark):
     """spark.read.format("shifts_api") — partition-per-page custom
     DataSource over the live stdlib HTTP service."""
