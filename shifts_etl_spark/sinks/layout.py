@@ -126,36 +126,52 @@ def _quantile_bucket(df: DataFrame, col: str, bits: int) -> "F.Column":
     return F.least(bucket, F.lit(n)).cast("long")
 
 
-def z_value(b1, b2, bits: int = 8):
-    """Interleave two bucket ids bit-by-bit (Morton code) — JVM-side
-    shift/mask chain, ~4·bits ops per row, write-time only."""
+def z_value_n(buckets: list, bits: int = 8):
+    """Interleave N bucket ids bit-by-bit (N-dimensional Morton code):
+    bit ``i`` of column ``j`` lands at position ``i*N + (N-1-j)``, so
+    high-order bits of every dimension dominate the curve equally.
+    JVM-side shift/mask chain, ~2·N·bits ops per row, write-time only.
+    ``N * bits`` must fit a signed long (≤ 63)."""
+    n = len(buckets)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a 63-bit z-value")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftrightunsigned(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftrightunsigned(b2, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)),
+                    i * n + (n - 1 - j),
+                )
+            )
     return z
+
+
+def z_value(b1, b2, bits: int = 8):
+    """Two-column Morton code (kept for call-site compatibility)."""
+    return z_value_n([b1, b2], bits)
 
 
 def write_z_ordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     num_files: int = 16,
     bits: int = 8,
 ) -> None:
-    """Two-column locality layout: range-cluster files along the Morton
-    curve of the two columns' equi-depth buckets. Each file then covers a
-    small bounding box in BOTH dimensions, so predicates on either column
-    (or both) prune most files from footer stats — the plain-parquet
-    analog of Delta/Iceberg OPTIMIZE ZORDER. Costs two approxQuantile
-    passes + the clustering shuffle, all at write time."""
-    z = z_value(
-        _quantile_bucket(df, col_a, bits), _quantile_bucket(df, col_b, bits), bits
-    )
+    """N-column locality layout: range-cluster files along the Morton
+    curve of the columns' equi-depth buckets. Each file then covers a
+    small bounding box in EVERY dimension, so predicates on any subset of
+    the columns prune most files from footer stats — the plain-parquet
+    analog of Delta/Iceberg OPTIMIZE ZORDER. Costs one approxQuantile
+    pass per column + the clustering shuffle, all at write time.
+
+    Pruning power per dimension dilutes as columns are added (each file's
+    per-dimension extent grows as selectivity^(1/N)) — 2-4 columns is the
+    useful range, same guidance Delta ships for ZORDER BY."""
+    if len(cols) < 1:
+        raise ValueError("write_z_ordered needs at least one cluster column")
+    z = z_value_n([_quantile_bucket(df, c, bits) for c in cols], bits)
     (
         df.withColumn("_z", z)
         .repartitionByRange(num_files, F.col("_z"))

@@ -140,6 +140,49 @@ def test_z_order_prunes_both_dimensions(spark, tmp_path):
     assert len(touched) <= len(boxes) // 2
 
 
+def test_z_order_three_columns_prunes_each_dimension(spark, tmp_path):
+    """N-column interleave: a box query on any pair of the three cluster
+    columns prunes files, and the full 3-D box prunes hardest."""
+    from shifts_etl_spark.sinks.layout import write_z_ordered, z_value_n
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "z3")
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    write_z_ordered(src, path, *cols, num_files=16)
+
+    out = spark.read.parquet(path)
+    assert out.count() == src.count()
+
+    per_col = {c: dict((n, (lo, hi)) for n, lo, hi in file_ranges(spark, path, c)) for c in cols}
+    names = [n for n in per_col[cols[0]] if per_col[cols[0]][n][0] is not None]
+    assert len(names) >= 8
+
+    # quartile box in each dimension
+    box = {c: src.approxQuantile(c, [0.25, 0.5], 0.01) for c in cols}
+
+    def touched(dims):
+        n = 0
+        for name in dims and names:
+            hit = all(
+                not (per_col[c][name][1] < box[c][0] or per_col[c][name][0] > box[c][1])
+                for c in dims
+            )
+            n += hit
+        return n
+
+    total = len(names)
+    # each single-dimension quartile filter already prunes some files,
+    # and the full 3-D box prunes at least as hard as any single dim
+    for c in cols:
+        assert touched([c]) < total
+    assert touched(cols) <= min(touched([c]) for c in cols)
+    assert touched(cols) <= total // 2
+
+    # >63-bit interleave is rejected, not silently wrapped
+    with pytest.raises(ValueError):
+        z_value_n([F.lit(0)] * 8, bits=8)
+
+
 def test_manifest_pruned_read_equivalence(spark, clustered_path):
     import json
     from pathlib import Path
