@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, clustering, dedup, multimodal, simsearch, textstats
+from ..operators import bloom, clustering, dedup, multimodal, simsearch, textstats, theta
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -845,6 +845,55 @@ FROM orders
 """
 
 
+def x33_theta_set_sketches(spark, sf_dir):
+    """Theta/KMV sketches (operators/theta.py): distinct event_ids per
+    type (k=256 — smaller than the ~2000 true distinct, so the (k-1)/theta
+    estimator is actually exercised), their union, and the INTERSECTION of
+    click/view user sets — the set operation HLL (x31) cannot do. Rows-only
+    (the estimator is hash-defined, not SQL-expressible); KMV over xxhash64
+    is a pure set property, so results are partition-count-independent and
+    cross-run stable. The companion pytest bounds every estimate against
+    exact distinct counts."""
+    ev = _t(spark, sf_dir, "events")
+    sk = theta.theta_sketch(ev, ["event_type"], "event_id", k=256)
+    leaf = sk.select(
+        F.col("event_type").alias("set_name"),
+        F.round(theta.theta_estimate(F.col("ks"), F.col("k")), 2).alias(
+            "approx_distinct"
+        ),
+    )
+    union = sk.agg(theta.theta_union_agg(F.col("ks"), 256).alias("ks")).select(
+        F.lit("__union__").alias("set_name"),
+        F.round(theta.theta_estimate(F.col("ks"), F.lit(256)), 2).alias(
+            "approx_distinct"
+        ),
+    )
+    usk = theta.theta_sketch(
+        ev.where(F.col("event_type").isin("click", "view")),
+        ["event_type"],
+        "user_id",
+        k=1024,
+    )
+    # pair the two 1-row sketches via conditional agg — no join needed
+    inter = usk.agg(
+        F.any_value(
+            F.when(F.col("event_type") == "click", F.col("ks")), True
+        ).alias("ks_a"),
+        F.any_value(
+            F.when(F.col("event_type") == "view", F.col("ks")), True
+        ).alias("ks_b"),
+    ).select(
+        F.lit("click&view:user_id").alias("set_name"),
+        F.round(
+            theta.theta_intersect_estimate(
+                F.col("ks_a"), F.col("ks_b"), F.lit(1024), F.lit(1024)
+            ),
+            2,
+        ).alias("approx_distinct"),
+    )
+    return leaf.unionAll(union).unionAll(inter)
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -878,4 +927,5 @@ EXTENSIONS = {
     "x30_kmeans_cells": (x30_kmeans_cells, None),
     "x31_hll_mergeable_sketches": (x31_hll_mergeable_sketches, None),
     "x32_expectations": (x32_expectations, X32_SQL),
+    "x33_theta_set_sketches": (x33_theta_set_sketches, None),
 }

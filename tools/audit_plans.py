@@ -43,6 +43,7 @@ SINGLE_PARTITION_OK = {
     "x31_hll_mergeable_sketches",  # sketch union total: k-row → 1-row agg
     "x32_expectations",  # all rules fold into ONE 1-row global aggregate
     "q25_promo_revenue_share",  # global ratio: single-row aggregate
+    "x33_theta_set_sketches",  # sketch merges: <= G k-double rows → 1-row agg
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
