@@ -69,3 +69,36 @@ def test_break_free_islands_shape(spark):
     )
     top = kpi.max_break_free_shift_period_in_days(shifts, breaks).first()
     assert float(top["kpi_value"]) == 2.0
+
+
+def test_rounding_tie_divergence_is_pinned(spark):
+    """SURVEY §2.9 accepted divergence, pinned so it never surprises:
+    the reference's Python round() is HALF_EVEN (banker's), Spark's
+    F.round is HALF_UP. They differ ONLY on exact ties — which float
+    KPI sums essentially never hit (the goldens contain none) — and the
+    DecimalType(8,2) KPI cast is HALF_UP on both engines' paths.
+    0.125 and 0.375 are exactly representable doubles, so the tie is
+    real, not a binary-representation artifact."""
+    from pyspark.sql import Row, functions as F
+
+    ties = spark.createDataFrame(
+        [Row(x=0.125), Row(x=0.375), Row(x=2.5)]
+    )
+    spark_rounded = [
+        r["r"]
+        for r in ties.select(
+            F.round("x", 2).alias("r")
+        ).orderBy("x").collect()
+    ]
+    # F.round: HALF_UP — ties go away from zero
+    assert spark_rounded == [0.13, 0.38, 2.5]  # 2.5 has no 2-dp tie
+    # Python round: HALF_EVEN — same inputs land on the even neighbor
+    assert [round(x, 2) for x in [0.125, 0.375, 2.5]] == [0.12, 0.38, 2.5]
+    # the divergent case, explicitly: 0.125 rounds apart; 0.375 agrees
+    # (0.38 is the even neighbor AND the away-from-zero one)
+    assert round(0.125, 2) != spark_rounded[0]
+    # Decimal KPI cast (the actual sink path) is HALF_UP on ties
+    dec = ties.select(
+        F.col("x").cast("decimal(8,2)").alias("d")
+    ).orderBy("x").collect()
+    assert [str(r["d"]) for r in dec] == ["0.13", "0.38", "2.50"]
