@@ -1,0 +1,149 @@
+"""Corpus-curation operators a web-scale training pipeline runs between
+dedup and packing: per-domain quotas, benchmark-contamination checks,
+and semantic (embedding-cluster) dedup.
+
+All three are standard pretraining-data practice (C4/RefinedWeb-style
+domain caps; published contamination n-gram audits; SemDeDup-style
+cluster-then-dedup) re-expressed as Catalyst-friendly DataFrame plans:
+built-in expressions only, candidate generation always bucketed, shuffle
+payloads bounded. No reference analog (the reference is a single-node
+shifts ETL); these extend the engine's LLM-pipeline pillar next to
+operators/dedup.py and operators/textstats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import shingle_rows
+from . import clustering
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``cap`` rows per
+    ``group_col``, chosen by ``order_cols`` (default: a content-free
+    stable order must be supplied by the caller — pass e.g.
+    [md5(text), doc_id] for an unbiased, reproducible draw).
+
+    Scale shape (same two-phase bounded top-k as operators/theta.py):
+    phase 1 ranks within (group, shuffle-partition), so no reducer ever
+    sorts more than its own partition's slice and survivors are bounded
+    at cap * P per group; phase 2 ranks the survivors. A hot domain with
+    10^9 rows therefore never funnels through one task — the naive
+    single-window form would."""
+    if order_cols is None:
+        raise ValueError("pass order_cols for a deterministic draw")
+    w_local = Window.partitionBy(group_col, "_p").orderBy(*order_cols)
+    w_global = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rl", F.row_number().over(w_local))
+        .where(F.col("_rl") <= cap)
+        .drop("_rl", "_p")
+        .withColumn("group_rank", F.row_number().over(w_global))
+        .where(F.col("group_rank") <= cap)
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document overlap with a benchmark/eval set: the fraction of
+    the doc's distinct word n-gram shingles that appear anywhere in the
+    benchmark — the audit run before training to catch eval leakage.
+
+    Scale shape: the benchmark side collapses to its distinct shingle
+    set and is broadcast (eval suites are tiny next to a 100 TB corpus),
+    so the corpus side is ONE scan + shingle pipeline with a map-side
+    hash-join probe — no shuffle of corpus text at all. The per-doc
+    aggregate shuffles (doc_id, counts) pairs only."""
+    corpus = shingle_rows(
+        docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).dropDuplicates(["doc", "s"])
+    bench_set = (
+        shingle_rows(bench, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+        .select("s")
+        .distinct()
+    )
+    per_doc = corpus.join(
+        F.broadcast(bench_set.withColumn("_hit", F.lit(1))), "s", "left"
+    ).groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.col("n_contaminated") / F.col("n_shingles"), 6
+        ).alias("contamination_frac"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means the embeddings, then inside
+    each cell drop every vector whose cosine to a LOWER-id cell-mate is
+    >= threshold (one greedy representative per near-dup neighborhood).
+    Returns every input id with (cell, keep) — row count equals the
+    input's, so the result is stable even where float partial-sum order
+    wiggles a boundary vector's cell.
+
+    Scale shape: assignment is a shuffle-free scan against broadcast
+    literal centroids (operators/clustering.py); the pair join is
+    per-cell, never global, and carries (id, vector) only within cells —
+    the SemDeDup recipe exists precisely because global all-pairs at
+    corpus scale is impossible. Cells are k-means-balanced rather than
+    hash-balanced, so a pathological cell is bounded by cluster size, a
+    quantity the fit reports (KMeansModel.sizes)."""
+    from ..functions.vectors import cosine_similarity
+
+    model = clustering.kmeans_fit(
+        emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    cells = clustering.assign_cells(
+        emb, model.centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cell")
+    e = emb.join(cells, id_col).select(
+        F.col(id_col).alias("vid"),
+        "cell",
+        F.col(vec_col).alias("v"),
+    )
+    l, r = e.alias("l"), e.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("r.vid") < F.col("l.vid")),
+        )
+        .where(
+            cosine_similarity(F.col("l.v"), F.col("r.v")) >= threshold
+        )
+        .select(F.col("l.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        e.select("vid", "cell")
+        .join(dropped.withColumn("_d", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("_d").isNull().alias("keep"),
+        )
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, clustering, dedup, multimodal, simsearch, textstats, theta
+from ..operators import bloom, clustering, curation, dedup, multimodal, simsearch, textstats, theta
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -894,6 +894,116 @@ def x33_theta_set_sketches(spark, sf_dir):
     return leaf.unionAll(union).unionAll(inter)
 
 
+def x34_domain_caps(spark, sf_dir):
+    """Per-domain quota (curation.cap_per_group): keep <= 15 docs per
+    source, drawn by (md5(text), doc_id) so the selection is deterministic
+    and content-unbiased — the C4/RefinedWeb-style cap that stops one hot
+    domain from dominating the corpus. Bounded two-phase top-k, so a
+    billion-row domain never funnels through one reducer."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.cap_per_group(
+        d, "source", 15, order_cols=[F.md5("text"), F.col("doc_id")]
+    ).select(
+        "source", "doc_id", F.col("group_rank").cast("bigint").alias("group_rank")
+    )
+
+
+X34_SQL = """
+SELECT source, doc_id, CAST(rk AS BIGINT) AS group_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 15
+"""
+
+
+def x35_benchmark_contamination(spark, sf_dir):
+    """Eval-leakage audit (curation.benchmark_contamination): docs with
+    doc_id < 20 stand in for the benchmark; every other doc reports what
+    fraction of its distinct 3-gram shingles appear anywhere in it. The
+    benchmark side collapses to a broadcast shingle set, so the corpus
+    side is one scan with a map-side probe — no corpus-text shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.benchmark_contamination(
+        d.where(F.col("doc_id") >= 20), d.where(F.col("doc_id") < 20)
+    )
+
+
+X35_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM norm
+),
+bset AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+expl AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20),
+hits AS (SELECT e.doc_id, count(*) AS n FROM expl e JOIN bset b USING (s) GROUP BY 1)
+SELECT c.doc_id,
+       CAST(len(c.sh) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+       round(COALESCE(h.n, 0) * 1.0 / len(c.sh), 6) AS contamination_frac
+FROM sh c LEFT JOIN hits h USING (doc_id)
+WHERE c.doc_id >= 20
+"""
+
+
+def x36_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (curation.semantic_dedup): k-means
+    cells, greedy one-representative-per-neighborhood inside each cell at
+    cosine >= 0.9. Rows-only (iterative fit; float partial-sum order can
+    wiggle a boundary vector's cell in the last ulp) — the result keeps
+    one row per input vector, so the row count is exactly the corpus size
+    regardless; keep/drop semantics are pytest-covered with planted
+    near-duplicate vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return curation.semantic_dedup(emb, k=8, threshold=0.9, max_iter=3)
+
+
+def x37_length_histogram(spark, sf_dir):
+    """Sequence-length histogram (16-token buckets) — the planning input
+    for sequence packing (x22): bucket shape decides pack budget and
+    expected padding waste. Pure built-in expression pipeline over one
+    scan; the groupBy shuffles only (bucket, count, sum) partials."""
+    d = _t(spark, sf_dir, "documents")
+    nt = F.size(textstats.tokens(textstats.normalize_text(F.col("text"))))
+    return (
+        d.select(
+            (F.floor(nt / 16) * 16).cast("bigint").alias("bucket_lo"),
+            nt.alias("nt"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("nt"), 6).alias("mean_tokens"),
+        )
+    )
+
+
+X37_SQL = r"""
+WITH norm AS (
+  SELECT list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+n AS (SELECT len(toks) AS nt FROM norm)
+SELECT CAST(nt // 16 * 16 AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 6) AS mean_tokens
+FROM n GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -928,4 +1038,8 @@ EXTENSIONS = {
     "x31_hll_mergeable_sketches": (x31_hll_mergeable_sketches, None),
     "x32_expectations": (x32_expectations, X32_SQL),
     "x33_theta_set_sketches": (x33_theta_set_sketches, None),
+    "x34_domain_caps": (x34_domain_caps, X34_SQL),
+    "x35_benchmark_contamination": (x35_benchmark_contamination, X35_SQL),
+    "x36_semantic_dedup": (x36_semantic_dedup, None),
+    "x37_length_histogram": (x37_length_histogram, X37_SQL),
 }
