@@ -62,6 +62,17 @@ def test_union_and_intersection_on_planted_overlap(spark, two_sets):
     # intersection variance is higher (2 thetas compound): allow 25%
     assert inter_est == pytest.approx(5_000, rel=0.25)
 
+    diff_est = (
+        a.join(b, "one")
+        .select(
+            theta.theta_difference_estimate(
+                F.col("ks_a"), F.col("ks_b"), F.col("k_a"), F.col("k_b")
+            ).alias("v")
+        )
+        .first()["v"]
+    )
+    assert diff_est == pytest.approx(5_000, rel=0.25)  # |A \ B| = 5000
+
 
 def test_exact_below_k(spark):
     """A sketch that never fills holds every distinct hash → exact."""
