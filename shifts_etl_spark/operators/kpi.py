@@ -15,18 +15,18 @@ Scale notes (100 TB):
     of 1 row per partition each. Trivially scalable.
   - J1 (allowances ⋈ shifts) broadcasts the smaller side; the date filter is
     pushed below the join by Catalyst.
-  - W1 (global-order running sum for gaps-and-islands) is the only scale
-    hazard: an ORDER BY without PARTITION BY collapses to one partition.
-    Kept here for exact reference parity (tie semantics of the default RANGE
-    frame included); `scalable_running_sum` in operators/windows.py is the
-    two-pass range-partitioned variant to use when shifts >> memory.
+  - W1 (global-order running sum for gaps-and-islands) preserves the
+    reference's RANGE tie semantics WITHOUT its single-partition hazard:
+    rows collapse to one per shift_date first, then the two-pass
+    range-partitioned prefix sum (operators/windows.py) numbers the
+    islands — only the per-partition offsets frame is globally ordered.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _date_anchor(anchor_date: dt.date | str | None):
@@ -76,18 +76,30 @@ def break_free_islands(shifts: DataFrame, breaks: DataFrame) -> DataFrame:
                                                   -- ties on shift_date share
                                                   -- one running value
       cnt  = COUNT(*) per grp - (0 if grp = 0 else 1)
-    """
+
+    Scale shape: the RANGE frame means tie days share one running value,
+    so collapse to ONE row per shift_date first (map-side-combinable
+    aggregate carrying (date, flag_sum, n_rows)), then run the two-pass
+    range-partitioned prefix sum over the distinct dates — rows of the
+    fact table never pass through a single-partition window, and the
+    only ordered structure is the per-date frame (days, not shifts).
+    Distinct dates being unique, ROWS over them == the RANGE-tie
+    semantics over the raw rows."""
+    from .windows import scalable_running_sum
+
     j = shifts.join(breaks, "shift_id", "left").select(
         "shift_date", F.col("break_id")
     )
     flag = F.when(F.col("break_id").isNull(), 0).otherwise(1)
-    # ORDER BY-only window ⇒ default RANGE UNBOUNDED PRECEDING..CURRENT ROW;
-    # keep RANGE (do NOT rowsBetween) — tie days must share one grp value.
-    grp = F.sum(flag).over(Window.orderBy("shift_date"))
-    grps = j.select(grp.alias("grp"))
-    return grps.groupBy("grp").agg(
+    per_date = j.groupBy("shift_date").agg(
+        F.sum(flag).alias("_f"), F.count(F.lit(1)).alias("_n")
+    )
+    with_grp = scalable_running_sum(
+        per_date, "shift_date", "_f", out_col="grp"
+    )
+    return with_grp.groupBy("grp").agg(
         (
-            F.count(F.lit(1))
+            F.sum("_n")
             - F.when(F.col("grp") == 0, F.lit(0)).otherwise(F.lit(1))
         ).alias("cnt")
     )

@@ -76,6 +76,12 @@ def session_window(
     )
 
 
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+    "date", "timestamp",
+)
+
+
 def scalable_running_sum(
     df: DataFrame,
     order_col: str,
@@ -87,26 +93,64 @@ def scalable_running_sum(
     window (which collapses to ONE partition, the reference's W1 hazard,
     SURVEY.md §4):
 
-      1. range-partition by the global order (repartitionByRange keeps
-         ordering across partitions);
-      2. per-partition local running sum + per-partition totals (tiny);
-      3. broadcast the prefix-summed partition offsets back and add.
+      1. assign each row an equi-depth range bucket of the order column
+         (approxQuantile boundaries folded as a literal array — a
+         map-side expression, like repartitionByRange's sampling pass but
+         reusable by the window clustering);
+      2. per-bucket local running sum — ONE hash exchange of the data,
+         which the per-bucket totals aggregate then REUSES (same
+         clustering, no second data shuffle);
+      3. broadcast the prefix-summed bucket offsets back and add.
 
-    ROWS-frame semantics (each row gets its own prefix including itself).
+    ROWS-frame semantics (each row gets its own prefix including itself);
+    ``order_col`` must be unique (callers tie-break) and non-null. The
+    earlier repartitionByRange + spark_partition_id form cost a SECOND
+    full-data exchange (hash by _pid after the range exchange — Catalyst
+    cannot see that range partitions already cluster _pid); the bucket
+    expression keeps the data path to one exchange. Non-numeric order
+    columns (strings) fall back to that form. approxQuantile runs eagerly
+    at plan build (same pattern as layout.py's z-order buckets).
     """
     from pyspark.sql.window import Window as W
 
-    if num_partitions:
-        ranged = df.repartitionByRange(num_partitions, F.col(order_col))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    dtype = dict(df.dtypes).get(order_col, "")
+    if dtype.startswith(_NUMERIC_PREFIXES) and n > 1:
+        if dtype == "date":
+            ord_num = F.unix_date(F.col(order_col)).cast("double")
+        else:
+            ord_num = F.col(order_col).cast("double")
+        probs = [i / n for i in range(1, n)]
+        with_ord = df.withColumn("_ord", ord_num)
+        bounds = sorted(set(with_ord.approxQuantile("_ord", probs, 0.001)))
+        if bounds:
+            bkt = F.aggregate(
+                F.lit(bounds),
+                F.lit(0),
+                lambda acc, b: acc + (F.col("_ord") > b).cast("int"),
+            )
+        else:
+            bkt = F.lit(0)
+        keyed = with_ord.withColumn("_pid", bkt).drop("_ord")
     else:
-        ranged = df.repartitionByRange(F.col(order_col))
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+        # fallback: physical range partitioning (orderable-but-unquantilable
+        # types); costs one extra data exchange for the _pid clustering
+        if num_partitions:
+            keyed = df.repartitionByRange(num_partitions, F.col(order_col))
+        else:
+            keyed = df.repartitionByRange(F.col(order_col))
+        keyed = keyed.withColumn("_pid", F.spark_partition_id())
     local_w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    with_local = ranged.withColumn("_local", F.sum(value_col).over(local_w))
+    with_local = keyed.withColumn("_local", F.sum(value_col).over(local_w))
+    # totals from the PRE-window keyed frame: map-side partial agg → the
+    # shuffle carries one row per (bucket, map task). The branch re-scans
+    # the (pruned) source rather than the windowed frame — exchange reuse
+    # does not fire across the join's attribute dedup (measured), and a
+    # narrow second scan beats re-running the sort+window.
     totals = (
-        with_local.groupBy("_pid")
+        keyed.groupBy("_pid")
         .agg(F.sum(value_col).alias("_total"))
         .withColumn(
             "_offset",

@@ -365,13 +365,21 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 # --------------------------------------------------------------------------
 
 def w1_running_sum(spark, sf_dir):
-    """W1 running sum over a global order (unique key → RANGE==ROWS).
-    Exact reference-parity shape; see w4 for the scale-out variant."""
+    """W1 running sum over a global order (unique key → RANGE==ROWS),
+    computed with the two-pass range-partitioned prefix sum — reference
+    RESULT parity without the reference's single-partition window plan
+    (the data-sized Exchange SinglePartition this query carried through
+    round 1; only the N_partitions-row offsets frame is ever ordered
+    globally now)."""
     ev = _t(spark, sf_dir, "events")
     flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
-    w = Window.orderBy("event_id")
-    return ev.select(
-        "event_id", F.sum(flag).over(w).cast("long").alias("running_errors")
+    return scalable_running_sum(
+        ev.select("event_id", flag.alias("_f")),
+        "event_id",
+        "_f",
+        out_col="running_errors",
+    ).select(
+        "event_id", F.col("running_errors").cast("long").alias("running_errors")
     )
 
 
@@ -385,11 +393,15 @@ FROM events
 
 def w2_gaps_islands(spark, sf_dir):
     """W1+W2+A6+Q2 composed exactly like the reference KPI: longest streak
-    of consecutive non-'error' events (gaps-and-islands + top-1)."""
+    of consecutive non-'error' events (gaps-and-islands + top-1). Island
+    numbering uses the two-pass prefix sum (unique event_id → ROWS ==
+    the RANGE semantics of the reference's ORDER-BY-only window), so no
+    data-sized single partition appears anywhere in the plan."""
     ev = _t(spark, sf_dir, "events")
     flag = F.when(F.col("event_type") == "error", 1).otherwise(0)
-    grp = F.sum(flag).over(Window.orderBy("event_id"))
-    grps = ev.select(grp.alias("grp"))
+    grps = scalable_running_sum(
+        ev.select("event_id", flag.alias("_f")), "event_id", "_f", out_col="grp"
+    ).select("grp")
     islands = grps.groupBy("grp").agg(
         (
             F.count(F.lit(1))

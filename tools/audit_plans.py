@@ -21,8 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from shifts_etl_spark.plans.catalog import CATALOG
 from shifts_etl_spark.session import get_spark
 
-# global-order parity ops where a SinglePartition stage is the documented
-# tradeoff (reference W1 semantics) or trivially small (6-row KPI union)
+# ops where the remaining SinglePartition stage carries a bounded-tiny
+# frame (per-partition offsets, 1-row aggregates, k-row sketch merges) —
+# never the data. The former data-sized cases (w1/w2/q8 reference-parity
+# windows) were rebuilt on the two-pass prefix sum; their whitelist
+# entries now cover only the N_partitions-row offsets ordering inside
+# scalable_running_sum.
 SINGLE_PARTITION_OK = {
     "w1_running_sum",
     "w2_gaps_islands",
