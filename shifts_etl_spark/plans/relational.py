@@ -1360,6 +1360,64 @@ WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
 """
 
 
+def q26_gap_fill_locf(spark, sf_dir):
+    """Time-series gap fill: per-user daily value, LOCF-interpolated
+    (last observation carried forward) over a per-user date spine — the
+    resample idiom sensor/metrics pipelines run before feature
+    extraction. Scale notes: the spine is explode(sequence) per user (no
+    cross join), the daily aggregate is map-side combinable, and the
+    LOCF window is PARTITIONED by user — parallelism = #users, never a
+    global order."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit("2024-01-01")),
+                    F.to_date(F.lit("2024-02-04")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+    )
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+Q26_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-04',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM users
+),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+)
+SELECT s.user_id, s.day,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1565,5 +1623,6 @@ RELATIONAL = {
     "q23_grouped_topk": (q23_grouped_topk, Q23_SQL),
     "q24_returned_item_customers": (q24_returned_item_customers, Q24_SQL),
     "q25_promo_revenue_share": (q25_promo_revenue_share, Q25_SQL),
+    "q26_gap_fill_locf": (q26_gap_fill_locf, Q26_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }

@@ -112,6 +112,40 @@ def streaming_dedupe(
     )
 
 
+def streaming_dedupe_within_watermark(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    key: str = "event_id",
+    watermark: str = "1 hour",
+    query_name: str = "deduped_events_ww",
+):
+    """Retry-tolerant exactly-once: dropDuplicatesWithinWatermark dedups
+    on the KEY ALONE for events arriving within the watermark delay of
+    each other — a producer retry that re-stamps ts still collapses to
+    one row, which the (key, ts)-keyed form above cannot do. State stays
+    bounded the same way: one entry per key, expired once the watermark
+    passes its first arrival."""
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .json(str(input_dir))
+    )
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_event_counts(
     spark: SparkSession,
     input_dir: str | Path,

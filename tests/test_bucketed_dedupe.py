@@ -4,7 +4,10 @@ import json
 
 from shifts_etl_spark.sinks.bucketed import bucketed_join, write_bucketed
 from shifts_etl_spark.sources.tables import load_table
-from shifts_etl_spark.streaming.micro_batch import streaming_dedupe
+from shifts_etl_spark.streaming.micro_batch import (
+    streaming_dedupe,
+    streaming_dedupe_within_watermark,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -46,3 +49,30 @@ def test_streaming_dedupe(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT event_id FROM dedup_t").collect()
     assert sorted(r.event_id for r in got) == [0, 1, 2]
+
+
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    """Producer retries that RE-STAMP ts still collapse to one row per
+    key: the three copies of event 7 land at 10:00/10:10/10:20 (all
+    within the 1h watermark) and dropDuplicatesWithinWatermark keys on
+    event_id alone, which the (key, ts)-keyed streaming_dedupe cannot
+    collapse."""
+    inp = tmp_path / "ev"
+    inp.mkdir()
+    rows = [
+        {"event_id": 7, "ts": f"2024-01-01T10:{m:02d}:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+        for m in (0, 10, 20)
+    ] + [
+        {"event_id": 8, "ts": "2024-01-01T10:05:00.000Z", "user_id": 2,
+         "event_type": "view", "value": 2.0, "props": "{}"}
+    ]
+    with open(inp / "retries.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    q = streaming_dedupe_within_watermark(
+        spark, inp, tmp_path / "ck_ww", query_name="dedup_ww_t"
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM dedup_ww_t").collect()
+    assert sorted(r.event_id for r in got) == [7, 8]
