@@ -244,6 +244,116 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def collocation_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation extraction by pointwise mutual information:
+    pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) over normalized tokens,
+    keeping pairs seen at least ``min_count`` times — the classic
+    corpus-analysis pass for finding multi-word expressions worth
+    protecting from tokenizer splits (Church & Hanks 1990).
+
+    Scale shape: the token frame is built once per aggregate branch
+    (posexplode + window LEAD, the dedup.shingle_rows idiom — array-lambda
+    bigrams re-inline the tokenizer per element); both the unigram and the
+    bigram aggregates are map-side combinable so the shuffles carry
+    vocab-sized (token, count) rows, never documents. The two count-table
+    joins are AQE-broadcastable; totals are a broadcast 1-row frame. No
+    LIMIT: the ``min_count`` filter bounds the result, so cross-engine
+    comparison never depends on double-keyed top-k selection."""
+    from pyspark.sql import Window
+
+    from .dedup import _fan_out
+
+    tok = _fan_out(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    big = (
+        tok.select("doc", "w", F.lead("w", 1).over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = (
+        uni.agg(F.sum("c").cast("double").alias("n"))
+        .crossJoin(pairc.agg(F.sum("n_pair").cast("double").alias("nb")))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairc.where(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n"))
+                        * (F.col("c2").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean per-token log-probability of
+    each document under the corpus's own add-α-smoothed unigram model,
+    logp(w) = ln((c_w + α) / (N + α·V)). The cheap stand-in for the
+    KenLM-perplexity filter in published pipelines (CCNet, Gopher) —
+    fully closed-form, no external model, so it runs JVM-side and is
+    SQL-mirrorable. Low scores flag gibberish / rare-token soup; docs
+    with zero tokens drop out (no rows to score).
+
+    Scale shape: vocab is a map-side-combinable word count; the
+    token→vocab equi join shuffles (token, logp)-sized rows (AQE
+    broadcasts the vocab side when small); the per-doc mean is a doc-keyed
+    combinable aggregate. Mean rounded to 4 dp so double summation order
+    cannot leak into the comparison."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("w"),
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    logp = F.log(
+        (F.col("c").cast("double") + F.lit(float(alpha)))
+        / (F.col("n") + F.lit(float(alpha)) * F.col("v"))
+    )
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logp), 4).alias("mean_logprob"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1004,6 +1004,70 @@ FROM n GROUP BY 1
 """
 
 
+def x38_collocation_pmi(spark, sf_dir):
+    """Bigram collocation extraction by PMI (textstats.collocation_pmi):
+    ln(p(w1,w2)/(p(w1)p(w2))) over normalized tokens, pairs seen ≥5
+    times. min_count bounds the output, so the cross-engine compare
+    never rides on double-keyed top-k selection."""
+    return textstats.collocation_pmi(_t(spark, sf_dir, "documents"))
+
+
+X38_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(generate_series(1, len(t))) AS pos
+  FROM base
+), big AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), pairc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2
+), uni AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n,
+         (SELECT CAST(sum(n_pair) AS DOUBLE) FROM pairc) AS nb
+)
+SELECT w1, w2, n_pair, u1.c AS c1, u2.c AS c2,
+       round(ln((CAST(n_pair AS DOUBLE) / nb)
+                / ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 6) AS pmi
+FROM pairc
+JOIN uni u1 ON pairc.w1 = u1.w
+JOIN uni u2 ON pairc.w2 = u2.w
+CROSS JOIN tot
+WHERE n_pair >= 5
+"""
+
+
+def x39_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score (textstats.unigram_logprob): mean
+    per-token ln((c+1)/(N+V)) under the corpus's own smoothed unigram
+    model — the KenLM-filter stand-in; low scores flag rare-token soup."""
+    return textstats.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+X39_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln((CAST(c AS DOUBLE) + 1.0) / (n + 1.0 * v))), 4) AS mean_logprob
+FROM tok JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1042,4 +1106,6 @@ EXTENSIONS = {
     "x35_benchmark_contamination": (x35_benchmark_contamination, X35_SQL),
     "x36_semantic_dedup": (x36_semantic_dedup, None),
     "x37_length_histogram": (x37_length_histogram, X37_SQL),
+    "x38_collocation_pmi": (x38_collocation_pmi, X38_SQL),
+    "x39_unigram_logprob": (x39_unigram_logprob, X39_SQL),
 }

@@ -48,12 +48,16 @@ SINGLE_PARTITION_OK = {
     "x32_expectations",  # all rules fold into ONE 1-row global aggregate
     "q25_promo_revenue_share",  # global ratio: single-row aggregate
     "x33_theta_set_sketches",  # sketch merges: <= G k-double rows → 1-row agg
+    "x38_collocation_pmi",  # corpus totals N/Nb: vocab-count → 1-row aggs
+    "x39_unigram_logprob",  # corpus totals N/V: vocab-count → 1-row agg
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
     "x7_sim_topk_bruteforce",
     "x13_sim_topk_ivf",
     "x19_tf_idf",  # crossJoin with the broadcast 1-row N scalar
+    "x38_collocation_pmi",  # crossJoin with the broadcast 1-row N/Nb totals
+    "x39_unigram_logprob",  # crossJoin with the broadcast 1-row N/V totals
 }
 
 
