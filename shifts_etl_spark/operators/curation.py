@@ -50,6 +50,48 @@ def cap_per_group(
     )
 
 
+def _hex_uniform_int(c, chars: int = 6):
+    """Deterministic uniform integer in [0, 16^chars) from the leading
+    md5 hex chars of ``c``'s string form, ascii-decoded digit by digit —
+    no conv/unhex, so ANY engine with md5/ascii/substring reproduces the
+    exact value (the x24 split-bucket trick, widened to a priority)."""
+    h = F.md5(c.cast("string"))
+    val = F.lit(0)
+    for i in range(1, chars + 1):
+        a = F.ascii(F.substring(h, i, 1))
+        val = val * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return val
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    strata_col: str,
+    id_col: str = "doc_id",
+    chars: int = 6,
+) -> DataFrame:
+    """Weighted sampling without replacement, k per stratum, by
+    sequential Poisson sampling (Ohlsson 1998): priority = u / w with u a
+    deterministic hash-uniform of the id, keep the k SMALLEST priorities
+    — heavier rows get smaller expected priority, so inclusion odds scale
+    with weight, yet the draw is a pure function of ids (reproducible
+    across engines, runs, and partitionings; no RNG state to seed).
+
+    Priority is one IEEE division of two exactly-representable values, so
+    Spark and any SQL oracle agree bitwise — selection never rides on
+    transcendental rounding. Selection reuses cap_per_group's two-phase
+    bounded top-k: a hot stratum never funnels through one task."""
+    d = df.withColumn(
+        "pri",
+        _hex_uniform_int(F.col(id_col), chars).cast("double")
+        / weight_col.cast("double"),
+    )
+    return cap_per_group(
+        d, strata_col, k, order_cols=[F.col("pri"), F.col(id_col)]
+    ).drop("group_rank")
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench: DataFrame,

@@ -1068,6 +1068,47 @@ GROUP BY doc_id
 """
 
 
+def x40_weighted_sample(spark, sf_dir):
+    """Weighted sample without replacement (curation.weighted_sample):
+    10 docs per language by sequential Poisson sampling, weight =
+    length(text)+1 — longer docs proportionally likelier, yet the draw
+    is a pure function of doc_id (engine/run/partitioning reproducible)."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.weighted_sample(
+        d.select(
+            "doc_id", "lang", (F.length("text") + 1).cast("bigint").alias("w")
+        ),
+        k=10,
+        weight_col=F.col("w"),
+        strata_col="lang",
+    )
+
+
+_X40_U = " + ".join(
+    # Horner would nest 6 deep; the positional-weight sum is the same
+    # exact integer and keeps the SQL readable.
+    f"(ascii(substring(h, {i}, 1)) - CASE WHEN ascii(substring(h, {i}, 1)) >= 97 "
+    f"THEN 87 ELSE 48 END) * {16 ** (6 - i)}"
+    for i in range(1, 7)
+)
+
+X40_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(length(text) + 1 AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), pri AS (
+  SELECT doc_id, lang, w,
+         CAST({_X40_U} AS DOUBLE) / CAST(w AS DOUBLE) AS pri
+  FROM base
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+  FROM pri
+)
+SELECT doc_id, lang, w, pri FROM ranked WHERE rn <= 10
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1108,4 +1149,5 @@ EXTENSIONS = {
     "x37_length_histogram": (x37_length_histogram, X37_SQL),
     "x38_collocation_pmi": (x38_collocation_pmi, X38_SQL),
     "x39_unigram_logprob": (x39_unigram_logprob, X39_SQL),
+    "x40_weighted_sample": (x40_weighted_sample, X40_SQL),
 }

@@ -96,3 +96,38 @@ def test_contamination_on_testdata_self_benchmark(spark):
     got = curation.benchmark_contamination(d, d)
     assert got.where("contamination_frac < 1.0").count() == 0
     assert got.count() == 30
+
+
+def test_weighted_sample_k_bound_and_partition_independence(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=f"l{i % 2}", w=1 + i % 5) for i in range(200)]
+    )
+    out = curation.weighted_sample(
+        docs, k=10, weight_col=F.col("w"), strata_col="lang"
+    )
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"l0": 10, "l1": 10}
+    again = curation.weighted_sample(
+        docs.repartition(17), k=10, weight_col=F.col("w"), strata_col="lang"
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # One row carries ~all the corpus weight: priority u/w collapses to
+    # ~0 for it, so it must be drawn; and a k-sized stratum returns whole.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", w=1_000_000_000 if i == 42 else 1)
+         for i in range(100)]
+        + [Row(doc_id=900, lang="tiny", w=3)]
+    )
+    out = curation.weighted_sample(
+        docs, k=10, weight_col=F.col("w"), strata_col="lang"
+    ).collect()
+    assert 42 in {r["doc_id"] for r in out}
+    assert {r["doc_id"] for r in out if r["lang"] == "tiny"} == {900}
