@@ -66,3 +66,55 @@ def merge_into(
         shutil.rmtree(d, ignore_errors=True)
     merged.unpersist()
     return n
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: collapse consecutive equal states per key into validity
+    intervals [valid_from, valid_to), valid_to NULL for the current row
+    — the dimension-table shape every warehouse join-asof's against.
+
+    Gaps-and-islands via the change-flag running sum, then one LEAD for
+    the interval close. Every window is PARTITIONED by the key, so
+    parallelism = #keys and no single-partition exchange appears; the
+    aggregate is map-side combinable on (key, island). Ties on
+    ``order_col`` are split by ``tiebreak_col`` (default: the state) so
+    island assignment is deterministic."""
+    from pyspark.sql import Window
+
+    tb = tiebreak_col or state_col
+    w = Window.partitionBy(key_col).orderBy(order_col, tb)
+    chg = F.when(
+        F.lag(state_col).over(w).isNull()
+        | (F.col(state_col) != F.lag(state_col).over(w)),
+        1,
+    ).otherwise(0)
+    runs = (
+        changes.withColumn("_chg", chg)
+        .withColumn(
+            "_run",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(key_col, "_run")
+        .agg(
+            F.first(state_col).alias("state"),
+            F.min(order_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+    wr = Window.partitionBy(key_col).orderBy("_run")
+    return runs.select(
+        F.col(key_col),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )

@@ -1418,6 +1418,53 @@ FROM spine s LEFT JOIN daily d USING (user_id, day)
 """
 
 
+def q27_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension build from a change log
+    (operators/merge.py:scd2_from_changelog): per-customer order-priority
+    history collapsed into [valid_from, valid_to) validity intervals —
+    the CDC-to-dimension shape every warehouse as-of joins against. All
+    windows PARTITIONED by customer (parallelism = #keys); the island
+    aggregate is map-side combinable on (key, run)."""
+    from ..operators.merge import scd2_from_changelog
+
+    o = _t(spark, sf_dir, "orders")
+    return scd2_from_changelog(
+        o.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"),
+        key_col="o_custkey",
+        order_col="o_orderdate",
+        state_col="o_orderpriority",
+        tiebreak_col="o_orderkey",
+    )
+
+
+Q27_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                   OR o_orderpriority <> lag(o_orderpriority) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), runs AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         SUM(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM ordered
+), grouped AS (
+  SELECT o_custkey, run,
+         MIN(o_orderpriority) AS state,
+         MIN(o_orderdate) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_changes
+  FROM runs GROUP BY 1, 2
+)
+SELECT o_custkey, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
+       n_changes
+FROM grouped
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1624,5 +1671,6 @@ RELATIONAL = {
     "q24_returned_item_customers": (q24_returned_item_customers, Q24_SQL),
     "q25_promo_revenue_share": (q25_promo_revenue_share, Q25_SQL),
     "q26_gap_fill_locf": (q26_gap_fill_locf, Q26_SQL),
+    "q27_scd2_history": (q27_scd2_history, Q27_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }

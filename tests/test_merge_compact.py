@@ -137,3 +137,32 @@ def test_time_travel_vacuumed_by_compaction(spark, tmp_path):
     assert w.read_table(spark, "kpis").count() == 2  # current state intact
     with pytest.raises(ValueError, match="vacuumed"):
         w.read_table(spark, "kpis", as_of=b1)
+
+
+def test_scd2_from_changelog_collapses_runs(spark):
+    from shifts_etl_spark.operators.merge import scd2_from_changelog
+
+    log = spark.createDataFrame(
+        [
+            # key 1: A,A,B,A -> three intervals (A re-opens after B)
+            (1, "2024-01-01", "A", 1),
+            (1, "2024-01-05", "A", 2),
+            (1, "2024-02-01", "B", 3),
+            (1, "2024-03-01", "A", 4),
+            # key 2: single state, always-open interval
+            (2, "2024-01-10", "Z", 5),
+        ],
+        "k long, d string, s string, seq long",
+    ).select("k", F.to_date("d").alias("d"), "s", "seq")
+    got = sorted(
+        scd2_from_changelog(log, "k", "d", "s", tiebreak_col="seq").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    rows = [(r.k, r.state, str(r.valid_from), str(r.valid_to), r.n_changes)
+            for r in got]
+    assert rows == [
+        (1, "A", "2024-01-01", "2024-02-01", 2),
+        (1, "B", "2024-02-01", "2024-03-01", 1),
+        (1, "A", "2024-03-01", "None", 1),
+        (2, "Z", "2024-01-10", "None", 1),
+    ]
