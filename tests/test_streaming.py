@@ -161,3 +161,46 @@ def test_stream_join_left_outer_emits_unmatched(spark, tmp_path):
     assert rows[2]["view_ts"] is not None  # matched within 10 min
     assert 3 in rows and rows[3]["view_ts"] is None  # unmatched, null-padded
     assert rows[9]["view_ts"] is not None  # same-batch match emits promptly
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Stateful v2 (transformWithStateInPandas): lifetime per-user totals
+    survive across separate drains of the same checkpoint — batch 2 emits
+    user 1's totals INCLUDING batch 1's events. Needs protobuf (the v2
+    state protocol); containers without it exercise the gate error."""
+    import pytest
+
+    from shifts_etl_spark.streaming.stateful import streaming_running_totals
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_running_totals(spark, tmp_path, tmp_path / "ck")
+        pytest.skip("protobuf not installed: TWS v2 gate verified instead")
+
+    inp = tmp_path / "ev"
+    inp.mkdir()
+
+    def drop(name, rows):
+        with open(inp / name, "w") as f:
+            for uid, val in rows:
+                f.write(json.dumps({
+                    "event_id": len(name) + uid, "ts": "2024-01-01T10:00:00.000Z",
+                    "user_id": uid, "event_type": "click", "value": val,
+                    "props": "{}",
+                }) + "\n")
+
+    drop("b1.json", [(1, 1.0), (1, 2.0), (2, 5.0)])
+    q = streaming_running_totals(spark, inp, tmp_path / "ck", query_name="tot1")
+    q.awaitTermination()
+    got = {r.user_id: r for r in spark.sql("SELECT * FROM tot1").collect()}
+    assert (got[1].n_events, got[1].sum_value, got[1].max_value) == (2, 3.0, 2.0)
+    assert (got[2].n_events, got[2].sum_value, got[2].max_value) == (1, 5.0, 5.0)
+
+    drop("b2.json", [(1, 10.0)])
+    q2 = streaming_running_totals(spark, inp, tmp_path / "ck", query_name="tot2")
+    q2.awaitTermination()
+    got2 = {r.user_id: r for r in spark.sql("SELECT * FROM tot2").collect()}
+    assert (got2[1].n_events, got2[1].sum_value, got2[1].max_value) == (3, 13.0, 10.0)
+    assert 2 not in got2  # untouched keys are not re-emitted in Update mode
