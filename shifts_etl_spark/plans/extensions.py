@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, clustering, curation, dedup, multimodal, simsearch, textstats, theta
+from ..operators import bloom, clustering, curation, dedup, heavyhitters, multimodal, simsearch, textstats, theta
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -1109,6 +1109,36 @@ SELECT doc_id, lang, w, pri FROM ranked WHERE rn <= 10
 """
 
 
+def x41_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter tokens (operators/heavyhitters.py): Misra-Gries
+    candidate sketch per partition + exact recount — returns EXACTLY the
+    tokens with frequency >= ceil(0.002·N), so the sketch inside is
+    invisible to the oracle. The wide long-tail shuffle never happens:
+    candidates are bounded at k per partition."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            textstats.tokens(textstats.normalize_text(F.col("text")))
+        ).alias("token")
+    )
+    return (
+        heavyhitters.heavy_hitters(tok, "token", k=999, min_frac=0.002)
+        .withColumnRenamed("item", "token")
+    )
+
+
+X41_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS token
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM tok)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok CROSS JOIN tot
+GROUP BY token, tot.n
+HAVING count(*) >= ceil(0.002 * n)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1150,4 +1180,5 @@ EXTENSIONS = {
     "x38_collocation_pmi": (x38_collocation_pmi, X38_SQL),
     "x39_unigram_logprob": (x39_unigram_logprob, X39_SQL),
     "x40_weighted_sample": (x40_weighted_sample, X40_SQL),
+    "x41_heavy_hitters": (x41_heavy_hitters, X41_SQL),
 }

@@ -50,6 +50,7 @@ SINGLE_PARTITION_OK = {
     "x33_theta_set_sketches",  # sketch merges: <= G k-double rows → 1-row agg
     "x38_collocation_pmi",  # corpus totals N/Nb: vocab-count → 1-row aggs
     "x39_unigram_logprob",  # corpus totals N/V: vocab-count → 1-row agg
+    "x41_heavy_hitters",  # total token count N: 1-row aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -58,6 +59,7 @@ CROSS_JOIN_OK = {
     "x19_tf_idf",  # crossJoin with the broadcast 1-row N scalar
     "x38_collocation_pmi",  # crossJoin with the broadcast 1-row N/Nb totals
     "x39_unigram_logprob",  # crossJoin with the broadcast 1-row N/V totals
+    "x41_heavy_hitters",  # crossJoin with the broadcast 1-row N total
 }
 
 
