@@ -1465,6 +1465,114 @@ FROM grouped
 """
 
 
+def q28_fk_orphans(spark, sf_dir):
+    """Referential-integrity profile across the schema's FK edges in one
+    result: per edge, child row count and orphan count (child keys with
+    no parent). The generalization of the reference's FK guard
+    (quality.py) to a whole-schema audit. Each edge is one left join +
+    one combinable aggregate; small parents broadcast via AQE, big ones
+    shuffle on the key — nothing is collected."""
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        parts.append(
+            c.join(p, "k", "left").agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count(F.when(F.col("_hit").isNull(), 1))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+Q28_SQL = """
+SELECT 'lineitem->orders' AS edge, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+  ON c.l_orderkey = p.k
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+  ON c.o_custkey = p.k
+UNION ALL
+SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+  ON c.c_nationkey = p.k
+UNION ALL
+SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+  ON c.s_nationkey = p.k
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT)
+FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+  ON c.l_partkey = p.k
+"""
+
+
+def q29_rate_anomaly(spark, sf_dir):
+    """Hourly event-rate anomaly detection: per event type, z-score of
+    each hour's count against the type's own hourly mean/stddev —
+    the monitoring query behind every ingest-rate alert. Grouped count
+    is map-side combinable; the stats window PARTITIONS by type
+    (parallelism = #types; each type's hourly series is bounded by the
+    time range, not the data)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    mu = F.avg("n").over(w)
+    sd = F.stddev("n").over(w)
+    z = F.when(sd > 0, (F.col("n") - mu) / sd).otherwise(F.lit(0.0))
+    return hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+Q29_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, h, n,
+         avg(n) OVER (PARTITION BY event_type) AS mu,
+         stddev(n) OVER (PARTITION BY event_type) AS sd
+  FROM hourly
+)
+SELECT event_type, h, n,
+       round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 4) AS z,
+       abs(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END) > 2.0 AS is_anomaly
+FROM stats
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1672,5 +1780,7 @@ RELATIONAL = {
     "q25_promo_revenue_share": (q25_promo_revenue_share, Q25_SQL),
     "q26_gap_fill_locf": (q26_gap_fill_locf, Q26_SQL),
     "q27_scd2_history": (q27_scd2_history, Q27_SQL),
+    "q28_fk_orphans": (q28_fk_orphans, Q28_SQL),
+    "q29_rate_anomaly": (q29_rate_anomaly, Q29_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }

@@ -51,6 +51,7 @@ SINGLE_PARTITION_OK = {
     "x38_collocation_pmi",  # corpus totals N/Nb: vocab-count → 1-row aggs
     "x39_unigram_logprob",  # corpus totals N/V: vocab-count → 1-row agg
     "x41_heavy_hitters",  # total token count N: 1-row aggregate
+    "q28_fk_orphans",  # five per-edge 1-row aggregates unioned
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
