@@ -1573,6 +1573,44 @@ FROM stats
 """
 
 
+def q30_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each subsequent week they return — the product-analytics
+    retention matrix. Two map-side-combinable aggregates + one equi join
+    on user_id (AQE-broadcastable cohort side at small SF, plain
+    key-shuffle at scale); no windows, no cross join, and the output is
+    bounded by weeks², not users."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+Q30_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY 1
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM weekly w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1782,5 +1820,6 @@ RELATIONAL = {
     "q27_scd2_history": (q27_scd2_history, Q27_SQL),
     "q28_fk_orphans": (q28_fk_orphans, Q28_SQL),
     "q29_rate_anomaly": (q29_rate_anomaly, Q29_SQL),
+    "q30_cohort_retention": (q30_cohort_retention, Q30_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }
