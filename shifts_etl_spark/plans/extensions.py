@@ -1139,6 +1139,53 @@ HAVING count(*) >= ceil(0.002 * n)
 """
 
 
+def x42_label_centroid_similarity(spark, sf_dir):
+    """Embedding-space separability audit: cosine similarity between
+    per-label centroids — high off-diagonal cosine flags label classes a
+    classifier (or dedup threshold) cannot separate. posexplode →
+    (label, dim) avg is map-side combinable and the pair join carries
+    only labels²·d centroid cells, never vectors; the corpus is read
+    once. Rounded to 4 dp so float partial-sum order cannot leak."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    a = cent.select(F.col("label").alias("la"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "pos", F.col("c").alias("cb"))
+    return (
+        a.join(b, "pos")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                4,
+            ).alias("cosine")
+        )
+    )
+
+
+X42_SQL = """
+WITH pos AS (
+  SELECT label,
+         unnest(embedding) AS val,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, avg(CAST(val AS DOUBLE)) AS c FROM pos GROUP BY 1, 2
+)
+SELECT a.label AS la, b.label AS lb,
+       round(sum(a.c * b.c)
+             / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS cosine
+FROM cent a JOIN cent b USING (pos)
+WHERE a.label < b.label
+GROUP BY 1, 2
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1181,4 +1228,5 @@ EXTENSIONS = {
     "x39_unigram_logprob": (x39_unigram_logprob, X39_SQL),
     "x40_weighted_sample": (x40_weighted_sample, X40_SQL),
     "x41_heavy_hitters": (x41_heavy_hitters, X41_SQL),
+    "x42_label_centroid_similarity": (x42_label_centroid_similarity, X42_SQL),
 }

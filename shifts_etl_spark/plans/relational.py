@@ -1611,6 +1611,39 @@ GROUP BY 1, 2
 """
 
 
+def q31_unpivot_metrics(spark, sf_dir):
+    """Unpivot/melt: per-nation customer metrics computed wide, emitted
+    long as (nation, metric, value) via stack() — the inverse of q11's
+    pivot and the standard metrics-table feed shape. stack is a
+    generator expression (no shuffle beyond the aggregate); the oracle
+    uses the portable UNION ALL form."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+    return wide.select(
+        "c_nationkey",
+        F.expr(
+            "stack(2, 'n_customers', n_customers, 'avg_acctbal', avg_acctbal) "
+            "AS (metric, value)"
+        ),
+    )
+
+
+Q31_SQL = """
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS DOUBLE) AS n_customers,
+         round(avg(c_acctbal), 2) AS avg_acctbal
+  FROM customer GROUP BY 1
+)
+SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'avg_acctbal' AS metric, avg_acctbal AS value FROM wide
+"""
+
+
 def q19_event_funnel(spark, sf_dir):
     """Ordered event funnel view → click → purchase per user: first view,
     first click strictly after it, first purchase strictly after that;
@@ -1821,5 +1854,6 @@ RELATIONAL = {
     "q28_fk_orphans": (q28_fk_orphans, Q28_SQL),
     "q29_rate_anomaly": (q29_rate_anomaly, Q29_SQL),
     "q30_cohort_retention": (q30_cohort_retention, Q30_SQL),
+    "q31_unpivot_metrics": (q31_unpivot_metrics, Q31_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
 }

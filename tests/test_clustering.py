@@ -80,3 +80,29 @@ def test_kmeans_fewer_rows_than_k(spark):
     assert sum(model.sizes) == 2
     with pytest.raises(ValueError, match="no rows"):
         clustering.kmeans_fit(df.where("vec_id < 0"), k=2)
+
+
+def test_label_centroid_similarity_planted(spark):
+    """Two labels sharing a direction → cosine 1; orthogonal labels → 0."""
+    from shifts_etl_spark.plans.extensions import x42_label_centroid_similarity
+    import shifts_etl_spark.plans.extensions as ext
+
+    rows = []
+    for vid in range(4):
+        rows.append((vid, [1.0, 0.0, 1.0, 0.0], 0))      # label 0: e1+e3
+    for vid in range(4, 8):
+        rows.append((vid, [2.0, 0.0, 2.0, 0.0], 1))      # label 1: same direction
+    for vid in range(8, 12):
+        rows.append((vid, [0.0, 3.0, 0.0, -3.0], 2))     # label 2: orthogonal
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    orig = ext._t
+    ext._t = lambda spark, sf_dir, name: df
+    try:
+        got = {(r.la, r.lb): r.cosine
+               for r in x42_label_centroid_similarity(spark, "ignored").collect()}
+    finally:
+        ext._t = orig
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0
+    assert got[(1, 2)] == 0.0
