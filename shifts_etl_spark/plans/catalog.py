@@ -47,15 +47,32 @@ _DRIVER_VERIFIED_R01 = frozenset(
 
 _MERGED = {**RELATIONAL, **EXTENSIONS}
 
-# The driver-unverified block has grown past the ~50-entry window, so
-# rank within it too: oracle-backed queries first (a driver row there is
-# a full rows+schema+hash check), rows-only ones last (their driver row
-# adds little beyond the local pytest/planted-case coverage they carry).
+# Round-1 verdict names an explicit done-criterion for round 2: driver
+# correctness rows for ALL of x1-x32, q20-q25, w9. That set outranks the
+# queries added after the verdict (q26+, x33+), which in turn outrank the
+# 50 already-driver-verified names.
+def _asked(name: str) -> bool:
+    stem = name.split("_", 1)[0]
+    if stem == "w9":
+        return True
+    if stem.startswith("q") and stem[1:].isdigit():
+        return 20 <= int(stem[1:]) <= 25
+    if stem.startswith("x") and stem[1:].isdigit():
+        return 1 <= int(stem[1:]) <= 32
+    return False
+
+
+# Within each block, oracle-backed queries first (a driver row there is a
+# full rows+schema+hash check), rows-only ones last.
 CATALOG: dict[str, QuerySpec] = {
     name: QuerySpec(name, *_MERGED[name])
     for name in sorted(
         _MERGED,
-        key=lambda n: (n in _DRIVER_VERIFIED_R01, _MERGED[n][1] is None),
+        key=lambda n: (
+            n in _DRIVER_VERIFIED_R01,
+            not _asked(n),
+            _MERGED[n][1] is None,
+        ),
     )
 }
 
