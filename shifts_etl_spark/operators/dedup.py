@@ -462,3 +462,51 @@ def incremental_exact_dedup(
     )
     seen = history.select(h.alias("content_hash")).dropDuplicates()
     return batch.join(seen, "content_hash", "left_anti")
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection (the span-granular complement
+    to document-level dedup, after Lee et al.'s "Deduplicating Training
+    Data" exact-substring pass): fingerprint every ``span_len``-char
+    window of every document and report fingerprints that occur in at
+    least ``min_docs`` DISTINCT documents — boilerplate, licence
+    blocks, and quoted passages that whole-document hashing never sees.
+
+    Plan shape: explode positions and compute md5(substr) in the same
+    codegen stage as the scan, so the shuffle for the groupBy carries
+    only (32-hex fingerprint, doc_id) pairs — document text never
+    moves. Work is O(total_chars) rows; at 100 TB the production
+    variant drops md5 for an 8-byte rolling hash and strides the
+    window (stride s detects any duplicated span >= span_len + s - 1),
+    cutting both row count and shuffle width ~s*4x; md5 at stride 1 is
+    kept here for cross-engine oracle parity.
+    """
+    d = docs.where(F.length(text_col) >= span_len)
+    pos = d.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - (span_len - 1))
+        ).alias("pos"),
+    )
+    grams = pos.select(
+        id_col,
+        F.md5(F.col(text_col).substr(F.col("pos"), F.lit(span_len))).alias(
+            "gram"
+        ),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

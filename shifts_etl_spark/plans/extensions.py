@@ -1186,6 +1186,37 @@ GROUP BY 1, 2
 """
 
 
+def x44_pq_ann(spark, sf_dir):
+    """Product-quantization ANN: 64-dim vectors compressed to 16 4-bit
+    codes, ADC shortlist + exact re-rank, top-5 for query vectors 0-4
+    (operators/pq.py). No SQL oracle — lossy compressed ranking; recall
+    vs brute force asserted in tests."""
+    from ..operators.pq import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5)
+
+
+def x43_substring_dupes(spark, sf_dir):
+    """Span-level duplicate fingerprints: 40-char windows occurring in
+    ≥2 distinct documents (see dedup.substring_duplicate_spans)."""
+    return dedup.substring_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+X43_SQL = """
+SELECT md5(substr(text, pos, 40)) AS gram,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc,
+       count(*) AS n_occurrences
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 39)) AS pos
+  FROM documents WHERE length(text) >= 40
+)
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1229,4 +1260,6 @@ EXTENSIONS = {
     "x40_weighted_sample": (x40_weighted_sample, X40_SQL),
     "x41_heavy_hitters": (x41_heavy_hitters, X41_SQL),
     "x42_label_centroid_similarity": (x42_label_centroid_similarity, X42_SQL),
+    "x43_substring_dupes": (x43_substring_dupes, X43_SQL),
+    "x44_pq_ann": (x44_pq_ann, None),
 }

@@ -1792,6 +1792,101 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+def q32_event_concurrency(spark, sf_dir):
+    """Peak interval-overlap (concurrency) per event type by sweep-line:
+    each event occupies [ts, ts + value minutes); emit +1/-1 boundary
+    rows, prefix-sum them in boundary order, take the max. This replaces
+    the naive O(n²) self-join ("count rows whose interval overlaps
+    mine") with sort + running count — at 100 TB the only shuffle is the
+    per-type range sort, and the window is PARTITIONED by event_type so
+    no single-partition exchange appears. Ties (an end meeting a start
+    at the same microsecond) order -1 before +1, so touching intervals
+    never count as concurrent; floor() before the bigint cast because
+    Spark truncates double→bigint while DuckDB rounds."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t0"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(60_000_000.0)).cast("long")
+        ).alias("t1"),
+    )
+    bounds = ev.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        ev.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bounds.select(
+        "event_type", F.sum("delta").over(w).alias("running")
+    )
+    return running.groupBy("event_type").agg(
+        F.max("running").cast("long").alias("peak_concurrency")
+    )
+
+
+Q32_SQL = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type,
+         epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT),
+         -1, event_id
+  FROM events
+), r AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM b
+)
+SELECT event_type, CAST(MAX(running) AS BIGINT) AS peak_concurrency
+FROM r GROUP BY event_type
+"""
+
+
+def q33_recursive_hierarchy(spark, sf_dir):
+    """Recursive traversal of a synthetic part forest (parent =
+    p_partkey // 7, keys < 7 are roots): resolve every node's depth and
+    root via semi-naive iteration (operators/hierarchy.py) — the Spark
+    answer to WITH RECURSIVE, which the DuckDB oracle states literally.
+    One equi-join shuffle per level, O(log n) levels on this forest."""
+    from ..operators.hierarchy import iterate_hierarchy
+
+    nodes = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 7, F.floor(F.col("p_partkey") / 7))
+        .cast("long")
+        .alias("parent"),
+    )
+    out = iterate_hierarchy(nodes, key="node", parent="parent")
+    return out.select(
+        "node", F.col("depth").cast("int").alias("depth"), "root"
+    )
+
+
+Q33_SQL = """
+WITH RECURSIVE h AS (
+  SELECT p_partkey AS node, 0 AS depth, p_partkey AS root
+  FROM part WHERE p_partkey < 7
+  UNION ALL
+  SELECT p.p_partkey, h.depth + 1, h.root
+  FROM part p JOIN h ON p.p_partkey // 7 = h.node AND p.p_partkey >= 7
+)
+SELECT node, CAST(depth AS INTEGER) AS depth, root FROM h
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -1856,4 +1951,6 @@ RELATIONAL = {
     "q30_cohort_retention": (q30_cohort_retention, Q30_SQL),
     "q31_unpivot_metrics": (q31_unpivot_metrics, Q31_SQL),
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
+    "q32_event_concurrency": (q32_event_concurrency, Q32_SQL),
+    "q33_recursive_hierarchy": (q33_recursive_hierarchy, Q33_SQL),
 }

@@ -61,6 +61,8 @@ CROSS_JOIN_OK = {
     "x38_collocation_pmi",  # crossJoin with the broadcast 1-row N/Nb totals
     "x39_unigram_logprob",  # crossJoin with the broadcast 1-row N/V totals
     "x41_heavy_hitters",  # crossJoin with the broadcast 1-row N total
+    "x44_pq_ann",  # ADC scan: corpus codes × broadcast |Q|-row LUT table —
+    # the compressed-scan contract (8-byte codes, never vectors)
 }
 
 
