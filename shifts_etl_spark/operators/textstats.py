@@ -202,6 +202,72 @@ def tf_idf(
     return out
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores for a fixed bag of query terms —
+    the lexical-retrieval twin of `tf_idf` (adds document-length
+    normalization), the standard first-stage ranker for RAG / dataset
+    curation pipelines.
+
+    score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Robertson-Sparck
+    Jones with the +1 floor, as in Lucene).
+
+    Scale notes: the term filter lands immediately after the explode so
+    the per-doc tf aggregate only carries query-term rows (|terms| ≪
+    vocab); df and the corpus stats (N, avgdl) are two scalar-sized
+    aggregates broadcast into the scoring select; top-k is
+    TakeOrderedAndProject. No shuffle ever carries document text."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("token"),
+    )
+    matched = toks.where(F.array_contains(terms, F.col("token")))
+    tf = matched.groupBy("doc_id", "token", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = matched.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    stats = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(normalize_text(F.col(text_col))).alias("dl"),
+        )
+        .agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * norm), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(top_k)
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

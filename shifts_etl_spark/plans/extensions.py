@@ -1217,6 +1217,144 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def x45_bm25_scores(spark, sf_dir):
+    """Okapi BM25 retrieval over documents for a fixed query-term bag —
+    the length-normalized lexical ranker (first-stage retrieval for RAG
+    and curation). Built-in expressions only; df/corpus stats broadcast
+    (operators/textstats.bm25_scores)."""
+    return textstats.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "window"]
+    )
+
+
+X45_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+matched AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM matched GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+)
+SELECT m.doc_id,
+       round(SUM(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+                 * m.tf * 2.2
+                 / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS bm25,
+       count(*) AS n_matched_terms
+FROM matched m
+JOIN dfreq f USING (token)
+JOIN dl d USING (doc_id)
+CROSS JOIN stats s
+GROUP BY m.doc_id
+ORDER BY bm25 DESC, m.doc_id
+LIMIT 20
+"""
+
+
+def x46_split_drift(spark, sf_dir):
+    """Distribution-drift audit between hash-assigned train and test
+    splits: per-language share in each split plus the (add-one smoothed)
+    KL(train‖test) contribution — the pre-training sanity check that a
+    deterministic split did not skew a covariate. Scale notes: two
+    map-side-combinable counts over the scan; the per-split totals and
+    the language universe are broadcast-sized; nothing shuffles document
+    text."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train")
+    )
+    counts = (
+        docs.select(split.alias("split"), "lang")
+        .where(F.col("split") != "val")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    langs = docs.select("lang").distinct()
+    n_langs = langs.count()
+    grid = langs.crossJoin(
+        counts.select("split").distinct()
+    )
+    full = grid.join(counts, ["split", "lang"], "left").fillna(0, ["n"])
+    totals = full.groupBy("split").agg(F.sum("n").alias("tot"))
+    smoothed = full.join(F.broadcast(totals), "split").select(
+        "lang",
+        "split",
+        "n",
+        ((F.col("n") + 1) / (F.col("tot") + n_langs)).alias("p"),
+    )
+    tr = smoothed.where(F.col("split") == "train").select(
+        "lang", F.col("n").alias("n_train"), F.col("p").alias("p_tr")
+    )
+    te = smoothed.where(F.col("split") == "test").select(
+        "lang", F.col("n").alias("n_test"), F.col("p").alias("p_te")
+    )
+    return (
+        tr.join(te, "lang")
+        .select(
+            "lang",
+            "n_train",
+            "n_test",
+            F.round("p_tr", 6).alias("p_train"),
+            F.round("p_te", 6).alias("p_test"),
+            F.round(
+                F.col("p_tr") * F.log(F.col("p_tr") / F.col("p_te")), 6
+            ).alias("kl_term"),
+        )
+        .orderBy("lang")
+    )
+
+
+X46_SQL = """
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN b < 5 THEN 'val' WHEN b < 15 THEN 'test' ELSE 'train' END AS split
+  FROM (
+    SELECT lang,
+           (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+            + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+    FROM documents
+  )
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+nl AS (SELECT count(*) AS n_langs FROM langs),
+counts AS (
+  SELECT s.split, l.lang, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT split FROM assigned WHERE split <> 'val') s
+  CROSS JOIN langs l
+  LEFT JOIN (
+    SELECT split, lang, count(*) AS n FROM assigned
+    WHERE split <> 'val' GROUP BY 1, 2
+  ) c ON c.split = s.split AND c.lang = l.lang
+),
+totals AS (SELECT split, SUM(n) AS tot FROM counts GROUP BY 1),
+sm AS (
+  SELECT c.lang, c.split, c.n,
+         (c.n + 1) / (t.tot + nl.n_langs) AS p
+  FROM counts c JOIN totals t USING (split) CROSS JOIN nl
+)
+SELECT tr.lang,
+       tr.n AS n_train,
+       te.n AS n_test,
+       round(tr.p, 6) AS p_train,
+       round(te.p, 6) AS p_test,
+       round(tr.p * ln(tr.p / te.p), 6) AS kl_term
+FROM (SELECT * FROM sm WHERE split = 'train') tr
+JOIN (SELECT * FROM sm WHERE split = 'test') te USING (lang)
+ORDER BY tr.lang
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1262,4 +1400,6 @@ EXTENSIONS = {
     "x42_label_centroid_similarity": (x42_label_centroid_similarity, X42_SQL),
     "x43_substring_dupes": (x43_substring_dupes, X43_SQL),
     "x44_pq_ann": (x44_pq_ann, None),
+    "x45_bm25_scores": (x45_bm25_scores, X45_SQL),
+    "x46_split_drift": (x46_split_drift, X46_SQL),
 }

@@ -1887,6 +1887,103 @@ SELECT node, CAST(depth AS INTEGER) AS depth, root FROM h
 """
 
 
+def q34_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the testdata columns: for finished orders, count per supplier the
+    lineitems returned ('R') where ANOTHER supplier also shipped on the
+    order (EXISTS → left-semi self-join) but NO other supplier had a
+    return on it (NOT EXISTS → left-anti self-join) — the sole-offender
+    pattern. Scale notes: both correlated subqueries become equi-joins
+    on l_orderkey (one shuffle key shared with the orders join, so AQE
+    can reuse the exchange); the supplier dim broadcasts; top-25 is
+    TakeOrderedAndProject with a key tiebreak. Ref query-shape parity:
+    /root/reference/etl/app/shift_data_processor.py KPI joins use the
+    same FK→PK equi-join form."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").alias("l3")
+    return (
+        l1.join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(25)
+    )
+
+
+Q34_SQL = """
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 25
+"""
+
+
+def q35_inactive_big_balance(spark, sf_dir):
+    """TPC-H Q22 shape (global-lost-customers): per market segment, the
+    count and total balance of customers whose balance exceeds the
+    corpus-wide positive-balance average and who have never placed an
+    order. Scale notes: the scalar average is a one-row aggregate
+    cross-joined (broadcast) into the filter; the NOT EXISTS is a
+    left-anti join shuffled on custkey only (ids, no payload); the final
+    group-by is map-side combinable over 5 segments."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q35_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -1953,4 +2050,6 @@ RELATIONAL = {
     "w9_range_interval_frame": (w9_range_interval_frame, W9_SQL),
     "q32_event_concurrency": (q32_event_concurrency, Q32_SQL),
     "q33_recursive_hierarchy": (q33_recursive_hierarchy, Q33_SQL),
+    "q34_waiting_orders": (q34_waiting_orders, Q34_SQL),
+    "q35_inactive_big_balance": (q35_inactive_big_balance, Q35_SQL),
 }

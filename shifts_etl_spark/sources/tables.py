@@ -27,7 +27,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div: ns values (~1.7e18) exceed double's exact-integer
             # range, so `/ 1000` would be off by ±1 µs on some rows
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df  # re-materialized copies already store µs timestamps
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # µs-precision parquet without UTC adjustment reads as
+            # TIMESTAMP_NTZ, which Spark refuses to cast to numeric
+            # (epoch-seconds arithmetic in range/session operators needs
+            # that). The session TZ is pinned to UTC, so reinterpreting as
+            # TIMESTAMP keeps every value identical and matches DuckDB's
+            # naive-timestamp semantics.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,152 @@
+"""Round-2 batch B: BM25 retrieval (x45), split-drift audit (x46),
+TPC-H Q21/Q22-shaped sole-offender and inactive-balance queries
+(q34/q35), and the TIMESTAMP_NTZ testdata regression guard."""
+
+import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import Row, functions as F
+
+from shifts_etl_spark.operators.textstats import bm25_scores
+from shifts_etl_spark.plans.extensions import x46_split_drift
+from shifts_etl_spark.plans.relational import (
+    q34_waiting_orders,
+    q35_inactive_big_balance,
+)
+from shifts_etl_spark.sources.tables import load_table
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+
+
+def test_bm25_tf_and_length_normalization(spark):
+    """More query-term hits rank higher; at equal tf the shorter doc
+    ranks higher (the b·dl/avgdl length penalty); docs with no query
+    term never appear."""
+    docs = _docs(
+        spark,
+        [
+            "spark spark spark join",          # 0: high tf, short
+            "spark " + "filler " * 40,          # 1: tf=1, long
+            "spark join",                       # 2: two terms, shortest
+            "nothing relevant here",            # 3: no query terms
+        ],
+    )
+    out = bm25_scores(docs, ["spark", "join"]).collect()
+    scores = {r.doc_id: r.bm25 for r in out}
+    matched = {r.doc_id: r.n_matched_terms for r in out}
+    assert 3 not in scores
+    assert matched[0] == 2 and matched[1] == 1 and matched[2] == 2
+    # doc 2 (both terms, 2 tokens) beats doc 1 (one term, 41 tokens)
+    assert scores[2] > scores[1]
+    # doc 0 has the same terms as doc 2 plus extra tf → at least as high
+    assert scores[0] > scores[1]
+
+
+def test_bm25_idf_prefers_rare_terms(spark):
+    """A term appearing in one doc outweighs a term in every doc."""
+    docs = _docs(
+        spark,
+        ["common rare", "common x", "common y", "common z"],
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["common", "rare"]).collect()}
+    assert out[0] > out[1]  # doc 0 adds the rare term
+
+
+def test_split_drift_is_probability_and_nonneg_kl(spark):
+    """Smoothed shares sum to 1 within each split and the total KL
+    contribution is non-negative (Gibbs' inequality)."""
+    rows = x46_split_drift(spark, SF001).collect()
+    assert rows, "drift query returned no langs"
+    for col in ("p_train", "p_test"):
+        s = sum(r[col] for r in rows)
+        assert abs(s - 1.0) < 1e-4, f"{col} sums to {s}"
+    assert sum(r.kl_term for r in rows) >= -1e-9
+
+
+def test_q34_sole_offender_semantics(spark, tmp_path):
+    """Supplier 10 is the only returner on multi-supplier order 1 →
+    counted. Order 2 has two returners → neither counted. Order 3 is
+    single-supplier → EXISTS fails. Order 4 is status 'O' → excluded."""
+    li = [
+        # order 1: supp 10 returns, supp 11 clean
+        Row(l_orderkey=1, l_suppkey=10, l_returnflag="R"),
+        Row(l_orderkey=1, l_suppkey=11, l_returnflag="N"),
+        # order 2: both return → both blocked by NOT EXISTS
+        Row(l_orderkey=2, l_suppkey=10, l_returnflag="R"),
+        Row(l_orderkey=2, l_suppkey=12, l_returnflag="R"),
+        # order 3: sole supplier returns → no second supplier, EXISTS fails
+        Row(l_orderkey=3, l_suppkey=10, l_returnflag="R"),
+        # order 4: open order → filtered by o_orderstatus
+        Row(l_orderkey=4, l_suppkey=13, l_returnflag="R"),
+        Row(l_orderkey=4, l_suppkey=14, l_returnflag="N"),
+    ]
+    orders = [
+        Row(o_orderkey=1, o_orderstatus="F"),
+        Row(o_orderkey=2, o_orderstatus="F"),
+        Row(o_orderkey=3, o_orderstatus="F"),
+        Row(o_orderkey=4, o_orderstatus="O"),
+    ]
+    supp = [Row(s_suppkey=k, s_name=f"s{k}") for k in (10, 11, 12, 13, 14)]
+    spark.createDataFrame(li).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(orders).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(supp).write.parquet(f"{tmp_path}/supplier.parquet")
+    out = {r.s_suppkey: r.numwait for r in q34_waiting_orders(spark, str(tmp_path)).collect()}
+    assert out == {10: 1}
+
+
+def test_q35_inactive_balance_semantics(spark, tmp_path):
+    """Only customers above the positive-balance average AND without
+    orders aggregate; negative balances dilute nothing."""
+    cust = [
+        Row(c_custkey=1, c_name="a", c_nationkey=0, c_acctbal=100.0, c_mktsegment="AUTO"),
+        Row(c_custkey=2, c_name="b", c_nationkey=0, c_acctbal=200.0, c_mktsegment="AUTO"),
+        Row(c_custkey=3, c_name="c", c_nationkey=0, c_acctbal=300.0, c_mktsegment="CAR"),
+        Row(c_custkey=4, c_name="d", c_nationkey=0, c_acctbal=-50.0, c_mktsegment="CAR"),
+    ]
+    # avg positive balance = 200; strictly-above → custkeys {3} plus ties
+    # excluded (2 == avg not counted); cust 3 has no order, qualifies.
+    orders = [Row(o_orderkey=1, o_custkey=1, o_orderstatus="F")]
+    spark.createDataFrame(cust).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(orders).write.parquet(f"{tmp_path}/orders.parquet")
+    rows = q35_inactive_big_balance(spark, str(tmp_path)).collect()
+    assert [(r.c_mktsegment, r.numcust, r.totacctbal) for r in rows] == [
+        ("CAR", 1, 300.0)
+    ]
+
+
+def test_events_ntz_parquet_loads_as_castable_timestamp(spark, tmp_path):
+    """Driver testdata stores events.ts as µs timestamp WITHOUT UTC
+    adjustment (reads as TIMESTAMP_NTZ, which Spark cannot cast to
+    numeric). load_table must normalize it so epoch arithmetic in the
+    range/session operators keeps working."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:05:00"]
+                ),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    secs = df.select(F.col("ts").cast("double").alias("s")).collect()
+    assert [r.s for r in secs] == [1704067200.0, 1704067500.0]
