@@ -1355,6 +1355,124 @@ ORDER BY tr.lang
 """
 
 
+def x47_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 5 fixed power iterations) over the
+    symmetric customer↔supplier trade graph derived from
+    orders⋈lineitem — link analysis for corpus/citation graphs, here
+    exercised on the relational testdata. Fixed iterations keep the
+    computation expressible as an unrolled CTE chain for the oracle
+    (operators/graph.py)."""
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, damping=0.85, iterations=5, top_k=50)
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.node,
+         (1 - 0.85) / any_value(nn.n)
+         + 0.85 * COALESCE(SUM(p.r / d.outdeg), 0) AS r
+  FROM nodes n
+  CROSS JOIN nn
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)"""
+
+
+X47_SQL = (
+    """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),"""
+    + ",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(5))
+    + """
+SELECT node, round(r, 6) AS pagerank
+FROM r5 ORDER BY pagerank DESC, node LIMIT 50
+"""
+)
+
+
+def x48_ab_welch_ttest(spark, sf_dir):
+    """A/B experiment readout: users split into two variants by id
+    parity; per event_type the per-variant sample stats plus Welch's
+    t statistic and degrees of freedom over `value` — the unequal-
+    variance two-sample test every experimentation platform computes.
+    Scale notes: one map-side-combinable conditional aggregate per
+    event_type (count/avg/var_samp under CASE); the t/dof arithmetic is
+    a scalar projection over the G-row aggregate. Nothing but
+    (event_type, value, parity) ever shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    va = F.when(F.col("user_id") % 2 == 0, F.col("value"))
+    vb = F.when(F.col("user_id") % 2 == 1, F.col("value"))
+    agg = ev.groupBy("event_type").agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("m_a"),
+        F.avg(vb).alias("m_b"),
+        F.var_samp(va).alias("v_a"),
+        F.var_samp(vb).alias("v_b"),
+    )
+    se_a = F.col("v_a") / F.col("n_a")
+    se_b = F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se_a + se_b)
+    dof = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round("v_a", 4).alias("var_a"),
+        F.round("v_b", 4).alias("var_b"),
+        F.round(t, 4).alias("welch_t"),
+        F.round(dof, 2).alias("welch_dof"),
+    ).orderBy("event_type")
+
+
+X48_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+         count(CASE WHEN user_id % 2 = 1 THEN value END) AS n_b,
+         avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+         avg(CASE WHEN user_id % 2 = 1 THEN value END) AS m_b,
+         var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+         var_samp(CASE WHEN user_id % 2 = 1 THEN value END) AS v_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       round(m_a, 4) AS mean_a,
+       round(m_b, 4) AS mean_b,
+       round(v_a, 4) AS var_a,
+       round(v_b, 4) AS var_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS welch_t,
+       round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+             / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 2) AS welch_dof
+FROM agg ORDER BY event_type
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1402,4 +1520,6 @@ EXTENSIONS = {
     "x44_pq_ann": (x44_pq_ann, None),
     "x45_bm25_scores": (x45_bm25_scores, X45_SQL),
     "x46_split_drift": (x46_split_drift, X46_SQL),
+    "x47_pagerank": (x47_pagerank, X47_SQL),
+    "x48_ab_welch_ttest": (x48_ab_welch_ttest, X48_SQL),
 }

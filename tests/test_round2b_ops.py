@@ -125,6 +125,65 @@ def test_q35_inactive_balance_semantics(spark, tmp_path):
     ]
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Planted digraph WITH a dangling node (d has no out-edges): ranks
+    after 5 iterations must match the dense NumPy power iteration that
+    redistributes dangling mass uniformly."""
+    import numpy as np
+
+    from shifts_etl_spark.operators.graph import pagerank
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    nodes = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    M = np.zeros((n, n))
+    out = np.zeros(n)
+    for s, t in edge_list:
+        out[idx[s]] += 1
+    for s, t in edge_list:
+        M[idx[t], idx[s]] = 1.0 / out[idx[s]]
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        dangling_mass = r[out == 0].sum()
+        r = (1 - d) / n + d * (M @ r + dangling_mass / n)
+
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {row.node: row.pagerank for row in pagerank(df, iterations=5).collect()}
+    for name in nodes:
+        assert abs(got[name] - r[idx[name]]) < 1e-6, (name, got[name], r[idx[name]])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conservation
+
+
+def test_welch_ttest_hand_computed(spark, tmp_path):
+    """Two groups with known stats: a=[1,2,3] (even user ids),
+    b=[2,4,6,8] (odd) → m_a=2, v_a=1, m_b=5, v_b=20/3; t and dof from
+    the closed form."""
+    import math
+
+    from shifts_etl_spark.plans.extensions import x48_ab_welch_ttest
+
+    rows = [
+        Row(event_id=i, ts=_naive(i), user_id=uid, event_type="t", value=v, props="{}")
+        for i, (uid, v) in enumerate(
+            [(0, 1.0), (2, 2.0), (4, 3.0), (1, 2.0), (3, 4.0), (5, 6.0), (7, 8.0)]
+        )
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = x48_ab_welch_ttest(spark, str(tmp_path)).collect()[0]
+    se = 1.0 / 3 + (20.0 / 3) / 4
+    t = (2.0 - 5.0) / math.sqrt(se)
+    dof = se * se / ((1.0 / 3) ** 2 / 2 + ((20.0 / 3) / 4) ** 2 / 3)
+    assert (out.n_a, out.n_b) == (3, 4)
+    assert abs(out.mean_a - 2.0) < 1e-9 and abs(out.mean_b - 5.0) < 1e-9
+    assert abs(out.welch_t - round(t, 4)) < 1e-9
+    assert abs(out.welch_dof - round(dof, 2)) < 1e-9
+
+
+def _naive(i):
+    return datetime.datetime(2024, 1, 1, 0, 0, i)
+
+
 def test_events_ntz_parquet_loads_as_castable_timestamp(spark, tmp_path):
     """Driver testdata stores events.ts as µs timestamp WITHOUT UTC
     adjustment (reads as TIMESTAMP_NTZ, which Spark cannot cast to

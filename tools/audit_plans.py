@@ -52,6 +52,8 @@ SINGLE_PARTITION_OK = {
     "x39_unigram_logprob",  # corpus totals N/V: vocab-count → 1-row agg
     "x41_heavy_hitters",  # total token count N: 1-row aggregate
     "q28_fk_orphans",  # five per-edge 1-row aggregates unioned
+    "q35_inactive_big_balance",  # global AVG scalar: 1-row aggregate
+    "x45_bm25_scores",  # corpus stats (N, avgdl): one 1-row aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -63,6 +65,9 @@ CROSS_JOIN_OK = {
     "x41_heavy_hitters",  # crossJoin with the broadcast 1-row N total
     "x44_pq_ann",  # ADC scan: corpus codes × broadcast |Q|-row LUT table —
     # the compressed-scan contract (8-byte codes, never vectors)
+    "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
+    "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
+    "x46_split_drift",  # lang-universe × 2-split grid: both broadcast-tiny
 }
 
 
