@@ -189,3 +189,60 @@ def semantic_dedup(
             F.col("_d").isNull().alias("keep"),
         )
     )
+
+
+def mixture_allocation(
+    docs: DataFrame,
+    budget: int = 1000,
+    temperature: float = 0.7,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled corpus mixture: per source, sampling share
+    p_i ∝ (token_share_i)^(1/T) — T>1 flattens the distribution and
+    upweights small sources (the multilingual-sampling convention; T=1
+    is proportional) — and an integer document budget
+    allocated by largest remainder (deterministic, source-asc tiebreak,
+    allocations always sum exactly to `budget`).
+
+    Scale notes: one map-side-combinable aggregate per source; the
+    totals and the G-row weight table are broadcast-sized; the largest-
+    remainder ranking is a window over G rows, never the data."""
+    from .textstats import token_count
+
+    g = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_tokens").alias("tot"))
+    w = F.pow(F.col("n_tokens") / F.col("tot"), 1.0 / temperature)
+    weighted = g.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", w.alias("w")
+    )
+    wsum = weighted.agg(F.sum("w").alias("ws"))
+    p = F.col("w") / F.col("ws")
+    scored = weighted.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        p.alias("p"),
+        F.floor(p * budget).alias("base"),
+        (p * budget - F.floor(p * budget)).alias("frac"),
+    )
+    short = F.lit(budget) - F.sum("base").over(Window.partitionBy())
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("frac"), "source"))
+        .alias("fr"),
+        short.alias("short"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("p"),
+        (F.col("base") + F.when(F.col("fr") <= F.col("short"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_docs"),
+    ).orderBy("source")

@@ -230,3 +230,61 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick the
+    candidate maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) — the
+    standard de-duplicating re-rank between retrieval and a context
+    window.
+
+    Scale split: the relevance shortlist is computed DISTRIBUTED (exact
+    cosine top-`shortlist`, same plan as brute_force_topk); the greedy
+    loop is inherently sequential in k, so it runs driver-side over the
+    bounded shortlist×d collect (like bloom.py's bitset and pq.py's
+    codebook — bounded by construction, never the corpus). Ties broken
+    by candidate id."""
+    cand = brute_force_topk(
+        emb, [query_id], k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("neighbor_id", "cosine")
+    vecs = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+    rows = cand.join(vecs, "neighbor_id").orderBy("neighbor_id").collect()
+    if not rows:
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [],
+            "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE",
+        )
+    ids = [r["neighbor_id"] for r in rows]
+    rel = np.array([r["cosine"] for r in rows])
+    V = np.array([[float(x) for x in r["v"]] for r in rows])
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sims = V @ V.T
+
+    selected: list[int] = []
+    out = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        best_i, best_score = -1, -np.inf
+        for i in range(len(ids)):
+            if i in selected:
+                continue
+            penalty = max(sims[i][j] for j in selected) if selected else 0.0
+            score = lam * rel[i] - (1 - lam) * penalty
+            # strict > with id-asc iteration = deterministic tiebreak
+            if score > best_score + 1e-12:
+                best_i, best_score = i, score
+        selected.append(best_i)
+        out.append((rank, ids[best_i], float(rel[best_i]), round(float(best_score), 6)))
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        out, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )

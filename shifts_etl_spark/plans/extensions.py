@@ -1473,6 +1473,58 @@ FROM agg ORDER BY event_type
 """
 
 
+def x49_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-10 for query vector 0
+    (λ=0.7 over an exact top-50 shortlist). Greedy step is inherently
+    sequential → no SQL oracle; diversity semantics pytest-verified
+    (operators/simsearch.mmr_topk)."""
+    return simsearch.mmr_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def x50_mixture_allocation(spark, sf_dir):
+    """Temperature-scaled pre-training mixture (T=2, the flattening
+    multilingual-sampling setting): per-source sampling share ∝
+    token_share^(1/T) and a largest-remainder integer budget of 1000
+    docs (operators/curation.mixture_allocation)."""
+    return curation.mixture_allocation(
+        _t(spark, sf_dir, "documents"), budget=1000, temperature=2.0
+    )
+
+
+X50_SQL = r"""
+WITH g AS (
+  SELECT source,
+         count(*) AS n_docs,
+         SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS tot FROM g),
+wtd AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens / tot.tot, 1.0 / 2.0) AS w
+  FROM g CROSS JOIN tot
+),
+ws AS (SELECT SUM(w) AS ws FROM wtd),
+scored AS (
+  SELECT source, n_docs, n_tokens,
+         w / ws.ws AS p,
+         floor(w / ws.ws * 1000) AS base,
+         w / ws.ws * 1000 - floor(w / ws.ws * 1000) AS frac
+  FROM wtd CROSS JOIN ws
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY frac DESC, source) AS fr,
+         1000 - SUM(base) OVER () AS short
+  FROM scored
+)
+SELECT source, n_docs, n_tokens,
+       round(p, 6) AS p,
+       CAST(base + CASE WHEN fr <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs
+FROM ranked ORDER BY source
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1522,4 +1574,6 @@ EXTENSIONS = {
     "x46_split_drift": (x46_split_drift, X46_SQL),
     "x47_pagerank": (x47_pagerank, X47_SQL),
     "x48_ab_welch_ttest": (x48_ab_welch_ttest, X48_SQL),
+    "x49_mmr_rerank": (x49_mmr_rerank, None),
+    "x50_mixture_allocation": (x50_mixture_allocation, X50_SQL),
 }

@@ -184,6 +184,48 @@ def _naive(i):
     return datetime.datetime(2024, 1, 1, 0, 0, i)
 
 
+def test_mmr_penalizes_redundant_candidates(spark):
+    """Corpus: query q, a near-clone pair (c1≈c2) maximally relevant,
+    and a distinct-direction c3. Pure top-2 would pick {c1, c2}; MMR
+    must swap the redundant clone for the diverse c3."""
+    from shifts_etl_spark.operators.simsearch import mmr_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0], label="q"),
+        Row(vec_id=1, embedding=[0.99, 0.14, 0.0], label="c"),   # rel ≈ .990
+        Row(vec_id=2, embedding=[0.98, 0.14, 0.0], label="c"),   # clone of 1
+        Row(vec_id=3, embedding=[0.7, 0.0, 0.71], label="c"),    # diverse
+    ]
+    emb = spark.createDataFrame(rows)
+    got = [r.vec_id for r in mmr_topk(emb, query_id=0, k=2, lam=0.5).collect()]
+    assert got[0] == 1          # most relevant first
+    assert got[1] == 3          # diversity beats the clone
+    # ranks are 1..k and scores are monotonically emitted
+    out = mmr_topk(emb, query_id=0, k=3, lam=0.5).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_mixture_allocation_invariants(spark):
+    """Allocations sum exactly to the budget; T>1 upweights the small
+    source relative to its raw token share; shares sum to 1."""
+    from shifts_etl_spark.operators.curation import mixture_allocation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=("tok " * n).strip(), lang="en",
+                source=src, n_chars=4 * n)
+            for i, (src, n) in enumerate(
+                [("big", 900)] * 9 + [("small", 100)] * 1
+            )
+        ]
+    )
+    out = {r.source: r for r in mixture_allocation(docs, budget=97, temperature=2.0).collect()}
+    assert out["big"].alloc_docs + out["small"].alloc_docs == 97
+    assert abs(out["big"].p + out["small"].p - 1.0) < 1e-6
+    raw_small = 100 / (9 * 900 + 100)
+    assert out["small"].p > raw_small  # temperature upweights the tail
+
+
 def test_events_ntz_parquet_loads_as_castable_timestamp(spark, tmp_path):
     """Driver testdata stores events.ts as µs timestamp WITHOUT UTC
     adjustment (reads as TIMESTAMP_NTZ, which Spark cannot cast to

@@ -54,6 +54,7 @@ SINGLE_PARTITION_OK = {
     "q28_fk_orphans",  # five per-edge 1-row aggregates unioned
     "q35_inactive_big_balance",  # global AVG scalar: 1-row aggregate
     "x45_bm25_scores",  # corpus stats (N, avgdl): one 1-row aggregate
+    "x50_mixture_allocation",  # largest-remainder window over G source rows
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -68,6 +69,7 @@ CROSS_JOIN_OK = {
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
     "x46_split_drift",  # lang-universe × 2-split grid: both broadcast-tiny
+    "x50_mixture_allocation",  # crossJoin with broadcast 1-row totals
 }
 
 
