@@ -1984,6 +1984,39 @@ ORDER BY c_mktsegment
 """
 
 
+def q36_priority_returns(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    with AT LEAST ONE returned lineitem, counted per priority — the
+    EXISTS→left-semi decorrelation pattern. Scale notes: the date filter
+    reaches the orders scan; the semi join shuffles only orderkey ids
+    (the lineitem side is pre-filtered and deduplicated by the semi
+    semantics); the 5-row priority aggregate is map-side combinable."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q36_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2052,4 +2085,5 @@ RELATIONAL = {
     "q33_recursive_hierarchy": (q33_recursive_hierarchy, Q33_SQL),
     "q34_waiting_orders": (q34_waiting_orders, Q34_SQL),
     "q35_inactive_big_balance": (q35_inactive_big_balance, Q35_SQL),
+    "q36_priority_returns": (q36_priority_returns, Q36_SQL),
 }
