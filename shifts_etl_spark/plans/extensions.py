@@ -1525,6 +1525,66 @@ FROM ranked ORDER BY source
 """
 
 
+def x51_within_label_topk(spark, sf_dir):
+    """Label-coherence audit: the 3 most-similar embedding pairs WITHIN
+    each label (which clusters hide near-identical vectors). Blocked by
+    label — the self-join is Σ per-label², never corpus² (the x6
+    blocking argument); cosine is JVM-side zip_with/aggregate; the
+    per-label top-3 is a window over the label partition."""
+    from ..functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cosine"), "id_a", "id_b"
+    )
+    return (
+        pairs.select("label", "id_a", "id_b", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("label", "id_a", "id_b", "cosine", "rank")
+    )
+
+
+X51_SQL = """
+WITH elem AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b ON a.i = b.i AND a.label = b.label
+                         AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT d.label, d.id_a, d.id_b,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.id_a = na.vec_id
+  JOIN norms nb ON d.id_b = nb.vec_id
+),
+ranked AS (
+  SELECT label, id_a, id_b, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                 ORDER BY cosine DESC, id_a, id_b) AS INT) AS rank
+  FROM sims
+)
+SELECT label, id_a, id_b, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1576,4 +1636,5 @@ EXTENSIONS = {
     "x48_ab_welch_ttest": (x48_ab_welch_ttest, X48_SQL),
     "x49_mmr_rerank": (x49_mmr_rerank, None),
     "x50_mixture_allocation": (x50_mixture_allocation, X50_SQL),
+    "x51_within_label_topk": (x51_within_label_topk, X51_SQL),
 }

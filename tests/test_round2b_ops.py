@@ -205,6 +205,25 @@ def test_mmr_penalizes_redundant_candidates(spark):
     assert [r.rank for r in out] == [1, 2, 3]
 
 
+def test_within_label_topk_planted(spark, tmp_path):
+    """An identical pair planted inside label 'a' must be its rank-1
+    pair with cosine 1.0; pairs never cross labels."""
+    from shifts_etl_spark.plans.extensions import x51_within_label_topk
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label="a"),
+        Row(vec_id=2, embedding=[1.0, 0.0], label="a"),   # clone of 1
+        Row(vec_id=3, embedding=[0.0, 1.0], label="a"),
+        Row(vec_id=4, embedding=[1.0, 0.0], label="b"),   # same dir, other label
+        Row(vec_id=5, embedding=[0.6, 0.8], label="b"),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = x51_within_label_topk(spark, str(tmp_path)).collect()
+    top_a = [r for r in out if r.label == "a" and r.rank == 1][0]
+    assert (top_a.id_a, top_a.id_b, top_a.cosine) == (1, 2, 1.0)
+    assert all({r.id_a, r.id_b} != {1, 4} for r in out)  # no cross-label pair
+
+
 def test_mixture_allocation_invariants(spark):
     """Allocations sum exactly to the budget; T>1 upweights the small
     source relative to its raw token share; shares sum to 1."""
