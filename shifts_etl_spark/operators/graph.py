@@ -50,6 +50,9 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        nodes.unpersist()
+        raise ValueError("pagerank: empty edge list")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # pre-partition the join side once; every iteration reuses it
     links = (

@@ -1233,7 +1233,13 @@ WITH tok AS (
          unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS token
   FROM documents
 ),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+-- derive dl from documents (not tok) so zero-token docs keep dl=0 and
+-- enter avgdl exactly as the Spark side's token_count-over-all-docs does
+dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS dl
+  FROM documents
+),
 matched AS (
   SELECT doc_id, token, count(*) AS tf FROM tok
   WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2
