@@ -1591,6 +1591,89 @@ SELECT label, id_a, id_b, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+def x52_bigram_entropy(spark, sf_dir):
+    """Corpus bigram conditional entropy H(next|prev) in nats, plus the
+    implied perplexity — the single-number language-model audit that
+    complements x38's per-pair PMI and x39's unigram log-prob (a
+    repetitive/templated corpus shows anomalously low H). Conditional
+    distribution is normalized by the PREFIX bigram total (Σ_b n(a,b)),
+    not the unigram count, so it sums to 1 exactly.
+
+    Scale notes: the bigram and prefix aggregates are map-side
+    combinable (vocab-sized shuffles, never documents); the entropy is
+    ONE 1-row aggregate; join prefix→pairs is AQE-broadcastable."""
+    from ..operators.textstats import normalize_text, tokens
+    from ..operators.dedup import _fan_out
+    from pyspark.sql import Window
+
+    tok = _fan_out(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    pairc = (
+        tok.select("doc", "w", F.lead("w", 1).over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    prefix = pairc.groupBy("w1").agg(F.sum("n_pair").alias("pc"))
+    tot = pairc.agg(F.sum("n_pair").cast("double").alias("nb"))
+    return (
+        pairc.join(prefix, "w1")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.sum("n_pair").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    (F.col("n_pair") / F.col("nb"))
+                    * F.log(F.col("n_pair") / F.col("pc"))
+                ),
+                6,
+            ).alias("cond_entropy_nats"),
+        )
+        .select(
+            "n_distinct_bigrams",
+            "n_bigrams",
+            "cond_entropy_nats",
+            F.round(F.exp("cond_entropy_nats"), 4).alias("perplexity"),
+        )
+    )
+
+
+X52_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(generate_series(1, len(t))) AS pos
+  FROM base
+), big AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), pairc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2
+), prefix AS (
+  SELECT w1, sum(n_pair) AS pc FROM pairc GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_pair) AS DOUBLE) AS nb FROM pairc
+), ent AS (
+  SELECT count(*) AS n_distinct_bigrams,
+         sum(n_pair) AS n_bigrams,
+         round(-sum((n_pair / tot.nb) * ln(n_pair / CAST(pc AS DOUBLE))), 6)
+           AS cond_entropy_nats
+  FROM pairc JOIN prefix USING (w1) CROSS JOIN tot
+  GROUP BY tot.nb
+)
+SELECT n_distinct_bigrams, n_bigrams, cond_entropy_nats,
+       round(exp(cond_entropy_nats), 4) AS perplexity
+FROM ent
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1643,4 +1726,5 @@ EXTENSIONS = {
     "x49_mmr_rerank": (x49_mmr_rerank, None),
     "x50_mixture_allocation": (x50_mixture_allocation, X50_SQL),
     "x51_within_label_topk": (x51_within_label_topk, X51_SQL),
+    "x52_bigram_entropy": (x52_bigram_entropy, X52_SQL),
 }

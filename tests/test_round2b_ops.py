@@ -224,6 +224,26 @@ def test_within_label_topk_planted(spark, tmp_path):
     assert all({r.id_a, r.id_b} != {1, 4} for r in out)  # no cross-label pair
 
 
+def test_bigram_entropy_planted(spark, tmp_path):
+    """Fully predictable corpus (every prefix has ONE continuation) →
+    H=0, perplexity 1; a prefix with two equally likely continuations
+    contributes (2/3)·ln 2."""
+    import math
+
+    from shifts_etl_spark.plans.extensions import x52_bigram_entropy
+
+    d1 = tmp_path / "det"
+    _docs(spark, ["a b a b a b"]).write.parquet(f"{d1}/documents.parquet")
+    out = x52_bigram_entropy(spark, str(d1)).collect()[0]
+    assert out.cond_entropy_nats == 0.0 and out.perplexity == 1.0
+    assert out.n_bigrams == 5 and out.n_distinct_bigrams == 2
+
+    d2 = tmp_path / "mix"
+    _docs(spark, ["a b a c"]).write.parquet(f"{d2}/documents.parquet")
+    out2 = x52_bigram_entropy(spark, str(d2)).collect()[0]
+    assert abs(out2.cond_entropy_nats - round(2 * math.log(2) / 3, 6)) < 1e-9
+
+
 def test_mixture_allocation_invariants(spark):
     """Allocations sum exactly to the budget; T>1 upweights the small
     source relative to its raw token share; shares sum to 1."""

@@ -55,6 +55,7 @@ SINGLE_PARTITION_OK = {
     "q35_inactive_big_balance",  # global AVG scalar: 1-row aggregate
     "x45_bm25_scores",  # corpus stats (N, avgdl): one 1-row aggregate
     "x50_mixture_allocation",  # largest-remainder window over G source rows
+    "x52_bigram_entropy",  # final entropy: one 1-row global aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -70,6 +71,7 @@ CROSS_JOIN_OK = {
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
     "x46_split_drift",  # lang-universe × 2-split grid: both broadcast-tiny
     "x50_mixture_allocation",  # crossJoin with broadcast 1-row totals
+    "x52_bigram_entropy",  # crossJoin with the broadcast 1-row bigram total
 }
 
 
