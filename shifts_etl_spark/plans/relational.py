@@ -2017,6 +2017,92 @@ ORDER BY o_orderpriority
 """
 
 
+def q37_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): histogram of customers
+    by how many URGENT orders they placed, INCLUDING zero-order
+    customers (the left outer join that distinguishes Q13 from a plain
+    group-by). Scale notes: two map-side-combinable aggregations; the
+    left join shuffles (custkey, orderkey-count) ids only; the final
+    histogram is |distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q37_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q38_running_distinct(spark, sf_dir):
+    """Running DISTINCT count over an ordered stream — a window
+    aggregate Spark (and most engines) cannot express directly as
+    COUNT(DISTINCT) OVER. Rewritten as the first-occurrence trick:
+    mark each (user, event_type)'s first event via row_number, then a
+    running SUM of the 0/1 marker — two key-partitioned windows, both
+    scalable (parallelism = #users), no collect_set state growth.
+    Ties on ts broken by event_id in both engines."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.row_number().over(w_first) == 1).cast("int").alias("first_seen"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q38_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events WHERE user_id < 20
+)
+SELECT user_id, event_id,
+       SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS distinct_types_so_far
+FROM marked
+ORDER BY user_id, event_id
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2086,4 +2172,6 @@ RELATIONAL = {
     "q34_waiting_orders": (q34_waiting_orders, Q34_SQL),
     "q35_inactive_big_balance": (q35_inactive_big_balance, Q35_SQL),
     "q36_priority_returns": (q36_priority_returns, Q36_SQL),
+    "q37_customer_distribution": (q37_customer_distribution, Q37_SQL),
+    "q38_running_distinct": (q38_running_distinct, Q38_SQL),
 }
