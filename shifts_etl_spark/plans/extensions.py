@@ -1674,6 +1674,75 @@ FROM ent
 """
 
 
+def x53_split_leakage(spark, sf_dir):
+    """Split-leakage audit: normalized content whose copies land in BOTH
+    the train and test splits of the x24 hash assignment — the exact-dup
+    counterpart of x46's distribution drift (leaked content inflates
+    eval). Scale notes: one (hash, split) aggregate — the shuffle
+    carries md5+counts, never text; the HAVING-both filter is a 2-value
+    conditional count on the same aggregate, no self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train")
+    )
+    content = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
+                "\\s+",
+                " ",
+            )
+        )
+    )
+    return (
+        docs.select(content.alias("content_hash"), split.alias("split"), "doc_id")
+        .where(F.col("split") != "val")
+        .groupBy("content_hash")
+        .agg(
+            F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+            F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
+            F.min(F.when(F.col("split") == "train", F.col("doc_id"))).alias(
+                "train_doc"
+            ),
+            F.min(F.when(F.col("split") == "test", F.col("doc_id"))).alias(
+                "test_doc"
+            ),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .orderBy("content_hash")
+    )
+
+
+X53_SQL = r"""
+WITH assigned AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+         CASE WHEN b < 5 THEN 'val' WHEN b < 15 THEN 'test' ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id, text,
+           (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+            + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+    FROM documents
+  )
+)
+SELECT content_hash,
+       SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+       SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test,
+       MIN(CASE WHEN split = 'train' THEN doc_id END) AS train_doc,
+       MIN(CASE WHEN split = 'test' THEN doc_id END) AS test_doc
+FROM assigned
+WHERE split <> 'val'
+GROUP BY content_hash
+HAVING SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0
+ORDER BY content_hash
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1727,4 +1796,5 @@ EXTENSIONS = {
     "x50_mixture_allocation": (x50_mixture_allocation, X50_SQL),
     "x51_within_label_topk": (x51_within_label_topk, X51_SQL),
     "x52_bigram_entropy": (x52_bigram_entropy, X52_SQL),
+    "x53_split_leakage": (x53_split_leakage, X53_SQL),
 }

@@ -244,6 +244,33 @@ def test_bigram_entropy_planted(spark, tmp_path):
     assert abs(out2.cond_entropy_nats - round(2 * math.log(2) / 3, 6)) < 1e-9
 
 
+def test_split_leakage_planted(spark, tmp_path):
+    """doc_ids 0/1/3 hash into train, 5/23/26 into test, 2 into val
+    (md5-bucket assignment). Identical text planted in train(0) and
+    test(5) must surface as leakage; the same text in val(2) must NOT
+    (val excluded); near-identical-after-normalization counts too."""
+    from shifts_etl_spark.plans.extensions import x53_split_leakage
+
+    texts = {
+        0: "The Quick  Brown-Fox!",   # train — normalizes same as 5
+        5: "the quick brown fox",     # test  → leak
+        2: "the quick brown fox",     # val   → ignored
+        1: "only in train",
+        23: "only in test",
+        3: "another train doc",
+        26: "yet another test doc",
+    }
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = x53_split_leakage(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].train_doc, out[0].test_doc) == (0, 5)
+    assert (out[0].n_train, out[0].n_test) == (1, 1)
+
+
 def test_mixture_allocation_invariants(spark):
     """Allocations sum exactly to the budget; T>1 upweights the small
     source relative to its raw token share; shares sum to 1."""
