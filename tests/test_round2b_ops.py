@@ -1,5 +1,7 @@
 """Round-2 batch B: BM25 retrieval (x45), split-drift audit (x46),
-TPC-H Q21/Q22-shaped sole-offender and inactive-balance queries
+PageRank vs NumPy (x47), Welch t-test (x48), MMR re-rank (x49),
+mixture allocation (x50), within-label similarity (x51), bigram
+entropy (x52), split-leakage audit (x53), TPC-H Q21/Q22 shapes
 (q34/q35), and the TIMESTAMP_NTZ testdata regression guard."""
 
 import datetime
