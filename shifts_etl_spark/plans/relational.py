@@ -2103,6 +2103,57 @@ ORDER BY user_id, event_id
 """
 
 
+def q39_ordered_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    per nation, the comma-joined custkeys of its top-3 customers by
+    balance — the reporting idiom engines disagree on most. Expressed
+    engine-neutrally: rank window → collect_list of (rank, key) structs
+    → sort_array → join, so the concat order is deterministic without
+    relying on aggregation order guarantees. Scale notes: the window
+    partitions by nation; the aggregate carries ≤3 structs per group."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    ranked = c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.row_number().over(w).alias("rnk"),
+    ).where(F.col("rnk") <= 3)
+    return (
+        ranked.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "c_custkey"))
+                    ),
+                    lambda s: s["c_custkey"].cast("string"),
+                ),
+                ",",
+            ).alias("top_custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q39_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+)
+SELECT c_nationkey AS nationkey,
+       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY rnk) AS top_custkeys,
+       COUNT(*) AS n
+FROM ranked WHERE rnk <= 3
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2174,4 +2225,5 @@ RELATIONAL = {
     "q36_priority_returns": (q36_priority_returns, Q36_SQL),
     "q37_customer_distribution": (q37_customer_distribution, Q37_SQL),
     "q38_running_distinct": (q38_running_distinct, Q38_SQL),
+    "q39_ordered_listagg": (q39_ordered_listagg, Q39_SQL),
 }
