@@ -2154,6 +2154,68 @@ ORDER BY nationkey
 """
 
 
+def q40_robust_anomaly(spark, sf_dir):
+    """Robust outlier detection per event_type: median + MAD (median
+    absolute deviation) with the 1.4826 normal-consistency constant,
+    counting values beyond 3 robust sigmas — the z-score variant that
+    survives heavy tails (complements q29's mean/stddev form). Uses
+    EXACT interpolating percentile on both engines (Spark `percentile`
+    = DuckDB `median`), so the oracle matches bit-for-bit at 4 dp.
+    Scale notes: two grouped exact medians = two shuffles on
+    event_type; the outlier count joins the G-row stats back broadcast;
+    exact median at 100 TB would swap to approx_percentile with a
+    documented tolerance — kept exact here for oracle parity."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("median"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("int")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q40_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       round(MIN(d.med), 4) AS median,
+       round(MIN(a.mad), 4) AS mad,
+       SUM(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * a.mad
+                THEN 1 ELSE 0 END) AS n_outliers,
+       COUNT(*) AS n
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2226,4 +2288,5 @@ RELATIONAL = {
     "q37_customer_distribution": (q37_customer_distribution, Q37_SQL),
     "q38_running_distinct": (q38_running_distinct, Q38_SQL),
     "q39_ordered_listagg": (q39_ordered_listagg, Q39_SQL),
+    "q40_robust_anomaly": (q40_robust_anomaly, Q40_SQL),
 }
