@@ -2216,6 +2216,38 @@ ORDER BY d.event_type
 """
 
 
+def q41_iso_week_orders(spark, sf_dir):
+    """ISO-8601 calendar aggregation: orders per (ISO week-year, ISO
+    week) — pinned because engines classically diverge at year
+    boundaries (a Jan 1st can belong to week 52/53 of the PREVIOUS ISO
+    year). Spark's weekofyear/YEAROFWEEK and DuckDB's week/isoyear are
+    both ISO-8601; this query is the cross-engine witness. Scale notes:
+    one map-side-combinable aggregate on derived keys; the projection
+    folds into the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").alias(
+                "iso_year"
+            ),
+            F.weekofyear("o_orderdate").alias("iso_week"),
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+Q41_SQL = """
+SELECT CAST(isoyear(o_orderdate) AS INTEGER) AS iso_year,
+       CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2289,4 +2321,5 @@ RELATIONAL = {
     "q38_running_distinct": (q38_running_distinct, Q38_SQL),
     "q39_ordered_listagg": (q39_ordered_listagg, Q39_SQL),
     "q40_robust_anomaly": (q40_robust_anomaly, Q40_SQL),
+    "q41_iso_week_orders": (q41_iso_week_orders, Q41_SQL),
 }

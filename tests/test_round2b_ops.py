@@ -273,6 +273,23 @@ def test_split_leakage_planted(spark, tmp_path):
     assert (out[0].n_train, out[0].n_test) == (1, 1)
 
 
+def test_iso_week_year_boundary(spark, tmp_path):
+    """2021-01-01 belongs to ISO week 53 of ISO year 2020; 2024-12-30
+    belongs to week 1 of 2025 — the two classic boundary traps."""
+    from shifts_etl_spark.plans.relational import q41_iso_week_orders
+
+    rows = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="F", o_totalprice=1.0,
+            o_orderdate=datetime.date(2021, 1, 1), o_orderpriority="1-URGENT"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="F", o_totalprice=1.0,
+            o_orderdate=datetime.date(2024, 12, 30), o_orderpriority="1-URGENT"),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {(r.iso_year, r.iso_week): r.n_orders
+           for r in q41_iso_week_orders(spark, str(tmp_path)).collect()}
+    assert got == {(2020, 53): 1, (2025, 1): 1}
+
+
 def test_mixture_allocation_invariants(spark):
     """Allocations sum exactly to the budget; T>1 upweights the small
     source relative to its raw token share; shares sum to 1."""
