@@ -2248,6 +2248,68 @@ ORDER BY 1, 2
 """
 
 
+def q42_type_cooccurrence(spark, sf_dir):
+    """Market-basket first pass: support counts for event-type PAIRS
+    co-occurring within a user's history (the A-priori candidate
+    generation step), with per-item supports and the pair's lift.
+    Scale notes: the self-join runs on the DEDUPLICATED (user, type)
+    frame — the pair space is Σ per-user distinct-types², bounded by
+    the type vocabulary squared, not events²; supports broadcast into
+    the lift projection."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    item = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("sup"))
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("pair_sup"))
+    )
+    s1 = item.select(F.col("event_type").alias("t1"), F.col("sup").alias("sup1"))
+    s2 = item.select(F.col("event_type").alias("t2"), F.col("sup").alias("sup2"))
+    return (
+        pairs.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "pair_sup",
+            "sup1",
+            "sup2",
+            F.round(
+                F.col("pair_sup")
+                * n_users
+                / (F.col("sup1") * F.col("sup2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+Q42_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM ut),
+item AS (SELECT event_type, count(*) AS sup FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS pair_sup
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2, pair_sup, s1.sup AS sup1, s2.sup AS sup2,
+       round(pair_sup * n.n_users / (s1.sup * s2.sup), 6) AS lift
+FROM pairs
+JOIN item s1 ON s1.event_type = t1
+JOIN item s2 ON s2.event_type = t2
+CROSS JOIN n
+ORDER BY t1, t2
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2322,4 +2384,5 @@ RELATIONAL = {
     "q39_ordered_listagg": (q39_ordered_listagg, Q39_SQL),
     "q40_robust_anomaly": (q40_robust_anomaly, Q40_SQL),
     "q41_iso_week_orders": (q41_iso_week_orders, Q41_SQL),
+    "q42_type_cooccurrence": (q42_type_cooccurrence, Q42_SQL),
 }
