@@ -1,0 +1,139 @@
+"""Streaming sketch state: sharded Misra-Gries heavy hitters.
+
+The batch operator (operators/heavyhitters.py) bounds per-partition
+state at k counters; this is its streaming twin. Items are grouped by a
+hash SHARD (each item lives entirely in one shard), and each shard
+keeps ONE MG(k) summary in group state — so state is shards × k
+counters regardless of traffic or key-space size, and every item with
+shard-local count > n_shard/(k+1) provably survives the summary (same
+Misra-Gries guarantee as the batch op, applied per shard).
+
+Each micro-batch the shard emits its current candidates ≥ the frequency
+threshold in Update mode — the live "trending items" feed. The sketch
+is JSON in the state row: ≤ k (item, count) entries, a few KB, the
+bounded-state discipline docs/SCALE.md requires of every streaming op.
+
+Reference parity: the reference has no streaming surface
+(/root/reference/etl/app/main.py is a batch HTTP service); this is a
+beyond-reference extension.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+HH_OUT_SCHEMA = "shard int, item string, est long, shard_n long"
+HH_STATE_SCHEMA = "summary string, n long"
+
+
+def _mg_update(counters: dict[str, int], items: pd.Series, k: int) -> dict[str, int]:
+    """Merge a batch's value_counts into an MG(k) summary (batched
+    decrement: subtract the (k+1)-th largest, drop non-positives)."""
+    vc = items.value_counts()
+    for item, c in vc.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {i: c - cut for i, c in counters.items() if c - cut > 0}
+    return counters
+
+
+def _hh_shard_fn(
+    key, pdf_iter, state, col: str, k: int, min_frac: float, min_count: int
+):
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    if state.exists:
+        summary_json, n = state.get
+        counters = json.loads(summary_json)
+    else:
+        counters, n = {}, 0
+    for pdf in pdf_iter:
+        vals = pdf[col].dropna().astype(str)
+        n += int(len(vals))
+        counters = _mg_update(counters, vals, k)
+    state.update((json.dumps(counters), n))
+    # absolute floor on top of the fraction: a near-empty shard's
+    # singletons are not "heavy" just because the shard is small
+    thresh = max(min_count, int(min_frac * n))
+    out = [
+        {"shard": int(key[0]), "item": item, "est": int(c), "shard_n": int(n)}
+        for item, c in sorted(counters.items())
+        if c >= thresh
+    ]
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    col: str = "event_type",
+    n_shards: int = 8,
+    k: int = 50,
+    min_frac: float = 0.05,
+    min_count: int = 5,
+) -> DataFrame:
+    """Live heavy-hitter candidates of ``col``: per hash shard, an MG(k)
+    summary updated each micro-batch, emitting items whose summary count
+    is ≥ max(min_count, min_frac · shard rows) — the absolute floor
+    keeps a near-empty shard's singletons out. Estimates carry the MG
+    underestimate bound (≤ n_shard/(k+1)); exact counts, when needed,
+    come from the batch recount (operators/heavyhitters.heavy_hitters)
+    over the candidates only."""
+    sharded = events.select(
+        (F.abs(F.xxhash64(F.col(col))) % n_shards).cast("int").alias("shard"),
+        F.col(col),
+    )
+
+    def fn(key, pdf_iter, state):
+        return _hh_shard_fn(key, pdf_iter, state, col, k, min_frac, min_count)
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    col: str = "event_type",
+    n_shards: int = 8,
+    k: int = 50,
+    min_frac: float = 0.05,
+    min_count: int = 5,
+    query_name: str = "heavy_hitters",
+    max_files_per_trigger: int | None = None,
+):
+    """Wire streaming_heavy_hitters to a JSON file-drop source and a
+    memory sink (availableNow drain) — the testable end-to-end shape.
+    ``max_files_per_trigger=1`` forces one micro-batch per input file,
+    exercising sketch-state carry-over across batches. (The memory sink
+    cannot recover a checkpoint; for restartable production wiring use
+    foreachBatch into the staged sink, as stream_etl does.)"""
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.json(str(input_dir))
+    hh = streaming_heavy_hitters(events, col, n_shards, k, min_frac, min_count)
+    return (
+        hh.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -204,3 +204,41 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     got2 = {r.user_id: r for r in spark.sql("SELECT * FROM tot2").collect()}
     assert (got2[1].n_events, got2[1].sum_value, got2[1].max_value) == (3, 13.0, 10.0)
     assert 2 not in got2  # untouched keys are not re-emitted in Update mode
+
+
+def test_streaming_heavy_hitters_sketch_state_across_batches(spark, tmp_path):
+    """Sharded MG sketch: with one micro-batch per file, the hot
+    event_type's estimate must accumulate across batches (sketch state
+    carries over); rare singletons never cross the absolute floor."""
+    import json as _json
+
+    from shifts_etl_spark.streaming.sketches import run_streaming_heavy_hitters
+
+    inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    inp.mkdir()
+
+    def drop(name, types):
+        with open(inp / name, "w") as f:
+            for i, t in enumerate(types):
+                f.write(_json.dumps({
+                    "event_id": hash((name, i)) % 10**9,
+                    "ts": "2024-01-01T10:00:00.000Z",
+                    "user_id": 1, "event_type": t, "value": 1.0,
+                    "props": "{}",
+                }) + "\n")
+
+    # batch 1: hot appears 30/40 times; rare0..9 once each
+    # batch 2: 20 more hot events -> estimate must include batch-1 state
+    drop("e1.json", ["hot"] * 30 + [f"rare{i}" for i in range(10)])
+    drop("e2.json", ["hot"] * 20)
+    q = run_streaming_heavy_hitters(
+        spark, inp, ckpt, min_frac=0.5, query_name="hh_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from hh_test").collect()
+    assert rows, "no heavy hitters emitted"
+    assert not any(r.item.startswith("rare") for r in rows)
+    final = max((r for r in rows if r.item == "hot"), key=lambda r: r.shard_n)
+    assert final.shard_n >= 50
+    assert final.est >= 50 - 60 // 51  # MG underestimate bound
