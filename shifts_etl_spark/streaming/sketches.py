@@ -137,3 +137,107 @@ def run_streaming_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming distinct-count: KMV/theta sketch per key in group state
+
+DC_OUT_SCHEMA = "key string, est_distinct double, n_rows long"
+DC_STATE_SCHEMA = "ks string, n long"
+
+
+def _kmv_estimate(ks: list[float], k: int) -> float:
+    """(k-1)/theta when the sketch filled, exact size before that —
+    operators/theta.theta_estimate, driver-side form."""
+    if len(ks) < k:
+        return float(len(ks))
+    return (k - 1.0) / ks[k - 1]
+
+
+def _dc_key_fn(key, pdf_iter, state, k: int):
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    if state.exists:
+        ks_json, n = state.get
+        ks = json.loads(ks_json)
+    else:
+        ks, n = [], 0
+    seen = set(ks)
+    for pdf in pdf_iter:
+        n += int(len(pdf))
+        u = pdf["_u"]
+        seen.update(u[u > 0.0].astype(float).tolist())
+    ks = sorted(seen)[:k]
+    state.update((json.dumps(ks), n))
+    yield pd.DataFrame(
+        [{"key": str(key[0]), "est_distinct": round(_kmv_estimate(ks, k), 2),
+          "n_rows": int(n)}]
+    )
+
+
+def streaming_distinct_count(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 256,
+) -> DataFrame:
+    """Live approximate COUNT(DISTINCT value) per key: each key's group
+    state holds the k smallest uniform hashes of the values seen (the
+    KMV/theta sketch of operators/theta.py, serialized to state), so
+    state is k doubles per key — constant in traffic AND in true
+    cardinality — and the estimate is (k-1)/theta with ~1/√k relative
+    error. Hashing happens in the JVM (xxhash64 projection) before the
+    stateful Python stage; the Python loop only merges ≤ batch-distinct
+    values into a k-bounded sorted list."""
+    from ..operators.theta import TWO_63
+
+    hashed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        (
+            (F.xxhash64(F.col(value_col).cast("string"), F.lit(0)).cast("double")
+             + TWO_63 + 1.0)
+            / (TWO_63 * 2.0 + 2.0)
+        ).alias("_u"),
+    )
+
+    def fn(key, pdf_iter, state):
+        return _dc_key_fn(key, pdf_iter, state, k)
+
+    return hashed.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=DC_OUT_SCHEMA,
+        stateStructType=DC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_distinct_count(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 256,
+    query_name: str = "distinct_counts",
+    max_files_per_trigger: int | None = None,
+):
+    """File-drop → streaming_distinct_count → memory sink (availableNow
+    drain), mirroring run_streaming_heavy_hitters."""
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.json(str(input_dir))
+    dc = streaming_distinct_count(events, key_col, value_col, k)
+    return (
+        dc.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

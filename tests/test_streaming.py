@@ -242,3 +242,40 @@ def test_streaming_heavy_hitters_sketch_state_across_batches(spark, tmp_path):
     final = max((r for r in rows if r.item == "hot"), key=lambda r: r.shard_n)
     assert final.shard_n >= 50
     assert final.est >= 50 - 60 // 51  # MG underestimate bound
+
+
+def test_streaming_distinct_count_sketch(spark, tmp_path):
+    """KMV sketch per key: exact below k, within ~3/sqrt(k) above it,
+    and accumulating across per-file micro-batches."""
+    import json as _json
+
+    from shifts_etl_spark.streaming.sketches import run_streaming_distinct_count
+
+    inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    inp.mkdir()
+
+    def drop(name, pairs):
+        with open(inp / name, "w") as f:
+            for i, (t, uid) in enumerate(pairs):
+                f.write(_json.dumps({
+                    "event_id": hash((name, i)) % 10**9,
+                    "ts": "2024-01-01T10:00:00.000Z",
+                    "user_id": uid, "event_type": t, "value": 1.0,
+                    "props": "{}",
+                }) + "\n")
+
+    # 'small': 10 distinct users (< k=64 -> exact, duplicates collapse)
+    # 'big': 500 distinct users split across two files -> approximate
+    drop("e1.json", [("small", u % 10) for u in range(40)]
+                  + [("big", u) for u in range(250)])
+    drop("e2.json", [("big", u) for u in range(250, 500)])
+    q = run_streaming_distinct_count(
+        spark, inp, ckpt, k=64, query_name="dc_test", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from dc_test").collect()
+    small = [r for r in rows if r.key == "small"][-1]
+    assert small.est_distinct == 10.0  # sketch not full -> exact
+    big = max((r for r in rows if r.key == "big"), key=lambda r: r.n_rows)
+    assert big.n_rows == 500
+    assert abs(big.est_distinct - 500) / 500 < 3 / (64 ** 0.5)  # ~37%
