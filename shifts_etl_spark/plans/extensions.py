@@ -1776,6 +1776,60 @@ ORDER BY content_hash
 """
 
 
+def x54_int8_quantization_audit(spark, sf_dir):
+    """Embedding int8-quantization error audit: per label, the mean and
+    max per-vector MSE of symmetric per-vector int8 quantization
+    (scale = 127/max|v|, the faiss/sentence-transformers convention) —
+    the go/no-go check before shipping a 4× smaller vector index.
+    All math is JVM-side array lambdas over the scan (no UDF, no
+    shuffle of vectors — only (label, mse) pairs aggregate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / F.col("mx")
+    err_sq = F.transform(
+        F.col("v"),
+        lambda x: F.pow(x - F.round(x * scale) / scale, 2),
+    )
+    mse = F.aggregate(err_sq, F.lit(0.0), lambda a, x: a + x) / F.size("v")
+    return (
+        emb.select("label", v.alias("v"), mx.alias("mx"))
+        .where(F.col("mx") > 0)
+        .select("label", mse.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse"), 8).alias("mean_mse"),
+            F.round(F.max("mse"), 8).alias("max_mse"),
+        )
+        .orderBy("label")
+    )
+
+
+X54_SQL = """
+WITH prep AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS mx
+  FROM embeddings
+),
+scored AS (
+  SELECT label,
+         list_aggregate(list_transform(v,
+             x -> pow(x - round(x * (127.0 / mx)) / (127.0 / mx), 2)),
+           'sum') / len(v) AS mse
+  FROM prep WHERE mx > 0
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(mse), 8) AS mean_mse,
+       round(max(mse), 8) AS max_mse
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1830,4 +1884,5 @@ EXTENSIONS = {
     "x51_within_label_topk": (x51_within_label_topk, X51_SQL),
     "x52_bigram_entropy": (x52_bigram_entropy, X52_SQL),
     "x53_split_leakage": (x53_split_leakage, X53_SQL),
+    "x54_int8_quantization_audit": (x54_int8_quantization_audit, X54_SQL),
 }

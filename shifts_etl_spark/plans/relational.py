@@ -2310,6 +2310,58 @@ ORDER BY t1, t2
 """
 
 
+def q43_event_transitions(spark, sf_dir):
+    """First-order Markov transition mining: counts and conditional
+    probabilities of event_type → next event_type within each user's
+    time-ordered history (the clickstream path-analysis primitive).
+    Scale notes: LEAD over the (user, ts) window — parallelism =
+    #users; the transition aggregate is map-side combinable over a
+    type² key space; row-count ties on ts break by event_id in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
+    return (
+        trans.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            "n_trans",
+            F.round(F.col("n_trans") / F.col("n_src"), 6).alias("p_next"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+Q43_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, count(*) AS n_trans
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT src, SUM(n_trans) AS n_src FROM trans GROUP BY 1)
+SELECT t.src, t.dst, t.n_trans,
+       round(t.n_trans / CAST(s.n_src AS DOUBLE), 6) AS p_next
+FROM trans t JOIN totals s USING (src)
+ORDER BY t.src, t.dst
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2385,4 +2437,5 @@ RELATIONAL = {
     "q40_robust_anomaly": (q40_robust_anomaly, Q40_SQL),
     "q41_iso_week_orders": (q41_iso_week_orders, Q41_SQL),
     "q42_type_cooccurrence": (q42_type_cooccurrence, Q42_SQL),
+    "q43_event_transitions": (q43_event_transitions, Q43_SQL),
 }
