@@ -145,3 +145,28 @@ def clear_outputs(root: str | Path, tables: list[str] | None = None) -> None:
             t.unlink(missing_ok=True)
         else:
             shutil.rmtree(t, ignore_errors=True)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    writer: "StagedWriter",
+    name: str,
+    from_batch: str,
+    to_batch: str,
+):
+    """Row-level diff between two committed snapshots of a staged table
+    (the Delta-style `table_changes` readout over the time-travel
+    surface): rows in `to` but not `from` are inserts, the reverse are
+    deletes; an updated row appears as delete+insert of its versions.
+    Multiset semantics via exceptAll, so duplicate rows diff by count.
+
+    Scale notes: both sides are parquet scans of exactly the batch dirs
+    in each snapshot; exceptAll is a hash aggregation on the full row —
+    the same shuffle shape as a distinct, no driver-side collection."""
+    before = writer.read_table(spark, name, as_of=from_batch)
+    after = writer.read_table(spark, name, as_of=to_batch)
+    from pyspark.sql import functions as F
+
+    inserts = after.exceptAll(before).withColumn("_op", F.lit("insert"))
+    deletes = before.exceptAll(after).withColumn("_op", F.lit("delete"))
+    return inserts.unionByName(deletes)

@@ -204,3 +204,31 @@ def test_incremental_aggregate_matches_full_recompute(spark):
     assert got == exp
     # avg is derivable from the (sum, count) pair without a base rescan
     assert all(n > 0 for (_, n, _, _) in got.values())
+
+
+def test_snapshot_diff_between_commits(spark, tmp_path):
+    """Inserts appear as _op=insert in forward diff; reversing the
+    snapshot order flips them to deletes; identical snapshots diff
+    empty; duplicate rows diff by multiset count."""
+    from shifts_etl_spark.sinks.staged import snapshot_diff
+
+    w = StagedWriter(tmp_path / "sd")
+    b1 = w.write_batch(
+        {"kpis": spark.createDataFrame(
+            [Row(kpi_name="a", kpi_date="d", kpi_value=1.0),
+             Row(kpi_name="a", kpi_date="d", kpi_value=1.0)]  # dup on purpose
+        )}
+    )
+    b2 = w.write_batch(
+        {"kpis": spark.createDataFrame(
+            [Row(kpi_name="b", kpi_date="d", kpi_value=2.0)]
+        )}
+    )
+    fwd = snapshot_diff(spark, w, "kpis", b1, b2).collect()
+    assert [(r.kpi_name, r._op) for r in fwd] == [("b", "insert")]
+    rev = snapshot_diff(spark, w, "kpis", b2, b1).collect()
+    assert [(r.kpi_name, r._op) for r in rev] == [("b", "delete")]
+    assert snapshot_diff(spark, w, "kpis", b1, b1).count() == 0
+    # multiset: the duplicate 'a' row is not cancelled by a single copy
+    fwd_all = snapshot_diff(spark, w, "kpis", b2, b2).count()
+    assert fwd_all == 0
