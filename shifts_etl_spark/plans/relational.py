@@ -2362,6 +2362,52 @@ ORDER BY t.src, t.dst
 """
 
 
+def q44_balance_distribution(spark, sf_dir):
+    """Relative standing within a group: percent_rank and cume_dist of
+    each top-5 customer's balance inside its market segment (the two
+    ranking functions the rest of the window suite doesn't cover).
+    Scale notes: one window partitioned by segment; the top-5 filter
+    keeps the output G×5 rows; ties on balance break by custkey in the
+    ORDER BY so both engines rank identically."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("c_mktsegment", F.desc("acctbal"), "c_custkey")
+    )
+
+
+Q44_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey,
+         ROUND(c_acctbal, 2) AS acctbal,
+         round(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey), 6)
+           AS pct_rank,
+         round(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey), 6)
+           AS cume_dist,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, acctbal, pct_rank, cume_dist
+FROM ranked WHERE rn <= 5
+ORDER BY c_mktsegment, acctbal DESC, c_custkey
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2438,4 +2484,5 @@ RELATIONAL = {
     "q41_iso_week_orders": (q41_iso_week_orders, Q41_SQL),
     "q42_type_cooccurrence": (q42_type_cooccurrence, Q42_SQL),
     "q43_event_transitions": (q43_event_transitions, Q43_SQL),
+    "q44_balance_distribution": (q44_balance_distribution, Q44_SQL),
 }
