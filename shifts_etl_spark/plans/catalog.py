@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .extensions import EXTENSIONS
 from .relational import RELATIONAL
+from .tpch import TPCH
 
 
 @dataclass(frozen=True)
@@ -45,7 +46,7 @@ _DRIVER_VERIFIED_R01 = frozenset(
     }
 )
 
-_MERGED = {**RELATIONAL, **EXTENSIONS}
+_MERGED = {**RELATIONAL, **TPCH, **EXTENSIONS}
 
 # Round-1 verdict names an explicit done-criterion for round 2: driver
 # correctness rows for ALL of x1-x32, q20-q25, w9. That set outranks the

@@ -56,6 +56,11 @@ SINGLE_PARTITION_OK = {
     "x45_bm25_scores",  # corpus stats (N, avgdl): one 1-row aggregate
     "x50_mixture_allocation",  # largest-remainder window over G source rows
     "x52_bigram_entropy",  # final entropy: one 1-row global aggregate
+    "q46_forecast_revenue",  # Q6 shape: single-row global revenue agg
+    "q49_important_parts",  # Q11 shape: global total = 1-row aggregate
+    "q51_top_supplier",  # Q15 shape: scalar MAX = 1-row aggregate
+    "q53_small_qty_revenue",  # Q17 shape: single-row global result
+    "q55_banded_revenue",  # Q19 shape: single-row global revenue agg
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -72,6 +77,8 @@ CROSS_JOIN_OK = {
     "x46_split_drift",  # lang-universe × 2-split grid: both broadcast-tiny
     "x50_mixture_allocation",  # crossJoin with broadcast 1-row totals
     "x52_bigram_entropy",  # crossJoin with the broadcast 1-row bigram total
+    "q49_important_parts",  # crossJoin with the broadcast 1-row nation total
+    "q51_top_supplier",  # crossJoin with the broadcast 1-row MAX scalar
 }
 
 
