@@ -310,6 +310,47 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def compression_signal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the cheap low-entropy /
+    boilerplate proxy (Gopher-style quality signal family): highly
+    repetitive text compresses to a small fraction of its raw length,
+    high-entropy prose stays near ~0.5-0.8.
+
+    Arrow-batched ``mapInPandas`` (zlib is not expressible as a built-in
+    expression); one scan, no shuffle, output carries ids + scalars only.
+    Ratio uses utf-8 byte length as the denominator so multibyte text
+    doesn't overshoot 1.0 artificially.
+    """
+    import zlib
+
+    out_schema = (
+        f"{id_col} bigint, n_bytes int, compressed_bytes int, ratio double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_bytes = raw.map(len)
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "compressed_bytes": comp,
+                    "ratio": (comp / n_bytes.clip(lower=1)).round(4),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(score, out_schema)
+
+
 def collocation_pmi(
     docs: DataFrame,
     text_col: str = "text",

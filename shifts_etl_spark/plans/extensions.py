@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import bloom, clustering, curation, dedup, heavyhitters, multimodal, simsearch, textstats, theta
+from ..operators import bloom, clustering, countmin, curation, dedup, heavyhitters, multimodal, simsearch, textstats, theta
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -1830,6 +1830,89 @@ FROM scored GROUP BY label ORDER BY label
 """
 
 
+def x55_countmin_freq(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/countmin.py):
+    build a 4x512 md5-hashed grid over the whitespace-token stream of
+    `documents`, then point-query it for the 20 exact-top tokens and
+    report estimate vs truth. The sketch shuffle is capped at
+    depth*width rows no matter the corpus size — the frequency profile
+    to reach for when even a Misra-Gries candidate set would be too
+    big. Fully oracle-checked: the md5 bucket fold replays bit-for-bit
+    in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            textstats.tokens(textstats.normalize_text(F.col("text")))
+        ).alias("token")
+    )
+    sketch = countmin.cm_build(tok, "token", depth=4, width=512)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "token")
+        .limit(20)
+    )
+    est = countmin.cm_estimate(sketch, top, "token", width=512, depth=4)
+    return (
+        top.join(est, "token")
+        .select("token", "true_cnt", "est_cnt")
+        .orderBy(F.desc("true_cnt"), "token")
+    )
+
+
+X55_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+depths AS (SELECT unnest(range(4)) AS depth),
+hashed AS (
+  SELECT depth, token, md5(depth || ':' || token) AS h
+  FROM tok CROSS JOIN depths
+),
+cells AS (
+  SELECT depth,
+         ((ascii(substring(h, 1, 1)) - CASE WHEN ascii(substring(h, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 4096
+          + (ascii(substring(h, 2, 1)) - CASE WHEN ascii(substring(h, 2, 1)) >= 97 THEN 87 ELSE 48 END) * 256
+          + (ascii(substring(h, 3, 1)) - CASE WHEN ascii(substring(h, 3, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+          + (ascii(substring(h, 4, 1)) - CASE WHEN ascii(substring(h, 4, 1)) >= 97 THEN 87 ELSE 48 END)) % 512 AS bucket,
+         count(*) AS cnt
+  FROM hashed
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT token, count(*) AS true_cnt FROM tok GROUP BY token
+  ORDER BY true_cnt DESC, token LIMIT 20
+),
+probe_h AS (
+  SELECT t.token, t.true_cnt, d.depth, md5(d.depth || ':' || t.token) AS h
+  FROM top t CROSS JOIN depths d
+),
+probe AS (
+  SELECT token, true_cnt, depth,
+         ((ascii(substring(h, 1, 1)) - CASE WHEN ascii(substring(h, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 4096
+          + (ascii(substring(h, 2, 1)) - CASE WHEN ascii(substring(h, 2, 1)) >= 97 THEN 87 ELSE 48 END) * 256
+          + (ascii(substring(h, 3, 1)) - CASE WHEN ascii(substring(h, 3, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+          + (ascii(substring(h, 4, 1)) - CASE WHEN ascii(substring(h, 4, 1)) >= 97 THEN 87 ELSE 48 END)) % 512 AS bucket
+  FROM probe_h
+)
+SELECT p.token, p.true_cnt, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+FROM probe p LEFT JOIN cells c USING (depth, bucket)
+GROUP BY p.token, p.true_cnt
+ORDER BY p.true_cnt DESC, p.token
+"""
+
+
+def x56_compression_signal(spark, sf_dir):
+    """Compression-ratio quality signal (textstats.compression_signal):
+    zlib-compressed length / raw length per document — the classic
+    cheap proxy for boilerplate and low-entropy junk (highly repetitive
+    text compresses far below ~0.5). Arrow-batched mapInPandas, one
+    scan, no shuffle; rows-only check (no zlib in the oracle), with the
+    monotonicity semantics pinned in pytest."""
+    return textstats.compression_signal(_t(spark, sf_dir, "documents"))
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1885,4 +1968,6 @@ EXTENSIONS = {
     "x52_bigram_entropy": (x52_bigram_entropy, X52_SQL),
     "x53_split_leakage": (x53_split_leakage, X53_SQL),
     "x54_int8_quantization_audit": (x54_int8_quantization_audit, X54_SQL),
+    "x55_countmin_freq": (x55_countmin_freq, X55_SQL),
+    "x56_compression_signal": (x56_compression_signal, None),
 }

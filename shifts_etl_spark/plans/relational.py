@@ -2408,6 +2408,117 @@ ORDER BY c_mktsegment, acctbal DESC, c_custkey
 """
 
 
+def q57_session_attribution(spark, sf_dir):
+    """Marketing-style first/last-touch attribution: sessionize each
+    user's events (30-min gap, the w7 convention), then credit every
+    session to its first and last event_type, with size, value, and
+    duration. Extends the reference's gaps-and-islands KPI shape
+    (/root/reference/etl/app/shift_data_processor.py:252-266) from
+    "longest island" to per-island attribution facts.
+    Scale notes: both windows partition by user (parallelism = #users,
+    no global ordering); the conditional-aggregate first/last avoids a
+    self-join back to the row set; ties on ts break by event_id so both
+    engines pick the same touch rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_secs = F.col("ts").cast("double")
+    prev = F.lag(ts_secs).over(w)
+    new_s = F.when(prev.isNull() | (ts_secs - prev > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_s).over(w).cast("long"))
+    ws = Window.partitionBy("user_id", "session_id")
+    rn_a = F.row_number().over(ws.orderBy("ts", "event_id"))
+    rn_d = F.row_number().over(ws.orderBy(F.desc("ts"), F.desc("event_id")))
+    flagged = sess.select(
+        "user_id", "session_id", "event_type", "value",
+        F.col("ts").cast("long").alias("ts_s"),
+        rn_a.alias("rn_a"), rn_d.alias("rn_d"),
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("first_touch"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("last_touch"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+Q57_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, session_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM sessions
+)
+SELECT user_id, session_id,
+       MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+       MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
+       count(*) AS n_events,
+       round(SUM(value), 4) AS sum_value,
+       MAX(ts_s) - MIN(ts_s) AS duration_s
+FROM ranked GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q58_rolling_features(spark, sf_dir):
+    """Time-series feature engineering for ML: per-user lag value,
+    seconds-since-previous-event, and 3-row rolling mean over the
+    ordered event history — the leakage-safe (past-only frame) feature
+    block every training pipeline derives before a model sees events.
+    Scale notes: single window partitioned by user (no global sort);
+    ROWS frame is O(1) memory per row; output is projected to ids +
+    rounded features so the shuffle never carries the props JSON."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-2, 0)
+    ts_secs = F.col("ts").cast("long")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+            (ts_secs - F.lag(ts_secs, 1).over(w)).alias("delta_s"),
+            F.round(F.avg("value").over(wr), 4).alias("roll_avg3"),
+            F.round(F.min("value").over(wr), 4).alias("roll_min3"),
+            F.round(F.max("value").over(wr), 4).alias("roll_max3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q58_SQL = """
+SELECT user_id, event_id,
+       round(LAG(value) OVER w, 4) AS prev_value,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS delta_s,
+       round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg3,
+       round(MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_min3,
+       round(MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_max3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2485,4 +2596,6 @@ RELATIONAL = {
     "q42_type_cooccurrence": (q42_type_cooccurrence, Q42_SQL),
     "q43_event_transitions": (q43_event_transitions, Q43_SQL),
     "q44_balance_distribution": (q44_balance_distribution, Q44_SQL),
+    "q57_session_attribution": (q57_session_attribution, Q57_SQL),
+    "q58_rolling_features": (q58_rolling_features, Q58_SQL),
 }
