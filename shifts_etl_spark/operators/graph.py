@@ -114,3 +114,74 @@ def pagerank(
     ranks.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(rows, out.schema)
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected graph (edges may arrive in
+    either or both directions; self-loops and duplicates are dropped).
+
+    Degree-ordered orientation (the standard scale trick, cf. the
+    node-iterator++ family): orient every edge from the endpoint with
+    smaller (degree, id) to the larger, so every out-adjacency list is
+    O(sqrt(m)) — wedge generation is bounded by Σ out_deg² ≤ O(m^1.5)
+    instead of Σ deg² which a hub node makes quadratic. Each triangle has
+    exactly one node with two out-edges in this orientation, so counting
+    wedges (u→v, u→w) closed by the oriented edge (v→w) counts each
+    triangle exactly once.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # orient by (degree, node): u -> v iff (d_u, u) < (d_v, v)
+    withdeg = (
+        und.join(deg.withColumnsRenamed({"n": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"n": "b", "d": "db"}), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.struct("b", "db")).otherwise(F.struct(F.col("a").alias("b"), F.col("da").alias("db"))).alias("vd"),
+    ).select("u", F.col("vd.b").alias("v"), F.col("vd.db").alias("dv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    # wedge (v1, v2) canonicalized in the same (degree, id) order so it can
+    # close only against the oriented edge between them
+    wedges = e1.join(e2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"], "left_semi")
+
+    # one-row result: collect eagerly so the persisted frames can be
+    # released (same discipline as pagerank above) — the und/deg/oriented
+    # subtrees would otherwise re-execute once per referencing aggregate
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    out = n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    rows = out.collect()
+    und.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
+    return edges.sparkSession.createDataFrame(rows, out.schema)

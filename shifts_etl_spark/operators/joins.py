@@ -46,3 +46,68 @@ def banded_range_join(
         F.col(r_ts) <= F.col(left_ts) + F.make_interval(secs=F.lit(band_seconds))
     )
     return l_binned.join(r_binned, [key, "_bin"]).where(band).drop("_bin")
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Self interval-overlap join: all pairs (a, b) with a.key = b.key,
+    a.id < b.id and [a.start, a.end] ∩ [b.start, b.end] ≠ ∅ (closed
+    intervals, integer seconds).
+
+    The two-sided generalization of `banded_range_join` for VARIABLE-length
+    intervals: each interval is replicated into every coarse time bucket it
+    spans, the join key becomes (key, bucket), and a pair is emitted ONLY in
+    the bucket containing max(a.start, b.start) — the first bucket where
+    both are live — so every overlapping pair appears exactly once with no
+    dedup shuffle. Intermediate size is Σ per-(key, bucket)² instead of
+    Σ per-key² — the property that keeps a long-lived hot key from going
+    quadratic at 100 TB. Replication factor per row is
+    ceil(length / bucket_seconds) + 1; pick bucket_seconds near the typical
+    interval length.
+
+    Returns (key, a_id, b_id, overlap_s).
+    """
+    spanned = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("i"),
+        F.col(start_col).cast("long").alias("s"),
+        F.greatest(F.col(end_col).cast("long"), F.col(start_col).cast("long")).alias("e"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / bucket_seconds),
+                F.floor(F.col("e") / bucket_seconds),
+            )
+        ),
+    )
+    a = spanned.select(
+        F.col("k"), F.col("bkt"),
+        F.col("i").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = spanned.select(
+        F.col("k"), F.col("bkt"),
+        F.col("i").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    first_live = F.floor(F.greatest("a_s", "b_s") / bucket_seconds)
+    return (
+        a.join(b, ["k", "bkt"])
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (first_live == F.col("bkt"))
+        )
+        .select(
+            F.col("k").alias(key),
+            "a_id",
+            "b_id",
+            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_s"),
+        )
+    )

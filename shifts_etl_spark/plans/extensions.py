@@ -1913,6 +1913,44 @@ def x56_compression_signal(spark, sf_dir):
     return textstats.compression_signal(_t(spark, sf_dir, "documents"))
 
 
+def x57_triangle_count(spark, sf_dir):
+    """Global triangle count (operators/graph.py:triangle_count) over the
+    supplier co-occurrence graph (suppliers sharing an order, from
+    lineitem's self-join on l_orderkey) — the clustering/community
+    density primitive for corpus-similarity and citation graphs.
+    Degree-ordered edge orientation bounds wedge generation at O(m^1.5)
+    where a hub node would otherwise go quadratic; the oracle is the
+    canonical a<b<c triple-join count."""
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.withColumnsRenamed({"l_suppkey": "src"})
+    b = li.withColumnsRenamed({"l_suppkey": "dst"})
+    edges = a.join(b, "l_orderkey").where(F.col("src") < F.col("dst"))
+    return triangle_count(edges.select("src", "dst"))
+
+
+X57_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+nodes AS (
+  SELECT count(DISTINCT n) AS n_nodes
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+),
+edges AS (SELECT count(*) AS n_edges FROM e),
+tris AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tris
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -1970,4 +2008,5 @@ EXTENSIONS = {
     "x54_int8_quantization_audit": (x54_int8_quantization_audit, X54_SQL),
     "x55_countmin_freq": (x55_countmin_freq, X55_SQL),
     "x56_compression_signal": (x56_compression_signal, None),
+    "x57_triangle_count": (x57_triangle_count, X57_SQL),
 }

@@ -2519,6 +2519,81 @@ ORDER BY user_id, event_id
 """
 
 
+def j9_interval_overlap(spark, sf_dir):
+    """Two-sided interval-overlap self-join over variable-length event
+    intervals [ts, ts + value*10 s], same user, via
+    `joins.interval_overlap_pairs` — bucket-replicated so the join key is
+    (user, hour-bucket) and a pair is emitted exactly once in the first
+    bucket where both intervals are live (no dedup shuffle, intermediate
+    bounded by per-(user, bucket)² instead of per-user²). The oracle is
+    the naive quadratic self-join — same pairs, brute-forced."""
+    from ..operators.joins import interval_overlap_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + F.floor(F.col("value") * 10).cast("long")).alias("e"),
+    )
+    return interval_overlap_pairs(
+        iv, key="user_id", id_col="event_id", start_col="s", end_col="e",
+        bucket_seconds=3600,
+    ).orderBy("user_id", "a_id", "b_id")
+
+
+J9_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(floor(value * 10) AS BIGINT) AS e
+  FROM events
+)
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+ORDER BY a.user_id, a_id, b_id
+"""
+
+
+def q59_decayed_value(spark, sf_dir):
+    """Recency-weighted user score: exponential time-decay aggregate
+    sum(value * exp(-age / 30d)) per user, anchored at the corpus max
+    timestamp so the result is deterministic (no CURRENT_DATE
+    dependency — the same parameterized-anchor discipline as f2).
+    Scale notes: the anchor is a one-row broadcast cross join (one
+    extra scalar per row, no second scan at the filter); the decayed
+    sum itself is map-side combinable like any plain SUM."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("double")).alias("anchor"))
+    decay = F.exp(-(F.col("anchor") - F.col("ts").cast("double")) / 2_592_000.0)
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("raw_value"),
+            F.round(F.sum(F.col("value") * decay), 4).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q59_SQL = """
+WITH anchor AS (SELECT max(epoch(ts)) AS anchor FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       round(SUM(value), 4) AS raw_value,
+       round(SUM(value * exp(-(anchor - epoch(ts)) / 2592000.0)), 4) AS decayed_value
+FROM events, anchor
+GROUP BY user_id, anchor
+ORDER BY user_id
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2598,4 +2673,6 @@ RELATIONAL = {
     "q44_balance_distribution": (q44_balance_distribution, Q44_SQL),
     "q57_session_attribution": (q57_session_attribution, Q57_SQL),
     "q58_rolling_features": (q58_rolling_features, Q58_SQL),
+    "j9_interval_overlap": (j9_interval_overlap, J9_SQL),
+    "q59_decayed_value": (q59_decayed_value, Q59_SQL),
 }

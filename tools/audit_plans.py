@@ -61,6 +61,7 @@ SINGLE_PARTITION_OK = {
     "q51_top_supplier",  # Q15 shape: scalar MAX = 1-row aggregate
     "q53_small_qty_revenue",  # Q17 shape: single-row global result
     "q55_banded_revenue",  # Q19 shape: single-row global revenue agg
+    "q59_decayed_value",  # decay anchor: global MAX ts = 1-row aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -79,6 +80,7 @@ CROSS_JOIN_OK = {
     "x52_bigram_entropy",  # crossJoin with the broadcast 1-row bigram total
     "q49_important_parts",  # crossJoin with the broadcast 1-row nation total
     "q51_top_supplier",  # crossJoin with the broadcast 1-row MAX scalar
+    "q59_decayed_value",  # crossJoin with the broadcast 1-row anchor ts
 }
 
 
