@@ -36,10 +36,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = CATALOG[name]
-        # min of two timed runs: steady-state figure, robust to one-off
-        # scheduler/JIT hiccups. Plans are rebuilt per run (no result cache).
+        # min of three timed runs: steady-state figure, robust to one-off
+        # scheduler/JIT/GC hiccups (round-2 measured x7 jitter of 0.5→5 s
+        # with min-of-2 on an otherwise idle box). Plans are rebuilt per
+        # run (no result cache).
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             df = spec.spark(spark, sf_dir)
             t0 = time.time()
             n = df.count()
