@@ -1,0 +1,216 @@
+"""Mergeable multi-level quantile sketch (KLL/MRL-style compactors).
+
+Completes the engine's sketch family (HLL x31, theta x33, count-min x55,
+KMV / Misra-Gries in streaming/) with the one primitive those can't give:
+approximate QUANTILES that re-aggregate. ``percentile_approx`` answers one
+query over one scan; a persisted, mergeable sketch is the 100 TB shape for
+feature-normalization cutoffs (build per partition/day, merge upward, query
+many probs) — the same rollup property the HLL docstring describes for
+distinct counts.
+
+Algorithm: multi-level compactors (Manku-Rajagopalan-Lindsay '98 buffers
+with the KLL compaction rule). Items at level L carry weight 2^L; a level
+over capacity is sorted and every other item is promoted to level L+1.
+Compaction offset is DETERMINISTIC (alternating per compaction count) so
+results are reproducible run-to-run; the classic randomized offset only
+tightens constants. Worst-case rank error after h levels is
+Σ 2^l · (compactions at l) ≤ ~n/k per level, giving ε ≈ log2(n/k)/k —
+the companion pytest pins observed error well under that.
+
+Distribution shape (the part Spark executes):
+  1. ``mapInPandas`` builds one bounded sketch row per input Arrow-batch —
+     a map-side pass, no shuffle of raw values, mirroring partial
+     aggregation;
+  2. a fan-in groupBy merges sketch rows per shard, then once globally —
+     the only data ever shuffled is sketches (k·log(n/k) doubles each),
+     like bloom.py's bitset words, never the column.
+
+Plain Python dict {level: sorted-list} inside pandas workers; numpy for
+the batch sort. No Python UDF touches more than the bounded sketch state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_SKETCH_T = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("levels", T.ArrayType(T.IntegerType())),
+        T.StructField("items", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _compact_level(items: list[float], n_compactions: int) -> tuple[list, list]:
+    """Sort a full buffer, keep/promote alternating halves. Returns
+    (survivors=[], promoted). Deterministic offset alternates with the
+    compaction counter."""
+    s = sorted(items)
+    off = n_compactions % 2
+    promoted = s[off::2]
+    return [], promoted
+
+
+class _Sketch:
+    """Driver/worker-local compactor stack; bounded by k per level."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.levels: dict[int, list[float]] = {}
+        self.n = 0
+        self._compactions = 0
+
+    def _settle(self) -> None:
+        lvl = 0
+        while lvl <= max(self.levels, default=0):
+            buf = self.levels.get(lvl, [])
+            if len(buf) > self.k:
+                _, promoted = _compact_level(buf, self._compactions)
+                self._compactions += 1
+                self.levels[lvl] = []
+                self.levels[lvl + 1] = self.levels.get(lvl + 1, []) + promoted
+            lvl += 1
+
+    def update_batch(self, vals: np.ndarray) -> None:
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            return
+        self.n += len(vals)
+        # whole-batch insert: one oversized level-0 buffer compacts in ONE
+        # promotion (fewer compactions than item-at-a-time = less error)
+        self.levels[0] = self.levels.get(0, []) + vals.tolist()
+        self._settle()
+
+    def merge(self, other: "_Sketch") -> "_Sketch":
+        for lvl, items in other.levels.items():
+            if items:
+                self.levels[lvl] = self.levels.get(lvl, []) + items
+        self.n += other.n
+        self._settle()
+        return self
+
+    def quantile(self, prob: float) -> float | None:
+        pairs = [
+            (v, 1 << lvl) for lvl, items in self.levels.items() for v in items
+        ]
+        if not pairs:
+            return None
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        target = prob * total
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= target:
+                return v
+        return pairs[-1][0]
+
+    # -- row <-> sketch ----------------------------------------------------
+
+    def to_row(self, shard: int) -> dict:
+        lvls = sorted(l for l, it in self.levels.items() if it)
+        return {
+            "shard": shard,
+            "levels": lvls,
+            "items": [list(self.levels[l]) for l in lvls],
+            "n": self.n,
+        }
+
+    @classmethod
+    def from_row(cls, row, k: int) -> "_Sketch":
+        sk = cls(k)
+        sk.levels = {
+            int(l): list(items) for l, items in zip(row["levels"], row["items"])
+        }
+        sk.n = int(row["n"])
+        return sk
+
+
+def quantile_sketch(
+    df: DataFrame, col: str, k: int = 200, fan_in: int = 16
+) -> DataFrame:
+    """Build ONE merged sketch row for ``col``. Two merge tiers: Arrow-batch
+    partial sketches (map-side) → per-shard merge → global merge; every
+    exchange carries only sketch rows."""
+
+    def partials(batches):
+        for pdf in batches:
+            sk = _Sketch(k)
+            sk.update_batch(pdf[col].to_numpy(dtype="float64"))
+            if sk.n:
+                yield pd.DataFrame([sk.to_row(0)])
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _Sketch(k)
+        for _, row in pdf.iterrows():
+            sk.merge(_Sketch.from_row(row, k))
+        return pd.DataFrame([sk.to_row(0)])
+
+    part = df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        partials, schema=_SKETCH_T
+    )
+    # deterministic shard key from sketch content, not partition id — the
+    # same rows always merge in the same groups
+    sharded = part.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("n"), F.col("levels")), F.lit(fan_in)).cast("int")
+    )
+    tier1 = sharded.groupBy("shard").applyInPandas(merge_group, schema=_SKETCH_T)
+    return (
+        tier1.withColumn("shard", F.lit(0))
+        .groupBy("shard")
+        .applyInPandas(merge_group, schema=_SKETCH_T)
+        .drop("shard")
+    )
+
+
+def merge_sketches(a: DataFrame, b: DataFrame, k: int = 200) -> DataFrame:
+    """Merge two sketch frames (the re-aggregation property): union the
+    rows, one merge pass."""
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _Sketch(k)
+        for _, row in pdf.iterrows():
+            sk.merge(_Sketch.from_row(row, k))
+        return pd.DataFrame([sk.to_row(0)])
+
+    both = a.select("levels", "items", "n").unionByName(
+        b.select("levels", "items", "n")
+    )
+    return (
+        both.withColumn("shard", F.lit(0))
+        .groupBy("shard")
+        .applyInPandas(merge_group, schema=_SKETCH_T)
+        .drop("shard")
+    )
+
+
+def sketch_quantiles(sketch: DataFrame, probs: list[float], k: int = 200) -> DataFrame:
+    """Evaluate ``probs`` against a (single-row) sketch frame → (prob,
+    approx_value) rows, deterministic order."""
+
+    probs = list(probs)
+
+    def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _Sketch(k)
+        for _, row in pdf.iterrows():
+            sk.merge(_Sketch.from_row(row, k))
+        return pd.DataFrame(
+            {"prob": probs, "approx_value": [sk.quantile(p) for p in probs]}
+        )
+
+    out_t = T.StructType(
+        [
+            T.StructField("prob", T.DoubleType()),
+            T.StructField("approx_value", T.DoubleType()),
+        ]
+    )
+    return (
+        sketch.withColumn("shard", F.lit(0))
+        .groupBy("shard")
+        .applyInPandas(lambda pdf: evaluate(pdf), schema=out_t)
+        .orderBy("prob")
+    )

@@ -1951,6 +1951,64 @@ SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tris
 """
 
 
+def x58_quantile_sketch(spark, sf_dir):
+    """Mergeable KLL/MRL-style quantile sketch (operators/quantiles.py):
+    p50/p90/p99 of events.value from a bounded compactor sketch built
+    map-side per Arrow batch and tree-merged — the persist-and-re-aggregate
+    quantile primitive the sketch family was missing (HLL/theta give
+    distincts, count-min frequencies; this gives rank statistics that
+    merge across days/partitions without re-scanning). Rows-only (the
+    compaction rule is not SQL-expressible); the companion pytest bounds
+    rank error against exact quantiles and pins merge associativity."""
+    from ..operators import quantiles
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    sk = quantiles.quantile_sketch(ev, "value", k=200)
+    return quantiles.sketch_quantiles(sk, [0.5, 0.9, 0.99], k=200).select(
+        "prob", F.round("approx_value", 4).alias("approx_value")
+    )
+
+
+def x59_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/std/min/max) — the
+    feature-normalization pre-pass for training (z-scoring a corpus of
+    vectors needs per-dim moments first). posexplode fans each vector into
+    (dim, value) rows whose groupBy(dim) partially aggregates map-side, so
+    the shuffle carries |dims| rows per task, never vectors; at 100 TB this
+    is one scan + a 64-key exchange. Values cast to double BEFORE
+    aggregation so both engines sum in double precision."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 4).alias("std_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+    )
+
+
+X59_SQL = """
+-- "+ 0" collapses IEEE -0.0 (DuckDB round keeps the sign of a tiny
+-- negative mean; Spark's round yields +0.0)
+SELECT dim,
+       round(avg(v), 4) + 0 AS mean_v,
+       round(stddev_samp(v), 4) + 0 AS std_v,
+       round(min(v), 4) + 0 AS min_v,
+       round(max(v), 4) + 0 AS max_v
+FROM (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+GROUP BY dim
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2009,4 +2067,6 @@ EXTENSIONS = {
     "x55_countmin_freq": (x55_countmin_freq, X55_SQL),
     "x56_compression_signal": (x56_compression_signal, None),
     "x57_triangle_count": (x57_triangle_count, X57_SQL),
+    "x58_quantile_sketch": (x58_quantile_sketch, None),
+    "x59_embedding_dim_stats": (x59_embedding_dim_stats, X59_SQL),
 }

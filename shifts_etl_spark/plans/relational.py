@@ -2594,6 +2594,40 @@ ORDER BY user_id
 """
 
 
+def q60_numeric_moments(spark, sf_dir):
+    """Bivariate statistics sweep over lineitem's numeric columns —
+    corr / covar_samp / stddev_samp / regr_slope / regr_intercept in ONE
+    map-side-combinable aggregate pass (every statistic is algebraic over
+    {n, Σx, Σy, Σxx, Σyy, Σxy}, so the shuffle carries one partial row per
+    task — the 100 TB shape for feature-correlation audits before model
+    training). Definitions pinned to the sample variants both engines
+    share (Spark F.corr == DuckDB corr, covar_samp == covar_samp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.corr(p, d), 6).alias("corr_price_disc"),
+        F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp(p), 4).alias("std_price"),
+        F.round(F.regr_slope(p, q), 4).alias("slope_price_on_qty"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept_price_on_qty"),
+    )
+
+
+Q60_SQL = """
+SELECT count(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4)
+           AS intercept_price_on_qty
+FROM lineitem
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2675,4 +2709,5 @@ RELATIONAL = {
     "q58_rolling_features": (q58_rolling_features, Q58_SQL),
     "j9_interval_overlap": (j9_interval_overlap, J9_SQL),
     "q59_decayed_value": (q59_decayed_value, Q59_SQL),
+    "q60_numeric_moments": (q60_numeric_moments, Q60_SQL),
 }

@@ -1,0 +1,91 @@
+"""Mergeable quantile sketch (operators/quantiles.py): rank-error bound
+against exact quantiles, the re-aggregation (merge) property, and edge
+cases. Mirrors the error-bound test style of test_theta.py / x31's HLL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shifts_etl_spark.operators import quantiles
+
+
+def _rank_error(vals: np.ndarray, est: float, prob: float) -> float:
+    """|observed rank of est - target rank| / n."""
+    n = len(vals)
+    rank = np.searchsorted(np.sort(vals), est, side="right")
+    return abs(rank - prob * n) / n
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.normal(100, 15, 20_000), rng.exponential(50, 5_000)]
+    )
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "value double"
+    ).repartition(8)
+    return vals, df
+
+
+def test_rank_error_within_bound(spark, values):
+    vals, df = values
+    sk = quantiles.quantile_sketch(df, "value", k=200)
+    probs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {
+        r["prob"]: r["approx_value"]
+        for r in quantiles.sketch_quantiles(sk, probs, k=200).collect()
+    }
+    # theoretical eps ~ log2(n/k)/k ~ 0.035; observed is far tighter —
+    # pin 0.02 so a compaction regression is caught early
+    for p in probs:
+        assert _rank_error(vals, got[p], p) <= 0.02, (p, got[p])
+
+
+def test_merge_matches_single_build(spark, values):
+    vals, df = values
+    half1 = df.where(F.col("value") < 80)
+    half2 = df.where(F.col("value") >= 80)
+    merged = quantiles.merge_sketches(
+        quantiles.quantile_sketch(half1, "value", k=200),
+        quantiles.quantile_sketch(half2, "value", k=200),
+        k=200,
+    )
+    probs = [0.1, 0.5, 0.9]
+    got = {
+        r["prob"]: r["approx_value"]
+        for r in quantiles.sketch_quantiles(merged, probs, k=200).collect()
+    }
+    for p in probs:
+        assert _rank_error(vals, got[p], p) <= 0.02, (p, got[p])
+
+
+def test_sketch_is_bounded(spark, values):
+    _, df = values
+    row = quantiles.quantile_sketch(df, "value", k=100).collect()[0]
+    assert row["n"] == df.count()
+    total_items = sum(len(it) for it in row["items"])
+    # bounded by k per level over ~log2(n/k) levels — nowhere near n
+    assert total_items <= 100 * (2 + int(np.log2(row["n"] / 100)))
+
+
+def test_empty_and_null_input(spark):
+    df = spark.createDataFrame(
+        [(None,), (None,)], "value double"
+    )
+    sk = quantiles.quantile_sketch(df, "value", k=50)
+    assert quantiles.sketch_quantiles(sk, [0.5], k=50).count() == 0
+
+
+def test_exact_on_tiny_input(spark):
+    # fewer than k values: no compaction ever fires, quantiles are exact
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "value double")
+    sk = quantiles.quantile_sketch(df, "value", k=200)
+    got = {
+        r["prob"]: r["approx_value"]
+        for r in quantiles.sketch_quantiles(sk, [0.5, 0.99], k=200).collect()
+    }
+    assert got[0.5] == 50.0
+    assert got[0.99] == 99.0

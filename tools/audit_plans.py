@@ -60,6 +60,7 @@ SINGLE_PARTITION_OK = {
     "q49_important_parts",  # Q11 shape: global total = 1-row aggregate
     "q51_top_supplier",  # Q15 shape: scalar MAX = 1-row aggregate
     "q53_small_qty_revenue",  # Q17 shape: single-row global result
+    "q60_numeric_moments",  # single-row global bivariate-stats agg
     "q55_banded_revenue",  # Q19 shape: single-row global revenue agg
     "q59_decayed_value",  # decay anchor: global MAX ts = 1-row aggregate
 }
