@@ -2009,6 +2009,59 @@ GROUP BY dim
 """
 
 
+def x60_fuzzy_entity_match(spark, sf_dir):
+    """Record linkage (operators/linkage.py): near-duplicate part names
+    1-3 Levenshtein edits apart within first-token blocks — the
+    entity-resolution primitive (catalog/vendor-feed reconciliation).
+    Two-stage, and the staging IS the scale design: rows dedup to
+    DISTINCT-name entities first (a map-side-combinable groupBy — 64
+    entities here at every SF), THEN the blocked fuzzy self-join runs
+    over entities, so candidate pairs are bounded by vocab², independent
+    of row count. Linking raw part rows instead re-creates a
+    quadratic-in-n pair set (measured 15k pairs at sf0.01 → 1.5M at
+    sf0.1 on this catalog's 64-name vocabulary) for zero extra
+    information — n_linked_rows carries the row-level multiplicity.
+    Exact-duplicate names (edit 0) stay on the cheaper exact-dedup path
+    (x1)."""
+    from ..operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("nid"), F.count(F.lit(1)).alias("n_rows")
+    )
+    pairs = linkage.blocked_fuzzy_pairs(
+        names, "nid", "p_name", F.split(F.col("p_name"), " ").getItem(0)
+    )
+    a = names.select(F.col("nid").alias("a_id"), F.col("n_rows").alias("a_rows"))
+    b = names.select(F.col("nid").alias("b_id"), F.col("n_rows").alias("b_rows"))
+    return (
+        pairs.join(F.broadcast(a), "a_id")
+        .join(F.broadcast(b), "b_id")
+        .select(
+            "blk",
+            "a_id",
+            "b_id",
+            "edit_distance",
+            (F.col("a_rows") * F.col("b_rows")).alias("n_linked_rows"),
+        )
+    )
+
+
+X60_SQL = """
+WITH names AS (
+  SELECT p_name, min(p_partkey) AS nid, count(*) AS n_rows
+  FROM part GROUP BY p_name
+),
+b AS (SELECT nid, p_name, n_rows, split_part(p_name, ' ', 1) AS blk FROM names)
+SELECT a.blk AS blk, a.nid AS a_id, c.nid AS b_id,
+       levenshtein(a.p_name, c.p_name) AS edit_distance,
+       a.n_rows * c.n_rows AS n_linked_rows
+FROM b a JOIN b c
+  ON a.blk = c.blk AND a.nid < c.nid
+WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2069,4 +2122,5 @@ EXTENSIONS = {
     "x57_triangle_count": (x57_triangle_count, X57_SQL),
     "x58_quantile_sketch": (x58_quantile_sketch, None),
     "x59_embedding_dim_stats": (x59_embedding_dim_stats, X59_SQL),
+    "x60_fuzzy_entity_match": (x60_fuzzy_entity_match, X60_SQL),
 }
