@@ -72,3 +72,37 @@ def validate_tables(tables: dict[str, DataFrame]) -> None:
     for name, (key, parent) in FOREIGN_KEYS.items():
         if name in tables and parent in tables:
             check_foreign_key(tables[name], key, tables[parent], name)
+
+
+def k_anonymity_histogram(
+    df: DataFrame, qi_exprs: dict[str, "F.Column"], k: int = 4
+) -> DataFrame:
+    """Re-identification risk audit: group rows into quasi-identifier
+    equivalence classes and histogram the class sizes, flagging classes
+    smaller than ``k`` (the k-anonymity threshold). The release-gate
+    counterpart to textstats.scrub_pii — scrubbing removes direct
+    identifiers, this measures whether the remaining quasi-identifiers
+    still isolate individuals.
+
+    Two map-side-combinable aggregations (rows → classes → size
+    histogram); the first shuffle carries one row per QI class per task,
+    the second one row per distinct size. No per-row state, no windows —
+    the plan scales like any two-level rollup.
+
+    qi_exprs: {out_name: expression} — generalization (bucketing a
+    numeric QI) is expressed in the caller's expression, e.g.
+    ``floor(acctbal / 2000)``.
+    """
+    classes = df.groupBy(
+        *[e.alias(n) for n, e in qi_exprs.items()]
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < k).alias("at_risk"),
+        )
+    )

@@ -2062,6 +2062,91 @@ WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3
 """
 
 
+def x61_k_anonymity(spark, sf_dir):
+    """k-anonymity release gate (operators/quality.py): class-size
+    histogram over the customer quasi-identifiers (nation, segment,
+    balance band) with the under-k risk flag — the governance audit
+    that complements PII scrubbing (x16) before a dataset ships. Two
+    map-side-combinable rollups; shuffles carry per-class then per-size
+    rows only."""
+    from ..operators.quality import k_anonymity_histogram
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_histogram(
+        cust,
+        {
+            "nation": F.col("c_nationkey"),
+            "segment": F.col("c_mktsegment"),
+            "bal_band": F.floor(F.col("c_acctbal") / 2000),
+        },
+        k=4,
+    )
+
+
+X61_SQL = """
+WITH classes AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         floor(c_acctbal / 2000) AS bal_band, count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT class_size, count(*) AS n_classes,
+       class_size * count(*) AS n_rows,
+       class_size < 4 AS at_risk
+FROM classes GROUP BY class_size
+"""
+
+
+def x62_incremental_rollup(spark, sf_dir):
+    """Incremental rollup maintenance (operators/incremental.py): the
+    events KPI rollup built by folding three deterministic sub-batches
+    through the partial-aggregate state — O(batch) per update instead of
+    O(history), with the fold provably equal to the one-shot aggregate
+    (this oracle row IS that proof: DuckDB computes the direct GROUP BY).
+    All measures algebraic; each merge shuffles |keys| state rows only."""
+    from ..operators import incremental as inc
+
+    measures = {
+        "n_events": ("count", "*"),
+        "sum_value": ("sum", "value"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+        "avg_value": ("avg", "value"),
+    }
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(3)).alias("_b"),
+    )
+    state = None
+    for b in range(3):
+        batch = ev.where(F.col("_b") == b).drop("_b")
+        partials = inc.aggregate_partials(batch, ["event_type", "day"], measures)
+        state = inc.merge_state(state, partials, ["event_type", "day"], measures)
+    out = inc.render(state, measures)
+    # avg from the ROUNDED sum (both engines divide bit-identical inputs —
+    # raw-sum division straddled a .5 rounding boundary at sf0.01)
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round(F.round("sum_value", 4) / F.col("n_events"), 4).alias("avg_value"),
+    )
+
+
+X62_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(round(sum(value), 4) / count(*), 4) AS avg_value
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2123,4 +2208,6 @@ EXTENSIONS = {
     "x58_quantile_sketch": (x58_quantile_sketch, None),
     "x59_embedding_dim_stats": (x59_embedding_dim_stats, X59_SQL),
     "x60_fuzzy_entity_match": (x60_fuzzy_entity_match, X60_SQL),
+    "x61_k_anonymity": (x61_k_anonymity, X61_SQL),
+    "x62_incremental_rollup": (x62_incremental_rollup, X62_SQL),
 }
