@@ -2147,6 +2147,27 @@ FROM events GROUP BY event_type, CAST(ts AS DATE)
 """
 
 
+def x63_approx_groupby(spark, sf_dir):
+    """Approximate query processing (operators/aqp.py): per-event-type
+    revenue totals from a 10% Bernoulli sample with Horvitz-Thompson
+    scale-up and 95% CIs — the interactive first pass at 100 TB (sample
+    predicate pushed into the scan; the exact query is the same plan
+    minus the sample). Rows-only: Spark's split-deterministic sampler is
+    not reproducible in the oracle engine; the CI-coverage pytest pins
+    the estimator semantics instead."""
+    from ..operators.aqp import approx_groupby_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = approx_groupby_sum(ev, ["event_type"], "value", fraction=0.1, seed=42)
+    return out.select(
+        "event_type",
+        "n_sampled",
+        F.round("est_count", 2).alias("est_count"),
+        F.round("est_total", 2).alias("est_total"),
+        F.round("se_total", 2).alias("se_total"),
+    )
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2210,4 +2231,5 @@ EXTENSIONS = {
     "x60_fuzzy_entity_match": (x60_fuzzy_entity_match, X60_SQL),
     "x61_k_anonymity": (x61_k_anonymity, X61_SQL),
     "x62_incremental_rollup": (x62_incremental_rollup, X62_SQL),
+    "x63_approx_groupby": (x63_approx_groupby, None),
 }
