@@ -214,3 +214,74 @@ def sketch_quantiles(sketch: DataFrame, probs: list[float], k: int = 200) -> Dat
         .applyInPandas(lambda pdf: evaluate(pdf), schema=out_t)
         .orderBy("prob")
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    probs: list[float],
+    k: int = 200,
+    fan_in: int = 16,
+) -> DataFrame:
+    """Per-group quantiles via per-group sketches — same two-tier build as
+    quantile_sketch but keyed: mapInPandas emits one partial sketch per
+    (Arrow batch × group), then groupBy(keys) merges sketches, so the
+    exchange carries sketch rows per group, never raw values.
+
+    Rank rule matches SQL ``quantile_disc`` exactly while a group fits in
+    one uncompacted buffer (group size ≤ k ⇒ EXACT discrete quantiles —
+    pinned by the x64 oracle); larger groups degrade gracefully to the
+    sketch's ~log2(n/k)/k rank error instead of failing or spilling.
+    """
+    probs = [float(p) for p in probs]
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    sketch_t = T.StructType(
+        key_fields
+        + [
+            T.StructField("levels", T.ArrayType(T.IntegerType())),
+            T.StructField("items", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    out_t = T.StructType(
+        key_fields
+        + [
+            T.StructField("prob", T.DoubleType()),
+            T.StructField("approx_value", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            rows = []
+            for kv, g in pdf.groupby(keys, sort=False, dropna=False):
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                sk = _Sketch(k)
+                sk.update_batch(g[col].to_numpy(dtype="float64"))
+                if sk.n:
+                    r = sk.to_row(0)
+                    rows.append(
+                        dict(zip(keys, kv))
+                        | {"levels": r["levels"], "items": r["items"], "n": r["n"]}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    def merge_eval(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _Sketch(k)
+        for _, row in pdf.iterrows():
+            sk.merge(_Sketch.from_row(row, k))
+        return pd.DataFrame(
+            [
+                dict(zip(keys, key))
+                | {"prob": p, "approx_value": sk.quantile(p)}
+                for p in probs
+            ]
+        )
+
+    part = df.select(
+        *keys, F.col(col).cast("double").alias(col)
+    ).mapInPandas(partials, schema=sketch_t)
+    return part.groupBy(*keys).applyInPandas(merge_eval, schema=out_t)

@@ -2168,6 +2168,37 @@ def x63_approx_groupby(spark, sf_dir):
     )
 
 
+def x64_group_quantiles(spark, sf_dir):
+    """Per-group quantiles from keyed mergeable sketches
+    (operators/quantiles.py:group_quantiles): p50/p90 of events.value per
+    (event_type, day). Two-tier build — per-batch partial sketches
+    map-side, sketch-only shuffle keyed by group — and the rank rule
+    matches SQL quantile_disc EXACTLY while a group fits one uncompacted
+    buffer (k=4096 ≥ max group 739 here), which is what makes this
+    oracle row a hard equality check on the sketch machinery; larger
+    groups degrade gracefully to ~log2(n/k)/k rank error (pytest covers
+    that regime)."""
+    from ..operators import quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return quantiles.group_quantiles(
+        ev, ["event_type", "day"], "value", [0.5, 0.9], k=4096
+    )
+
+
+X64_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day, CAST(0.5 AS DOUBLE) AS prob,
+       quantile_disc(value, 0.5) AS approx_value
+FROM events GROUP BY 1, 2
+UNION ALL
+SELECT event_type, CAST(ts AS DATE) AS day, CAST(0.9 AS DOUBLE) AS prob,
+       quantile_disc(value, 0.9) AS approx_value
+FROM events GROUP BY 1, 2
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2232,4 +2263,5 @@ EXTENSIONS = {
     "x61_k_anonymity": (x61_k_anonymity, X61_SQL),
     "x62_incremental_rollup": (x62_incremental_rollup, X62_SQL),
     "x63_approx_groupby": (x63_approx_groupby, None),
+    "x64_group_quantiles": (x64_group_quantiles, X64_SQL),
 }

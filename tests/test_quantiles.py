@@ -89,3 +89,31 @@ def test_exact_on_tiny_input(spark):
     }
     assert got[0.5] == 50.0
     assert got[0.99] == 99.0
+
+
+def test_group_quantiles_exact_small_groups(spark):
+    # groups under k: rank rule == SQL quantile_disc (lowest v with
+    # cum-count >= p*n)
+    rows = [("a", float(v)) for v in range(1, 6)] + [("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        (r["k"], r["prob"]): r["approx_value"]
+        for r in quantiles.group_quantiles(
+            df, ["k"], "value", [0.5, 0.9], k=100
+        ).collect()
+    }
+    assert got[("a", 0.5)] == 3.0 and got[("a", 0.9)] == 5.0
+    assert got[("b", 0.5)] == 10.0 and got[("b", 0.9)] == 20.0
+
+
+def test_group_quantiles_large_group_bounded_error(spark, values):
+    vals, df = values
+    keyed = df.withColumn("k", F.lit("all"))
+    got = {
+        r["prob"]: r["approx_value"]
+        for r in quantiles.group_quantiles(
+            keyed, ["k"], "value", [0.25, 0.75], k=200
+        ).collect()
+    }
+    for p in (0.25, 0.75):
+        assert _rank_error(vals, got[p], p) <= 0.02, (p, got[p])
