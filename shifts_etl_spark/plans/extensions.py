@@ -8,7 +8,7 @@ driver records a rows-only check and pytest covers their semantics
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import bloom, clustering, countmin, curation, dedup, heavyhitters, multimodal, simsearch, textstats, theta
 from ..operators.profile import profile_table
@@ -2199,6 +2199,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def x65_event_trigrams(spark, sf_dir):
+    """Sequential pattern mining, order 3: per-user event-type trigram
+    counts (the length-3 extension of q43's Markov transitions —
+    clickstream path mining for funnel design). Two leads inside ONE
+    per-user window (partition = user_id, total-ordered by ts,event_id),
+    so parallelism is #users and the shuffle carries (user, type, ts)
+    only; the trigram rollup is map-side combinable. min_count prunes the
+    long tail before it shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .where(F.col("n_paths") >= 10)
+    )
+
+
+X65_SQL = """
+WITH tri AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, count(*) AS n_paths
+FROM tri WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+HAVING count(*) >= 10
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2264,4 +2301,5 @@ EXTENSIONS = {
     "x62_incremental_rollup": (x62_incremental_rollup, X62_SQL),
     "x63_approx_groupby": (x63_approx_groupby, None),
     "x64_group_quantiles": (x64_group_quantiles, X64_SQL),
+    "x65_event_trigrams": (x65_event_trigrams, X65_SQL),
 }
