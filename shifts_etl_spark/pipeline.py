@@ -81,13 +81,18 @@ def prepare_training_data(
     overlap: int = 20,
     budget_tokens: int = 512,
     max_dup_bigram_frac: float | None = None,
+    max_length_quantile: float | None = None,
 ) -> dict[str, DataFrame]:
     """The LLM-data capstone pipeline, composed from the extension
     operators: quality-filter → optional repetition filter (Gopher-style
     ``max_dup_bigram_frac`` cutoff; None disables the stage and its pass)
-    → PII-scrub → near-dup removal (LSH → exact-Jaccard verify →
-    connected components) → context-window chunking → sequence packing →
-    stable train/val/test split.
+    → optional length-outlier filter (``max_length_quantile`` drops docs
+    whose token count exceeds that corpus quantile, computed from the
+    mergeable sketch — one bounded extra pass, cutoff is a 1-row collect
+    like bloom's bitset; None disables) → PII-scrub → near-dup removal
+    (LSH → exact-Jaccard verify → connected components) →
+    context-window chunking → sequence packing → stable train/val/test
+    split.
 
     Returns the intermediate DataFrames keyed by stage (and writes each
     stage as a table batch when ``output_dir`` is given), so callers can
@@ -110,6 +115,19 @@ def prepare_training_data(
             F.col("dup_bigram_frac") <= max_dup_bigram_frac
         )
         kept = kept.join(low_rep.select("doc_id"), "doc_id")
+
+    if max_length_quantile is not None:
+        from .operators.quantiles import quantile_sketch, sketch_quantiles
+        from .operators.textstats import token_count
+
+        lens = kept.select(token_count(F.col("text")).alias("_n"))
+        cut = sketch_quantiles(
+            quantile_sketch(lens, "_n", k=256), [max_length_quantile], k=256
+        ).collect()
+        if cut and cut[0]["approx_value"] is not None:
+            kept = kept.where(
+                token_count(F.col("text")) <= cut[0]["approx_value"]
+            )
 
     scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)

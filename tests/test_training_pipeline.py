@@ -70,3 +70,26 @@ def test_repetition_stage_drops_spam_doc(spark):
     assert 99999 not in surviving
     without = prepare_training_data(spark, docs)
     assert 99999 in {r["doc_id"] for r in without["deduped"].collect()}
+
+
+def test_length_quantile_stage_drops_outlier_doc(spark):
+    from pyspark.sql import Row
+
+    from shifts_etl_spark.pipeline import prepare_training_data
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    # far beyond the corpus p90 token count, but low-repetition enough to
+    # pass the quality stage on its own
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    giant_text = " ".join(
+        f"word{letters[i % 23]}{letters[i % 17]}{letters[i % 11]}"
+        for i in range(3000)
+    )
+    giant = spark.createDataFrame([Row(doc_id=88888, text=giant_text)])
+    docs = base.select("doc_id", "text").unionByName(giant)
+
+    with_cut = prepare_training_data(spark, docs, max_length_quantile=0.9)
+    assert 88888 not in {r["doc_id"] for r in with_cut["deduped"].collect()}
+
+    without = prepare_training_data(spark, docs)
+    assert 88888 in {r["doc_id"] for r in without["deduped"].collect()}
