@@ -2236,6 +2236,74 @@ HAVING count(*) >= 10
 """
 
 
+def _geo_coord_sql(key_expr: str, salt: str, mod: int, div: int, shift: int) -> str:
+    """SQL twin of the md5-derived synthetic coordinate (the x40
+    hex-decode trick over md5(key || salt))."""
+    h = f"md5(CAST({key_expr} AS VARCHAR) || '{salt}')"
+    u = " + ".join(
+        f"(ascii(substring({h}, {i}, 1)) - CASE WHEN ascii(substring({h}, {i}, 1)) >= 97 "
+        f"THEN 87 ELSE 48 END) * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"(CAST(({u}) % {mod} AS DOUBLE) / {div} - {shift})"
+
+
+def x66_geo_radius_join(spark, sf_dir):
+    """Geospatial radius join (operators/geo.py): customers to suppliers
+    within 150 km over md5-derived synthetic coordinates (lat ±45, lon
+    ±180 — the testdata carries no geo columns, so coordinates are a
+    deterministic pure function of the keys, reproduced exactly by the
+    oracle). The engine runs the GRID form (3×3 neighbor cells, Σ|cell|²
+    candidates); the oracle runs the naive quadratic radius join — a pass
+    proves the grid loses no pairs, the j9 verification pattern."""
+    from ..operators.curation import _hex_uniform_int
+    from ..operators.geo import grid_radius_join
+
+    def coords(df, key, prefix):
+        k = F.col(key)
+        lat = (
+            _hex_uniform_int(F.concat(k.cast("string"), F.lit("-lat"))) % 90000
+        ).cast("double") / 1000 - 45
+        lon = (
+            _hex_uniform_int(F.concat(k.cast("string"), F.lit("-lon"))) % 360000
+        ).cast("double") / 1000 - 180
+        return df.select(k.alias("id"), lat.alias("lat"), lon.alias("lon"))
+
+    cust = coords(_t(spark, sf_dir, "customer"), "c_custkey", "c")
+    supp = coords(_t(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    pairs = grid_radius_join(cust, supp, radius_km=150.0, cell_deg=2.0, max_abs_lat=45.0)
+    return pairs.select(
+        F.col("l_id").alias("c_custkey"),
+        F.col("r_id").alias("s_suppkey"),
+        F.round("dist_km", 3).alias("dist_km"),
+    )
+
+
+X66_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {_geo_coord_sql('c_custkey', '-lat', 90000, 1000, 45)} AS lat,
+         {_geo_coord_sql('c_custkey', '-lon', 360000, 1000, 180)} AS lon
+  FROM customer
+), supp AS (
+  SELECT s_suppkey,
+         {_geo_coord_sql('s_suppkey', '-lat', 90000, 1000, 45)} AS lat,
+         {_geo_coord_sql('s_suppkey', '-lon', 360000, 1000, 180)} AS lon
+  FROM supplier
+), pairs AS (
+  SELECT c_custkey, s_suppkey,
+         2 * 6371.0 * asin(sqrt(
+           sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+           + cos(radians(c.lat)) * cos(radians(s.lat))
+             * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+         )) AS dist_km
+  FROM cust c CROSS JOIN supp s
+)
+SELECT c_custkey, s_suppkey, round(dist_km, 3) AS dist_km
+FROM pairs WHERE dist_km <= 150.0
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2302,4 +2370,5 @@ EXTENSIONS = {
     "x63_approx_groupby": (x63_approx_groupby, None),
     "x64_group_quantiles": (x64_group_quantiles, X64_SQL),
     "x65_event_trigrams": (x65_event_trigrams, X65_SQL),
+    "x66_geo_radius_join": (x66_geo_radius_join, X66_SQL),
 }
