@@ -241,3 +241,107 @@ def run_streaming_distinct_count(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantiles: KLL/MRL compactor sketch per key in group state
+
+QS_OUT_SCHEMA = "key string, p50 double, p95 double, n_rows long"
+QS_STATE_SCHEMA = "sk string"
+
+
+def _qs_key_fn(key, pdf_iter, state, k: int):
+    from ..operators.quantiles import _Sketch
+
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    sk = _Sketch(k)
+    if state.exists:
+        data = json.loads(state.get[0])
+        sk.levels = {int(l): list(v) for l, v in data["levels"].items()}
+        sk.n = int(data["n"])
+    for pdf in pdf_iter:
+        sk.update_batch(pdf["_v"].to_numpy(dtype="float64"))
+    state.update(
+        (
+            json.dumps(
+                {
+                    "levels": {
+                        str(l): it for l, it in sk.levels.items() if it
+                    },
+                    "n": sk.n,
+                }
+            ),
+        )
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "key": str(key[0]),
+                "p50": sk.quantile(0.5),
+                "p95": sk.quantile(0.95),
+                "n_rows": int(sk.n),
+            }
+        ]
+    )
+
+
+def streaming_quantiles(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 200,
+) -> DataFrame:
+    """Live per-key p50/p95: each key's group state holds ONE mergeable
+    compactor sketch (operators/quantiles._Sketch serialized to JSON) —
+    k·log(n/k) doubles per key regardless of traffic, the same
+    bounded-state discipline as the MG/KMV states above, completing the
+    streaming sketch family with rank statistics. The cumulative
+    estimate carries the batch-sketch error bound because cross-batch
+    accumulation IS the sketch's merge path."""
+    vals = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def fn(key, pdf_iter, state):
+        return _qs_key_fn(key, pdf_iter, state, k)
+
+    return vals.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=QS_OUT_SCHEMA,
+        stateStructType=QS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_quantiles(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 200,
+    query_name: str = "quantiles",
+    max_files_per_trigger: int | None = None,
+):
+    """File-drop → streaming_quantiles → memory sink (availableNow
+    drain), mirroring run_streaming_distinct_count."""
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.json(str(input_dir))
+    qs = streaming_quantiles(events, key_col, value_col, k)
+    return (
+        qs.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

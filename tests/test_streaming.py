@@ -279,3 +279,44 @@ def test_streaming_distinct_count_sketch(spark, tmp_path):
     big = max((r for r in rows if r.key == "big"), key=lambda r: r.n_rows)
     assert big.n_rows == 500
     assert abs(big.est_distinct - 500) / 500 < 3 / (64 ** 0.5)  # ~37%
+
+
+def test_streaming_quantiles_sketch(spark, tmp_path):
+    """KLL sketch per key: exact below k, cumulative across micro-batches
+    (the second file shifts the distribution and p50 follows)."""
+    import json as _json
+
+    from shifts_etl_spark.streaming.sketches import run_streaming_quantiles
+
+    inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    inp.mkdir()
+
+    def drop(name, pairs):
+        with open(inp / name, "w") as f:
+            for i, (t, v) in enumerate(pairs):
+                f.write(_json.dumps({
+                    "event_id": hash((name, i)) % 10**9,
+                    "ts": "2024-01-01T10:00:00.000Z",
+                    "user_id": i, "event_type": t, "value": v,
+                    "props": "{}",
+                }) + "\n")
+
+    # batch 1: values 1..100 -> p50=50; batch 2 adds 101..300 ->
+    # cumulative 1..300, p50=150, p95=285 (n=300 > k=200 -> approximate
+    # but within the small-n compaction error)
+    drop("e1.json", [("lat", float(v)) for v in range(1, 101)])
+    drop("e2.json", [("lat", float(v)) for v in range(101, 301)])
+    q = run_streaming_quantiles(
+        spark, inp, ckpt, k=200, query_name="qs_test", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from qs_test").collect()
+    first = min((r for r in rows if r.key == "lat"), key=lambda r: r.n_rows)
+    final = max((r for r in rows if r.key == "lat"), key=lambda r: r.n_rows)
+    # file order is not guaranteed: the first micro-batch is either e1
+    # (100 rows, median 50) or e2 (200 rows, median 200) — both are
+    # under k=200, so either way the first emission must be EXACT
+    assert (first.n_rows, first.p50) in {(100, 50.0), (200, 200.0)}
+    assert final.n_rows == 300  # cross-batch accumulation
+    assert abs(final.p50 - 150) <= 6  # 2% rank error envelope
+    assert abs(final.p95 - 285) <= 6
