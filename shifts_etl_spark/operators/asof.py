@@ -78,3 +78,31 @@ def asof_join(
 
     out = carried.where((F.col("_side") == 1) & F.col("_match").isNotNull())
     return out.select("_l.*", "_match.*")
+
+
+def point_in_time_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at its event
+    time: equal key and ``valid_from <= ts < valid_to`` (NULL valid_to =
+    open interval). The consumer side of an SCD2 build
+    (merge.scd2_from_changelog): reproduce any report as-of the state
+    the world was in when each fact happened.
+
+    Scale shape — the j6 discipline: the KEY is the shuffle/join
+    criterion, the validity interval is a post-filter, so cost is
+    per-key fact×versions, never a global range join; version counts
+    per key are bounded by that key's change history. Facts before the
+    first version drop out (inner semantics) — the caller left-joins if
+    unmatched facts must survive.
+    """
+    t = F.col(ts_col)
+    return fact.join(dim, key).where(
+        (t >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (t < F.col(valid_to)))
+    )

@@ -2628,6 +2628,71 @@ FROM lineitem
 """
 
 
+def q61_point_in_time_join(spark, sf_dir):
+    """Point-in-time join (operators/asof.py:point_in_time_join): each
+    lineitem shipment attributed to the customer's order-priority STATE
+    valid at its ship date, against the SCD2 history q27 builds — the
+    as-of-reporting consumer of a CDC dimension. Key-equi join with the
+    validity interval as a post-filter (j6 discipline); the final rollup
+    is map-side combinable."""
+    from ..operators.asof import point_in_time_join
+    from ..operators.merge import scd2_from_changelog
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = scd2_from_changelog(
+        o.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"),
+        key_col="o_custkey",
+        order_col="o_orderdate",
+        state_col="o_orderpriority",
+        tiebreak_col="o_orderkey",
+    ).select("o_custkey", "state", "valid_from", "valid_to")
+    fact = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == o.o_orderkey,
+    ).select("o_custkey", F.col("l_shipdate").cast("date").alias("ship"), "l_quantity")
+    pit = point_in_time_join(fact, dim, "o_custkey", "ship")
+    return pit.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+Q61_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                   OR o_orderpriority <> lag(o_orderpriority) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), runs AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         SUM(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM ordered
+), grouped AS (
+  SELECT o_custkey, run, MIN(o_orderpriority) AS state,
+         MIN(o_orderdate) AS valid_from
+  FROM runs GROUP BY 1, 2
+), dim AS (
+  SELECT o_custkey, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to
+  FROM grouped
+), fact AS (
+  SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship, l.l_quantity
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.state, count(*) AS n_items, round(sum(f.l_quantity), 2) AS sum_qty
+FROM fact f JOIN dim d
+  ON f.o_custkey = d.o_custkey
+ AND f.ship >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+GROUP BY d.state
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2710,4 +2775,5 @@ RELATIONAL = {
     "j9_interval_overlap": (j9_interval_overlap, J9_SQL),
     "q59_decayed_value": (q59_decayed_value, Q59_SQL),
     "q60_numeric_moments": (q60_numeric_moments, Q60_SQL),
+    "q61_point_in_time_join": (q61_point_in_time_join, Q61_SQL),
 }
