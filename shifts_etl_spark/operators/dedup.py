@@ -510,3 +510,140 @@ def substring_duplicate_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+# --------------------------------------------------------------------------
+# rare-shingle blocking + standalone connected components
+# --------------------------------------------------------------------------
+
+def rare_shingle_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_df: int = 2,
+    max_df: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via RARE-SHINGLE BLOCKING — the
+    hash-free complement to MinHash-LSH (classic entity-resolution
+    blocking): two docs are candidates iff they share a shingle whose
+    corpus document-frequency lies in [min_df, max_df].
+
+    Scale shape: the per-shingle self-join fan-out is bounded by
+    C(max_df, 2) pairs, so total candidates <= #rare_shingles *
+    C(max_df, 2) — never quadratic in corpus size. The shuffle carries
+    (shingle, doc_id) pairs only; document text never moves. Shingles
+    with df > max_df are exactly the boilerplate keys LSH needs a
+    hot-bucket cap for — here they are excluded by construction, and
+    df=1 shingles cannot witness a pair. Deterministic (no hash
+    functions), hence DuckDB-oracle-checkable end to end.
+    """
+    flat = shingle_rows(docs, text_col, id_col, shingle_n).distinct()
+    rare = (
+        flat.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("s")
+    )
+    rflat = flat.join(rare, "s")
+    a = rflat.withColumnRenamed("doc", "id_a")
+    b = rflat.withColumnRenamed("doc", "id_b")
+    return (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def blocked_dedup_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_df: int = 2,
+    max_df: int = 5,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Standalone connected-components dedup: rare-shingle blocking →
+    exact shingle-Jaccard confirm at ``threshold`` → transitive closure
+    via distributed label propagation (``dedup_clusters``). Returns
+    (doc, cluster_id = min doc id in component) for every doc that has
+    at least one confirmed near-dup.
+
+    Unlike the MinHash pipeline (x25, rows-only checked), every stage
+    here is deterministic, so the full iterative algorithm is
+    hash-verified against a DuckDB WITH RECURSIVE reachability oracle.
+    """
+    cands = rare_shingle_pairs(docs, text_col, id_col, shingle_n, min_df, max_df)
+    conf = ngram_jaccard_pairs(docs, cands, text_col, id_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+    return dedup_clusters(conf.select("id_a", "id_b"))
+
+
+def duplicate_ngram_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-n-gram coverage (the RefinedWeb /
+    MassiveText "fraction of tokens inside duplicated n-grams" signal,
+    computed CROSS-corpus): fraction of a doc's token positions covered
+    by at least one ``shingle_n``-gram that occurs in >= ``min_df``
+    distinct documents. High coverage => boilerplate / templated text
+    even when no whole-document near-dup exists.
+
+    Plan shape: posexplode(tokens) + LEAD assembles positioned shingles
+    once (same scale rationale as ``shingle_rows``); the df aggregate
+    shuffles (shingle, doc) pairs; coverage expands each duplicated
+    shingle hit into its shingle_n positions (bounded fan-out) and
+    counts distinct positions per doc — text never moves after the
+    scan, and every aggregate is map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    tok = _fan_out(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, shingle_n)]
+    sh = (
+        tok.select(
+            "doc",
+            "pos",
+            F.concat_ws(" ", *leads).alias("s"),
+            F.lead("t", shingle_n - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())  # full shingles only
+        .select("doc", "pos", "s")
+    )
+    dup = (
+        sh.select("doc", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("s")
+    )
+    covered = (
+        sh.join(dup, "s")
+        .select("doc", F.explode(F.sequence("pos", F.col("pos") + (shingle_n - 1))).alias("cp"))
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    totals = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(covered, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -2304,6 +2304,93 @@ FROM pairs WHERE dist_km <= 150.0
 """
 
 
+def x67_dedup_components(spark, sf_dir):
+    """Standalone connected-components dedup (operators/dedup.py:
+    blocked_dedup_components): rare-shingle blocking (df in [2,5] —
+    fan-out bounded by C(5,2) per shingle, never quadratic) → exact
+    3-shingle Jaccard confirm at 0.3 → transitive closure via
+    distributed label propagation. Every stage is deterministic, so the
+    full iterative algorithm is hash-verified against a DuckDB
+    WITH RECURSIVE reachability oracle — upgrading the components step
+    that x25 could only rows-only-check."""
+    return dedup.blocked_dedup_components(_t(spark, sf_dir, "documents"))
+
+
+_X67_NORM = (
+    r"list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), "
+    r"t -> t <> '')"
+)
+
+X67_SQL = rf"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM norm
+),
+flat AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+conf AS (
+  SELECT ia, ib
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+),
+edges AS (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def x68_dup_ngram_coverage(spark, sf_dir):
+    """Per-doc duplicate-5-gram coverage fraction (operators/dedup.py:
+    duplicate_ngram_coverage) — the RefinedWeb/MassiveText
+    "fraction of tokens inside duplicated n-grams" quality signal,
+    computed cross-corpus: positioned shingles once via posexplode+LEAD,
+    df aggregate on (shingle, doc) pairs, bounded position fan-out for
+    coverage. Text never moves after the scan."""
+    return dedup.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"))
+
+
+X68_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shp AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS s
+  FROM norm, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)
+),
+dup AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM shp) GROUP BY s HAVING count(*) >= 2
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT cp) AS dup_tokens
+  FROM (SELECT doc_id, unnest(generate_series(i, i + 4)) AS cp
+        FROM shp SEMI JOIN dup USING (s))
+  GROUP BY doc_id
+)
+SELECT n.doc_id, len(n.toks) AS n_tokens,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(n.toks), 6) AS dup_frac
+FROM norm n LEFT JOIN cov c USING (doc_id)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2371,4 +2458,6 @@ EXTENSIONS = {
     "x64_group_quantiles": (x64_group_quantiles, X64_SQL),
     "x65_event_trigrams": (x65_event_trigrams, X65_SQL),
     "x66_geo_radius_join": (x66_geo_radius_join, X66_SQL),
+    "x67_dedup_components": (x67_dedup_components, X67_SQL),
+    "x68_dup_ngram_coverage": (x68_dup_ngram_coverage, X68_SQL),
 }

@@ -1,0 +1,84 @@
+"""Batch-D operators: rare-shingle blocking + standalone connected
+components (bounded candidate fan-out, planted-cluster transitive
+closure) and cross-corpus duplicate-n-gram coverage (RefinedWeb-style
+dup-token fraction: full containment, partial overlap, no-dup zero)."""
+
+from pyspark.sql import Row
+
+from shifts_etl_spark.operators import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def test_components_transitive_closure(spark):
+    # 0~1 and 1~2 are near-dups (high shingle overlap) but 0~2 only
+    # transitively; 3 is unrelated; 4/5 an independent pair.
+    texts = [
+        BASE + " one",
+        BASE + " two",
+        BASE + " two three",
+        "totally different words nothing shared here at all folks",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+    ]
+    out = {
+        r["doc"]: r["cluster_id"]
+        for r in dedup.blocked_dedup_components(_docs(spark, texts)).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 4: 4, 5: 4}
+
+
+def test_components_candidate_fanout_bounded(spark):
+    # 20 identical docs: every shingle has df=20 > max_df=5, so blocking
+    # yields ZERO candidates — the hot-bucket blowup is excluded by
+    # construction (the pathological case LSH needs an explicit cap for).
+    texts = [BASE] * 20
+    cands = dedup.rare_shingle_pairs(_docs(spark, texts))
+    assert cands.count() == 0
+
+
+def test_components_rare_block_pairs(spark):
+    # exactly two docs share a rare shingle -> one candidate pair
+    texts = [BASE, BASE + " extra", "unrelated text with other tokens wholly"]
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.rare_shingle_pairs(_docs(spark, texts)).collect()
+    }
+    assert cands == {(0, 1)}
+
+
+def test_dup_ngram_coverage_semantics(spark):
+    # doc0/doc1 share their first 10 tokens -> all 5-grams over that span
+    # are duplicated; the distinct tails are not.
+    texts = [
+        BASE + " unique0 tail0 here0",
+        BASE + " unique1 tail1 here1",
+        "completely separate vocabulary without any overlap at all now",
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_ngram_coverage(_docs(spark, texts)).collect()
+    }
+    # 13 tokens each; duplicated 5-grams are positions 0..5 (6 shingles,
+    # all within the shared 10-token prefix) covering positions 0..9.
+    assert rows[0]["n_tokens"] == 13
+    assert rows[0]["dup_tokens"] == 10
+    assert abs(rows[0]["dup_frac"] - 10 / 13) < 1e-6
+    assert rows[1]["dup_tokens"] == 10
+    assert rows[2]["dup_tokens"] == 0 and rows[2]["dup_frac"] == 0.0
+
+
+def test_dup_ngram_coverage_short_docs(spark):
+    # docs shorter than the shingle width emit no 5-grams -> zero coverage
+    texts = ["tiny doc", "tiny doc"]
+    rows = dedup.duplicate_ngram_coverage(_docs(spark, texts)).collect()
+    assert all(r["dup_tokens"] == 0 and r["dup_frac"] == 0.0 for r in rows)
+    assert {r["n_tokens"] for r in rows} == {2}
