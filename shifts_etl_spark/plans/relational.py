@@ -2693,6 +2693,40 @@ GROUP BY d.state
 """
 
 
+def q62_variant_shred(spark, sf_dir):
+    """Semi-structured VARIANT processing (Spark 4 native binary JSON —
+    the engine's answer to schemaless props columns at scale): props is
+    parsed ONCE into a VARIANT with parse_json, then shredded with
+    variant_get typed-path extraction; try_variant_get on an absent
+    path exercises NULL-not-error semantics. At 100 TB this beats
+    per-path get_json_object re-parses (q7): one parse feeds all
+    extractions, and the binary encoding skips repeated string
+    tokenization. Aggregates stay map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    shredded = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.absent", "long").alias("absent"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("k") >= 50).alias("n_high_k"),
+        F.max("k").alias("max_k"),
+        F.count_if(F.col("absent").isNull()).alias("n_absent"),
+    )
+
+
+Q62_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (CAST(props->>'$.k' AS BIGINT) >= 50) AS BIGINT) AS n_high_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(*) FILTER (CAST(props->>'$.absent' AS BIGINT) IS NULL) AS BIGINT) AS n_absent
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL = {
     "s5_scan_pushdown": (s5_scan_pushdown, S5_SQL),
     "t1_explode_tokens": (t1_explode_tokens, T1_SQL),
@@ -2776,4 +2810,5 @@ RELATIONAL = {
     "q59_decayed_value": (q59_decayed_value, Q59_SQL),
     "q60_numeric_moments": (q60_numeric_moments, Q60_SQL),
     "q61_point_in_time_join": (q61_point_in_time_join, Q61_SQL),
+    "q62_variant_shred": (q62_variant_shred, Q62_SQL),
 }
