@@ -515,3 +515,123 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.9,
+) -> DataFrame:
+    """Inverted-index build — the retrieval-side ARTIFACT (posting lists)
+    that tf_idf/bm25 only consume transiently: per term, document
+    frequency, collection frequency, and the doc-id posting list
+    (ascending, comma-joined so the artifact is a flat exportable
+    column).
+
+    Scale shape: (doc, token) explode → per-(token, doc) tf (map-side
+    combinable) → per-token aggregate. The df cap is RELATIVE (the
+    standard IR cutoff): terms in more than ``max_df_frac`` of the
+    corpus are stopword-class and belong in a bitmap/skip structure,
+    not a materialized list; df < min_df terms can't support retrieval.
+    The corpus size joins in as a broadcast scalar (no driver action);
+    postings carry bigint ids only — text never reaches the index
+    shuffle. At 100 TB the string join swaps for a roaring-bitmap
+    aggregate, same plan shape."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(F.sort_array(F.collect_list("doc")), ",").alias(
+                "postings"
+            ),
+        )
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= max_df_frac * F.col("n_docs"))
+        )
+        .drop("n_docs")
+    )
+
+
+def ndcg_eval(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@k of the BM25 ranking per
+    single-term query, with graded relevance = term frequency (the
+    deterministic judgment a synthetic corpus affords). DCG uses the
+    linear-gain form rel/log2(rank+1); IDCG re-ranks by relevance
+    itself, so NDCG < 1 exactly where BM25's length normalization
+    reorders against raw tf — the metric a curation pipeline watches
+    when tuning k1/b.
+
+    One pass: explode → per-(term, doc) tf + dl → two rank windows
+    per term (score order, ideal order) → one aggregate. Windows
+    partition by term (bounded by |query_terms|); only (term, doc, tf,
+    dl) rows ever shuffle."""
+    from pyspark.sql import Window
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toked = docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalize_text(F.col(text_col))).alias("toks"),
+    ).select("doc", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    tf = (
+        toked.where(F.array_contains(terms, F.col("term")))
+        .groupBy("term", "doc", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.col(id_col).alias("doc"),
+        token_count(normalize_text(F.col(text_col))).alias("dl"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    score = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc", F.col("tf").alias("rel"), score.alias("score"))
+    )
+    w_score = Window.partitionBy("term").orderBy(F.desc("score"), "doc")
+    w_ideal = Window.partitionBy("term").orderBy(F.desc("rel"), "doc")
+    ranked = scored.select(
+        "term",
+        "rel",
+        F.row_number().over(w_score).alias("rk"),
+        F.row_number().over(w_ideal).alias("irk"),
+    )
+    gain = lambda rank: F.col("rel") / F.log2(rank + F.lit(1.0))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("rk") <= k, gain(F.col("rk"))).otherwise(0)).alias("_dcg"),
+            F.sum(F.when(F.col("irk") <= k, gain(F.col("irk"))).otherwise(0)).alias("_idcg"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        .select(
+            "term",
+            "n_candidates",
+            F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
+        )
+    )

@@ -2391,6 +2391,79 @@ FROM norm n LEFT JOIN cov c USING (doc_id)
 """
 
 
+def x69_inverted_index(spark, sf_dir):
+    """Inverted-index artifact (operators/textstats.inverted_index):
+    per-term df, collection frequency, and ascending doc-id posting
+    list, with a RELATIVE df cutoff (terms in > 90% of docs are
+    stopword-class and never materialize a list). Only (term, doc, tf)
+    rows shuffle; text stays at the scan."""
+    return textstats.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+X69_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_X67_NORM}) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+)
+SELECT term,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY term
+HAVING count(*) >= 2
+   AND count(*) <= 0.9 * (SELECT count(*) FROM documents)
+"""
+
+
+def x70_ndcg_eval(spark, sf_dir):
+    """Retrieval-quality eval (operators/textstats.ndcg_eval): NDCG@10
+    of the BM25 ranking per single-term query with graded relevance =
+    term frequency — the metric watched when tuning k1/b. Same query
+    bag as x45; windows partition by term, so parallelism is bounded by
+    |queries|, each partition carrying only (term, doc, tf, dl) rows."""
+    return textstats.ndcg_eval(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "window"]
+    )
+
+
+X70_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, {_X67_NORM} AS toks FROM documents)
+),
+flat AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+),
+tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf
+  FROM flat WHERE term IN ('spark', 'join', 'window')
+  GROUP BY 1, 2, 3
+),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+scored AS (
+  SELECT t.term, t.doc_id, t.tf AS rel,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+           * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)) AS score
+  FROM tf t JOIN dfx d USING (term) CROSS JOIN stats s
+),
+ranked AS (
+  SELECT term, rel,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk,
+         row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS irk
+  FROM scored
+)
+SELECT term,
+       count(*) AS n_candidates,
+       round(sum(CASE WHEN rk <= 10 THEN rel / log2(rk + 1.0) ELSE 0 END)
+             / sum(CASE WHEN irk <= 10 THEN rel / log2(irk + 1.0) ELSE 0 END), 6) AS ndcg
+FROM ranked
+GROUP BY term
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2460,4 +2533,6 @@ EXTENSIONS = {
     "x66_geo_radius_join": (x66_geo_radius_join, X66_SQL),
     "x67_dedup_components": (x67_dedup_components, X67_SQL),
     "x68_dup_ngram_coverage": (x68_dup_ngram_coverage, X68_SQL),
+    "x69_inverted_index": (x69_inverted_index, X69_SQL),
+    "x70_ndcg_eval": (x70_ndcg_eval, X70_SQL),
 }

@@ -82,3 +82,51 @@ def test_dup_ngram_coverage_short_docs(spark):
     rows = dedup.duplicate_ngram_coverage(_docs(spark, texts)).collect()
     assert all(r["dup_tokens"] == 0 and r["dup_frac"] == 0.0 for r in rows)
     assert {r["n_tokens"] for r in rows} == {2}
+
+
+def test_inverted_index_postings(spark):
+    from shifts_etl_spark.operators.textstats import inverted_index
+
+    texts = [
+        "apple banana apple",        # doc0: apple tf=2
+        "banana cherry",             # doc1
+        "apple cherry cherry",       # doc2
+    ]
+    idx = {
+        r["term"]: (r["df"], r["cf"], r["postings"])
+        for r in inverted_index(_docs(spark, texts), min_df=2).collect()
+    }
+    assert idx == {
+        "apple": (2, 3, "0,2"),
+        "banana": (2, 2, "0,1"),
+        "cherry": (2, 3, "1,2"),
+    }
+
+
+def test_inverted_index_df_cap(spark):
+    from shifts_etl_spark.operators.textstats import inverted_index
+
+    # 'common' appears in every doc -> above the 90% relative cap;
+    # the other terms are singletons -> below min_df
+    texts = ["common alpha", "common beta", "common gamma", "common delta"]
+    out = inverted_index(_docs(spark, texts), min_df=2).collect()
+    assert out == []
+
+
+def test_ndcg_perfect_and_reordered(spark):
+    from shifts_etl_spark.operators.textstats import ndcg_eval
+
+    # 'q' tf order == bm25 order when lengths are equal -> NDCG exactly 1.
+    equal_len = ["q q q pad1 pad2", "q q pad3 pad4 pad5", "q pad6 pad7 pad8 pad9"]
+    rows = {r["term"]: r for r in ndcg_eval(_docs(spark, equal_len), ["q"]).collect()}
+    assert rows["q"]["n_candidates"] == 3
+    assert abs(rows["q"]["ndcg"] - 1.0) < 1e-9
+
+    # doc0 has higher tf but is much longer: BM25's length normalization
+    # demotes it below doc1 -> NDCG < 1.
+    skewed = [
+        "q q " + " ".join(f"w{i}" for i in range(60)),
+        "q short doc",
+    ]
+    rows = {r["term"]: r for r in ndcg_eval(_docs(spark, skewed), ["q"]).collect()}
+    assert rows["q"]["ndcg"] < 1.0
