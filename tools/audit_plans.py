@@ -63,6 +63,8 @@ SINGLE_PARTITION_OK = {
     "q60_numeric_moments",  # single-row global bivariate-stats agg
     "q55_banded_revenue",  # Q19 shape: single-row global revenue agg
     "q59_decayed_value",  # decay anchor: global MAX ts = 1-row aggregate
+    "x69_inverted_index",  # corpus size n_docs: 1-row aggregate
+    "x70_ndcg_eval",  # corpus stats (N, avgdl): one 1-row aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -82,6 +84,8 @@ CROSS_JOIN_OK = {
     "q49_important_parts",  # crossJoin with the broadcast 1-row nation total
     "q51_top_supplier",  # crossJoin with the broadcast 1-row MAX scalar
     "q59_decayed_value",  # crossJoin with the broadcast 1-row anchor ts
+    "x69_inverted_index",  # crossJoin with the broadcast 1-row n_docs
+    "x70_ndcg_eval",  # crossJoin with the broadcast 1-row (N, avgdl)
 }
 
 
