@@ -9,10 +9,12 @@ Scale design (100 TB):
     ship-with-the-plan mechanism as operators/bloom.py); every vector's
     nearest cell is an argmin over k JVM-side squared-L2 expressions —
     one scan, no join, no exchange.
-  - **Recompute is one map-side-combinable aggregate.** (cell, dim_pos)
-    partial sums/counts reduce each partition to ≤ k·dim rows before the
-    shuffle; the driver only ever materializes the k×dim centroid matrix
-    (KBs) and the per-iteration objective.
+  - **Recompute is one map-side-combinable aggregate.** Per-cell
+    elementwise sums (dim element_at aggregates — never a posexplode,
+    which would re-evaluate the distance tree once per element through
+    generator projection-collapse) reduce each partition to ≤ k rows
+    before the shuffle; the driver only ever materializes the k×dim
+    centroid matrix (KBs) and the per-iteration objective.
   - Driver-side loop of ``max_iter`` jobs is the standard shape for
     iterative algorithms on Spark (MLlib's own k-means does the same);
     the per-iteration lineage is cut by re-reading the source, not by
@@ -102,19 +104,27 @@ def kmeans_fit(
         objective: list[float] = []
         sizes: list[int] = []
 
+        dim = len(centroids[0])
         for _ in range(max_iter):
             cell, dist = _nearest(_dists(F.col("v"), centroids))
-            assigned = feats.select(
-                cell.alias("cell"),
-                dist.alias("dist_sq"),
-                F.posexplode("v").alias("pos", "val"),
-            )
+            # Elementwise sums via dim element_at aggregates, NOT
+            # posexplode: Catalyst collapses a projection into a
+            # generator, so an exploded form re-evaluates the whole
+            # k-centroid distance tree once PER ELEMENT (dim× per
+            # vector — measured 8.1 s vs 0.4 s per iteration at sf0.1).
+            # Here cell/dist evaluate once per row, the aggregate is
+            # map-side combinable, and the exchange carries ≤ k rows
+            # per task of (count, dist, dim sums).
             stats = (
-                assigned.groupBy("cell", "pos")
+                feats.select(cell.alias("cell"), dist.alias("dist_sq"), "v")
+                .groupBy("cell")
                 .agg(
-                    F.sum("val").alias("s"),
                     F.count(F.lit(1)).alias("c"),
                     F.sum("dist_sq").alias("d"),
+                    *[
+                        F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
                 )
                 .collect()
             )
@@ -122,11 +132,10 @@ def kmeans_fit(
             counts = [0] * k
             total_d, total_n = 0.0, 0
             for r in stats:
-                new_cents[r["cell"]][r["pos"]] = r["s"] / r["c"]
-                if r["pos"] == 0:
-                    counts[r["cell"]] = r["c"]
-                    total_d += r["d"]
-                    total_n += r["c"]
+                new_cents[r["cell"]] = [r[f"s{i}"] / r["c"] for i in range(dim)]
+                counts[r["cell"]] = r["c"]
+                total_d += r["d"]
+                total_n += r["c"]
             centroids = new_cents
             sizes = counts
             objective.append(total_d / max(total_n, 1))

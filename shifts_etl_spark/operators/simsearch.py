@@ -95,6 +95,18 @@ def ivf_topk(
         scored = side.crossJoin(F.broadcast(cents)).select(
             id_name, "cent_id", sim.alias("cent_sim")
         )
+        if n == 1:
+            # argmax per id as a map-side-combinable aggregate: the
+            # |corpus|×|cells| scored rows partial-reduce in the same
+            # stage as the broadcast scoring, so the exchange carries one
+            # row per corpus id — the window form shuffled ALL scored
+            # rows into a per-id sort (measured 20× at 10× corpus).
+            # Tie-break matches the window form: max sim, then min cell.
+            return scored.groupBy(id_name).agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("cent_sim"), -F.col("cent_id"))
+                ).alias("cent_id")
+            )
         w = Window.partitionBy(id_name).orderBy(
             F.col("cent_sim").desc(), F.col("cent_id")
         )
