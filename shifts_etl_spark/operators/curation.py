@@ -246,3 +246,47 @@ def mixture_allocation(
         .cast("long")
         .alias("alloc_docs"),
     ).orderBy("source")
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    budget: int = 1000,
+    temperature: float = 0.7,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "-mix",
+) -> DataFrame:
+    """Draw the mixture `mixture_allocation` planned: for each source,
+    keep its `alloc_docs` quota of documents, chosen by a deterministic
+    uniform priority (md5 of id+salt — a pure function of the row, so
+    engine/run/partitioning reproducible, and salt-independent of the
+    x40 sampling draw). The planning and drawing stages compose into
+    one job: allocation is a G-row broadcast.
+
+    Per-source quotas vary, so the two-phase bounded top-k (cap_per_
+    group's shape) ranks against the JOINED quota column: phase 1
+    bounds survivors at quota per (source, input-partition), phase 2
+    ranks survivors globally per source — a hot source never funnels
+    its full doc list through one task, only quota·P rows.
+    """
+    alloc = mixture_allocation(
+        docs, budget, temperature, group_col, text_col
+    ).select("source", "alloc_docs")
+    pri = _hex_uniform_int(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    base = docs.select(
+        F.col(group_col).alias("source"), F.col(id_col), pri.alias("pri")
+    ).join(F.broadcast(alloc), "source")
+    w_local = Window.partitionBy("source", "_p").orderBy("pri", id_col)
+    w_global = Window.partitionBy("source").orderBy("pri", id_col)
+    return (
+        base.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rl", F.row_number().over(w_local))
+        .where(F.col("_rl") <= F.col("alloc_docs"))
+        .drop("_rl", "_p")
+        .withColumn("draw_rank", F.row_number().over(w_global))
+        .where(F.col("draw_rank") <= F.col("alloc_docs"))
+        .select("source", id_col, F.col("draw_rank").cast("long").alias("draw_rank"))
+    )

@@ -2464,6 +2464,57 @@ GROUP BY term
 """
 
 
+def x71_materialize_mixture(spark, sf_dir):
+    """Mixture MATERIALIZATION (curation.materialize_mixture): actually
+    draw the temperature-scaled per-source quotas x50 plans — broadcast
+    G-row allocation joined to docs, deterministic md5 priority,
+    variable-quota two-phase bounded top-k. Same (T=2, budget=1000)
+    settings as x50, so the drawn counts reconcile with its plan."""
+    return curation.materialize_mixture(
+        _t(spark, sf_dir, "documents"), budget=1000, temperature=2.0
+    )
+
+
+X71_SQL = rf"""
+WITH g AS (
+  SELECT source,
+         count(*) AS n_docs,
+         SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS tot FROM g),
+wtd AS (
+  SELECT source, n_docs, n_tokens, pow(n_tokens / tot.tot, 1.0 / 2.0) AS w
+  FROM g CROSS JOIN tot
+),
+ws AS (SELECT SUM(w) AS ws FROM wtd),
+scored AS (
+  SELECT source,
+         floor(w / ws.ws * 1000) AS base,
+         w / ws.ws * 1000 - floor(w / ws.ws * 1000) AS frac
+  FROM wtd CROSS JOIN ws
+),
+alloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+                          <= 1000 - SUM(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs
+  FROM scored
+),
+pri AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || '-mix') AS h
+  FROM documents
+),
+drawn AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY ({_X40_U}), doc_id) AS rn
+  FROM pri
+)
+SELECT d.source, d.doc_id, CAST(d.rn AS BIGINT) AS draw_rank
+FROM drawn d JOIN alloc a USING (source)
+WHERE d.rn <= a.alloc_docs
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2535,4 +2586,5 @@ EXTENSIONS = {
     "x68_dup_ngram_coverage": (x68_dup_ngram_coverage, X68_SQL),
     "x69_inverted_index": (x69_inverted_index, X69_SQL),
     "x70_ndcg_eval": (x70_ndcg_eval, X70_SQL),
+    "x71_materialize_mixture": (x71_materialize_mixture, X71_SQL),
 }

@@ -130,3 +130,35 @@ def test_ndcg_perfect_and_reordered(spark):
     ]
     rows = {r["term"]: r for r in ndcg_eval(_docs(spark, skewed), ["q"]).collect()}
     assert rows["q"]["ndcg"] < 1.0
+
+
+def test_materialize_mixture_quota_and_determinism(spark):
+    from shifts_etl_spark.operators.curation import (
+        materialize_mixture,
+        mixture_allocation,
+    )
+
+    texts, sources = [], []
+    for i in range(40):
+        src = "big" if i < 30 else "small"
+        sources.append(src)
+        texts.append(" ".join(f"w{i}_{j}" for j in range(8)))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t) for i, (s, t) in enumerate(zip(sources, texts))],
+        "doc_id bigint, source string, text string",
+    )
+    alloc = {
+        r["source"]: r["alloc_docs"]
+        for r in mixture_allocation(docs, budget=10, temperature=2.0).collect()
+    }
+    drawn = materialize_mixture(docs, budget=10, temperature=2.0).collect()
+    # drawn counts hit the planned quota exactly (every source has enough docs)
+    per_src = {}
+    for r in drawn:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert per_src == alloc and sum(alloc.values()) == 10
+    # draw_rank dense within source and the draw is reproducible
+    again = materialize_mixture(docs, budget=10, temperature=2.0).collect()
+    assert sorted(map(tuple, drawn)) == sorted(map(tuple, again))
+    # temperature upweights the small source vs proportional share
+    assert alloc["small"] >= 2

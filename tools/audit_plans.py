@@ -65,6 +65,7 @@ SINGLE_PARTITION_OK = {
     "q59_decayed_value",  # decay anchor: global MAX ts = 1-row aggregate
     "x69_inverted_index",  # corpus size n_docs: 1-row aggregate
     "x70_ndcg_eval",  # corpus stats (N, avgdl): one 1-row aggregate
+    "x71_materialize_mixture",  # G-row allocation plan (x50 shape)
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -86,6 +87,7 @@ CROSS_JOIN_OK = {
     "q59_decayed_value",  # crossJoin with the broadcast 1-row anchor ts
     "x69_inverted_index",  # crossJoin with the broadcast 1-row n_docs
     "x70_ndcg_eval",  # crossJoin with the broadcast 1-row (N, avgdl)
+    "x71_materialize_mixture",  # crossJoins with broadcast 1-row totals (x50)
 }
 
 
