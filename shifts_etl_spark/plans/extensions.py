@@ -322,8 +322,68 @@ FROM codes
 
 def x13_sim_topk_ivf(spark, sf_dir):
     """IVF-cell approximate top-5 (deterministic centroid sample, 4-probe).
-    No SQL oracle — recall vs brute force asserted in tests."""
+    Fully deterministic (stride centroids, exact cosine, id tie-breaks),
+    so unlike the seeded-LSH paths it carries a full DuckDB oracle in
+    addition to the recall-vs-brute-force pytest."""
     return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5)
+
+
+X13_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+cdots AS (
+  SELECT a.vec_id, ce.vec_id AS cent_id, SUM(a.v * ce.v) AS dot
+  FROM elem a JOIN elem ce ON a.i = ce.i
+  WHERE ce.vec_id % 16 = 0
+  GROUP BY 1, 2
+),
+csims AS (
+  SELECT d.vec_id, d.cent_id, d.dot / (na.nrm * nc.nrm) AS sim
+  FROM cdots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nc ON d.cent_id = nc.vec_id
+),
+corpus_cell AS (
+  SELECT vec_id AS neighbor_id, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM csims)
+  WHERE rn = 1
+),
+query_cell AS (
+  SELECT vec_id AS query_id, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM csims WHERE vec_id IN (0, 1, 2, 3, 4))
+  WHERE rn <= 4
+),
+pair_ids AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM query_cell JOIN corpus_cell USING (cent_id)
+  WHERE query_id <> neighbor_id
+),
+pdots AS (
+  SELECT p.query_id, p.neighbor_id, SUM(q.v * c.v) AS dot
+  FROM pair_ids p
+  JOIN elem q ON q.vec_id = p.query_id
+  JOIN elem c ON c.vec_id = p.neighbor_id AND c.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pdots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def x14_table_profile(spark, sf_dir):
@@ -2528,7 +2588,7 @@ EXTENSIONS = {
     "x10_text_langid": (x10_text_langid, X10_SQL),
     "x11_text_fingerprint": (x11_text_fingerprint, X11_SQL),
     "x12_multimodal_features": (x12_multimodal_features, X12_SQL),
-    "x13_sim_topk_ivf": (x13_sim_topk_ivf, None),
+    "x13_sim_topk_ivf": (x13_sim_topk_ivf, X13_SQL),
     "x14_table_profile": (x14_table_profile, X14_SQL),
     "x15_approx_aggregates": (x15_approx_aggregates, None),
     "x16_pii_scrub": (x16_pii_scrub, X16_SQL),
