@@ -2575,6 +2575,131 @@ WHERE d.rn <= a.alloc_docs
 """
 
 
+def x72_purged_temporal_split(spark, sf_dir):
+    """Leakage-safe TEMPORAL train/test split with a purge embargo (the
+    financial-ML purged-split discipline, after de Prado): train is
+    strictly before the cutoff, test strictly after cutoff + embargo,
+    and the embargo window is EXCLUDED — rows whose time is too close
+    to the boundary leak forward-looking signal into features built
+    with trailing windows, so they belong to neither split. Hash splits
+    (x24) can't give this guarantee for time-series features. One
+    scan, one map-side-combinable aggregate; the split expression is a
+    pure date comparison, so partition pruning on o_orderdate still
+    applies under either split at scale."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    cutoff = F.lit("1999-01-01").cast("date")
+    embargo_end = F.date_add(cutoff, 30)
+    split = (
+        F.when(d < cutoff, "train")
+        .when(d >= embargo_end, "test")
+        .otherwise("embargo")
+    )
+    return (
+        o.select(
+            split.alias("split"),
+            d.alias("d"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("d").alias("first_date"),
+            F.max("d").alias("last_date"),
+        )
+    )
+
+
+X72_SQL = """
+SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01' THEN 'train'
+            WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-31' THEN 'test'
+            ELSE 'embargo' END AS split,
+       count(*) AS n_orders,
+       round(SUM(o_totalprice), 2) AS total_price,
+       MIN(CAST(o_orderdate AS DATE)) AS first_date,
+       MAX(CAST(o_orderdate AS DATE)) AS last_date
+FROM orders
+GROUP BY 1
+"""
+
+
+def x73_negative_sampling(spark, sf_dir):
+    """Contrastive negative sampling over embeddings: for each anchor
+    vector, 3 deterministic cross-label negatives — the pair-mining
+    stage of contrastive/triplet training. Candidates are blocked on a
+    16-way md5 bucket of the NEGATIVE id, so each anchor joins one
+    bucket (1/16 of the corpus), never the full table: the per-anchor
+    candidate count is bounded and the draw stays a pure function of
+    the id pair (engine/run/partitioning reproducible). Shuffle carries
+    (ids, label, bucket) only — vectors are not needed for mining."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from ..operators.curation import _hex_uniform_int
+
+    a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label"))
+    neg_bucket = _hex_uniform_int(F.concat(F.col("vec_id").cast("string"), F.lit("-nb"))) % 16
+    n = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("n_label"),
+        neg_bucket.alias("bkt"),
+    )
+    anchor_bucket = (
+        _hex_uniform_int(F.concat(F.col("anchor_id").cast("string"), F.lit("-ab"))) % 16
+    )
+    pri = _hex_uniform_int(
+        F.concat(
+            F.col("anchor_id").cast("string"), F.lit("/"), F.col("neg_id").cast("string")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy("pri", "neg_id")
+    return (
+        a.withColumn("bkt", anchor_bucket)
+        .join(n, "bkt")
+        .where(F.col("a_label") != F.col("n_label"))
+        .select("anchor_id", "neg_id", pri.alias("pri"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= 3)
+        .select(
+            "anchor_id", "neg_id", F.col("neg_rank").cast("long").alias("neg_rank")
+        )
+    )
+
+
+_X73_U = lambda col: " + ".join(  # noqa: E731 — SQL macro, mirrors _hex_uniform_int
+    f"(ascii(substring({col}, {i}, 1)) - CASE WHEN ascii(substring({col}, {i}, 1)) >= 97 "
+    f"THEN 87 ELSE 48 END) * {16 ** (6 - i)}"
+    for i in range(1, 7)
+)
+
+X73_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS a_label,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-ab')")}) % 16 AS bkt
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id AS neg_id, label AS n_label,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-nb')")}) % 16 AS bkt
+  FROM embeddings
+),
+pairs AS (
+  SELECT anchor_id, neg_id,
+         ({_X73_U("md5(CAST(anchor_id AS VARCHAR) || '/' || CAST(neg_id AS VARCHAR))")}) AS pri
+  FROM a JOIN n USING (bkt)
+  WHERE a.a_label <> n.n_label
+),
+ranked AS (
+  SELECT anchor_id, neg_id,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY pri, neg_id) AS rn
+  FROM pairs
+)
+SELECT anchor_id, neg_id, CAST(rn AS BIGINT) AS neg_rank
+FROM ranked WHERE rn <= 3
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2647,4 +2772,6 @@ EXTENSIONS = {
     "x69_inverted_index": (x69_inverted_index, X69_SQL),
     "x70_ndcg_eval": (x70_ndcg_eval, X70_SQL),
     "x71_materialize_mixture": (x71_materialize_mixture, X71_SQL),
+    "x72_purged_temporal_split": (x72_purged_temporal_split, X72_SQL),
+    "x73_negative_sampling": (x73_negative_sampling, X73_SQL),
 }

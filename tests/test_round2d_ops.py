@@ -162,3 +162,36 @@ def test_materialize_mixture_quota_and_determinism(spark):
     assert sorted(map(tuple, drawn)) == sorted(map(tuple, again))
     # temperature upweights the small source vs proportional share
     assert alloc["small"] >= 2
+
+
+def test_purged_temporal_split_boundaries(spark):
+    from shifts_etl_spark.plans.extensions import x72_purged_temporal_split
+
+    out = {r["split"]: r for r in x72_purged_temporal_split(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) <= {"train", "test", "embargo"}
+    if "train" in out and "embargo" in out:
+        assert out["train"]["last_date"] < out["embargo"]["first_date"]
+    if "embargo" in out and "test" in out:
+        assert out["embargo"]["last_date"] < out["test"]["first_date"]
+        # embargo window spans at most the 30-day purge
+        assert (out["embargo"]["last_date"] - out["embargo"]["first_date"]).days < 30
+
+
+def test_negative_sampling_cross_label_and_reproducible(spark):
+    from shifts_etl_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["x73_negative_sampling"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected some negatives"
+    import duckdb
+
+    con = duckdb.connect()
+    labels = dict(
+        con.execute(
+            "SELECT vec_id, label FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        assert labels[r["anchor_id"]] != labels[r["neg_id"]]
+        assert 1 <= r["neg_rank"] <= 3
+    again = CATALOG["x73_negative_sampling"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
