@@ -2700,6 +2700,17 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def x74_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py): 10 merges
+    learned at VOCABULARY scale (the corpus folds to distinct words
+    once; every Lloyd-style iteration runs on the vocab frame with a
+    1-row argmax collect). Iterative → rows-only check; the merge
+    sequence is pytest-pinned on the canonical Sennrich example."""
+    from ..operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2774,4 +2785,5 @@ EXTENSIONS = {
     "x71_materialize_mixture": (x71_materialize_mixture, X71_SQL),
     "x72_purged_temporal_split": (x72_purged_temporal_split, X72_SQL),
     "x73_negative_sampling": (x73_negative_sampling, X73_SQL),
+    "x74_bpe_merges": (x74_bpe_merges, None),
 }
