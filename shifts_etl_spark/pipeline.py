@@ -82,6 +82,7 @@ def prepare_training_data(
     budget_tokens: int = 512,
     max_dup_bigram_frac: float | None = None,
     max_length_quantile: float | None = None,
+    max_cross_doc_dup_frac: float | None = None,
 ) -> dict[str, DataFrame]:
     """The LLM-data capstone pipeline, composed from the extension
     operators: quality-filter → optional repetition filter (Gopher-style
@@ -89,7 +90,11 @@ def prepare_training_data(
     → optional length-outlier filter (``max_length_quantile`` drops docs
     whose token count exceeds that corpus quantile, computed from the
     mergeable sketch — one bounded extra pass, cutoff is a 1-row collect
-    like bloom's bitset; None disables) → PII-scrub → near-dup removal
+    like bloom's bitset; None disables) → optional cross-corpus
+    boilerplate filter (``max_cross_doc_dup_frac`` drops docs whose
+    duplicate-5-gram coverage — the RefinedWeb dup-token signal,
+    operators/dedup.duplicate_ngram_coverage — exceeds the cutoff;
+    None disables) → PII-scrub → near-dup removal
     (LSH → exact-Jaccard verify → connected components) →
     context-window chunking → sequence packing → stable train/val/test
     split.
@@ -128,6 +133,12 @@ def prepare_training_data(
             kept = kept.where(
                 token_count(F.col("text")) <= cut[0]["approx_value"]
             )
+
+    if max_cross_doc_dup_frac is not None:
+        cov = dedup.duplicate_ngram_coverage(kept).where(
+            F.col("dup_frac") <= max_cross_doc_dup_frac
+        )
+        kept = kept.join(cov.select("doc_id"), "doc_id")
 
     scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)

@@ -93,3 +93,31 @@ def test_length_quantile_stage_drops_outlier_doc(spark):
 
     without = prepare_training_data(spark, docs)
     assert 88888 in {r["doc_id"] for r in without["deduped"].collect()}
+
+
+def test_cross_doc_dup_filter_stage(spark):
+    from pyspark.sql import Row
+
+    from shifts_etl_spark.pipeline import prepare_training_data
+
+    shared = " ".join(f"boiler{i:02d}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            # two docs that are ~pure cross-copy boilerplate of each other
+            Row(doc_id=0, text=shared + " alpha omega ending here right now"),
+            Row(doc_id=1, text=shared + " beta gamma closing this out today"),
+            # clean doc sharing no 5-gram with anyone (>= 20 tokens)
+            Row(doc_id=2, text=" ".join("unique" + "abcdefghijklmnopqrstuv"[i] * 2 for i in range(22))),
+        ],
+        "doc_id bigint, text string",
+    )
+    with_filter = prepare_training_data(
+        spark, docs, max_cross_doc_dup_frac=0.3, min_jaccard=0.9
+    )
+    without = prepare_training_data(spark, docs, min_jaccard=0.9)
+    kept_ids = {r["doc_id"] for r in with_filter["deduped"].collect()}
+    base_ids = {r["doc_id"] for r in without["deduped"].collect()}
+    # the boilerplate pair exceeds 30% dup-5-gram coverage and is dropped
+    # by the cross-doc stage; the clean doc survives; stage off = no drop
+    assert 2 in kept_ids and not {0, 1} & kept_ids
+    assert {0, 1, 2} <= base_ids
