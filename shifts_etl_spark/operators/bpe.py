@@ -127,3 +127,53 @@ def bpe_merges_df(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -
         [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
         "merge_rank long, left string, right string, freq long",
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | None = None,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned merges and report per-doc subword statistics:
+    (id, n_words, n_chars, n_pieces, pieces_per_word) — the
+    tokenizer-aware length accounting a packing planner actually needs
+    (whitespace token counts under-estimate sequence length for rare
+    words; piece counts don't).
+
+    Same vocabulary trick as training: merges apply to the DISTINCT-word
+    frame (vocab-sized), then the per-word piece count joins back to the
+    corpus word stream by word — the corpus is never re-tokenized per
+    merge. The word→pieces map is a broadcast join (vocab ≪ corpus)."""
+    if merges is None:
+        merges = bpe_train(docs, n_merges, text_col)
+    vocab = word_vocab(docs, text_col).select(
+        "word", _initial_symbols(F.col("word")).alias("sym")
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    for a, b, _ in merges:
+        vocab = vocab.select(
+            "word", _apply_merge(F.col("sym"), a, b).alias("sym")
+        ).localCheckpoint(eager=True)
+    pieces = vocab.select("word", F.size("sym").alias("wp"))
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(pieces), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("wp").alias("n_pieces"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 6).alias("pieces_per_word"),
+        )
+    )

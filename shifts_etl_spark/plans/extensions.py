@@ -2711,6 +2711,17 @@ def x74_bpe_merges(spark, sf_dir):
     return bpe_merges_df(_t(spark, sf_dir, "documents"), n_merges=10)
 
 
+def x75_bpe_encode(spark, sf_dir):
+    """Tokenizer-aware per-doc length accounting: apply x74's learned
+    merges to the distinct-word frame (vocab-sized), broadcast the
+    word→piece-count map back over the corpus word stream, and report
+    (n_words, n_chars, n_pieces, pieces_per_word). Iterative trainer
+    inside → rows-only; encoding equivalence pytest-pinned."""
+    from ..operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2786,4 +2797,5 @@ EXTENSIONS = {
     "x72_purged_temporal_split": (x72_purged_temporal_split, X72_SQL),
     "x73_negative_sampling": (x73_negative_sampling, X73_SQL),
     "x74_bpe_merges": (x74_bpe_merges, None),
+    "x75_bpe_encode": (x75_bpe_encode, None),
 }

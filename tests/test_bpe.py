@@ -62,3 +62,21 @@ def test_vocab_weighting_and_determinism(spark):
     m1 = bpe_train(docs, 3)
     m2 = bpe_train(docs, 3)
     assert m1 == m2 == [("a", "b", 3), ("ab", END, 3), ("c", "d", 2)]
+
+
+def test_bpe_encode_counts(spark):
+    docs = _corpus(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    merges = bpe_train(docs, 5)
+    from shifts_etl_spark.operators.bpe import bpe_encode_counts
+
+    out = {r["doc_id"]: r for r in bpe_encode_counts(docs, merges).collect()}
+    # after es/est/est▁/lo/low: "low" -> [low, ▁] = 2 pieces;
+    # "newest" -> [n, e, w, est▁] = 4; "lower" -> [low, e, r, ▁] = 4
+    # (the lo/low merges fire inside "lower" too); "widest" -> 4
+    by_word = {"low": 2, "lower": 4, "newest": 4, "widest": 4}
+    i = 0
+    for w, c in [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]:
+        for _ in range(c):
+            r = out[i]
+            assert r["n_words"] == 1 and r["n_pieces"] == by_word[w], (w, dict(r.asDict()))
+            i += 1
