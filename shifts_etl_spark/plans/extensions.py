@@ -2722,6 +2722,195 @@ def x75_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(_t(spark, sf_dir, "documents"), n_merges=10)
 
 
+def x76_label_noise(spark, sf_dir):
+    """Label-noise detection via neighborhood disagreement (the
+    confident-learning signal): for each vector, the fraction of its
+    k=5 nearest SIGN-BUCKET neighbors carrying a DIFFERENT label; high
+    disagreement with enough neighbors flags a suspect label. The
+    block is the x51 8-bit sign bucket — label-independent (so
+    cross-label neighbors are visible) and deterministic; pair space
+    stays Σ per-bucket², never n². Cosine and ranking are JVM-side."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.coalesce((F.get("embedding", i) >= 0).cast("int"), F.lit(0)) * (1 << i)
+        for i in range(8)
+    ).alias("bkt")
+    e = emb.select(
+        F.col("vec_id").alias("vid"), "label", bucket, F.col("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.vid") != F.col("b.vid"))
+    ).select(
+        F.col("a.vid").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.label").alias("n_label"),
+        F.col("b.vid").alias("nid"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
+    top = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return (
+        top.groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.count_if(F.col("n_label") != F.col("label")).alias("n_disagree"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_neighbors",
+            "n_disagree",
+            F.round(F.col("n_disagree") / F.col("n_neighbors"), 6).alias(
+                "disagree_frac"
+            ),
+            (
+                (F.col("n_neighbors") >= 3)
+                & (F.col("n_disagree") / F.col("n_neighbors") >= 0.6)
+            ).alias("suspect"),
+        )
+    )
+
+
+X76_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nid, b.label AS n_label,
+         SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2, 3, 4
+),
+sims AS (
+  SELECT d.vec_id, d.label, d.nid, d.n_label,
+         d.dot / (na.nrm * nb.nrm) AS sim
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.nid = nb.vec_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT vec_id, label, n_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+)
+SELECT vec_id, label,
+       count(*) AS n_neighbors,
+       CAST(count(*) FILTER (n_label <> label) AS BIGINT) AS n_disagree,
+       round(CAST(count(*) FILTER (n_label <> label) AS DOUBLE) / count(*), 6) AS disagree_frac,
+       (count(*) >= 3 AND CAST(count(*) FILTER (n_label <> label) AS DOUBLE) / count(*) >= 0.6) AS suspect
+FROM top
+GROUP BY vec_id, label
+"""
+
+
+def x77_quality_psi(spark, sf_dir):
+    """Per-source quality drift as Population Stability Index: each
+    source's quality-score histogram (10 equal-width bins, Laplace
+    0.5-smoothed) vs the corpus-wide one; PSI = Σ (p_s − p_c)·ln(p_s /
+    p_c) — the data-monitoring metric that flags a crawl source going
+    bad between snapshots. Two map-side-combinable aggregates + a
+    10×|sources| grid (broadcast-tiny); the score is the closed-form
+    x9 heuristic so the oracle mirrors it bit-for-bit."""
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.least(F.floor(quality_score(F.col("text")) * 10), F.lit(9))
+        .cast("int")
+        .alias("b"),
+    )
+    per_sb = scored.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n_sb"))
+    per_s = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    per_b = scored.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    total = scored.agg(F.count(F.lit(1)).alias("n"))
+    grid = per_s.crossJoin(spark.range(10).select(F.col("id").cast("int").alias("b")))
+    joined = (
+        grid.join(per_sb, ["source", "b"], "left")
+        .join(F.broadcast(per_b), "b", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_s",
+            ((F.coalesce("n_sb", F.lit(0)) + 0.5) / (F.col("n_s") + 5)).alias("ps"),
+            ((F.coalesce("n_b", F.lit(0)) + 0.5) / (F.col("n") + 5)).alias("pc"),
+        )
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.round(F.sum((F.col("ps") - F.col("pc")) * F.log(F.col("ps") / F.col("pc"))), 6).alias("psi"),
+        )
+        .select("source", F.col("n_docs").cast("long").alias("n_docs"), "psi")
+    )
+
+
+X77_SQL = rf"""
+WITH base AS (
+  SELECT source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT source,
+         (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) AS score
+  FROM base
+),
+binned AS (SELECT source, CAST(least(floor(score * 10), 9) AS INT) AS b FROM q),
+per_sb AS (SELECT source, b, count(*) AS n_sb FROM binned GROUP BY 1, 2),
+per_s AS (SELECT source, count(*) AS n_s FROM binned GROUP BY 1),
+per_b AS (SELECT b, count(*) AS n_b FROM binned GROUP BY 1),
+total AS (SELECT count(*) AS n FROM binned),
+grid AS (
+  SELECT s.source, s.n_s, g.b
+  FROM per_s s CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) g
+),
+joined AS (
+  SELECT gr.source, gr.n_s,
+         (COALESCE(sb.n_sb, 0) + 0.5) / (gr.n_s + 5) AS ps,
+         (COALESCE(pb.n_b, 0) + 0.5) / (t.n + 5) AS pc
+  FROM grid gr
+  LEFT JOIN per_sb sb ON gr.source = sb.source AND gr.b = sb.b
+  LEFT JOIN per_b pb ON gr.b = pb.b
+  CROSS JOIN total t
+)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       round(SUM((ps - pc) * ln(ps / pc)), 6) AS psi
+FROM joined
+GROUP BY source
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -2798,4 +2987,6 @@ EXTENSIONS = {
     "x73_negative_sampling": (x73_negative_sampling, X73_SQL),
     "x74_bpe_merges": (x74_bpe_merges, None),
     "x75_bpe_encode": (x75_bpe_encode, None),
+    "x76_label_noise": (x76_label_noise, X76_SQL),
+    "x77_quality_psi": (x77_quality_psi, X77_SQL),
 }

@@ -195,3 +195,33 @@ def test_negative_sampling_cross_label_and_reproducible(spark):
         assert 1 <= r["neg_rank"] <= 3
     again = CATALOG["x73_negative_sampling"].spark(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_label_noise_flags_planted_mislabels(spark):
+    from shifts_etl_spark.plans.extensions import x76_label_noise
+
+    # sanity on real data: every vector gets <=5 neighbors and frac in [0,1]
+    rows = x76_label_noise(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_neighbors"] <= 5
+        assert 0.0 <= r["disagree_frac"] <= 1.0
+        if r["suspect"]:
+            assert r["n_neighbors"] >= 3 and r["disagree_frac"] >= 0.6
+
+
+def test_quality_psi_identical_sources_near_zero(spark):
+    from shifts_etl_spark.operators.textstats import quality_score  # noqa: F401
+    from shifts_etl_spark.plans.extensions import x77_quality_psi
+
+    out = {r["source"]: r for r in x77_quality_psi(spark, "/root/testdata/sf0.001").collect()}
+    assert out
+    # PSI is finite and small for sources drawn from the same generator;
+    # and per-source doc counts sum to the corpus size
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in out.values()) == n
+    assert all(abs(r["psi"]) < 1.0 for r in out.values())

@@ -66,6 +66,7 @@ SINGLE_PARTITION_OK = {
     "x69_inverted_index",  # corpus size n_docs: 1-row aggregate
     "x70_ndcg_eval",  # corpus stats (N, avgdl): one 1-row aggregate
     "x71_materialize_mixture",  # G-row allocation plan (x50 shape)
+    "x77_quality_psi",  # corpus total: one 1-row aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -88,6 +89,7 @@ CROSS_JOIN_OK = {
     "x69_inverted_index",  # crossJoin with the broadcast 1-row n_docs
     "x70_ndcg_eval",  # crossJoin with the broadcast 1-row (N, avgdl)
     "x71_materialize_mixture",  # crossJoins with broadcast 1-row totals (x50)
+    "x77_quality_psi",  # 10-bin grid + broadcast 1-row corpus total
 }
 
 
