@@ -137,37 +137,51 @@ def scalable_running_sum(
         keyed = with_ord.withColumn("_pid", bkt).drop("_ord")
     else:
         # fallback: physical range partitioning (orderable-but-unquantilable
-        # types); costs one extra data exchange for the _pid clustering
+        # types); costs one extra data exchange for the _pid clustering.
+        # localCheckpoint: the driver-side totals fold below and the
+        # returned plan must observe the SAME sampled range boundaries
+        # (RangePartitioner re-samples per RDD instantiation), so pin the
+        # keyed frame once; lineage truncation also spares the re-scan.
         if num_partitions:
             keyed = df.repartitionByRange(num_partitions, F.col(order_col))
         else:
             keyed = df.repartitionByRange(F.col(order_col))
-        keyed = keyed.withColumn("_pid", F.spark_partition_id())
+        keyed = keyed.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     local_w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     with_local = keyed.withColumn("_local", F.sum(value_col).over(local_w))
-    # totals from the PRE-window keyed frame: map-side partial agg → the
-    # shuffle carries one row per (bucket, map task). The branch re-scans
-    # the (pruned) source rather than the windowed frame — exchange reuse
-    # does not fire across the join's attribute dedup (measured), and a
-    # narrow second scan beats re-running the sort+window.
-    totals = (
-        keyed.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_total"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_total").over(
-                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset")
-    )
+    # Cross-bucket offsets: per-bucket totals from the PRE-window keyed
+    # frame (map-side partial agg → shuffle carries one row per (bucket,
+    # map task)), prefix-folded on the DRIVER over <= #partitions rows and
+    # rejoined as a broadcast literal frame. The earlier form computed the
+    # fold as SUM OVER (ORDER BY _pid) on the totals aggregate — Spark
+    # 4.1.2's Catalyst hits INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND ("Could not
+    # find <order_col> in [_pid, _total, _we0]") on that plan whenever
+    # ``order_col`` is itself a derived expression (xxhash64(...), a
+    # withColumn arithmetic, ...): projection collapse clones the derived
+    # expression into the aggregate branch and the attribute dedup loses
+    # it. The driver fold sidesteps the window entirely; its cost is
+    # bounded by cluster parallelism, never by data (same shape as
+    # sinks/shards.py). Pinned by tests/test_windows_profile.py's
+    # derived-order-column regression.
+    totals_df = keyed.groupBy("_pid").agg(F.sum(value_col).alias("_total"))
+    sum_dtype = totals_df.schema["_total"].dataType.simpleString()
+    rows = sorted((r["_pid"], r["_total"]) for r in totals_df.collect())
+    offsets, acc = [], 0
+    for pid, t in rows:
+        offsets.append((int(pid), acc))
+        acc += t if t is not None else 0
+    # carry the fold at full precision: bigint for integral sums (a double
+    # roundtrip would truncate past 2^53), double otherwise
+    carrier = "bigint" if sum_dtype in ("bigint", "int", "smallint", "tinyint") else "double"
+    off = df.sparkSession.createDataFrame(
+        [(p, int(v) if carrier == "bigint" else float(v)) for p, v in offsets]
+        or [(0, 0)],
+        f"_pid int, _offset {carrier}",
+    ).select("_pid", F.col("_offset").cast(sum_dtype).alias("_offset"))
     return (
-        with_local.join(F.broadcast(totals), "_pid")
+        with_local.join(F.broadcast(off), "_pid")
         .withColumn(out_col, F.col("_local") + F.col("_offset"))
-        .drop("_pid", "_local")
+        .drop("_pid", "_local", "_offset")
     )

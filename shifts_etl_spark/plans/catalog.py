@@ -21,12 +21,13 @@ class QuerySpec:
     oracle: str | None  # ANSI/DuckDB SQL twin; None → rows-only check
 
 
-# Names that already hold a green driver-correctness row from round 1
-# (CORRECTNESS_r01.json). The driver's harness consumes CATALOG in iteration
-# order and only reaches the first ~50 entries per round, so queries WITHOUT a
+# Names that already hold a green driver-correctness row (CORRECTNESS_r01 +
+# CORRECTNESS_r02). The driver's harness consumes CATALOG in iteration order
+# and only reaches the first ~50 entries per round, so queries WITHOUT a
 # driver row yet must iterate first; the already-verified set goes last.
-_DRIVER_VERIFIED_R01 = frozenset(
+_DRIVER_VERIFIED = frozenset(
     {
+        # --- round 1 greens (CORRECTNESS_r01.json) ---
         "s5_scan_pushdown", "t1_explode_tokens", "t2_rename_projection",
         "t3_array_fold_sum", "t5_epoch_seconds", "f1_predicates",
         "f2_date_range", "j1_inner_broadcast", "j2_left_join", "j3_semi_join",
@@ -43,36 +44,40 @@ _DRIVER_VERIFIED_R01 = frozenset(
         "q12_offset_limit", "q13_decimal_exact", "q14_string_functions",
         "q15_math_functions", "q16_date_spine", "q17_shipping_priority",
         "q18_local_supplier_volume", "q19_event_funnel",
+        # --- round 2 greens (CORRECTNESS_r02.json, 43 rows) ---
+        "q20_idle_rich_customers", "q21_latest_per_key", "q22_nation_trade",
+        "q23_grouped_topk", "q24_returned_item_customers",
+        "q25_promo_revenue_share", "w9_range_interval_frame",
+        "x1_dedup_exact", "x2_dedup_exact_normalized", "x5_ngram_jaccard",
+        "x6_embedding_nn", "x7_sim_topk_bruteforce", "x9_text_stats",
+        "x10_text_langid", "x11_text_fingerprint", "x12_multimodal_features",
+        "x13_sim_topk_ivf", "x14_table_profile", "x16_pii_scrub",
+        "x17_vocabulary", "x18_quality_filter", "x19_tf_idf",
+        "x20_frame_sample", "x21_chunk_documents", "x22_pack_sequences",
+        "x23_stratified_sample", "x24_dataset_split", "x26_resize_images",
+        "x27_bloom_semi_join", "x28_repetition_stats", "x29_incremental_dedup",
+        "x32_expectations", "q26_gap_fill_locf", "q27_scd2_history",
+        "q28_fk_orphans", "q29_rate_anomaly", "q30_cohort_retention",
+        "q31_unpivot_metrics", "q32_event_concurrency",
+        "q33_recursive_hierarchy", "q34_waiting_orders",
+        "q35_inactive_big_balance", "q36_priority_returns",
     }
 )
 
 _MERGED = {**RELATIONAL, **TPCH, **EXTENSIONS}
 
-# Round-1 verdict names an explicit done-criterion for round 2: driver
-# correctness rows for ALL of x1-x32, q20-q25, w9. That set outranks the
-# queries added after the verdict (q26+, x33+), which in turn outrank the
-# 50 already-driver-verified names.
-def _asked(name: str) -> bool:
-    stem = name.split("_", 1)[0]
-    if stem == "w9":
-        return True
-    if stem.startswith("q") and stem[1:].isdigit():
-        return 20 <= int(stem[1:]) <= 25
-    if stem.startswith("x") and stem[1:].isdigit():
-        return 1 <= int(stem[1:]) <= 32
-    return False
-
-
-# Within each block, oracle-backed queries first (a driver row there is a
-# full rows+schema+hash check), rows-only ones last.
+# Round-2 verdict sort contract (VERDICT.md "Next round" #1): the window must
+# never burn a slot on a rows-only entry while oracle-backed queries lack a
+# driver row. Sort key = (already-driver-verified, rows-only, name) so the
+# first ~50 entries are exactly the not-yet-verified oracle-backed tail.
 CATALOG: dict[str, QuerySpec] = {
     name: QuerySpec(name, *_MERGED[name])
     for name in sorted(
         _MERGED,
         key=lambda n: (
-            n in _DRIVER_VERIFIED_R01,
-            not _asked(n),
+            n in _DRIVER_VERIFIED,
             _MERGED[n][1] is None,
+            n,
         ),
     )
 }

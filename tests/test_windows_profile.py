@@ -49,6 +49,45 @@ def test_scalable_prefix_sum_partition_count(spark):
         assert r.rs == pytest.approx(single[r.event_id], rel=1e-9)
 
 
+def test_scalable_prefix_sum_derived_order_column(spark):
+    """Regression for the Spark 4.1.2 Catalyst bug (VERDICT r2 #3): a
+    DERIVED order column (xxhash64 of the key) under the default
+    32-partition session used to raise INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    ("Could not find _h in [_pid, _total, _we0]") from the window-over-
+    totals offset plan. The driver-folded offsets path must (a) not raise
+    and (b) still produce the exact prefix sum in hash order."""
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", "value")
+        .withColumn("_h", F.xxhash64("event_id"))
+    )
+    out = {
+        r._h: r.rs
+        for r in scalable_running_sum(ev, "_h", "value", "rs").collect()
+    }
+    rows = sorted(
+        (r._h, r.value) for r in ev.select("_h", "value").collect()
+    )
+    acc = 0.0
+    for h, v in rows:
+        acc += v
+        assert out[h] == pytest.approx(acc, rel=1e-9)
+
+
+def test_scalable_prefix_sum_bigint_sums_exact(spark):
+    """Integral value columns must fold at bigint precision on the driver
+    (a double carrier would truncate past 2^53)."""
+    big = 1 << 54
+    df = spark.createDataFrame(
+        [(i, big + i) for i in range(8)], "id long, v long"
+    )
+    out = {r.id: r.rs for r in scalable_running_sum(df, "id", "v", "rs", num_partitions=4).collect()}
+    acc = 0
+    for i in range(8):
+        acc += big + i
+        assert out[i] == acc
+
+
 def test_profile_table_shape(spark):
     orders = load_table(spark, SF, "orders")
     prof = profile_table(orders).collect()

@@ -41,8 +41,6 @@ SINGLE_PARTITION_OK = {
     "q1_scalar_subquery",  # global AVG subquery + global count: 1-row aggs
     "x14_table_profile",  # one-pass profile = single 1-row aggregate
     "x19_tf_idf",  # global doc count N = one-row aggregate
-    "x22_pack_sequences",  # global-order layout is the op's contract;
-    # swap in scalable_running_sum when corpus >> memory (docs/SCALE.md)
     "q20_idle_rich_customers",  # global AVG scalar subquery: 1-row agg
     "x31_hll_mergeable_sketches",  # sketch union total: k-row → 1-row agg
     "x32_expectations",  # all rules fold into ONE 1-row global aggregate
