@@ -13,7 +13,11 @@ cross-validates it against the JVM chunker so the two can never drift.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
+
+_RE_NON_ALNUM = re.compile(r"[^a-z0-9\s]")
 
 
 @udtf(returnType="chunk_id: int, chunk_text: string, n_tokens: int")
@@ -26,7 +30,10 @@ class ChunkDocument:
     def eval(self, text: str, chunk_size: int, overlap: int):
         if not text:
             return
-        toks = text.split()
+        # same normalization as operators/textstats.normalize_text (the
+        # JVM chunker's tokenizer): lowercase, non-alnum → space — so the
+        # SQL surface and chunk_documents can never drift on raw text
+        toks = _RE_NON_ALNUM.sub(" ", text.lower()).split()
         if not toks:
             return
         step = max(chunk_size - overlap, 1)

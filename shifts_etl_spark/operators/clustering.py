@@ -56,11 +56,25 @@ def _dists(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array(*[_l2_sq(vec, c) for c in centroids])
 
 
-def _nearest(dists: Column) -> tuple[Column, Column]:
+def _nearest(dists: Column, round_decimals: int | None = None) -> tuple[Column, Column]:
     """(cell, dist²) of the minimum — array_position returns the FIRST
-    match, so ties break toward the lower cell index."""
+    match, so ties break toward the lower cell index. ``round_decimals``
+    rounds each distance before the argmin (HALF_UP, like DuckDB's round)
+    so cross-engine float-summation-order wobble cannot flip a cell."""
+    if round_decimals is not None:
+        dists = F.transform(dists, lambda d: F.round(d, round_decimals))
     lo = F.array_min(dists)
     return (F.array_position(dists, lo) - 1).cast("int"), lo
+
+
+def _round_half_up(x: float, decimals: int) -> float:
+    """Driver-side HALF_UP rounding (ties away from zero) — matches
+    Spark's F.round and DuckDB's round; Python's built-in round is
+    HALF_EVEN and would diverge at exact .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-decimals)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def assign_cells(
@@ -68,9 +82,10 @@ def assign_cells(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """(id, cell, dist²) for every vector — one shuffle-free scan."""
-    cell, dist = _nearest(_dists(F.col(vec_col), centroids))
+    cell, dist = _nearest(_dists(F.col(vec_col), centroids), round_decimals)
     return emb.select(
         F.col(id_col), cell.alias("cell"), dist.alias("dist_sq")
     )
@@ -82,31 +97,45 @@ def kmeans_fit(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
+    round_decimals: int | None = None,
 ) -> KMeansModel:
     """Lloyd's iterations: assign (shuffle-free, literal centroids) →
     recompute means ((cell, pos) aggregate) → repeat. Empty cells keep
     their previous centroid. Returns centroids + per-iteration mean
-    squared distance (non-increasing, the convergence witness)."""
-    # Persist the (hash, double-vector) projection ONCE: every Lloyd
+    squared distance (non-increasing, the convergence witness).
+
+    ``init``: "hash" seeds from the k first vectors in xxhash64(id) order
+    (a deterministic pseudo-random sample — the scale default); "first"
+    seeds from the k lowest ids — trivially SQL-mirrorable, which is what
+    makes the x30/x36 catalog entries DuckDB-oracle-checkable.
+    ``round_decimals``: HALF_UP-round distances before each argmin and
+    centroid means after each update, so the fixed point is identical
+    across engines regardless of float summation order (the x13 6-decimal
+    convention)."""
+    # Persist the (order-key, double-vector) projection ONCE: every Lloyd
     # iteration otherwise rebuilds its plan from the parquet scan (scan +
     # decode + cast per round — measured as the dominant cost at sf0.01).
     # The cached footprint is one double array + a long per vector.
+    order_key = (
+        F.xxhash64(F.col(id_col)) if init == "hash" else F.col(id_col)
+    )
     feats = emb.select(
-        F.xxhash64(F.col(id_col)).alias("_h"),
+        order_key.alias("_h"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()
     try:
-        init = feats.orderBy("_h").limit(k).collect()
-        if not init:
+        init_rows = feats.orderBy("_h").limit(k).collect()
+        if not init_rows:
             raise ValueError("kmeans_fit: input has no rows")
-        k = min(k, len(init))  # fewer vectors than k → one cell per vector
-        centroids = [[float(x) for x in r["v"]] for r in init]
+        k = min(k, len(init_rows))  # fewer vectors than k → one cell per vector
+        centroids = [[float(x) for x in r["v"]] for r in init_rows]
         objective: list[float] = []
         sizes: list[int] = []
 
         dim = len(centroids[0])
         for _ in range(max_iter):
-            cell, dist = _nearest(_dists(F.col("v"), centroids))
+            cell, dist = _nearest(_dists(F.col("v"), centroids), round_decimals)
             # Elementwise sums via dim element_at aggregates, NOT
             # posexplode: Catalyst collapses a projection into a
             # generator, so an exploded form re-evaluates the whole
@@ -132,7 +161,10 @@ def kmeans_fit(
             counts = [0] * k
             total_d, total_n = 0.0, 0
             for r in stats:
-                new_cents[r["cell"]] = [r[f"s{i}"] / r["c"] for i in range(dim)]
+                mean = [r[f"s{i}"] / r["c"] for i in range(dim)]
+                if round_decimals is not None:
+                    mean = [_round_half_up(x, round_decimals) for x in mean]
+                new_cents[r["cell"]] = mean
                 counts[r["cell"]] = r["c"]
                 total_d += r["d"]
                 total_n += r["c"]

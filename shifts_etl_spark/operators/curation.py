@@ -139,6 +139,8 @@ def semantic_dedup(
     max_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means the embeddings, then inside
     each cell drop every vector whose cosine to a LOWER-id cell-mate is
@@ -157,10 +159,12 @@ def semantic_dedup(
     from ..functions.vectors import cosine_similarity
 
     model = clustering.kmeans_fit(
-        emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+        emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+        init=init, round_decimals=round_decimals,
     )
     cells = clustering.assign_cells(
-        emb, model.centroids, id_col=id_col, vec_col=vec_col
+        emb, model.centroids, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
     ).select(id_col, "cell")
     e = emb.join(cells, id_col).select(
         F.col(id_col).alias("vid"),
@@ -175,7 +179,12 @@ def semantic_dedup(
             & (F.col("r.vid") < F.col("l.vid")),
         )
         .where(
-            cosine_similarity(F.col("l.v"), F.col("r.v")) >= threshold
+            (
+                F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), round_decimals)
+                if round_decimals is not None
+                else cosine_similarity(F.col("l.v"), F.col("r.v"))
+            )
+            >= threshold
         )
         .select(F.col("l.vid").alias("vid"))
         .distinct()

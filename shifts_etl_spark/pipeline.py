@@ -135,10 +135,13 @@ def prepare_training_data(
             )
 
     if max_cross_doc_dup_frac is not None:
-        cov = dedup.duplicate_ngram_coverage(kept).where(
-            F.col("dup_frac") <= max_cross_doc_dup_frac
+        # anti-join against docs EXCEEDING the cutoff: coverage yields no
+        # row for zero-token docs, so an inner join on the keep side would
+        # silently drop them instead of passing them through as dup_frac=0
+        over = dedup.duplicate_ngram_coverage(kept).where(
+            F.col("dup_frac") > max_cross_doc_dup_frac
         )
-        kept = kept.join(cov.select("doc_id"), "doc_id")
+        kept = kept.join(over.select("doc_id"), "doc_id", "left_anti")
 
     scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)

@@ -591,15 +591,23 @@ FROM cum
 
 
 def x25_dedup_pipeline(spark, sf_dir):
-    """End-to-end near-dup removal: MinHash-LSH candidates → exact-Jaccard
+    """End-to-end near-dup removal: candidate pairs → exact-Jaccard
     verification (≥ 0.5) → connected components → keep/drop per doc.
-    xxhash64-based → rows-only check; component semantics pytest-covered."""
+
+    Oracle-checkable since round 3: the catalog entry generates candidates
+    with deterministic rare-shingle blocking (dedup.rare_shingle_pairs —
+    hash-free, same fan-out bound as x67) instead of seeded MinHash-LSH,
+    so the keep-set is exactly derivable by a DuckDB WITH RECURSIVE
+    reachability oracle. The MinHash-LSH candidate generator remains the
+    library's scale default for adversarial corpora and keeps its planted
+    -dup pytest (x3); only the verification/clustering stages differ in
+    nothing — both variants share them."""
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_pairs(docs)
-    verified = dedup.ngram_jaccard_pairs(docs, cand.select("id_a", "id_b")).where(
+    cand = dedup.rare_shingle_pairs(docs)
+    verified = dedup.ngram_jaccard_pairs(docs, cand).where(
         F.col("jaccard") >= 0.5
     )
-    clusters = dedup.dedup_clusters(verified)
+    clusters = dedup.dedup_clusters(verified.select("id_a", "id_b"))
     return (
         docs.select("doc_id")
         .join(clusters, docs.doc_id == clusters.doc, "left")
@@ -819,17 +827,80 @@ WHERE content_hash NOT IN (SELECT ch FROM hashed WHERE doc_id % 2 = 0)
 
 def x30_kmeans_cells(spark, sf_dir):
     """DataFrame-native k-means (operators/clustering.py): 3 Lloyd
-    iterations over the embeddings, then the per-cell occupancy. Rows-only
-    (iterative, not SQL-expressible); convergence semantics are pytest-
-    covered. Counts are integers and therefore cross-run stable even
-    though fp partial-sum order can wiggle centroids in the last ulp."""
+    iterations over the embeddings, then the per-cell occupancy.
+
+    Oracle-checkable since round 3 (the x13 determinism recipe): centroids
+    seed from the k lowest vec_ids ("first" init — ORDER BY vec_id LIMIT k
+    in SQL), distances HALF_UP-round to 6 decimals before each argmin, and
+    centroid means round to 6 decimals after each update — so the Lloyd
+    fixed point is identical across engines regardless of float partial-sum
+    order, and the 3 iterations unroll into a DuckDB CTE chain
+    (_kmeans_cells_sql). The seeded-hash init stays the default for
+    library callers."""
     emb = _t(spark, sf_dir, "embeddings")
-    model = clustering.kmeans_fit(emb, k=8, max_iter=3)
+    model = clustering.kmeans_fit(
+        emb, k=8, max_iter=3, init="first", round_decimals=6
+    )
     return (
-        clustering.assign_cells(emb, model.centroids)
+        clustering.assign_cells(emb, model.centroids, round_decimals=6)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def _kmeans_cells_sql(k: int = 8, iters: int = 3, dec: int = 6) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain, mirroring
+    clustering.kmeans_fit(init="first", round_decimals=dec) exactly:
+    cent0 = k lowest-id vectors; per iteration assign (rounded dist²,
+    lower-cid tie-break) then recompute rounded means (empty cells carry
+    the previous centroid); a final assignment against cent{iters}
+    mirrors assign_cells. Returns the CTE prefix ending with the final
+    assignment CTE a{iters+1}(vec_id, cell)."""
+    parts = [
+        f"""WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+kinit AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+cent0 AS (SELECT n.cid, e.i, e.v AS c FROM elem e JOIN kinit n USING (vec_id))"""
+    ]
+    for t in range(1, iters + 2):
+        p = t - 1
+        parts.append(
+            f"""d{t} AS (
+  SELECT e.vec_id, c.cid, round(SUM((e.v - c.c) * (e.v - c.c)), {dec}) AS d
+  FROM elem e JOIN cent{p} c ON e.i = c.i GROUP BY 1, 2
+),
+a{t} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+)"""
+        )
+        if t <= iters:
+            parts.append(
+                f"""m{t} AS (
+  SELECT a.cell AS cid, e.i, round(AVG(e.v), {dec}) AS c
+  FROM elem e JOIN a{t} a USING (vec_id) GROUP BY 1, 2
+),
+cent{t} AS (
+  SELECT p.cid, p.i, COALESCE(m.c, p.c) AS c
+  FROM cent{p} p LEFT JOIN m{t} m ON m.cid = p.cid AND m.i = p.i
+)"""
+            )
+    return ",\n".join(parts)
+
+
+X30_SQL = f"""{_kmeans_cells_sql(8, 3, 6)}
+SELECT CAST(cell AS INT) AS cell, count(*) AS n_vectors
+FROM a4 GROUP BY 1
+"""
 
 
 def x31_hll_mergeable_sketches(spark, sf_dir):
@@ -1019,14 +1090,44 @@ WHERE c.doc_id >= 20
 
 def x36_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (curation.semantic_dedup): k-means
-    cells, greedy one-representative-per-neighborhood inside each cell at
-    cosine >= 0.9. Rows-only (iterative fit; float partial-sum order can
-    wiggle a boundary vector's cell in the last ulp) — the result keeps
-    one row per input vector, so the row count is exactly the corpus size
-    regardless; keep/drop semantics are pytest-covered with planted
-    near-duplicate vectors."""
+    cells, then inside each cell drop every vector with a LOWER-id
+    cell-mate at cosine >= 0.9 (one representative per near-dup
+    neighborhood — a pure join, not a sequential greedy, so it is
+    SQL-expressible). Oracle-checkable since round 3: the fit runs the
+    same deterministic recipe as x30 ("first" init + 6-decimal rounding),
+    and the cosine is rounded to 6 decimals before the threshold compare
+    on both engines. Keep/drop semantics additionally pytest-covered with
+    planted near-duplicate vectors."""
     emb = _t(spark, sf_dir, "embeddings")
-    return curation.semantic_dedup(emb, k=8, threshold=0.9, max_iter=3)
+    return curation.semantic_dedup(
+        emb, k=8, threshold=0.9, max_iter=3, init="first", round_decimals=6
+    )
+
+
+X36_SQL = f"""{_kmeans_cells_sql(8, 3, 6)},
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+cpairs AS (
+  SELECT l.vec_id AS lv, r.vec_id AS rv
+  FROM a4 l JOIN a4 r ON l.cell = r.cell AND r.vec_id < l.vec_id
+),
+cdots2 AS (
+  SELECT c.lv, c.rv, SUM(x.v * y.v) AS dot
+  FROM cpairs c
+  JOIN elem x ON x.vec_id = c.lv
+  JOIN elem y ON y.vec_id = c.rv AND y.i = x.i
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT d.lv AS vid
+  FROM cdots2 d
+  JOIN norms nl ON nl.vec_id = d.lv
+  JOIN norms nr ON nr.vec_id = d.rv
+  WHERE nl.nrm > 0 AND nr.nrm > 0
+    AND round(d.dot / (nl.nrm * nr.nrm), 6) >= 0.9
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, dr.vid IS NULL AS keep
+FROM a4 a LEFT JOIN dropped dr ON dr.vid = a.vec_id
+"""
 
 
 def x37_length_histogram(spark, sf_dir):
@@ -2390,7 +2491,9 @@ shn AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
-              ELSE [array_to_string(toks, ' ')]
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
          END AS sh
   FROM norm
 ),
@@ -2404,8 +2507,8 @@ cand AS (
 conf AS (
   SELECT ia, ib
   FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
-  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3
 ),
 edges AS (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
 reach AS (
@@ -2414,6 +2517,50 @@ reach AS (
   SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b
 )
 SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+# x25's oracle: the same blocked-components chain at confirm threshold 0.5,
+# projected to a keep/drop decision for EVERY document (docs outside any
+# confirmed component keep themselves). The Jaccard is rounded to 6 decimals
+# before the threshold compare to mirror ngram_jaccard_pairs exactly.
+X25_SQL = rf"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+conf AS (
+  SELECT ia, ib
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
+),
+edges AS (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b
+),
+comp AS (SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 """
 
 
@@ -2448,6 +2595,7 @@ SELECT n.doc_id, len(n.toks) AS n_tokens,
        coalesce(c.dup_tokens, 0) AS dup_tokens,
        round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(n.toks), 6) AS dup_frac
 FROM norm n LEFT JOIN cov c USING (doc_id)
+WHERE len(n.toks) > 0
 """
 
 
@@ -2750,7 +2898,10 @@ def x76_label_noise(spark, sf_dir):
         F.col("a.label").alias("label"),
         F.col("b.label").alias("n_label"),
         F.col("b.vid").alias("nid"),
-        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("sim"),
+        # 6-decimal rounding BEFORE the rank window (the x13/x7 convention):
+        # Spark's sequential zip_with fold and DuckDB's unordered SUM can
+        # differ in the last ulp, which would flip row_number at near-ties
+        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
     top = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
@@ -2803,7 +2954,7 @@ dots AS (
 ),
 sims AS (
   SELECT d.vec_id, d.label, d.nid, d.n_label,
-         d.dot / (na.nrm * nb.nrm) AS sim
+         round(d.dot / (na.nrm * nb.nrm), 6) AS sim
   FROM dots d
   JOIN norms na ON d.vec_id = na.vec_id
   JOIN norms nb ON d.nid = nb.vec_id
@@ -2936,18 +3087,18 @@ EXTENSIONS = {
     "x22_pack_sequences": (x22_pack_sequences, X22_SQL),
     "x23_stratified_sample": (x23_stratified_sample, X23_SQL),
     "x24_dataset_split": (x24_dataset_split, X24_SQL),
-    "x25_dedup_pipeline": (x25_dedup_pipeline, None),
+    "x25_dedup_pipeline": (x25_dedup_pipeline, X25_SQL),
     "x26_resize_images": (x26_resize_images, X26_SQL),
     "x27_bloom_semi_join": (x27_bloom_semi_join, X27_SQL),
     "x28_repetition_stats": (x28_repetition_stats, X28_SQL),
     "x29_incremental_dedup": (x29_incremental_dedup, X29_SQL),
-    "x30_kmeans_cells": (x30_kmeans_cells, None),
+    "x30_kmeans_cells": (x30_kmeans_cells, X30_SQL),
     "x31_hll_mergeable_sketches": (x31_hll_mergeable_sketches, None),
     "x32_expectations": (x32_expectations, X32_SQL),
     "x33_theta_set_sketches": (x33_theta_set_sketches, None),
     "x34_domain_caps": (x34_domain_caps, X34_SQL),
     "x35_benchmark_contamination": (x35_benchmark_contamination, X35_SQL),
-    "x36_semantic_dedup": (x36_semantic_dedup, None),
+    "x36_semantic_dedup": (x36_semantic_dedup, X36_SQL),
     "x37_length_histogram": (x37_length_histogram, X37_SQL),
     "x38_collocation_pmi": (x38_collocation_pmi, X38_SQL),
     "x39_unigram_logprob": (x39_unigram_logprob, X39_SQL),
