@@ -647,3 +647,59 @@ def duplicate_ngram_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def split_ngram_contamination(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Cross-split n-gram contamination audit (the GPT-3 §4 recipe,
+    turned inward on the train/val/test assignment of x24's md5 split):
+    for every held-out (val/test) doc, the fraction of its distinct
+    ``shingle_n``-grams that also occur in ANY training doc. High overlap
+    means the held-out example is effectively memorizable from train —
+    the NEAR-dup complement of x53's exact-hash split-leakage audit.
+
+    Returns (doc_id, split, n_shingles, n_shared, shared_frac,
+    contaminated) for held-out docs with >= 1 token (zero-token docs
+    have no shingles and emit no row — the shingle_rows contract).
+
+    Scale shape: shingles materialize once (posexplode + LEAD); the
+    train-shingle set is a distinct projection; the audit is a
+    (shingle, doc)-keyed left-semi-style join whose shuffle carries
+    token-sized keys only — document text never moves after the scan."""
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train")
+    )
+    assigned = docs.select(F.col(id_col), split.alias("split"), F.col(text_col))
+    sh = shingle_rows(assigned, text_col, id_col, shingle_n).distinct()
+    with_split = sh.join(
+        assigned.select(F.col(id_col).alias("doc"), "split"), "doc"
+    )
+    train_sh = (
+        with_split.where(F.col("split") == "train").select("s").distinct()
+    )
+    held = with_split.where(F.col("split") != "train")
+    shared = (
+        held.join(train_sh.withColumn("_hit", F.lit(1)), "s", "left")
+        .groupBy("doc", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("_hit").isNotNull()).alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared") / F.col("n_shingles")
+    return shared.select(
+        F.col("doc").alias(id_col),
+        "split",
+        "n_shingles",
+        "n_shared",
+        F.round(frac, 6).alias("shared_frac"),
+        (frac >= 0.5).alias("contaminated"),
+    )

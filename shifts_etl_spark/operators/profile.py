@@ -65,3 +65,66 @@ def observed_metrics(df, action=None, **metric_exprs):
     observed = df.observe(obs, *named)
     result = action(observed) if action else observed.count()
     return result, obs.get
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column, upper triangle
+    as (i, j, cov) rows with 0-based dims — the input to whitening / PCA
+    and the drift detector for embedding spaces (cov shift between two
+    snapshots flags an encoder change x59's per-dim stats can't see).
+
+    Scale shape: one pass; each Arrow batch folds to dim·(dim+1)/2
+    partial rows (count, Σvi, Σvj, Σvi·vj) via a numpy outer product
+    inside mapInPandas — the sanctioned columnar-batch path; a per-row
+    built-in expression form would need dim² aggregate columns through
+    codegen. The (i, j) reduce then carries only partials (#batches ×
+    triangle), never vectors, and cov = (Σvivj − ΣviΣvj/n)/n folds
+    exactly. Rounded so cross-engine summation order can't leak."""
+    import numpy as np
+    import pandas as pd
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("embedding_covariance: input has no rows")
+    dim = len(first[0])
+    iu, ju = np.triu_indices(dim)
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            s = m.sum(axis=0)
+            p = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.full(len(iu), m.shape[0], dtype="int64"),
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "sp": p[iu, ju],
+                }
+            )
+
+    parts = emb.select(vec_col).mapInPandas(
+        _partials, "i int, j int, n long, si double, sj double, sp double"
+    )
+    tot = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("sp").alias("sp"),
+    )
+    cov = (F.col("sp") - F.col("si") * F.col("sj") / F.col("n")) / F.col("n")
+    # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a rounded -1e-9 would
+    # otherwise hash differently across engines)
+    return tot.select(
+        "i", "j", (F.round(cov, round_decimals) + 0.0).alias("cov")
+    )

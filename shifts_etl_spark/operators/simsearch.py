@@ -300,3 +300,53 @@ def mmr_topk(
     return spark.createDataFrame(
         out, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
     )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_sign_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the top-``k`` most-similar vectors carrying a DIFFERENT label — the
+    refinement over x73's random negative sampling (hard negatives =
+    near-boundary cross-label neighbors, the pairs that actually move a
+    contrastive loss).
+
+    Blocking is the label-independent 8-bit sign bucket (the x51/x76
+    shape): pair space stays Σ per-bucket², never n²; cross-label
+    neighbors remain visible because the bucket ignores labels. Cosine is
+    rounded to 6 dp before the rank window (the x13 convention) so float
+    summation order cannot flip a near-tie cross-engine; ties break by
+    negative id. Anchors with no cross-label bucket-mate emit no rows."""
+    bucket = sum(
+        F.coalesce(
+            (F.get(vec_col, i) >= 0).cast("int"), F.lit(0)
+        ) * (1 << i)
+        for i in range(n_sign_bits)
+    ).alias("bkt")
+    e = emb.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("lbl"), bucket,
+        F.col(vec_col).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.lbl") != F.col("b.lbl")),
+    ).select(
+        F.col("a.vid").alias("anchor_id"),
+        F.col("a.lbl").alias("anchor_label"),
+        F.col("b.vid").alias("neg_id"),
+        F.col("b.lbl").alias("neg_label"),
+        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neg_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cosine", "rank")
+    )

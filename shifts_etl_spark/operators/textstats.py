@@ -635,3 +635,97 @@ def ndcg_eval(
             F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
         )
     )
+
+
+def positioned_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, w1, w2) token transitions in document order — posexplode +
+    window LEAD (the dedup.shingle_rows scale shape: tokens materialize
+    once; an array-lambda form would re-inline the tokenizer per position
+    through Catalyst's projection collapse)."""
+    from pyspark.sql import Window
+
+    from .dedup import _fan_out
+
+    tok = _fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select("doc_id", "w1", F.lead("w1").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+
+
+def backoff_bigram_logprob(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (the KenLM-style quality filter,
+    self-contained): bigram/unigram counts learned on ``train_docs``,
+    held-out ``score_docs`` scored per token transition as
+
+        seen bigram:   ln( c2(w1,w2) / c1(w1) )
+        else backoff:  ln( alpha * (c1(w2) + 1) / (N + V) )
+
+    (add-1-smoothed unigram fallback also covers OOV w2). Returns one row
+    per scored doc with >= 1 transition: (doc_id, n_transitions,
+    n_backoff, mean_logscore). Training on a DIFFERENT split than the one
+    scored is what makes backoff actually fire — a self-scored corpus has
+    seen every one of its own bigrams.
+
+    Scale shape: counts are map-side-combinable aggregates keyed by
+    (w1,w2)/w; the transition→counts equi joins shuffle token-sized rows
+    (AQE broadcasts count sides when small); corpus totals are a 1-row
+    broadcast; the per-doc mean is doc-keyed and combinable. Mean rounded
+    to 4 dp so double summation order cannot leak cross-engine."""
+    t_trans = positioned_bigrams(train_docs, text_col, id_col)
+    t_tok = train_docs.select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("w")
+    )
+    uni = t_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    big = t_trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    s_trans = positioned_bigrams(score_docs, text_col, id_col)
+    joined = (
+        s_trans.join(big, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    backoff = F.col("c2").isNull()
+    score = F.when(
+        ~backoff,
+        F.log(F.col("c2").cast("double") / F.col("c1")),
+    ).otherwise(
+        F.log(
+            F.lit(float(alpha))
+            * (F.coalesce(F.col("c1_w2"), F.lit(0)).cast("double") + 1.0)
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_if(backoff).alias("n_backoff"),
+            F.round(F.avg(score), 4).alias("mean_logscore"),
+        )
+    )

@@ -3062,6 +3062,208 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# y — round-3 additions (verdict r2 #7: LM-quality scoring, hard-negative
+# mining, embedding covariance, cross-split n-gram contamination)
+# --------------------------------------------------------------------------
+
+# the x24/x53 md5 split, shared by y1/y4 oracles
+_Y_SPLIT_INNER = (
+    "(ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100"
+)
+_Y_SPLIT_CASE = "CASE WHEN b < 5 THEN 'val' WHEN b < 15 THEN 'test' ELSE 'train' END"
+
+
+def _split_docs(spark, sf_dir):
+    """documents + the deterministic x24 md5 split assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train")
+    )
+    return docs.withColumn("split", split)
+
+
+def y1_backoff_bigram_lm(spark, sf_dir):
+    """Stupid-backoff bigram LM quality scoring (textstats.
+    backoff_bigram_logprob — the KenLM-filter shape, self-contained):
+    counts learned on the md5-split TRAIN docs, held-out val/test docs
+    scored per transition (ln c2/c1 when the bigram was seen in train,
+    else ln 0.4·(c1(w2)+1)/(N+V)). Held-out scoring is what makes
+    backoff fire — a corpus scored under its own counts has seen every
+    one of its bigrams (which is all x39's unigram variant can do)."""
+    assigned = _split_docs(spark, sf_dir)
+    return textstats.backoff_bigram_logprob(
+        assigned.where(F.col("split") == "train"),
+        assigned.where(F.col("split") != "train"),
+    )
+
+
+Y1_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, {_X67_NORM} AS toks,
+         {_Y_SPLIT_CASE} AS split
+  FROM (SELECT doc_id, text, {_Y_SPLIT_INNER} AS b FROM documents)
+),
+ttok AS (SELECT unnest(toks) AS w FROM base WHERE split = 'train'),
+uni AS (SELECT w, count(*) AS c FROM ttok GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+ttrans AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE split = 'train'
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM ttrans GROUP BY 1, 2),
+strans AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE split <> 'train'
+),
+scored AS (
+  SELECT s.doc_id,
+         b.c2 IS NULL AS backoff,
+         CASE WHEN b.c2 IS NOT NULL THEN ln(CAST(b.c2 AS DOUBLE) / u1.c)
+              ELSE ln(0.4 * (COALESCE(u2.c, 0) + 1.0) / (t.n + t.v))
+         END AS sc
+  FROM strans s
+  LEFT JOIN big b ON b.w1 = s.w1 AND b.w2 = s.w2
+  LEFT JOIN uni u1 ON u1.w = s.w1
+  LEFT JOIN uni u2 ON u2.w = s.w2
+  CROSS JOIN tot t
+)
+SELECT doc_id,
+       count(*) AS n_transitions,
+       CAST(count(*) FILTER (backoff) AS BIGINT) AS n_backoff,
+       round(avg(sc), 4) AS mean_logscore
+FROM scored GROUP BY doc_id
+"""
+
+
+def y2_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (simsearch.hard_negative_topk): per anchor,
+    the top-3 most-similar DIFFERENT-label vectors inside the
+    label-independent 8-bit sign bucket — the refinement over x73's
+    random negative sampling (near-boundary cross-label pairs are the
+    ones that move a contrastive loss)."""
+    return simsearch.hard_negative_topk(_t(spark, sf_dir, "embeddings"))
+
+
+_Y2_BKT = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+
+Y2_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_Y2_BKT} AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS neg_id, b.label AS neg_label,
+         SUM(a.v * b.v) AS dot
+  FROM elem a
+  JOIN elem b ON a.bkt = b.bkt AND a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2, 3, 4
+),
+sims AS (
+  SELECT d.anchor_id, d.anchor_label, d.neg_id, d.neg_label,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.anchor_id = na.vec_id
+  JOIN norms nb ON d.neg_id = nb.vec_id
+),
+ranked AS (
+  SELECT anchor_id, anchor_label, neg_id, neg_label, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY anchor_id ORDER BY cosine DESC, neg_id
+         ) AS INT) AS rank
+  FROM sims
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def y3_embedding_covariance(spark, sf_dir):
+    """Distributed covariance matrix of the embedding space
+    (profile.embedding_covariance): upper triangle as (i, j, cov) —
+    each Arrow batch folds to triangle-sized partials via one numpy
+    outer product in mapInPandas, so the reduce never carries vectors."""
+    from ..operators.profile import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+Y3_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, count(*) AS n,
+         SUM(a.v) AS si, SUM(b.v) AS sj, SUM(a.v * b.v) AS sp
+  FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+       round((sp - si * sj / n) / n, 6) + 0.0 AS cov
+FROM p
+"""
+
+
+def y4_split_ngram_contamination(spark, sf_dir):
+    """Cross-split 5-gram contamination audit (dedup.
+    split_ngram_contamination): per held-out doc, the fraction of its
+    distinct 5-grams that occur in ANY train doc under the x24 md5
+    split — the near-dup complement of x53's exact-hash leakage check
+    (GPT-3 §4 eval-decontamination, turned inward)."""
+    return dedup.split_ngram_contamination(_t(spark, sf_dir, "documents"))
+
+
+Y4_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, {_X67_NORM} AS toks,
+         {_Y_SPLIT_CASE} AS split
+  FROM (SELECT doc_id, text, {_Y_SPLIT_INNER} AS b FROM documents)
+),
+shn AS (
+  SELECT doc_id, split,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct([array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks) - 4)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM base
+),
+flat AS (SELECT DISTINCT doc_id, split, unnest(sh) AS s FROM shn),
+train_s AS (SELECT DISTINCT s FROM flat WHERE split = 'train'),
+agg AS (
+  SELECT h.doc_id, h.split, count(*) AS n_shingles,
+         CAST(count(*) FILTER (t.s IS NOT NULL) AS BIGINT) AS n_shared
+  FROM (SELECT * FROM flat WHERE split <> 'train') h
+  LEFT JOIN train_s t ON t.s = h.s
+  GROUP BY 1, 2
+)
+SELECT doc_id, split, n_shingles, n_shared,
+       round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS shared_frac,
+       CAST(n_shared AS DOUBLE) / n_shingles >= 0.5 AS contaminated
+FROM agg
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -3140,4 +3342,8 @@ EXTENSIONS = {
     "x75_bpe_encode": (x75_bpe_encode, None),
     "x76_label_noise": (x76_label_noise, X76_SQL),
     "x77_quality_psi": (x77_quality_psi, X77_SQL),
+    "y1_backoff_bigram_lm": (y1_backoff_bigram_lm, Y1_SQL),
+    "y2_hard_negatives": (y2_hard_negatives, Y2_SQL),
+    "y3_embedding_covariance": (y3_embedding_covariance, Y3_SQL),
+    "y4_split_ngram_contamination": (y4_split_ngram_contamination, Y4_SQL),
 }

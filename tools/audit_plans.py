@@ -65,6 +65,7 @@ SINGLE_PARTITION_OK = {
     "x70_ndcg_eval",  # corpus stats (N, avgdl): one 1-row aggregate
     "x71_materialize_mixture",  # G-row allocation plan (x50 shape)
     "x77_quality_psi",  # corpus total: one 1-row aggregate
+    "y1_backoff_bigram_lm",  # train-corpus totals (N, V): one 1-row aggregate
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -88,6 +89,7 @@ CROSS_JOIN_OK = {
     "x70_ndcg_eval",  # crossJoin with the broadcast 1-row (N, avgdl)
     "x71_materialize_mixture",  # crossJoins with broadcast 1-row totals (x50)
     "x77_quality_psi",  # 10-bin grid + broadcast 1-row corpus total
+    "y1_backoff_bigram_lm",  # crossJoin with the broadcast 1-row (N, V) totals
 }
 
 
