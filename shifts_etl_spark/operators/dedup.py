@@ -122,20 +122,45 @@ def shingle_rows(
     )
 
 
+def _md5_hash48(col, salt) -> "F.Column":
+    """48-bit integer hash from the first 12 hex chars of
+    md5(col || '#' || salt) — the cross-engine-mirrorable hash family
+    (DuckDB derives the identical value from the same hex string via a
+    positional base-16 fold; see X3_SQL/X4_SQL). ~2× slower than
+    xxhash64 JVM-side, which is why xxhash64 stays the library default
+    and this family backs the oracle-checked catalog entries."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", col, F.lit(str(salt)))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
+def _hash_family(hash_fn: str):
+    if hash_fn == "xxhash64":
+        return lambda col, salt: F.xxhash64(col, F.lit(salt))
+    if hash_fn == "md5":
+        return _md5_hash48
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures, computed columnar: shingle rows →
     ``num_hashes`` map-side-combinable MIN aggregates (hash family =
-    xxhash64(shingle, j)). The shuffle carries (doc, 64 longs) — documents
-    never move."""
+    hash(shingle, j); xxhash64 by default, md5-derived 48-bit when the
+    result must mirror into DuckDB). The shuffle carries (doc, 64
+    longs) — documents never move."""
+    hf = _hash_family(hash_fn)
     sh = shingle_rows(docs, text_col, id_col, shingle_n)
     aggs = [
-        F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
+        F.min(hf(F.col("s"), j)).alias(f"h{j}") for j in range(num_hashes)
     ]
     return (
         sh.groupBy("doc")
@@ -152,6 +177,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = 500,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -173,25 +199,28 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    hf = _hash_family(hash_fn)
     # persist: the self-join would otherwise recompute the whole shingle +
     # signature pipeline for both sides (Spark's exchange reuse does not
     # fire across the join aliases here — verified in the physical plan).
     # The cached footprint is (doc_id, 64 longs) ≈ 0.5 KB/doc.
     with_sig = minhash_signatures(
-        docs, text_col, id_col, num_hashes, shingle_n
+        docs, text_col, id_col, num_hashes, shingle_n, hash_fn
     ).persist()
 
+    # band key = hash of the comma-joined slot values, salted per band.
+    # Literal per-band expressions (not a lambda over sequence()) so the
+    # md5 family's distinct string salts stay plan-time constants.
+    band_hashes = F.array(
+        *[
+            hf(F.concat_ws(",", F.slice("sig", b * r + 1, r)), b)
+            for b in range(bands)
+        ]
+    )
     banded = with_sig.select(
         "doc",
         "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * r + 1, r)), b
-                ),
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(band_hashes).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
         # Hot buckets are RARE by construction (a bucket over the cap is
@@ -240,27 +269,38 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc, computed columnar: explode tokens → 64
-    map-side-combinable SUM(+1/-1) bit votes → fold sign bits into one
-    long. (Bit 63 uses shiftleft overflow-wrap to land on the sign bit.)"""
+    """``n_bits``-bit SimHash per doc, computed columnar: explode tokens →
+    n_bits map-side-combinable SUM(+1/-1) bit votes → fold sign bits into
+    one long. (With 64 bits, bit 63 uses shiftleft overflow-wrap to land
+    on the sign bit.) The md5 hash family carries 48 usable bits, so
+    callers pass n_bits=48 with it (the oracle-checkable configuration —
+    X4_SQL folds the identical value)."""
     tok = _fan_out(docs).select(
         F.col(id_col).alias("doc"), F.explode(tokens(normalize_text(F.col(text_col)))).alias("t")
     )
-    h = F.xxhash64("t")
+    h = (
+        F.xxhash64("t")
+        if hash_fn == "xxhash64"
+        else _md5_hash48(F.col("t"), "s")
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     voted = tok.groupBy("doc").agg(*votes)
     bits = [
         F.when(
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
+        for i in range(n_bits)
     ]
     sh = bits[0]
     for b in bits[1:]:
@@ -274,13 +314,16 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by chunk
     banding (pigeonhole: ≤3 differing bits over 4 16-bit chunks ⇒ some chunk
     identical) then exact bit_count(xor) filter."""
-    width = 64 // chunks
+    assert n_bits % chunks == 0
+    width = n_bits // chunks
     # persist for the same self-join-recompute reason as minhash_lsh_pairs
-    sh = simhash_signatures(docs, text_col, id_col).persist()
+    sh = simhash_signatures(docs, text_col, id_col, n_bits, hash_fn).persist()
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned("sh", i * width).bitwiseAND(

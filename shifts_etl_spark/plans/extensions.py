@@ -23,6 +23,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # dedup
 # --------------------------------------------------------------------------
 
+# DuckDB mirror of textstats.normalize_text + tokens (shared by many oracles;
+# named after its first user, the x67 components oracle)
+_X67_NORM = (
+    r"list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), "
+    r"t -> t <> '')"
+)
+
+
 def x1_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -47,14 +56,121 @@ GROUP BY 1
 
 def x3_dedup_minhash_lsh(spark, sf_dir):
     """Candidate near-dup pairs via 64-hash / 16-band MinHash-LSH.
-    xxhash64-based → no SQL oracle; verified by planted-dup tests."""
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+    Oracle-checkable since round 3: the catalog entry runs the md5-derived
+    48-bit hash family (dedup._md5_hash48), which DuckDB reproduces
+    bit-for-bit from the same hex string — signatures, band keys, the
+    hot-bucket cap, and the est_jaccard slot-match fraction all mirror
+    into X3_SQL. xxhash64 remains the library's throughput default and
+    keeps the planted-dup pytest."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
 
 
 def x4_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3 via 4-chunk pigeonhole).
-    xxhash64-based → no SQL oracle; verified by planted-dup tests."""
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+    Oracle-checkable since round 3: the catalog entry runs the 48-bit
+    md5-family SimHash (12-bit chunks), which X4_SQL folds identically —
+    bit votes, sign fold, chunk banding, and the bit_count(xor) hamming
+    filter are all integer-exact cross-engine. The 64-bit xxhash64
+    configuration stays the library default with its planted-dup pytest."""
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), n_bits=48, hash_fn="md5"
+    )
+
+
+def _hex12_int_sql(hx: str) -> str:
+    """DuckDB base-16 positional fold of the first 12 hex chars of column
+    ``hx`` — equals Spark's conv(substring(md5, 1, 12), 16, 10)::long."""
+    return "(" + " + ".join(
+        f"CAST(ascii(substring({hx}, {i}, 1)) - CASE WHEN "
+        f"ascii(substring({hx}, {i}, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+        f" * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    ) + ")"
+
+
+_X3_SHN = r"""
+shn AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn)"""
+
+X3_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, {{norm}} AS toks FROM documents
+),{_X3_SHN},
+hs AS (
+  SELECT doc_id, j, md5(s || '#' || CAST(j AS VARCHAR)) AS hx
+  FROM flat, unnest(generate_series(0, 63)) AS u(j)
+),
+hv AS (SELECT doc_id, j, {_hex12_int_sql('hx')} AS h FROM hs),
+sigs AS (
+  SELECT doc_id, list(h ORDER BY j) AS sig
+  FROM (SELECT doc_id, j, MIN(h) AS h FROM hv GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+bandh AS (
+  SELECT doc_id, sig, b,
+         md5(array_to_string(sig[b * 4 + 1:b * 4 + 4], ',') || '#' || CAST(b AS VARCHAR)) AS hx
+  FROM sigs, unnest(generate_series(0, 15)) AS u(b)
+),
+banded AS (SELECT doc_id, sig, b AS band, {_hex12_int_sql('hx')} AS band_hash FROM bandh),
+kept AS (
+  SELECT * FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 500
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         len([i for i in generate_series(1, 64) if l.sig[i] = r.sig[i]]) / 64.0 AS est_jaccard
+  FROM kept l JOIN kept r ON l.band = r.band AND l.band_hash = r.band_hash
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM pairs
+""".replace("{norm}", _X67_NORM)
+
+X4_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, {{norm}} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM norm),
+vh AS (
+  SELECT t, {_hex12_int_sql('hx')} AS h
+  FROM (SELECT DISTINCT t, md5(t || '#' || 's') AS hx FROM tok)
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok JOIN vh USING (t), unnest(generate_series(0, 47)) AS u(i)
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS sh
+  FROM votes GROUP BY doc_id
+),
+chunked AS (
+  SELECT doc_id, sh, c AS chunk, (sh >> (c * 12)) & 4095 AS chunk_val
+  FROM sigs, unnest(generate_series(0, 3)) AS u(c)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         bit_count(xor(l.sh, r.sh)) AS hamming
+  FROM chunked l JOIN chunked r
+    ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+  WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sh, r.sh)) <= 3
+)
+SELECT id_a, id_b, hamming FROM pairs
+""".replace("{norm}", _X67_NORM)
 
 
 def x5_ngram_jaccard(spark, sf_dir):
@@ -2477,12 +2593,6 @@ def x67_dedup_components(spark, sf_dir):
     return dedup.blocked_dedup_components(_t(spark, sf_dir, "documents"))
 
 
-_X67_NORM = (
-    r"list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
-    r"lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), "
-    r"t -> t <> '')"
-)
-
 X67_SQL = rf"""
 WITH RECURSIVE norm AS (
   SELECT doc_id, {_X67_NORM} AS toks FROM documents
@@ -3267,8 +3377,8 @@ FROM agg
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
-    "x3_dedup_minhash_lsh": (x3_dedup_minhash_lsh, None),
-    "x4_dedup_simhash": (x4_dedup_simhash, None),
+    "x3_dedup_minhash_lsh": (x3_dedup_minhash_lsh, X3_SQL),
+    "x4_dedup_simhash": (x4_dedup_simhash, X4_SQL),
     "x5_ngram_jaccard": (x5_ngram_jaccard, X5_SQL),
     "x6_embedding_nn": (x6_embedding_nn, X6_SQL),
     "x7_sim_topk_bruteforce": (x7_sim_topk_bruteforce, X7_SQL),

@@ -127,3 +127,33 @@ def test_dedup_clusters_long_chain(spark):
     got = {r.doc: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 13
+
+
+def test_minhash_md5_family_finds_planted_dups(spark, planted):
+    """The oracle-checkable md5-48 hash family (x3 catalog config) must
+    retrieve the same planted near-dups as the xxhash64 default."""
+    pairs = dedup.minhash_lsh_pairs(planted, hash_fn="md5").collect()
+    found = {(p.id_a, p.id_b) for p in pairs if p.est_jaccard >= 0.5}
+    for i in range(3):
+        assert any(1000 + i in pr for pr in found), f"planted pair {i} missed"
+
+
+def test_simhash_md5_family_finds_planted_dups(spark, planted):
+    pairs = dedup.simhash_pairs(
+        planted, max_hamming=10, n_bits=48, hash_fn="md5"
+    ).collect()
+    hits = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    assert {1000, 1001, 1002} & hits, "md5-48 simhash missed all planted dups"
+
+
+def test_md5_hash48_range_and_determinism(spark):
+    """48-bit family: values in [0, 2^48) and stable across evaluations."""
+    df = spark.createDataFrame([("abc",), ("def",), ("",)], "s string")
+    vals = df.select(
+        dedup._md5_hash48(F.col("s"), 7).alias("h")
+    ).collect()
+    again = df.select(
+        dedup._md5_hash48(F.col("s"), 7).alias("h")
+    ).collect()
+    assert [r.h for r in vals] == [r.h for r in again]
+    assert all(0 <= r.h < (1 << 48) for r in vals)
