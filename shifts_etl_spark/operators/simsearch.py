@@ -161,6 +161,66 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype("float64")
 
 
+def _md5_plane_weights(n_planes: int, dim: int, salt: str = "lshw") -> list[list[int]]:
+    """Sparse ±1 hyperplane family derived from md5 — the cross-engine
+    hash family (the dedup._md5_hash48 shape): w(p, i) = +1 / −1 / 0 as
+    the 48-bit fold of md5(f"{p}:{i}#{salt}") mod 6 is 0 / 1 / other
+    (Achlioptas sparse random projection, density 1/3). DuckDB re-derives
+    the identical matrix from the same hex string, which is what makes
+    sign-LSH oracle-checkable: with the vector quantized to integers the
+    projection is pure integer arithmetic — bit-for-bit equal cross-engine
+    regardless of summation order."""
+    import hashlib
+
+    W: list[list[int]] = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}#{salt}".encode()).hexdigest()[:12], 16)
+            m = h % 6
+            row.append(1 if m == 0 else (-1 if m == 1 else 0))
+        W.append(row)
+    return W
+
+
+def add_det_lsh_signature(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Append ``buckets`` like :func:`add_lsh_signature`, but with the
+    md5-derived sparse ±1 plane family over a floor(v·1e6) integer
+    quantization — fully JVM-side (no Pandas UDF) and exactly mirrored by
+    X8_SQL. floor (not round) so both engines agree without a tie rule;
+    at 1e-6 resolution the quantization is recall-neutral."""
+    W = _md5_plane_weights(n_planes, dim)
+    r = n_planes // bands
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast("long"),
+    )
+    out = emb.withColumn("_q", q)
+    bits = []
+    for p in range(n_planes):
+        warr = F.array(*[F.lit(w) for w in W[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col("_q"), warr, lambda a, b: a * b.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append((proj >= 0).cast("long"))
+    keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for bit in bits[b * r : (b + 1) * r]:
+            key = key * F.lit(2).cast("long") + bit  # MSB-first, as add_lsh_signature
+        keys.append(F.lit(b).cast("long") * F.lit(2**32).cast("long") + key)
+    return out.withColumn("buckets", F.array(*keys)).drop("_q")
+
+
 def add_lsh_signature(
     emb: DataFrame,
     dim: int,
@@ -202,11 +262,21 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 LSH band bucket with the
     query; exact cosine re-rank among candidates. Recall measured in tests
-    against brute_force_topk."""
-    sig = add_lsh_signature(emb, dim, n_planes, bands, seed, vec_col)
+    against brute_force_topk.
+
+    ``plane_fn="gaussian"`` (default) uses seeded dense Gaussian planes via
+    the Pandas-UDF matmul; ``"md5"`` uses the deterministic sparse ±1
+    md5 family (:func:`add_det_lsh_signature`) — same banding and re-rank,
+    but cross-engine reproducible, so the catalog entry carries a DuckDB
+    oracle (X8_SQL)."""
+    if plane_fn == "md5":
+        sig = add_det_lsh_signature(emb, dim, n_planes, bands, vec_col)
+    else:
+        sig = add_lsh_signature(emb, dim, n_planes, bands, seed, vec_col)
     # persist: query and corpus sides below would otherwise each re-run the
     # Pandas-UDF signature pass (self-join recompute, no exchange reuse).
     # Only (vid, bucket) longs are cached/joined — vectors stay in the

@@ -283,12 +283,83 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def x8_sim_topk_lsh(spark, sf_dir):
-    """Approximate top-5 via random-hyperplane LSH (Pandas-UDF signatures,
-    bucket join, exact re-rank). No SQL oracle — recall vs brute force is
-    asserted in tests."""
+    """Approximate top-5 via sign-LSH (band bucket join, exact re-rank).
+
+    Oracle-checkable since round 3: the catalog entry runs the md5-derived
+    sparse ±1 plane family over floor(v·1e6) integer quantization
+    (simsearch.add_det_lsh_signature) — projections are pure integer sums,
+    so signatures, band keys, candidates, and the 6-dp cosine re-rank all
+    mirror bit-for-bit into X8_SQL. The seeded Gaussian/Pandas-UDF family
+    stays the library throughput default with its recall pytest."""
     return simsearch.lsh_topk(
-        _t(spark, sf_dir, "embeddings"), QUERY_IDS, dim=64, k=5
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, dim=64, k=5, plane_fn="md5"
     )
+
+
+_X8_HEX = (
+    "(" + " + ".join(
+        f"CAST(ascii(substring(hx, {i}, 1)) - CASE WHEN "
+        f"ascii(substring(hx, {i}, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+        f" * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    ) + ")"
+)
+
+X8_SQL = f"""
+WITH pw AS (
+  SELECT p, i,
+         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
+  FROM range(16) tp(p), range(64) ti(i)
+),
+planes AS (
+  SELECT p, i,
+         CASE ({_X8_HEX} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+  FROM pw
+),
+elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(floor(e.v * 1000000.0) AS BIGINT) * pl.w) AS s
+  FROM elem e JOIN planes pl USING (i)
+  GROUP BY 1, 2
+),
+bkeys AS (
+  SELECT vec_id, p // 4 AS band,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+             * (CAST(1 AS BIGINT) << CAST(3 - (p % 4) AS INT))) AS key
+  FROM proj GROUP BY 1, 2
+),
+buckets AS (SELECT vec_id, band * 4294967296 + key AS bucket FROM bkeys),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets cb USING (bucket)
+  WHERE qb.vec_id IN (0, 1, 2, 3, 4) AND qb.vec_id <> cb.vec_id
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, SUM(q.v * n.v) AS dot
+  FROM cand c
+  JOIN elem q ON q.vec_id = c.query_id
+  JOIN elem n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3382,7 +3453,7 @@ EXTENSIONS = {
     "x5_ngram_jaccard": (x5_ngram_jaccard, X5_SQL),
     "x6_embedding_nn": (x6_embedding_nn, X6_SQL),
     "x7_sim_topk_bruteforce": (x7_sim_topk_bruteforce, X7_SQL),
-    "x8_sim_topk_lsh": (x8_sim_topk_lsh, None),
+    "x8_sim_topk_lsh": (x8_sim_topk_lsh, X8_SQL),
     "x9_text_stats": (x9_text_stats, X9_SQL),
     "x10_text_langid": (x10_text_langid, X10_SQL),
     "x11_text_fingerprint": (x11_text_fingerprint, X11_SQL),

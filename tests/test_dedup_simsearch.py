@@ -157,3 +157,53 @@ def test_md5_hash48_range_and_determinism(spark):
     ).collect()
     assert [r.h for r in vals] == [r.h for r in again]
     assert all(0 <= r.h < (1 << 48) for r in vals)
+
+
+def test_det_lsh_recall_vs_bruteforce(spark):
+    """The oracle-checkable md5 sparse-±1 plane family (x8 catalog config)
+    must keep real recall against the exact baseline, like the Gaussian
+    default."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.lsh_topk(emb, qids, dim=64, k=5, plane_fn="md5").collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"det-LSH recall collapsed: {recall}"
+
+
+def test_det_lsh_signature_matches_python_reference(spark):
+    """Band keys from the JVM expression pipeline equal a plain
+    Python/numpy re-derivation of the same md5 plane family — guards the
+    quantization (floor, not round) and MSB-first packing contracts that
+    X8_SQL mirrors."""
+    import hashlib
+    import math
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    rows = emb.select("vec_id", "embedding").collect()
+    got = {
+        r.vec_id: list(r.buckets)
+        for r in simsearch.add_det_lsh_signature(emb, dim=64).select(
+            "vec_id", "buckets"
+        ).collect()
+    }
+    W = simsearch._md5_plane_weights(16, 64)
+    for r in rows:
+        q = [math.floor(float(x) * 1_000_000.0) for x in r.embedding]
+        bits = [
+            1 if sum(qi * wi for qi, wi in zip(q, W[p])) >= 0 else 0
+            for p in range(16)
+        ]
+        keys = []
+        for b in range(4):
+            key = 0
+            for bit in bits[b * 4 : (b + 1) * 4]:
+                key = key * 2 + bit
+            keys.append(b * 2**32 + key)
+        assert got[r.vec_id] == keys
