@@ -314,6 +314,14 @@ def lsh_topk(
     )
 
 
+def _round6_half_away(x):
+    """Half-away-from-zero rounding to 6 dp on the double itself —
+    DuckDB's round(DOUBLE, 6) semantics (floor(|x|·1e6 + 0.5)). Python's
+    built-in round is half-even over the exact decimal expansion, which
+    CAN disagree on the rare product that lands exactly on the grid."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def mmr_topk(
     emb: DataFrame,
     query_id: int,
@@ -333,7 +341,15 @@ def mmr_topk(
     loop is inherently sequential in k, so it runs driver-side over the
     bounded shortlist×d collect (like bloom.py's bitset and pq.py's
     codebook — bounded by construction, never the corpus). Ties broken
-    by candidate id."""
+    by candidate id.
+
+    Oracle-checkable since round 3: pairwise sims follow DuckDB's exact
+    float path (dot / (na·nb), then half-away-from-zero 6-dp rounding —
+    the x13 convention), so scores 0.7·rel − 0.3·penalty are bit-equal
+    cross-engine and X49_SQL replays the same greedy walk as a recursive
+    CTE over the bounded shortlist. Equal-rounded score ties keep the
+    LOWEST candidate id (strict > with id-asc iteration here; ORDER BY
+    score DESC, id ASC LIMIT 1 there)."""
     cand = brute_force_topk(
         emb, [query_id], k=shortlist, id_col=id_col, vec_col=vec_col
     ).select("neighbor_id", "cosine")
@@ -348,8 +364,9 @@ def mmr_topk(
     ids = [r["neighbor_id"] for r in rows]
     rel = np.array([r["cosine"] for r in rows])
     V = np.array([[float(x) for x in r["v"]] for r in rows])
-    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-    sims = V @ V.T
+    G = V @ V.T
+    nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+    sims = _round6_half_away(G / np.outer(nrm, nrm))
 
     selected: list[int] = []
     out = []
@@ -361,10 +378,13 @@ def mmr_topk(
             penalty = max(sims[i][j] for j in selected) if selected else 0.0
             score = lam * rel[i] - (1 - lam) * penalty
             # strict > with id-asc iteration = deterministic tiebreak
-            if score > best_score + 1e-12:
+            if score > best_score:
                 best_i, best_score = i, score
         selected.append(best_i)
-        out.append((rank, ids[best_i], float(rel[best_i]), round(float(best_score), 6)))
+        out.append(
+            (rank, ids[best_i], float(rel[best_i]),
+             float(_round6_half_away(np.float64(best_score))))
+        )
 
     spark = emb.sparkSession
     return spark.createDataFrame(

@@ -1829,10 +1829,78 @@ FROM agg ORDER BY event_type
 
 def x49_mmr_rerank(spark, sf_dir):
     """Maximal-marginal-relevance diversified top-10 for query vector 0
-    (λ=0.7 over an exact top-50 shortlist). Greedy step is inherently
-    sequential → no SQL oracle; diversity semantics pytest-verified
-    (operators/simsearch.mmr_topk)."""
+    (λ=0.7 over an exact top-50 shortlist).
+
+    Oracle-checkable since round 3: the greedy selection — sequential in
+    k but over a BOUNDED 50-candidate shortlist — replays in X49_SQL as a
+    recursive CTE (one selected id per iteration, the chosen set carried
+    as a list column); pairwise sims follow the identical float path in
+    both engines (dot/(na·nb), 6-dp half-away rounding), so the walk and
+    scores match bit-for-bit (operators/simsearch.mmr_topk)."""
     return simsearch.mmr_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+X49_SQL = """
+WITH RECURSIVE
+elem AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS MATERIALIZED (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+qdots AS MATERIALIZED (
+  SELECT c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND c.vec_id <> 0
+  WHERE q.vec_id = 0
+  GROUP BY 1
+),
+cand AS MATERIALIZED (
+  SELECT neighbor_id, rel FROM (
+    SELECT d.neighbor_id,
+           round(d.dot / (nq.nrm * nc.nrm), 6) AS rel,
+           row_number() OVER (ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.neighbor_id) AS rn
+    FROM qdots d
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN norms nc ON d.neighbor_id = nc.vec_id
+  ) WHERE rn <= 50
+),
+-- MATERIALIZED + the celem pre-filter matter: the recursive term below
+-- re-executes inlined CTEs on EVERY iteration, and an inlined pdots
+-- (full-elem self-join with IN subqueries) costs ~19 s/iter at sf0.1
+-- vs 0.2 s total in this shape.
+celem AS MATERIALIZED (
+  SELECT e.* FROM elem e WHERE e.vec_id IN (SELECT neighbor_id FROM cand)
+),
+pdots AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, SUM(a.v * b.v) AS dot
+  FROM celem a JOIN celem b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+psim AS MATERIALIZED (
+  SELECT d.ida, d.idb, round(d.dot / (na.nrm * nb.nrm), 6) AS sim
+  FROM pdots d
+  JOIN norms na ON d.ida = na.vec_id
+  JOIN norms nb ON d.idb = nb.vec_id
+),
+sel(rank, ids, vec_id, relevance, mmr_score) AS (
+  (SELECT 1, [c.neighbor_id], c.neighbor_id, c.rel, round(0.7 * c.rel, 6)
+   FROM cand c ORDER BY 0.7 * c.rel DESC, c.neighbor_id LIMIT 1)
+  UNION ALL
+  (SELECT s.rank + 1, list_append(s.ids, pick.nid), pick.nid, pick.rel, pick.score
+   FROM sel s CROSS JOIN LATERAL (
+     SELECT c.neighbor_id AS nid, c.rel,
+            round(0.7 * c.rel - 0.3 * pen.mx, 6) AS score
+     FROM cand c CROSS JOIN LATERAL (
+       SELECT max(p.sim) AS mx FROM psim p
+       WHERE p.ida = c.neighbor_id AND list_contains(s.ids, p.idb)
+     ) pen
+     WHERE NOT list_contains(s.ids, c.neighbor_id)
+     ORDER BY 0.7 * c.rel - 0.3 * pen.mx DESC, c.neighbor_id LIMIT 1
+   ) pick
+   WHERE s.rank < 10)
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, relevance, mmr_score FROM sel
+"""
 
 
 def x50_mixture_allocation(spark, sf_dir):
@@ -3494,7 +3562,7 @@ EXTENSIONS = {
     "x46_split_drift": (x46_split_drift, X46_SQL),
     "x47_pagerank": (x47_pagerank, X47_SQL),
     "x48_ab_welch_ttest": (x48_ab_welch_ttest, X48_SQL),
-    "x49_mmr_rerank": (x49_mmr_rerank, None),
+    "x49_mmr_rerank": (x49_mmr_rerank, X49_SQL),
     "x50_mixture_allocation": (x50_mixture_allocation, X50_SQL),
     "x51_within_label_topk": (x51_within_label_topk, X51_SQL),
     "x52_bigram_entropy": (x52_bigram_entropy, X52_SQL),
