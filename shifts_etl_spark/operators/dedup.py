@@ -746,3 +746,46 @@ def split_ngram_contamination(
         F.round(frac, 6).alias("shared_frac"),
         (frac >= 0.5).alias("contaminated"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_df: int = 2,
+    max_df: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup detection via the OVERLAP COEFFICIENT
+    |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) — the quote/inclusion signal
+    Jaccard structurally misses: a short doc fully embedded in a long
+    one has tiny Jaccard (union is dominated by the long doc) but
+    containment 1.0. The curation use is stripping quoted/excerpted
+    training docs that whole-doc dedup keeps.
+
+    Candidates come from ``rare_shingle_pairs`` (df-bounded blocking, so
+    pair fan-out stays <= #rare_shingles * C(max_df, 2) — never n²);
+    the confirm stage joins each candidate to its two distinct-shingle
+    arrays by id (text moves only into the bounded candidate set).
+    Deterministic end to end, hence DuckDB-oracle-checkable."""
+    cands = rare_shingle_pairs(docs, text_col, id_col, shingle_n, min_df, max_df)
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cands.join(sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_inter"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+            F.round(inter / smaller, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

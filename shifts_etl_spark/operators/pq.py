@@ -42,6 +42,13 @@ def _normalize(X: np.ndarray) -> np.ndarray:
     return X / norms
 
 
+def _rha(x: np.ndarray, dec: int) -> np.ndarray:
+    """Half-away-from-zero rounding — DuckDB round(DOUBLE, dec)
+    semantics, the cross-engine convention (see simsearch/clustering)."""
+    p = 10.0 ** dec
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 def train_codebooks(
     emb: DataFrame,
     m: int = 4,
@@ -50,12 +57,21 @@ def train_codebooks(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> np.ndarray:
     """(m, k, d/m) float64 codebooks from a deterministic bounded sample
     (first ``sample_size`` rows by id; evenly-spaced init, fixed Lloyd
-    iteration count — bit-reproducible across runs)."""
+    iteration count — bit-reproducible across runs).
+
+    ``round_decimals`` enables the cross-engine oracle convention (the
+    x30 recipe): normalized inputs, per-step distances, and updated
+    means all round half-away to that many decimals, so the Lloyd fixed
+    point is identical to X44_SQL's unrolled CTE chain regardless of
+    float summation order."""
     rows = emb.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     X = _normalize(np.array([r[0] for r in rows], dtype="float64"))
+    if round_decimals is not None:
+        X = _rha(X, round_decimals)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -66,11 +82,15 @@ def train_codebooks(
         C = S[np.linspace(0, n - 1, k).astype(int)].copy()
         for _ in range(iters):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            if round_decimals is not None:
+                d2 = _rha(d2, round_decimals)
             assign = d2.argmin(1)
             for c in range(k):
                 pts = S[assign == c]
                 if len(pts):
                     C[c] = pts.mean(0)
+            if round_decimals is not None:
+                C = _rha(C, round_decimals)
         books[j] = C
     return books
 
@@ -80,19 +100,26 @@ def encode_pq(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """(id, codes: array<int>) — per-subspace nearest-centroid codes via
-    one Arrow-batched Pandas UDF."""
+    one Arrow-batched Pandas UDF. ``round_decimals`` applies the oracle
+    rounding convention (see train_codebooks)."""
     m, _, dsub = books.shape
     B = books
+    rd = round_decimals
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def enc(v: pd.Series) -> pd.Series:
         X = _normalize(np.stack(v.to_numpy()).astype("float64"))
+        if rd is not None:
+            X = _rha(X, rd)
         codes = np.empty((X.shape[0], m), dtype="int64")
         for j in range(m):
             S = X[:, j * dsub : (j + 1) * dsub]
             d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            if rd is not None:
+                d2 = _rha(d2, rd)
             codes[:, j] = d2.argmin(1)
         return pd.Series([[int(c) for c in row] for row in codes])
 
@@ -109,6 +136,7 @@ def pq_topk(
     refine: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors by PQ/ADC with exact re-rank: the
     compressed scan shortlists ``k * refine`` candidates per query by
@@ -118,11 +146,12 @@ def pq_topk(
     codes, touch raw vectors for ~k·refine rows per query). Returns
     (query_id, neighbor_id, cosine, rank), ties by neighbor id."""
     books = train_codebooks(
-        emb, m, n_codes, sample_size, id_col=id_col, vec_col=vec_col
+        emb, m, n_codes, sample_size, id_col=id_col, vec_col=vec_col,
+        round_decimals=round_decimals,
     )
-    codes = encode_pq(emb, books, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    codes = encode_pq(
+        emb, books, id_col, vec_col, round_decimals=round_decimals
+    ).withColumnRenamed(id_col, "neighbor_id")
     qrows = (
         emb.where(F.col(id_col).isin(query_ids))
         .select(id_col, vec_col)
@@ -132,12 +161,16 @@ def pq_topk(
     luts = []
     for r in qrows:
         qv = _normalize(np.array([r[1]], dtype="float64"))[0]
+        if round_decimals is not None:
+            qv = _rha(qv, round_decimals)
         lut = np.empty(m * n_codes)
         for j in range(m):
             qs = qv[j * dsub : (j + 1) * dsub]
             lut[j * n_codes : (j + 1) * n_codes] = (
                 (books[j] - qs[None, :]) ** 2
             ).sum(-1)
+        if round_decimals is not None:
+            lut = _rha(lut, round_decimals)
         luts.append((int(r[0]), [float(x) for x in lut]))
     qdf = emb.sparkSession.createDataFrame(
         luts, schema="query_id long, lut array<double>"

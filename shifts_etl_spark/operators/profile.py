@@ -128,3 +128,63 @@ def embedding_covariance(
     return tot.select(
         "i", "j", (F.round(cov, round_decimals) + 0.0).alias("cov")
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    frac_a_pct: int = 50,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic between two
+    deterministic md5 halves of one table: D = max over observed values
+    of |F_A(v) − F_B(v)| — the distribution-drift monitor a training
+    pipeline runs between snapshot halves or before/after a filter
+    change. Returns one row: (n_a, n_b, ks_stat, at_value).
+
+    Scale shape: the raw table folds to one row PER DISTINCT VALUE
+    (map-side combinable groupBy), and the two cumulative count columns
+    run through ``scalable_running_sum`` — range-bucketed local prefix
+    sums + a broadcast offset fold, never an ORDER BY-only window — so
+    nothing is ever single-partition data-sized. The final scan keeps
+    integer cumulative counts and only divides at the very end: cum/n in
+    double is bit-identical cross-engine (same integers, same IEEE ops,
+    order-free max), which is what makes the statistic oracle-checkable
+    without a rounding convention.
+
+    Split rule = the x24 content-hash bucket ((ascii pair of
+    md5(id)) % 100 < ``frac_a_pct``) so halves are reproducible on
+    backfill."""
+    from .windows import scalable_running_sum
+
+    hx = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(F.substring(hx, 2, 1))
+    ) % 100
+    is_a = (bucket < frac_a_pct).cast("long")
+    grouped = (
+        df.select(F.col(value_col).alias("val"), is_a.alias("a"))
+        .groupBy("val")
+        .agg(
+            F.sum("a").alias("cnt_a"),
+            F.sum(F.lit(1) - F.col("a")).alias("cnt_b"),
+        )
+    )
+    cum = scalable_running_sum(
+        grouped, "val", ["cnt_a", "cnt_b"], ["cum_a", "cum_b"]
+    )
+    totals = grouped.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    d = F.abs(
+        F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b")
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a", "n_b", d.alias("d"), F.col("val").cast("double").alias("val")
+    )
+    return scored.groupBy("n_a", "n_b").agg(
+        F.round(F.max("d"), 6).alias("ks_stat"),
+        F.round(
+            F.max_by("val", F.struct(F.col("d"), -F.col("val"))), 2
+        ).alias("at_value"),
+    )

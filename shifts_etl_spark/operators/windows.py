@@ -110,8 +110,23 @@ def scalable_running_sum(
     expression keeps the data path to one exchange. Non-numeric order
     columns (strings) fall back to that form. approxQuantile runs eagerly
     at plan build (same pattern as layout.py's z-order buckets).
+
+    ``value_col`` / ``out_col`` may be LISTS of equal length: all
+    cumulative columns share one bucketing pass, one exchange, and one
+    offset fold. Besides costing half the shuffles of two stacked calls,
+    this sidesteps a second Catalyst hazard: chaining the helper output
+    into another helper call makes the second approxQuantile sample a
+    plan containing the first offset join, where projection collapse can
+    again lose the order attribute (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND,
+    seen on createDataFrame-rooted frames; pinned by
+    tests/test_round3_ops.py's KS reference test).
     """
     from pyspark.sql.window import Window as W
+
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lists must align")
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     dtype = dict(df.dtypes).get(order_col, "")
@@ -150,7 +165,9 @@ def scalable_running_sum(
     local_w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    with_local = keyed.withColumn("_local", F.sum(value_col).over(local_w))
+    with_local = keyed
+    for j, vc in enumerate(value_cols):
+        with_local = with_local.withColumn(f"_local_{j}", F.sum(vc).over(local_w))
     # Cross-bucket offsets: per-bucket totals from the PRE-window keyed
     # frame (map-side partial agg → shuffle carries one row per (bucket,
     # map task)), prefix-folded on the DRIVER over <= #partitions rows and
@@ -165,23 +182,43 @@ def scalable_running_sum(
     # bounded by cluster parallelism, never by data (same shape as
     # sinks/shards.py). Pinned by tests/test_windows_profile.py's
     # derived-order-column regression.
-    totals_df = keyed.groupBy("_pid").agg(F.sum(value_col).alias("_total"))
-    sum_dtype = totals_df.schema["_total"].dataType.simpleString()
-    rows = sorted((r["_pid"], r["_total"]) for r in totals_df.collect())
-    offsets, acc = [], 0
-    for pid, t in rows:
-        offsets.append((int(pid), acc))
-        acc += t if t is not None else 0
-    # carry the fold at full precision: bigint for integral sums (a double
-    # roundtrip would truncate past 2^53), double otherwise
-    carrier = "bigint" if sum_dtype in ("bigint", "int", "smallint", "tinyint") else "double"
-    off = df.sparkSession.createDataFrame(
-        [(p, int(v) if carrier == "bigint" else float(v)) for p, v in offsets]
-        or [(0, 0)],
-        f"_pid int, _offset {carrier}",
-    ).select("_pid", F.col("_offset").cast(sum_dtype).alias("_offset"))
-    return (
-        with_local.join(F.broadcast(off), "_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_offset"))
-        .drop("_pid", "_local", "_offset")
+    totals_df = keyed.groupBy("_pid").agg(
+        *[F.sum(vc).alias(f"_total_{j}") for j, vc in enumerate(value_cols)]
     )
+    sum_dtypes = [
+        totals_df.schema[f"_total_{j}"].dataType.simpleString()
+        for j in range(len(value_cols))
+    ]
+    rows = sorted(
+        (int(r["_pid"]), tuple(r[f"_total_{j}"] for j in range(len(value_cols))))
+        for r in totals_df.collect()
+    )
+    # Rejoin the <= #partitions folded offsets as LITERAL ARRAYS indexed
+    # by _pid (element_at), not as a broadcast-join frame: a join adds a
+    # second plan branch, and Spark 4.1.2's projection collapse can bind
+    # a caller expression over the OUTPUT of this helper against the
+    # offset branch (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND "Could not find
+    # <col> in [_pid, _offset...]", seen when the helper output feeds a
+    # max_by over a createDataFrame-rooted frame — pinned by
+    # tests/test_round3_ops.py's KS reference test). The literal lookup
+    # has no second branch to mis-bind and costs one expression per row.
+    # Gaps in observed pids (empty buckets) carry the running offset.
+    by_pid = dict(rows)
+    max_pid = max(by_pid) if by_pid else 0
+    dense, accs = [], [0] * len(value_cols)
+    for pid in range(max_pid + 1):
+        dense.append(tuple(accs))
+        ts = by_pid.get(pid)
+        if ts is not None:
+            accs = [a + (t if t is not None else 0) for a, t in zip(accs, ts)]
+    out = with_local
+    drops = ["_pid"]
+    for j, oc in enumerate(out_cols):
+        # carry the fold at full precision: bigint for integral sums (a
+        # double roundtrip would truncate past 2^53), double otherwise
+        integral = sum_dtypes[j] in ("bigint", "int", "smallint", "tinyint")
+        arr = [int(v[j]) if integral else float(v[j]) for v in dense]
+        offset = F.element_at(F.lit(arr), F.col("_pid") + 1).cast(sum_dtypes[j])
+        out = out.withColumn(oc, F.col(f"_local_{j}") + offset)
+        drops.append(f"_local_{j}")
+    return out.drop(*drops)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import bloom, clustering, countmin, curation, dedup, heavyhitters, multimodal, simsearch, textstats, theta
+from ..operators import bloom, clustering, countmin, curation, dedup, heavyhitters, multimodal, profile, simsearch, textstats, theta
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -1537,11 +1537,151 @@ GROUP BY 1, 2
 def x44_pq_ann(spark, sf_dir):
     """Product-quantization ANN: 64-dim vectors compressed to 16 4-bit
     codes, ADC shortlist + exact re-rank, top-5 for query vectors 0-4
-    (operators/pq.py). No SQL oracle — lossy compressed ranking; recall
-    vs brute force asserted in tests."""
+    (operators/pq.py).
+
+    Oracle-checkable since round 3 (the x30 recipe scaled up): with
+    round_decimals=6 every float step — normalized inputs, per-iteration
+    Lloyd distances and means, ADC lookup entries and sums — rounds
+    half-away to 6 dp, so the whole pipeline (codebook training on the
+    deterministic 2048-row sample, nearest-code encoding, compressed
+    shortlist, exact re-rank) replays bit-for-bit in _pq_ann_sql's
+    unrolled CTE chain. The unrounded configuration stays the library
+    default with its recall pytest."""
     from ..operators.pq import pq_topk
 
-    return pq_topk(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5)
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5, round_decimals=6
+    )
+
+
+def _pq_ann_sql(
+    m: int = 16,
+    kc: int = 16,
+    dsub: int = 4,
+    iters: int = 10,
+    sample: int = 2048,
+    k: int = 5,
+    refine: int = 8,
+    dec: int = 6,
+    qids: str = "0, 1, 2, 3, 4",
+) -> str:
+    """Unrolled PQ pipeline as a DuckDB CTE chain mirroring
+    pq.pq_topk(round_decimals=dec) exactly: normalize+round → per-subspace
+    Lloyd (np.linspace "evenly spaced" init over the id-ordered sample,
+    rounded distances with lower-code tie-break, rounded means, empty
+    cells carry the previous centroid) → encode full corpus → rounded
+    ADC lookup sums → top-(k·refine) shortlist → exact cosine re-rank on
+    the RAW vectors (the X7 pattern). MATERIALIZED keeps each Lloyd
+    layer computed once."""
+    parts = [
+        f"""WITH elem AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+nv AS MATERIALIZED (
+  SELECT e.vec_id, e.i // {dsub} AS j, e.i % {dsub} AS p,
+         round(e.v / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END, {dec}) AS v
+  FROM elem e JOIN nrm n USING (vec_id)
+),
+sn AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {sample})
+),
+scount AS (SELECT count(*) AS n FROM sn),
+ii AS (
+  SELECT t.c,
+         CASE WHEN t.c = {kc - 1} THEN s.n - 1
+              ELSE CAST(trunc(t.c * (CAST(s.n - 1 AS DOUBLE) / {kc - 1}.0)) AS BIGINT)
+         END AS rn
+  FROM range({kc}) t(c), scount s
+),
+sv AS MATERIALIZED (SELECT nv.* FROM nv JOIN sn USING (vec_id)),
+cb0 AS MATERIALIZED (
+  SELECT ii.c, nv.j, nv.p, nv.v AS w
+  FROM ii JOIN sn ON sn.rn = ii.rn JOIN nv ON nv.vec_id = sn.vec_id
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""d{t} AS (
+  SELECT s.vec_id, s.j, c.c, round(SUM((s.v - c.w) * (s.v - c.w)), {dec}) AS d
+  FROM sv s JOIN cb{p} c ON c.j = s.j AND c.p = s.p
+  GROUP BY 1, 2, 3
+),
+a{t} AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.j, a.c, s.p, round(avg(s.v), {dec}) AS w
+  FROM a{t} a JOIN sv s ON s.vec_id = a.vec_id AND s.j = a.j
+  GROUP BY 1, 2, 3
+),
+cb{t} AS MATERIALIZED (
+  SELECT pr.c, pr.j, pr.p, coalesce(u.w, pr.w) AS w
+  FROM cb{p} pr LEFT JOIN u{t} u ON u.j = pr.j AND u.c = pr.c AND u.p = pr.p
+)"""
+        )
+    parts.append(
+        f"""ed AS (
+  SELECT n.vec_id, n.j, c.c, round(SUM((n.v - c.w) * (n.v - c.w)), {dec}) AS d
+  FROM nv n JOIN cb{iters} c ON c.j = n.j AND c.p = n.p
+  GROUP BY 1, 2, 3
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM ed) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.j, c.c,
+         round(SUM((c.w - q.v) * (c.w - q.v)), {dec}) AS ld
+  FROM nv q JOIN cb{iters} c ON c.j = q.j AND c.p = q.p
+  WHERE q.vec_id IN ({qids})
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, round(SUM(l.ld), {dec}) AS adc_dist
+  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {k * refine}
+),
+dots AS (
+  SELECT s.query_id, s.neighbor_id, SUM(q.v * n.v) AS dot
+  FROM short s
+  JOIN elem q ON q.vec_id = s.query_id
+  JOIN elem n ON n.vec_id = s.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN nrm nq ON d.query_id = nq.vec_id
+  JOIN nrm nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+    )
+    return ",\n".join(parts)
+
+
+X44_SQL = _pq_ann_sql()
 
 
 def x43_substring_dupes(spark, sf_dir):
@@ -3513,6 +3653,92 @@ FROM agg
 """
 
 
+def x78_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift between the two md5
+    halves of orders.o_totalprice (profile.ks_two_sample) — the
+    distribution-drift monitor between snapshot halves. The global
+    ordered CDF runs on scalable_running_sum (range-bucketed prefix
+    sums + broadcast offsets), exercising the round-3-fixed helper on
+    TWO stacked cumulative columns; integer cumulative counts divide
+    only at the end, so the statistic is bit-identical cross-engine
+    with no rounding convention needed."""
+    return profile.ks_two_sample(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey"
+    )
+
+
+X78_SQL = """
+WITH assigned AS (
+  SELECT o_totalprice AS val,
+         CASE WHEN (ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+                  + ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 100 < 50
+              THEN 1 ELSE 0 END AS a
+  FROM orders
+),
+grouped AS (
+  SELECT val, SUM(a) AS cnt_a, SUM(1 - a) AS cnt_b FROM assigned GROUP BY val
+),
+cum AS (
+  SELECT val,
+         SUM(cnt_a) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cnt_b) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM grouped
+),
+tot AS (SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM grouped),
+scored AS (
+  SELECT t.n_a, t.n_b,
+         abs(CAST(c.cum_a AS DOUBLE) / t.n_a - CAST(c.cum_b AS DOUBLE) / t.n_b) AS d,
+         CAST(c.val AS DOUBLE) AS val
+  FROM cum c CROSS JOIN tot t
+)
+SELECT n_a, n_b, round(max(d), 6) AS ks_stat,
+       round(min(val) FILTER (d = (SELECT max(d) FROM scored)), 2) AS at_value
+FROM scored GROUP BY n_a, n_b
+"""
+
+
+def x79_containment_dupes(spark, sf_dir):
+    """Asymmetric near-dup pairs via the overlap coefficient
+    |S(a)∩S(b)| / min(|S(a)|,|S(b)|) >= 0.5 over rare-shingle-blocked
+    candidates (dedup.containment_pairs) — catches short-doc-inside-long
+    quoting that whole-doc Jaccard structurally misses. Deterministic
+    (no hash family needed), so fully oracle-checked."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+X79_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS INT) AS n_inter,
+       CAST(len(x.sh) AS INT) AS size_a,
+       CAST(len(y.sh) AS INT) AS size_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / least(len(x.sh), len(y.sh)), 6) AS containment
+FROM cand c JOIN shn x ON x.doc_id = c.id_a JOIN shn y ON y.doc_id = c.id_b
+WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / least(len(x.sh), len(y.sh)), 6) >= 0.5
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -3557,7 +3783,7 @@ EXTENSIONS = {
     "x41_heavy_hitters": (x41_heavy_hitters, X41_SQL),
     "x42_label_centroid_similarity": (x42_label_centroid_similarity, X42_SQL),
     "x43_substring_dupes": (x43_substring_dupes, X43_SQL),
-    "x44_pq_ann": (x44_pq_ann, None),
+    "x44_pq_ann": (x44_pq_ann, X44_SQL),
     "x45_bm25_scores": (x45_bm25_scores, X45_SQL),
     "x46_split_drift": (x46_split_drift, X46_SQL),
     "x47_pagerank": (x47_pagerank, X47_SQL),
@@ -3595,4 +3821,6 @@ EXTENSIONS = {
     "y2_hard_negatives": (y2_hard_negatives, Y2_SQL),
     "y3_embedding_covariance": (y3_embedding_covariance, Y3_SQL),
     "y4_split_ngram_contamination": (y4_split_ngram_contamination, Y4_SQL),
+    "x78_ks_drift": (x78_ks_drift, X78_SQL),
+    "x79_containment_dupes": (x79_containment_dupes, X79_SQL),
 }

@@ -141,3 +141,21 @@ def test_pq_codes_shape(spark):
     row = pq.encode_pq(emb, books).first()
     assert len(row.codes) == 16
     assert all(0 <= c < 16 for c in row.codes)
+
+
+def test_pq_rounded_recall_vs_brute_force(spark):
+    """The oracle-checkable round_decimals=6 configuration (x44 catalog
+    config) must keep the same recall bar as the unrounded default —
+    6-dp quantization is far below the inter-vector distance scale."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    q = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.pq_topk(emb, q, k=5, round_decimals=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"rounded-PQ recall collapsed: {recall}"

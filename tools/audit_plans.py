@@ -66,6 +66,8 @@ SINGLE_PARTITION_OK = {
     "x71_materialize_mixture",  # G-row allocation plan (x50 shape)
     "x77_quality_psi",  # corpus total: one 1-row aggregate
     "y1_backoff_bigram_lm",  # train-corpus totals (N, V): one 1-row aggregate
+    "x78_ks_drift",  # n_a/n_b totals: one 1-row aggregate; CDF prefix runs
+    # on scalable_running_sum (N_partitions-row offsets fold, never data)
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -90,6 +92,7 @@ CROSS_JOIN_OK = {
     "x71_materialize_mixture",  # crossJoins with broadcast 1-row totals (x50)
     "x77_quality_psi",  # 10-bin grid + broadcast 1-row corpus total
     "y1_backoff_bigram_lm",  # crossJoin with the broadcast 1-row (N, V) totals
+    "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
 }
 
 
