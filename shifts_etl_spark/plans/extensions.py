@@ -2873,10 +2873,10 @@ def x67_dedup_components(spark, sf_dir):
 
 
 X67_SQL = rf"""
-WITH RECURSIVE norm AS (
+WITH RECURSIVE norm AS MATERIALIZED (
   SELECT doc_id, {_X67_NORM} AS toks FROM documents
 ),
-shn AS (
+shn AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
@@ -2886,20 +2886,20 @@ shn AS (
          END AS sh
   FROM norm
 ),
-flat AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
-rare AS (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
-cand AS (
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
   FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
   WHERE a.doc_id < b.doc_id
 ),
-conf AS (
+conf AS MATERIALIZED (
   SELECT ia, ib
   FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
   WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
         / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3
 ),
-edges AS (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
+edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
 reach AS (
   SELECT a AS node, a AS r FROM edges
   UNION
@@ -2913,10 +2913,10 @@ SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
 # confirmed component keep themselves). The Jaccard is rounded to 6 decimals
 # before the threshold compare to mirror ngram_jaccard_pairs exactly.
 X25_SQL = rf"""
-WITH RECURSIVE norm AS (
+WITH RECURSIVE norm AS MATERIALIZED (
   SELECT doc_id, {_X67_NORM} AS toks FROM documents
 ),
-shn AS (
+shn AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
@@ -2926,26 +2926,26 @@ shn AS (
          END AS sh
   FROM norm
 ),
-flat AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
-rare AS (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
-cand AS (
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
   FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
   WHERE a.doc_id < b.doc_id
 ),
-conf AS (
+conf AS MATERIALIZED (
   SELECT ia, ib
   FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
   WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
         / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
 ),
-edges AS (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
+edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
 reach AS (
   SELECT a AS node, a AS r FROM edges
   UNION
   SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b
 ),
-comp AS (SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node)
+comp AS MATERIALIZED (SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node)
 SELECT d.doc_id,
        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
