@@ -2536,10 +2536,13 @@ def j9_interval_overlap(spark, sf_dir):
         F.col("ts").cast("long").alias("s"),
         (F.col("ts").cast("long") + F.floor(F.col("value") * 10).cast("long")).alias("e"),
     )
+    # no trailing orderBy: the driver compare is order-insensitive, and a
+    # global sort over the pair output would be a pure-waste range
+    # exchange at scale
     return interval_overlap_pairs(
         iv, key="user_id", id_col="event_id", start_col="s", end_col="e",
         bucket_seconds=3600,
-    ).orderBy("user_id", "a_id", "b_id")
+    )
 
 
 J9_SQL = """
