@@ -3739,6 +3739,125 @@ WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 """
 
 
+_X80_BUCKET = (
+    "(ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 100"
+)
+
+
+def _x80_snapshots(spark, sf_dir):
+    """Two deterministic overlapping snapshots of orders: old = md5
+    buckets [0, 60), new = buckets [40, 100) with a planted mutation
+    (custkey + 1 on every 7th orderkey) so all three diff statuses
+    fire."""
+    from ..plans import extensions as _self  # noqa: F401  (doc anchor)
+
+    o = _t(spark, sf_dir, "orders")
+    hx = F.md5(F.col("o_orderkey").cast("string"))
+    bucket = (
+        F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(F.substring(hx, 2, 1))
+    ) % 100
+    base = o.select(
+        "o_orderkey", bucket.alias("_b"), "o_custkey", "o_orderstatus",
+        "o_orderpriority",
+    )
+    old = base.where(F.col("_b") < 60).drop("_b")
+    new = (
+        base.where(F.col("_b") >= 40)
+        .drop("_b")
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1
+            ).otherwise(F.col("o_custkey")),
+        )
+    )
+    return old, new
+
+
+def x80_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot reconciliation (reconcile.snapshot_diff): per-PK
+    added/removed/changed between two deterministic md5-bucket snapshots
+    of orders (a planted +1-custkey mutation on every 7th key makes
+    'changed' fire). One PK hash join; wide rows never shuffle — only
+    (pk, 48-bit md5 fingerprint) pairs; output is sized by the CHANGE
+    volume, not the table."""
+    from ..operators.reconcile import snapshot_diff
+
+    old, new = _x80_snapshots(spark, sf_dir)
+    return snapshot_diff(
+        old, new, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+_X80_FP = _hex12_int_sql("hx")
+
+X80_SQL = f"""
+WITH b AS (
+  SELECT o_orderkey, {_X80_BUCKET} AS bucket,
+         o_custkey, o_orderstatus, o_orderpriority
+  FROM orders
+),
+old AS (SELECT * FROM b WHERE bucket < 60),
+neu AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+              ELSE o_custkey END AS o_custkey
+  FROM b WHERE bucket >= 40
+),
+ofp AS (
+  SELECT o_orderkey, {_X80_FP} AS fp FROM (
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                         CAST(o_orderstatus AS VARCHAR),
+                         CAST(o_orderpriority AS VARCHAR)) || '#row') AS hx
+    FROM old)
+),
+nfp AS (
+  SELECT o_orderkey, {_X80_FP} AS fp FROM (
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                         CAST(o_orderstatus AS VARCHAR),
+                         CAST(o_orderpriority AS VARCHAR)) || '#row') AS hx
+    FROM neu)
+)
+SELECT o_orderkey,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed' END AS status
+FROM ofp o FULL OUTER JOIN nfp n USING (o_orderkey)
+WHERE o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp
+"""
+
+
+def x81_table_checksum(spark, sf_dir):
+    """Order/partition-independent table checksum
+    (reconcile.table_checksum) over orders' engine-stable columns: exact
+    row count + BIT_XOR of per-row 48-bit md5 folds — the 16-byte
+    cross-system content-equality probe. One scan, map-side combinable,
+    1-row result."""
+    from ..operators.reconcile import table_checksum
+
+    return table_checksum(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+X81_SQL = f"""
+WITH fp AS (
+  SELECT {_X80_FP} AS fp FROM (
+    SELECT md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR),
+                         CAST(o_custkey AS VARCHAR),
+                         CAST(o_orderstatus AS VARCHAR),
+                         CAST(o_orderpriority AS VARCHAR)) || '#row') AS hx
+    FROM orders)
+)
+SELECT count(*) AS n_rows, bit_xor(fp) AS checksum FROM fp
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -3823,4 +3942,6 @@ EXTENSIONS = {
     "y4_split_ngram_contamination": (y4_split_ngram_contamination, Y4_SQL),
     "x78_ks_drift": (x78_ks_drift, X78_SQL),
     "x79_containment_dupes": (x79_containment_dupes, X79_SQL),
+    "x80_snapshot_diff": (x80_snapshot_diff, X80_SQL),
+    "x81_table_checksum": (x81_table_checksum, X81_SQL),
 }

@@ -95,3 +95,34 @@ def test_containment_threshold_filters(spark):
     assert strict == []
     loose = containment_pairs(docs, threshold=0.1).collect()
     assert len(loose) == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    """Planted added/removed/changed/unchanged rows classify exactly."""
+    from shifts_etl_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(id=2, v="b"), Row(id=3, v="CHANGED"), Row(id=4, v="d")]
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # id=2 unchanged → absent
+
+
+def test_table_checksum_order_and_partition_independent(spark):
+    """Same content in any row order / partitioning → same checksum;
+    one changed cell → different checksum, same count."""
+    from shifts_etl_spark.operators.reconcile import table_checksum
+
+    rows = [Row(id=i, v=f"val{i}") for i in range(100)]
+    a = spark.createDataFrame(rows).repartition(8)
+    b = spark.createDataFrame(list(reversed(rows))).repartition(3)
+    ca = table_checksum(a, ["id", "v"]).collect()[0]
+    cb = table_checksum(b, ["id", "v"]).collect()[0]
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+
+    mutated = [Row(id=i, v=("XX" if i == 42 else f"val{i}")) for i in range(100)]
+    cm = table_checksum(spark.createDataFrame(mutated), ["id", "v"]).collect()[0]
+    assert cm.n_rows == ca.n_rows and cm.checksum != ca.checksum

@@ -68,6 +68,9 @@ SINGLE_PARTITION_OK = {
     "y1_backoff_bigram_lm",  # train-corpus totals (N, V): one 1-row aggregate
     "x78_ks_drift",  # n_a/n_b totals: one 1-row aggregate; CDF prefix runs
     # on scalable_running_sum (N_partitions-row offsets fold, never data)
+    "x81_table_checksum",  # the checksum IS a 1-row global aggregate
+    # (map-side-combined bit_xor + count; the exchange carries one row
+    # per map task)
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
