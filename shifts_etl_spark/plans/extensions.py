@@ -3240,9 +3240,18 @@ FROM ranked WHERE rn <= 3
 def x74_bpe_merges(spark, sf_dir):
     """Distributed BPE merge training (operators/bpe.py): 10 merges
     learned at VOCABULARY scale (the corpus folds to distinct words
-    once; every Lloyd-style iteration runs on the vocab frame with a
-    1-row argmax collect). Iterative → rows-only check; the merge
-    sequence is pytest-pinned on the canonical Sennrich example."""
+    once; every iteration runs on the vocab frame with a 1-row argmax
+    collect).
+
+    Oracle-checkable since round 3: the training loop is integer-exact
+    and deterministic (freq desc, pair-lexicographic tie-break), so
+    X74_SQL replays it as a recursive CTE over the vocab — adjacent-pair
+    counts via a LATERAL comprehension, the global argmax via a
+    full-ordering window, and the left-to-right greedy non-overlapping
+    merge application as a list_reduce string fold that mirrors
+    bpe._apply_merge's prev-carry accumulator exactly. The merge
+    sequence is additionally pytest-pinned on the canonical Sennrich
+    example."""
     from ..operators.bpe import bpe_merges_df
 
     return bpe_merges_df(_t(spark, sf_dir, "documents"), n_merges=10)
@@ -3252,11 +3261,91 @@ def x75_bpe_encode(spark, sf_dir):
     """Tokenizer-aware per-doc length accounting: apply x74's learned
     merges to the distinct-word frame (vocab-sized), broadcast the
     word→piece-count map back over the corpus word stream, and report
-    (n_words, n_chars, n_pieces, pieces_per_word). Iterative trainer
-    inside → rows-only; encoding equivalence pytest-pinned."""
+    (n_words, n_chars, n_pieces, pieces_per_word).
+
+    Oracle-checkable since round 3: X75_SQL runs the same recursive
+    training chain as X74_SQL and reads each word's FINAL tokenization
+    off the last recursion layer (every word advances every iteration,
+    so max(it) carries the full vocab), then joins piece counts back
+    over the per-doc word stream."""
     from ..operators.bpe import bpe_encode_counts
 
     return bpe_encode_counts(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The shared recursive BPE-training CTE prefix (through ``sel``),
+    mirroring bpe.bpe_train(n_merges=...) bit-for-bit. Integer weights
+    and string symbols only — no float conventions needed."""
+    fold = """list_reduce(string_split(sym, ' '), (acc, x) ->
+  CASE WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+       THEN CASE WHEN acc = l THEN l || r
+            ELSE left(acc, length(acc) - length(l)) || l || r END
+       ELSE acc || ' ' || x END)"""
+    return f"""WITH RECURSIVE
+norm AS (SELECT doc_id, {_X67_NORM} AS toks FROM documents),
+vocab AS (
+  SELECT word, count(*) AS weight
+  FROM (SELECT unnest(toks) AS word FROM norm) GROUP BY word
+),
+base AS (
+  SELECT word, weight,
+         array_to_string(regexp_split_to_array(word, ''), ' ') || ' ▁' AS sym
+  FROM vocab
+),
+sel(word, weight, sym, it, l, r, freq) AS (
+  SELECT word, weight, sym, 0,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT word, weight, {fold} AS sym, it + 1, l, r, freq
+  FROM (
+    SELECT word, weight, sym, it, best_a AS l, best_b AS r, best_f AS freq
+    FROM (
+      SELECT q.*,
+             first_value(pa) OVER w AS best_a,
+             first_value(pb) OVER w AS best_b,
+             first_value(pf) OVER w AS best_f,
+             row_number() OVER (PARTITION BY word ORDER BY pa NULLS LAST, pb NULLS LAST) AS rn
+      FROM (
+        SELECT s.word, s.weight, s.sym, s.it, p.pa, p.pb,
+               CASE WHEN p.pa IS NULL THEN NULL
+                    ELSE SUM(s.weight * p.n) OVER (PARTITION BY p.pa, p.pb) END AS pf
+        FROM (SELECT word, weight, sym, it, string_split(sym, ' ') AS t
+              FROM sel WHERE it < {n_merges}) s
+        LEFT JOIN LATERAL (
+          SELECT u.pr['a'] AS pa, u.pr['b'] AS pb, count(*) AS n
+          FROM unnest([{{'a': s.t[i], 'b': s.t[i + 1]}}
+                       for i in generate_series(1, len(s.t) - 1)]) AS u(pr)
+          GROUP BY 1, 2
+        ) p ON TRUE
+      ) q
+      WINDOW w AS (ORDER BY pf DESC NULLS LAST, pa NULLS LAST, pb NULLS LAST)
+    ) z
+    WHERE rn = 1 AND best_f IS NOT NULL AND best_f >= 2
+  ) picked
+)"""
+
+
+X74_SQL = f"""{_bpe_chain_sql(10)}
+SELECT DISTINCT CAST(it AS BIGINT) AS merge_rank, l AS "left", r AS "right", freq
+FROM sel WHERE it >= 1
+"""
+
+X75_SQL = f"""{_bpe_chain_sql(10)},
+final AS (
+  SELECT word, len(string_split(sym, ' ')) AS wp
+  FROM sel WHERE it = (SELECT max(it) FROM sel)
+),
+stream AS (SELECT doc_id, unnest(toks) AS word FROM norm)
+SELECT s.doc_id,
+       count(*) AS n_words,
+       SUM(length(s.word)) AS n_chars,
+       SUM(f.wp) AS n_pieces,
+       round(CAST(SUM(f.wp) AS DOUBLE) / count(*), 6) AS pieces_per_word
+FROM stream s JOIN final f USING (word)
+GROUP BY s.doc_id
+"""
 
 
 def x76_label_noise(spark, sf_dir):
@@ -3932,8 +4021,8 @@ EXTENSIONS = {
     "x71_materialize_mixture": (x71_materialize_mixture, X71_SQL),
     "x72_purged_temporal_split": (x72_purged_temporal_split, X72_SQL),
     "x73_negative_sampling": (x73_negative_sampling, X73_SQL),
-    "x74_bpe_merges": (x74_bpe_merges, None),
-    "x75_bpe_encode": (x75_bpe_encode, None),
+    "x74_bpe_merges": (x74_bpe_merges, X74_SQL),
+    "x75_bpe_encode": (x75_bpe_encode, X75_SQL),
     "x76_label_noise": (x76_label_noise, X76_SQL),
     "x77_quality_psi": (x77_quality_psi, X77_SQL),
     "y1_backoff_bigram_lm": (y1_backoff_bigram_lm, Y1_SQL),
