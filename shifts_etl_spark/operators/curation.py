@@ -156,7 +156,7 @@ def semantic_dedup(
     corpus scale is impossible. Cells are k-means-balanced rather than
     hash-balanced, so a pathological cell is bounded by cluster size, a
     quantity the fit reports (KMeansModel.sizes)."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import cosine_from_norms, l2_norm
 
     model = clustering.kmeans_fit(
         emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
@@ -166,12 +166,17 @@ def semantic_dedup(
         emb, model.centroids, id_col=id_col, vec_col=vec_col,
         round_decimals=round_decimals,
     ).select(id_col, "cell")
+    # per-vector norm computed ONCE before the pair join (bit-identical
+    # cosine; cosine_similarity inline would refold both norms per pair)
     e = emb.join(cells, id_col).select(
         F.col(id_col).alias("vid"),
         "cell",
         F.col(vec_col).alias("v"),
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     l, r = e.alias("l"), e.alias("r")
+    cos = cosine_from_norms(
+        F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")
+    )
     dropped = (
         l.join(
             r,
@@ -180,9 +185,9 @@ def semantic_dedup(
         )
         .where(
             (
-                F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), round_decimals)
+                F.round(cos, round_decimals)
                 if round_decimals is not None
-                else cosine_similarity(F.col("l.v"), F.col("r.v"))
+                else cos
             )
             >= threshold
         )

@@ -456,13 +456,15 @@ def embedding_nn_pairs(
     cross product is per-block, never global — swap ``block_col`` for an
     LSH bucket at 100 TB."""
     from pyspark.sql import Window
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import cosine_from_norms, l2_norm
 
     e = emb.select(
         F.col(id_col).alias("vid"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     l, r = e.alias("l"), e.alias("r")
-    sim = cosine_similarity(F.col("l.v"), F.col("r.v"))
+    sim = cosine_from_norms(
+        F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")
+    )
     pairs = l.join(
         r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.vid") != F.col("r.vid"))
     ).select(

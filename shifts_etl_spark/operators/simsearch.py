@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_from_norms as _cosine_from_norms, cosine_similarity, l2_norm as _l2_norm
 
 
 def brute_force_topk(
@@ -418,10 +418,11 @@ def hard_negative_topk(
         ) * (1 << i)
         for i in range(n_sign_bits)
     ).alias("bkt")
+    # norms once per vector, not per pair (bit-identical cosine)
     e = emb.select(
         F.col(id_col).alias("vid"), F.col(label_col).alias("lbl"), bucket,
         F.col(vec_col).alias("v"),
-    )
+    ).withColumn("nrm", _l2_norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
@@ -432,7 +433,12 @@ def hard_negative_topk(
         F.col("a.lbl").alias("anchor_label"),
         F.col("b.vid").alias("neg_id"),
         F.col("b.lbl").alias("neg_label"),
-        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        F.round(
+            _cosine_from_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neg_id")
     return (

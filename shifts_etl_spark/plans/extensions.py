@@ -2099,7 +2099,7 @@ def x51_within_label_topk(spark, sf_dir):
     oracle-expressible, unlike seeded-hyperplane LSH. Cosine is
     JVM-side; the per-label top-3 is a window over the label
     partition."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import cosine_from_norms, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
     # F.get is null-safe past the array end (short vectors) — the NULL
@@ -2109,16 +2109,19 @@ def x51_within_label_topk(spark, sf_dir):
         * (1 << i)
         for i in range(8)
     ).alias("bkt")
+    # norms once per vector, not per pair (bit-identical cosine)
     a = emb.select(
         "label", bucket, F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
-    )
+    ).withColumn("na", l2_norm(F.col("va")))
     b = emb.select(
         "label", bucket, F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
-    )
+    ).withColumn("nb", l2_norm(F.col("vb")))
     pairs = a.join(b, ["label", "bkt"]).where(F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    sim = F.round(
+        cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("label").orderBy(
@@ -3358,16 +3361,17 @@ def x76_label_noise(spark, sf_dir):
     stays Σ per-bucket², never n². Cosine and ranking are JVM-side."""
     from pyspark.sql import Window
 
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import cosine_from_norms, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
     bucket = sum(
         F.coalesce((F.get("embedding", i) >= 0).cast("int"), F.lit(0)) * (1 << i)
         for i in range(8)
     ).alias("bkt")
+    # norms once per vector, not per pair (bit-identical cosine)
     e = emb.select(
         F.col("vec_id").alias("vid"), "label", bucket, F.col("embedding").alias("v")
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.vid") != F.col("b.vid"))
@@ -3379,7 +3383,12 @@ def x76_label_noise(spark, sf_dir):
         # 6-decimal rounding BEFORE the rank window (the x13/x7 convention):
         # Spark's sequential zip_with fold and DuckDB's unordered SUM can
         # differ in the last ulp, which would flip row_number at near-ties
-        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        F.round(
+            cosine_from_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+            ),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nid")
     top = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
