@@ -72,8 +72,16 @@ def exact_dedup_normalized(
 
 def word_shingles(c, n: int = 3):
     """n-token shingles of the normalized text, distinct, JVM-side:
-    transform over token positions → concat_ws of the n-token slice."""
-    t = tokens(normalize_text(c))
+    transform over token positions → concat_ws of the n-token slice.
+
+    PERF: pass a MATERIALIZED tokens column (see ``shingle_sets``), not
+    the raw text column. Subexpression elimination does not reach inside
+    higher-order-function lambdas, so handing this the tokenize pipeline
+    directly re-runs normalize+split+filter PER SHINGLE POSITION —
+    measured 12 s vs 0.7 s over sf0.1 documents. A two-projection select
+    is safe because CollapseProject declines to inline a non-cheap alias
+    referenced more than once."""
+    t = c
     k = F.size(t) - (n - 1)
     return F.array_distinct(
         F.when(
@@ -84,6 +92,21 @@ def word_shingles(c, n: int = 3):
             ),
         ).otherwise(F.array(F.concat_ws(" ", t)))
     )
+
+
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, sh) distinct-shingle arrays via the two-projection shape:
+    tokens materialized first, shingles assembled from the attribute —
+    the 17× fix for the lambda-CSE blindspot (see word_shingles)."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalize_text(F.col(text_col))).alias("_toks"),
+    ).select("doc", word_shingles(F.col("_toks"), shingle_n).alias("sh"))
 
 
 def shingle_rows(
@@ -370,10 +393,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard for given (id_a, id_b) candidate pairs —
     the verification stage after LSH candidate generation."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    sh = shingle_sets(docs, text_col, id_col, shingle_n)
     return (
         pairs.join(sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"doc": "id_b", "sh": "sh_b"}), "id_b")
@@ -772,10 +792,7 @@ def containment_pairs(
     arrays by id (text moves only into the bounded candidate set).
     Deterministic end to end, hence DuckDB-oracle-checkable."""
     cands = rare_shingle_pairs(docs, text_col, id_col, shingle_n, min_df, max_df)
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    sh = shingle_sets(docs, text_col, id_col, shingle_n)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     smaller = F.least(F.size("sh_a"), F.size("sh_b"))
     return (
