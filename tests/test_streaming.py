@@ -320,3 +320,45 @@ def test_streaming_quantiles_sketch(spark, tmp_path):
     assert final.n_rows == 300  # cross-batch accumulation
     assert abs(final.p50 - 150) <= 6  # 2% rank error envelope
     assert abs(final.p95 - 285) <= 6
+
+
+def test_streaming_value_psi_flags_shifted_window(spark, tmp_path):
+    """Two event-time windows: hour 0 matches the uniform reference,
+    hour 1 is concentrated in one bin → its PSI must be much larger;
+    both values must equal the plain-Python mirror of the projection."""
+    from shifts_etl_spark.streaming.drift import (
+        psi_of_counts,
+        reference_probs_uniform,
+        streaming_value_psi,
+    )
+
+    inp = tmp_path / "psi_in"
+    inp.mkdir()
+    rows = []
+    # hour 0: one event per bin (matches uniform)
+    for i in range(10):
+        rows.append({"event_id": i, "ts": "2024-01-01T00:10:00.000Z",
+                     "user_id": 1, "event_type": "m", "value": i + 0.5,
+                     "props": "{}"})
+    # hour 1: everything in bin 0 (max drift)
+    for i in range(10):
+        rows.append({"event_id": 100 + i, "ts": "2024-01-01T01:10:00.000Z",
+                     "user_id": 1, "event_type": "m", "value": 0.1,
+                     "props": "{}"})
+    with open(inp / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ref = reference_probs_uniform()
+    q = streaming_value_psi(
+        spark, inp, tmp_path / "psi_ckpt", ref, lo=0.0, hi=10.0,
+        query_name="psi_test",
+    )
+    q.awaitTermination()
+    got = {r.window_start.hour: r for r in
+           spark.sql("SELECT * FROM psi_test").collect()}
+    assert set(got) == {0, 1}
+    assert got[0].n_events == 10 and got[1].n_events == 10
+    assert got[1].psi > 10 * max(got[0].psi, 1e-9)
+    assert abs(got[0].psi - psi_of_counts([1] * 10, ref)) < 1e-9
+    assert abs(got[1].psi - psi_of_counts([10] + [0] * 9, ref)) < 1e-9
