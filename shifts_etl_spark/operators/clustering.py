@@ -120,9 +120,18 @@ def kmeans_fit(
     order_key = (
         F.xxhash64(F.col(id_col)) if init == "hash" else F.col(id_col)
     )
-    feats = emb.select(
-        order_key.alias("_h"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    # _fan_out: a compact single-file scan arrives as ONE split, which
+    # would serialize every Lloyd pass's |rows|×k×d distance folds on one
+    # core; the cached frame is what every iteration reads, so spread it
+    # once. Partial-sum order changes are absorbed by the round_decimals
+    # convention (and are measurement noise for the unrounded default).
+    from .dedup import _fan_out
+
+    feats = _fan_out(
+        emb.select(
+            order_key.alias("_h"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
     ).persist()
     try:
         init_rows = feats.orderBy("_h").limit(k).collect()

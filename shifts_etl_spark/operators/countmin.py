@@ -69,9 +69,13 @@ def cm_build(
     anything but the key), then a partial-agg groupBy whose output is
     capped at depth*width rows.
     """
+    from .dedup import _fan_out
+
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth")
+    # _fan_out: the md5 bucket folds are the cost here (depth hex folds
+    # per key), and a single-split input would run them on one core
     return (
-        df.select(F.col(key_col).alias("k"))
+        _fan_out(df.select(F.col(key_col).alias("k")))
         .where(F.col("k").isNotNull())
         .select("k", rows)
         .select("depth", bucket_expr(F.col("k"), F.col("depth"), width).alias("bucket"))

@@ -116,8 +116,16 @@ def ivf_topk(
             .drop("_r", "cent_sim")
         )
 
+    # _fan_out the corpus scoring: |corpus|×|centroids| cosine folds are
+    # the dominant flops, and a compact single-file scan is ONE split
+    from .dedup import _fan_out
+
     corpus = nearest_cells(
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        _fan_out(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            )
+        ),
         "neighbor_id",
         "cv",
         1,
