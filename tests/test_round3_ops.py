@@ -126,3 +126,61 @@ def test_table_checksum_order_and_partition_independent(spark):
     mutated = [Row(id=i, v=("XX" if i == 42 else f"val{i}")) for i in range(100)]
     cm = table_checksum(spark.createDataFrame(mutated), ["id", "v"]).collect()[0]
     assert cm.n_rows == ca.n_rows and cm.checksum != ca.checksum
+
+
+# ---------------------------------------------------------------------------
+# property-style invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 50), st.text("ab", min_size=0, max_size=3)),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old_rows=_ROWS, new_rows=_ROWS)
+def test_snapshot_diff_matches_dict_reference(spark, old_rows, new_rows):
+    """For ANY pair of keyed snapshots (last-write-wins per key), the
+    diff equals the plain-dict reconstruction."""
+    from shifts_etl_spark.operators.reconcile import snapshot_diff
+
+    old_d = {k: v for k, v in old_rows}
+    new_d = {k: v for k, v in new_rows}
+    old = spark.createDataFrame(list(old_d.items()) or [(None, None)],
+                                "id int, v string").where("id is not null")
+    new = spark.createDataFrame(list(new_d.items()) or [(None, None)],
+                                "id int, v string").where("id is not null")
+    got = {r.id: r.status for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in new_d:
+            want[k] = "removed"
+        elif k not in old_d:
+            want[k] = "added"
+        elif old_d[k] != new_d[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(0, 1_000_000),
+                               st.text("xyz", max_size=4)),
+                     min_size=1, max_size=30, unique_by=lambda t: t[0]))
+def test_table_checksum_equals_python_xor(spark, rows):
+    """Checksum equals the hashlib reconstruction for ANY keyed rows."""
+    import hashlib
+
+    from shifts_etl_spark.operators.reconcile import table_checksum
+
+    df = spark.createDataFrame(rows, "id long, v string")
+    got = table_checksum(df, ["id", "v"]).collect()[0]
+    want = 0
+    for i, v in rows:
+        hx = hashlib.md5(f"{i}\x1f{v}#row".encode()).hexdigest()[:12]
+        want ^= int(hx, 16)
+    assert got.n_rows == len(rows) and got.checksum == want
