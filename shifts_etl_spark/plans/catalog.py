@@ -21,11 +21,42 @@ class QuerySpec:
     oracle: str | None  # ANSI/DuckDB SQL twin; None → rows-only check
 
 
-# Names that already hold a green driver-correctness row (CORRECTNESS_r01 +
-# CORRECTNESS_r02). The driver's harness consumes CATALOG in iteration order
-# and only reaches the first ~50 entries per round, so queries WITHOUT a
-# driver row yet must iterate first; the already-verified set goes last.
-_DRIVER_VERIFIED = frozenset(
+# Names that already hold a green driver-correctness row. The driver's
+# harness consumes CATALOG in iteration order and only reaches the first
+# ~50 entries per round, so queries WITHOUT a driver row yet must iterate
+# first; the already-verified set goes last.
+#
+# SELF-MAINTAINING since round 3: every CORRECTNESS_r*.json the driver has
+# dropped in the repo root is parsed at import and its fully-green rows
+# (rows + schema + hash) are unioned in — the static seed below only
+# guards against the files going missing. Round 2's verdict flagged the
+# hand-maintained list going stale as the top window-wasting defect; this
+# removes the failure mode instead of patching it each round.
+
+
+def _driver_verified_from_files() -> frozenset:
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    names = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                names.add(name)
+    return frozenset(names)
+
+
+_DRIVER_VERIFIED_SEED = frozenset(
     {
         # --- round 1 greens (CORRECTNESS_r01.json) ---
         "s5_scan_pushdown", "t1_explode_tokens", "t2_rename_projection",
@@ -63,6 +94,8 @@ _DRIVER_VERIFIED = frozenset(
         "q35_inactive_big_balance", "q36_priority_returns",
     }
 )
+
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_SEED | _driver_verified_from_files()
 
 _MERGED = {**RELATIONAL, **TPCH, **EXTENSIONS}
 

@@ -184,3 +184,21 @@ def test_table_checksum_equals_python_xor(spark, rows):
         hx = hashlib.md5(f"{i}\x1f{v}#row".encode()).hexdigest()[:12]
         want ^= int(hx, 16)
     assert got.n_rows == len(rows) and got.checksum == want
+
+
+def test_driver_verified_set_parses_correctness_files():
+    """The self-maintaining verified set must reproduce every green row
+    of the driver's CORRECTNESS_r*.json files (and nothing that isn't a
+    catalog entry), so future rounds never ship a stale hand list."""
+    from shifts_etl_spark.plans.catalog import (
+        CATALOG,
+        _DRIVER_VERIFIED,
+        _driver_verified_from_files,
+    )
+
+    from_files = _driver_verified_from_files()
+    assert from_files  # the repo root carries r01+r02 at minimum
+    assert from_files <= set(CATALOG)
+    assert from_files <= _DRIVER_VERIFIED
+    # rows-only entries can never be driver-green
+    assert all(CATALOG[n].oracle is not None for n in from_files)
