@@ -3873,6 +3873,61 @@ def _x80_snapshots(spark, sf_dir):
     return old, new
 
 
+def x82_audio_energy(spark, sf_dir):
+    """Audio-style windowed RMS energy + silence detection over the
+    opaque blob column (multimodal.audio_window_energy): 128-sample
+    8-bit-PCM frames, 6-dp-rounded window RMS, silence fraction at
+    rms < 20, and the peak window — the VAD/silence-trim signal an
+    audio curation pipeline runs before transcription. Decode is the
+    sanctioned byte-view stub; the Spark plumbing (binary column,
+    Arrow-batched mapInPandas, numpy reshape per batch) is the real
+    contract, and every statistic mirrors into X82_SQL's byte
+    arithmetic (the corpus is pure ASCII, so ascii(substring) IS the
+    byte — asserted by the driver compare itself)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.audio_window_energy(multimodal.attach_blob(docs))
+
+
+X82_SQL = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, (length(text) // 128) * 128)) AS i
+  FROM documents
+  WHERE length(text) >= 128
+),
+samples AS (
+  SELECT doc_id, (i - 1) // 128 AS w,
+         CAST(ascii(substring(text, i, 1)) AS DOUBLE) - 128.0 AS s
+  FROM idx
+),
+win AS (
+  SELECT doc_id, w, round(sqrt(avg(s * s)), 6) AS rms
+  FROM samples GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_windows,
+         -- integer micro-unit mean with half-up division: a float avg of
+         -- 6-dp values ties at .5 constantly and ulp order flips it
+         ((2 * SUM(CAST(round(rms * 1000000) AS BIGINT)) + count(*))
+          // (2 * count(*))) / 1000000.0 AS mean_rms,
+         round(CAST(count(*) FILTER (rms < 20.0) AS DOUBLE) / count(*), 6) AS silence_frac
+  FROM win GROUP BY doc_id
+),
+peak AS (
+  SELECT doc_id, rms AS peak_rms, CAST(w AS INT) AS peak_window
+  FROM (
+    SELECT doc_id, rms, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY rms DESC, w) AS rn
+    FROM win
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_samples,
+       a.n_windows, a.mean_rms, a.silence_frac, p.peak_rms, p.peak_window
+FROM documents d JOIN agg a USING (doc_id) JOIN peak p USING (doc_id)
+"""
+
+
 def x80_snapshot_diff(spark, sf_dir):
     """CDC-style snapshot reconciliation (reconcile.snapshot_diff): per-PK
     added/removed/changed between two deterministic md5-bucket snapshots
@@ -4042,4 +4097,5 @@ EXTENSIONS = {
     "x79_containment_dupes": (x79_containment_dupes, X79_SQL),
     "x80_snapshot_diff": (x80_snapshot_diff, X80_SQL),
     "x81_table_checksum": (x81_table_checksum, X81_SQL),
+    "x82_audio_energy": (x82_audio_energy, X82_SQL),
 }

@@ -202,3 +202,23 @@ def test_driver_verified_set_parses_correctness_files():
     assert from_files <= _DRIVER_VERIFIED
     # rows-only entries can never be driver-green
     assert all(CATALOG[n].oracle is not None for n in from_files)
+
+
+def test_audio_energy_silence_and_peak(spark):
+    """Constant-byte blob → rms 0 everywhere, silence 1.0; a loud second
+    window must move the peak and break silence there."""
+    from shifts_etl_spark.operators.multimodal import audio_window_energy
+
+    quiet = bytes([128] * 256)
+    loud = bytes([128] * 128 + [228, 28] * 64)
+    df = spark.createDataFrame(
+        [(1, quiet), (2, loud), (3, bytes([128] * 100))],  # 3: sub-window → no row
+        "doc_id long, blob binary",
+    )
+    got = {r.doc_id: r for r in audio_window_energy(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_windows == 2 and got[1].mean_rms == 0.0
+    assert got[1].silence_frac == 1.0 and got[1].peak_window == 0
+    assert got[2].peak_window == 1 and got[2].peak_rms == 100.0
+    assert got[2].silence_frac == 0.5
+    assert got[2].mean_rms == 50.0
