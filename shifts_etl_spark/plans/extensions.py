@@ -3873,6 +3873,65 @@ def _x80_snapshots(spark, sf_dir):
     return old, new
 
 
+def x83_minhash_calibration(spark, sf_dir):
+    """Estimator-calibration audit: score the MinHash-LSH Jaccard
+    ESTIMATES (x3's md5-family est_jaccard) against the EXACT shingle
+    Jaccard on the same candidate pairs — (n_pairs, mae, mean_bias,
+    max_abs_err), the sketch-credibility check a pipeline runs before
+    trusting a threshold. Both sides are deterministic (md5 hash family;
+    exact set Jaccard), so the whole audit oracle-checks; error means
+    are computed in INTEGER micro-units with half-up division (the x82
+    lesson — float means of 1e-6-grid values tie at .5 constantly), and
+    `div`/`//` agree across engines because the sign-split keeps every
+    operand positive."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
+    exact = dedup.ngram_jaccard_pairs(docs, pairs.select("id_a", "id_b"))
+    cal = pairs.join(exact, ["id_a", "id_b"])
+    diff = (
+        F.round(F.col("est_jaccard") * 1e6).cast("long")
+        - F.round(F.col("jaccard") * 1e6).cast("long")
+    )
+    agg = cal.select(diff.alias("diff")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs("diff")).alias("sabs"),
+        F.sum("diff").alias("s"),
+        F.max(F.abs("diff")).alias("mx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        (F.expr("(2 * sabs + n) div (2 * n)") / 1e6).alias("mae"),
+        (
+            F.when(F.col("s") >= 0, F.expr("(2 * s + n) div (2 * n)"))
+            .otherwise(-F.expr("(2 * (-s) + n) div (2 * n)"))
+            / 1e6
+        ).alias("mean_bias"),
+        (F.col("mx") / 1e6).alias("max_abs_err"),
+    )
+
+
+X83_SQL = X3_SQL.replace(
+    ")\nSELECT id_a, id_b, est_jaccard FROM pairs",
+    """),
+cal AS (
+  SELECT CAST(round(p.est_jaccard * 1000000) AS BIGINT)
+         - CAST(round(round(CAST(len(list_intersect(list_distinct(x.sh), list_distinct(y.sh))) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 6) * 1000000) AS BIGINT) AS diff
+  FROM pairs p
+  JOIN shn x ON x.doc_id = p.id_a
+  JOIN shn y ON y.doc_id = p.id_b
+)
+SELECT count(*) AS n_pairs,
+       ((2 * SUM(abs(diff)) + count(*)) // (2 * count(*))) / 1000000.0 AS mae,
+       CASE WHEN SUM(diff) >= 0
+            THEN ((2 * SUM(diff) + count(*)) // (2 * count(*))) / 1000000.0
+            ELSE -(((2 * (-SUM(diff)) + count(*)) // (2 * count(*))) / 1000000.0)
+       END AS mean_bias,
+       MAX(abs(diff)) / 1000000.0 AS max_abs_err
+FROM cal""",
+)
+
+
 def x82_audio_energy(spark, sf_dir):
     """Audio-style windowed RMS energy + silence detection over the
     opaque blob column (multimodal.audio_window_energy): 128-sample
@@ -4098,4 +4157,5 @@ EXTENSIONS = {
     "x80_snapshot_diff": (x80_snapshot_diff, X80_SQL),
     "x81_table_checksum": (x81_table_checksum, X81_SQL),
     "x82_audio_energy": (x82_audio_energy, X82_SQL),
+    "x83_minhash_calibration": (x83_minhash_calibration, X83_SQL),
 }

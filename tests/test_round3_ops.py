@@ -222,3 +222,27 @@ def test_audio_energy_silence_and_peak(spark):
     assert got[2].peak_window == 1 and got[2].peak_rms == 100.0
     assert got[2].silence_frac == 0.5
     assert got[2].mean_rms == 50.0
+
+
+def test_minhash_calibration_bounds(spark):
+    """On a corpus of exact duplicates the estimate is exact (mae 0);
+    invariants mae <= max_abs_err and |bias| <= mae always hold."""
+    from shifts_etl_spark.plans.extensions import x83_minhash_calibration
+    import shifts_etl_spark.plans.extensions as ext
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(4)]
+        + [Row(doc_id=10 + i, text=f"unrelated filler {i} " * 8) for i in range(3)]
+    )
+    orig = ext._t
+    ext._t = lambda _s, _d, _t: docs
+    try:
+        got = x83_minhash_calibration(spark, "ignored").collect()[0]
+    finally:
+        ext._t = orig
+    assert got.n_pairs >= 6  # the 4 exact dups pair up
+    assert got.mae <= got.max_abs_err
+    assert abs(got.mean_bias) <= got.mae + 1e-9
+    # exact duplicates dominate: identical signatures → est == exact == 1
+    assert got.mae < 0.2
