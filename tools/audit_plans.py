@@ -71,6 +71,8 @@ SINGLE_PARTITION_OK = {
     "x81_table_checksum",  # the checksum IS a 1-row global aggregate
     # (map-side-combined bit_xor + count; the exchange carries one row
     # per map task)
+    "x83_minhash_calibration",  # calibration summary: one 1-row global
+    # aggregate over the bounded candidate-pair diffs
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
