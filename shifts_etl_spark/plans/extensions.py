@@ -2057,7 +2057,7 @@ X50_SQL = r"""
 WITH g AS (
   SELECT source,
          count(*) AS n_docs,
-         SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))) AS n_tokens
+         CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1
 ),
 tot AS (SELECT SUM(n_tokens) AS tot FROM g),
@@ -2254,7 +2254,7 @@ WITH base AS (
   SELECT CAST(sum(n_pair) AS DOUBLE) AS nb FROM pairc
 ), ent AS (
   SELECT count(*) AS n_distinct_bigrams,
-         sum(n_pair) AS n_bigrams,
+         CAST(sum(n_pair) AS BIGINT) AS n_bigrams,
          round(-sum((n_pair / tot.nb) * ln(n_pair / CAST(pc AS DOUBLE))), 6)
            AS cond_entropy_nats
   FROM pairc JOIN prefix USING (w1) CROSS JOIN tot
@@ -2267,12 +2267,16 @@ FROM ent
 
 
 def x53_split_leakage(spark, sf_dir):
-    """Split-leakage audit: normalized content whose copies land in BOTH
-    the train and test splits of the x24 hash assignment — the exact-dup
-    counterpart of x46's distribution drift (leaked content inflates
-    eval). Scale notes: one (hash, split) aggregate — the shuffle
-    carries md5+counts, never text; the HAVING-both filter is a 2-value
-    conditional count on the same aggregate, no self-join."""
+    """Split-leakage audit: documents whose normalized 160-char OPENING
+    PASSAGE lands in BOTH the train and test splits of the x24 hash
+    assignment — the exact-dup counterpart of x46's distribution drift
+    (leaked content inflates eval). The prefix fingerprint (vs whole-doc
+    hash) catches shared boilerplate/header contamination and keeps the
+    audit non-vacuous at small SF, where full-content duplicates don't
+    exist; whole-doc leakage is a strict subset of prefix leakage. Scale
+    notes: one (hash, split) aggregate — the shuffle carries md5+counts,
+    never text; the HAVING-both filter is a 2-value conditional count on
+    the same aggregate, no self-join."""
     docs = _t(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     bucket = (
@@ -2282,12 +2286,18 @@ def x53_split_leakage(spark, sf_dir):
         F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train")
     )
     content = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
-                "\\s+",
-                " ",
-            )
+        F.substring(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), "[^a-z0-9\\s]", " "
+                    ),
+                    "\\s+",
+                    " ",
+                )
+            ),
+            1,
+            160,
         )
     )
     return (
@@ -2312,7 +2322,7 @@ def x53_split_leakage(spark, sf_dir):
 X53_SQL = r"""
 WITH assigned AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+         md5(substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), 1, 160)) AS content_hash,
          CASE WHEN b < 5 THEN 'val' WHEN b < 15 THEN 'test' ELSE 'train' END AS split
   FROM (
     SELECT doc_id, text,
@@ -2322,8 +2332,8 @@ WITH assigned AS (
   )
 )
 SELECT content_hash,
-       SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-       SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
        MIN(CASE WHEN split = 'train' THEN doc_id END) AS train_doc,
        MIN(CASE WHEN split = 'test' THEN doc_id END) AS test_doc
 FROM assigned
@@ -3343,8 +3353,8 @@ final AS (
 stream AS (SELECT doc_id, unnest(toks) AS word FROM norm)
 SELECT s.doc_id,
        count(*) AS n_words,
-       SUM(length(s.word)) AS n_chars,
-       SUM(f.wp) AS n_pieces,
+       CAST(SUM(length(s.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(f.wp) AS BIGINT) AS n_pieces,
        round(CAST(SUM(f.wp) AS DOUBLE) / count(*), 6) AS pieces_per_word
 FROM stream s JOIN final f USING (word)
 GROUP BY s.doc_id
@@ -3782,7 +3792,8 @@ cum AS (
          SUM(cnt_b) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
   FROM grouped
 ),
-tot AS (SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM grouped),
+tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+               CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM grouped),
 scored AS (
   SELECT t.n_a, t.n_b,
          abs(CAST(c.cum_a AS DOUBLE) / t.n_a - CAST(c.cum_b AS DOUBLE) / t.n_b) AS d,

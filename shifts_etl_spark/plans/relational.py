@@ -2095,9 +2095,9 @@ WITH marked AS (
   FROM events WHERE user_id < 20
 )
 SELECT user_id, event_id,
-       SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS distinct_types_so_far
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
 FROM marked
 ORDER BY user_id, event_id
 """
@@ -2207,8 +2207,8 @@ mad AS (
 SELECT d.event_type,
        round(MIN(d.med), 4) AS median,
        round(MIN(a.mad), 4) AS mad,
-       SUM(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * a.mad
-                THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        COUNT(*) AS n
 FROM dev d JOIN mad a USING (event_type)
 GROUP BY d.event_type

@@ -273,6 +273,15 @@ def test_split_leakage_planted(spark, tmp_path):
     assert (out[0].n_train, out[0].n_test) == (1, 1)
 
 
+def test_split_leakage_nonvacuous_at_sf001(spark):
+    """The prefix-fingerprint key exists precisely so the audit has
+    signal at small SF (full-content duplicates don't exist below
+    sf0.1) — pin that the driver's sf0.01 row verifies >0 rows."""
+    from shifts_etl_spark.plans.extensions import x53_split_leakage
+
+    assert x53_split_leakage(spark, "/root/testdata/sf0.01").count() > 0
+
+
 def test_iso_week_year_boundary(spark, tmp_path):
     """2021-01-01 belongs to ISO week 53 of ISO year 2020; 2024-12-30
     belongs to week 1 of 2025 — the two classic boundary traps."""

@@ -37,6 +37,25 @@ def canon(rows, cols):
     return sorted(out, key=repr)
 
 
+# DuckDB types with no Spark/Arrow-hash equivalent: duckdb fetchall()
+# converts them to plain Python ints so local value-compare passes, but
+# the driver hashes the Arrow-typed result and mismatches. Fail loudly
+# here instead — the fix is always CAST(... AS BIGINT) in the oracle.
+EXOTIC_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+
+
+def exotic_type_problems(name, con, sql):
+    rel = con.sql(sql)
+    out = []
+    for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+        if typ in EXOTIC_DUCK_TYPES:
+            out.append(
+                f"oracle type-drift: column {col!r} is {typ} in DuckDB "
+                f"(driver hash will mismatch) — CAST(... AS BIGINT) it"
+            )
+    return out
+
+
 def compare(name, spark_df, duck_rows, duck_cols):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -97,10 +116,11 @@ def main():
         try:
             df = fn(spark, sf_dir)
             if name in oracles:
+                problems = exotic_type_problems(name, con, oracles[name])
                 cur = con.execute(oracles[name])
                 duck_cols = [d[0] for d in cur.description]
                 duck_rows = cur.fetchall()
-                problems = compare(name, df, duck_rows, duck_cols)
+                problems += compare(name, df, duck_rows, duck_cols)
             else:
                 n = df.count()
                 problems = [] if n >= 0 else ["negative count?"]
