@@ -34,13 +34,17 @@ class QuerySpec:
 # removes the failure mode instead of patching it each round.
 
 
-def _driver_verified_from_files() -> frozenset:
+def _driver_green_rounds() -> dict:
+    """name -> latest round number with a fully-green driver row."""
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    names = set()
+    latest: dict = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -52,8 +56,8 @@ def _driver_verified_from_files() -> frozenset:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                names.add(name)
-    return frozenset(names)
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 _DRIVER_VERIFIED_SEED = frozenset(
@@ -95,7 +99,23 @@ _DRIVER_VERIFIED_SEED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_SEED | _driver_verified_from_files()
+# Names whose Spark + oracle semantics changed AFTER their last green driver
+# row: name -> round the semantics changed in. Rows from earlier rounds no
+# longer certify the current code, so the name sorts back to the unverified
+# front until a round-N-or-later CORRECTNESS file re-greens it.
+#   x53: round 5 re-keyed the leakage fingerprint to the 160-char prefix
+#        (its r4 green was vacuous — 0 rows at sf0.01).
+_SEMANTICS_CHANGED_IN = {"x53_split_leakage": 5}
+
+_GREEN_ROUNDS = _driver_green_rounds()
+_DRIVER_VERIFIED = (
+    _DRIVER_VERIFIED_SEED
+    | frozenset(_GREEN_ROUNDS)
+) - frozenset(
+    n
+    for n, rnd in _SEMANTICS_CHANGED_IN.items()
+    if _GREEN_ROUNDS.get(n, 0) < rnd
+)
 
 _MERGED = {**RELATIONAL, **TPCH, **EXTENSIONS}
 

@@ -4081,6 +4081,104 @@ SELECT count(*) AS n_rows, bit_xor(fp) AS checksum FROM fp
 """
 
 
+def x84_cluster_canonical(spark, sf_dir):
+    """Duplicate-cluster canonicalization (dedup.canonical_representatives,
+    verdict r3/r4 optional item b): x67's blocked components, then per
+    cluster elect the member with the best x9 quality score (ties → min
+    doc id) — the keep-decision of a curation pipeline, upgraded from
+    "keep min id" to "keep the best copy". Composes existing ops only;
+    deterministic end to end, so the components chain AND the argmax are
+    both value-hash oracle-checked."""
+    return dedup.canonical_representatives(_t(spark, sf_dir, "documents"))
+
+
+# X67's recursive-components chain, extended with the X9 quality mirror and
+# a per-cluster argmax. Surgery on the final SELECT (the X83 pattern) keeps
+# the two oracles' shared blocking/closure logic in one place.
+X84_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    rf""", comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+qual AS (
+  SELECT doc_id,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+  )
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc, qual.q,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qual.q DESC, c.doc) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM comp c JOIN qual ON qual.doc_id = c.doc
+)
+SELECT cluster_id, n_members, doc AS canonical_doc, q AS canonical_quality
+FROM ranked WHERE rn = 1""",
+)
+
+
+def x85_duplicate_spans(spark, sf_dir):
+    """Maximal duplicated character spans per document
+    (dedup.duplicate_span_intervals, verdict r3/r4 optional item a):
+    x43's 40-char duplicate fingerprints upgraded to span granularity —
+    overlapping/adjacent duplicated windows merge into maximal (start,
+    end) intervals via per-document gaps-and-islands, the Lee et al.
+    exact-substring dedup output shape. Deterministic md5 fingerprints,
+    so the full interval-merge is value-hash oracle-checked."""
+    return dedup.duplicate_span_intervals(_t(spark, sf_dir, "documents"))
+
+
+X85_SQL = """
+WITH g AS (
+  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS gram
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 39)) AS pos
+    FROM documents WHERE length(text) >= 40
+  )
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM flagged
+)
+SELECT doc_id AS doc,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + 39 AS INT) AS span_end,
+       CAST(MAX(pos) + 39 - MIN(pos) + 1 AS INT) AS span_chars,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4169,4 +4267,6 @@ EXTENSIONS = {
     "x81_table_checksum": (x81_table_checksum, X81_SQL),
     "x82_audio_energy": (x82_audio_energy, X82_SQL),
     "x83_minhash_calibration": (x83_minhash_calibration, X83_SQL),
+    "x84_cluster_canonical": (x84_cluster_canonical, X84_SQL),
+    "x85_duplicate_spans": (x85_duplicate_spans, X85_SQL),
 }

@@ -1,0 +1,71 @@
+"""Round-5 operators: duplicate-cluster canonicalization (x84) and
+maximal duplicated spans (x85) — planted-data semantics pins; the sf0.01
+value-hash equivalence lives in the driver gate / check_correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from shifts_etl_spark.operators.dedup import (
+    canonical_representatives,
+    duplicate_span_intervals,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and a cat"
+
+
+def _doc(i, text):
+    return Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+
+def test_canonical_representatives_picks_best_quality(spark):
+    """Docs 7 and 3 are near-dups (3-shingle Jaccard ~0.71); 7 is the
+    clean copy (quality 1.0), 3 carries digit junk that kills the
+    digit-ratio bonus (0.9). Canonical must be 7 even though the
+    cluster_id (min member id) is 3. Doc 50 is unrelated → no row."""
+    rows = [
+        _doc(7, BASE),
+        _doc(3, BASE + " 1234567890 987654321 55555555 4444444"),
+        _doc(50, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = canonical_representatives(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.cluster_id, r.n_members, r.canonical_doc) == (3, 2, 7)
+    assert r.canonical_quality == 1.0
+
+
+def test_duplicate_span_intervals_merges_windows(spark):
+    """A 132-char block shared by docs 1 and 2 (at different offsets,
+    surrounded by doc-unique filler) must surface as ONE maximal span
+    per doc — start/end at the block boundaries, span_chars = 132,
+    n_windows = 132 - 40 + 1 = 93 — not 93 separate fingerprints."""
+    shared = "the quick brown fox jumps over the lazy dog " * 3  # 132 chars
+    assert len(shared) == 132
+    d1 = "U1" * 30 + shared + "V1" * 30
+    d2 = "W2" * 25 + shared + "Z2" * 40
+    df = spark.createDataFrame([_doc(1, d1), _doc(2, d2)])
+    out = {r.doc: r for r in duplicate_span_intervals(df).collect()}
+    assert set(out) == {1, 2}
+    r1, r2 = out[1], out[2]
+    assert (r1.span_start, r1.span_chars, r1.n_windows) == (61, 132, 93)
+    assert r1.span_end == 61 + 132 - 1
+    assert (r2.span_start, r2.span_chars, r2.n_windows) == (51, 132, 93)
+    assert r2.span_end == 51 + 132 - 1
+
+
+def test_duplicate_span_intervals_separate_islands(spark):
+    """Two shared blocks in one doc separated by >40 unique chars must
+    stay TWO spans (the gap breaks the island)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 56
+    b = "one two three four five six seven eight nine ten eleven"  # 55
+    d1 = a + "Q1" * 30 + b
+    d2 = a + "R2" * 35 + b
+    df = spark.createDataFrame([_doc(1, d1), _doc(2, d2)])
+    out = [r for r in duplicate_span_intervals(df).collect() if r.doc == 1]
+    out.sort(key=lambda r: r.span_start)
+    assert len(out) == 2
+    assert out[0].span_start == 1 and out[0].span_chars == 56
+    assert out[1].span_chars == 55 and out[1].n_windows == 16
+    assert out[1].span_start == 56 + 60 + 1
