@@ -947,3 +947,77 @@ def duplicate_span_intervals(
             "n_windows",
         )
     )
+
+
+def span_boilerplate_blocks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The boilerplate-block CATALOG a curation pipeline builds from the
+    maximal duplicated spans (``duplicate_span_intervals``): extract each
+    span's text, fingerprint it, and aggregate — which blocks exist, how
+    long they are, how many documents and occurrences carry them. The
+    output is the blocklist you then scrub new batches against.
+
+    Scale shape: spans (not documents) join back to their source text —
+    the join is keyed on the doc id and Catalyst prunes to (id, text);
+    the catalog groupBy keys on the 32-hex block fingerprint computed
+    scan-side, so the aggregate shuffle carries hashes + counts and is
+    map-side combinable. Same-hash → same text → same span_chars, so
+    span_chars rides in the group key for free."""
+    spans = duplicate_span_intervals(docs, text_col, id_col, span_len, min_docs)
+    texted = spans.join(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col)), "doc"
+    )
+    block = F.col(text_col).substr(F.col("span_start"), F.col("span_chars"))
+    return (
+        texted.select(
+            F.md5(block).alias("block_hash"), "span_chars", "doc"
+        )
+        .groupBy("block_hash", "span_chars")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("doc").alias("first_doc"),
+        )
+    )
+
+
+def span_scrub_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document scrub audit for exact-substring dedup: how many
+    characters each document would LOSE if its duplicated maximal spans
+    (``duplicate_span_intervals``) were cut — (doc, n_chars, dup_chars,
+    n_spans, dup_frac) for EVERY document (zero for span-free docs).
+    This is the accounting step before a destructive scrub: the
+    dup_frac histogram decides cut-vs-drop thresholds.
+
+    Scale shape: spans reduce to a per-doc (sum, count) aggregate before
+    the join; the left join against the id+length projection never
+    carries text. Map-side combinable end to end."""
+    spans = duplicate_span_intervals(docs, text_col, id_col, span_len, min_docs)
+    per_doc = spans.groupBy("doc").agg(
+        F.sum("span_chars").alias("dup_chars"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.length(text_col).alias("n_chars")
+    )
+    dup = F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long")
+    return base.join(per_doc, "doc", "left").select(
+        "doc",
+        "n_chars",
+        dup.alias("dup_chars"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.round(dup / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
+            "dup_frac"
+        ),
+    )

@@ -4146,7 +4146,9 @@ def x85_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_span_intervals(_t(spark, sf_dir, "documents"))
 
 
-X85_SQL = """
+# Shared CTE chain for the x85/x86/x87 exact-substring family: duplicated
+# 40-char fingerprints → per-document gaps-and-islands → maximal spans.
+_X85_CHAIN = """
 WITH g AS (
   SELECT doc_id, pos, md5(substr(text, pos, 40)) AS gram
   FROM (
@@ -4169,13 +4171,61 @@ isl AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS island
   FROM flagged
+),
+spans AS (
+  SELECT doc_id AS doc,
+         CAST(MIN(pos) AS INT) AS span_start,
+         CAST(MAX(pos) + 39 AS INT) AS span_end,
+         CAST(MAX(pos) + 39 - MIN(pos) + 1 AS INT) AS span_chars,
+         COUNT(*) AS n_windows
+  FROM isl GROUP BY doc_id, island
+)"""
+
+X85_SQL = _X85_CHAIN + """
+SELECT doc, span_start, span_end, span_chars, n_windows FROM spans
+"""
+
+
+def x86_boilerplate_catalog(spark, sf_dir):
+    """Boilerplate-block catalog (dedup.span_boilerplate_blocks): the
+    maximal duplicated spans from x85, extracted and fingerprinted into
+    the blocklist a curation pipeline scrubs against — (block_hash,
+    span_chars, n_docs, n_spans, first_doc) per distinct block text."""
+    return dedup.span_boilerplate_blocks(_t(spark, sf_dir, "documents"))
+
+
+X86_SQL = _X85_CHAIN + """
+SELECT md5(substr(d.text, s.span_start, s.span_chars)) AS block_hash,
+       s.span_chars,
+       COUNT(DISTINCT s.doc) AS n_docs,
+       COUNT(*) AS n_spans,
+       MIN(s.doc) AS first_doc
+FROM spans s JOIN documents d ON d.doc_id = s.doc
+GROUP BY 1, 2
+"""
+
+
+def x87_scrub_accounting(spark, sf_dir):
+    """Per-document exact-substring scrub audit (dedup.span_scrub_stats):
+    chars each doc loses if its x85 duplicated spans are cut — the
+    dup_frac accounting that decides cut-vs-drop thresholds before a
+    destructive scrub. Every document gets a row (zero for span-free)."""
+    return dedup.span_scrub_stats(_t(spark, sf_dir, "documents"))
+
+
+X87_SQL = _X85_CHAIN + """
+, per_doc AS (
+  SELECT doc, CAST(SUM(span_chars) AS BIGINT) AS dup_chars,
+         COUNT(*) AS n_spans
+  FROM spans GROUP BY doc
 )
-SELECT doc_id AS doc,
-       CAST(MIN(pos) AS INT) AS span_start,
-       CAST(MAX(pos) + 39 AS INT) AS span_end,
-       CAST(MAX(pos) + 39 - MIN(pos) + 1 AS INT) AS span_chars,
-       COUNT(*) AS n_windows
-FROM isl GROUP BY doc_id, island
+SELECT d.doc_id AS doc,
+       CAST(length(d.text) AS INT) AS n_chars,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       round(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+             / greatest(length(d.text), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
 """
 
 
@@ -4269,4 +4319,6 @@ EXTENSIONS = {
     "x83_minhash_calibration": (x83_minhash_calibration, X83_SQL),
     "x84_cluster_canonical": (x84_cluster_canonical, X84_SQL),
     "x85_duplicate_spans": (x85_duplicate_spans, X85_SQL),
+    "x86_boilerplate_catalog": (x86_boilerplate_catalog, X86_SQL),
+    "x87_scrub_accounting": (x87_scrub_accounting, X87_SQL),
 }

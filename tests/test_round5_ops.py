@@ -9,6 +9,8 @@ from pyspark.sql import Row
 from shifts_etl_spark.operators.dedup import (
     canonical_representatives,
     duplicate_span_intervals,
+    span_boilerplate_blocks,
+    span_scrub_stats,
 )
 
 BASE = "the quick brown fox jumps over the lazy dog and a cat"
@@ -69,3 +71,40 @@ def test_duplicate_span_intervals_separate_islands(spark):
     assert out[0].span_start == 1 and out[0].span_chars == 56
     assert out[1].span_chars == 55 and out[1].n_windows == 16
     assert out[1].span_start == 56 + 60 + 1
+
+
+def test_span_boilerplate_catalog(spark):
+    """Both docs carry the same 132-char block at different offsets →
+    the catalog has exactly ONE entry: that block's hash, seen in 2
+    docs / 2 spans, first_doc = min id."""
+    shared = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [_doc(4, "U1" * 30 + shared + "V1" * 30),
+         _doc(9, "W2" * 25 + shared + "Z2" * 40)]
+    )
+    out = span_boilerplate_blocks(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.span_chars, r.n_docs, r.n_spans, r.first_doc) == (132, 2, 2, 4)
+    import hashlib
+
+    assert r.block_hash == hashlib.md5(shared.encode()).hexdigest()
+
+
+def test_span_scrub_stats_accounts_all_docs(spark):
+    """Scrub accounting covers EVERY doc: the two span-carrying docs
+    report dup_chars = 132 and the exact dup_frac; the span-free doc
+    reports zeros."""
+    shared = "the quick brown fox jumps over the lazy dog " * 3
+    d1 = "U1" * 30 + shared + "V1" * 30
+    df = spark.createDataFrame(
+        [_doc(1, d1),
+         _doc(2, "W2" * 25 + shared + "Z2" * 40),
+         _doc(3, "entirely unrelated text with no duplicate block at all")]
+    )
+    out = {r.doc: r for r in span_scrub_stats(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].dup_chars, out[1].n_spans) == (132, 1)
+    assert out[1].n_chars == len(d1)
+    assert out[1].dup_frac == round(132 / len(d1), 6)
+    assert (out[3].dup_chars, out[3].n_spans, out[3].dup_frac) == (0, 0, 0.0)
