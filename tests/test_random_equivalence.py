@@ -109,3 +109,75 @@ def test_shard_assignment_conservation_random(spark):
     assert all(v < 100 + max_doc for v in loads.values())
     # shard ids are a contiguous 0..K range
     assert sorted(loads) == list(range(len(loads)))
+
+
+def _py_span_intervals(texts, span_len=40, min_docs=2):
+    """Pure-Python reference for duplicate_span_intervals."""
+    grams = {}  # gram -> set(doc)
+    for d, t in texts.items():
+        for p in range(len(t) - span_len + 1):
+            grams.setdefault(t[p : p + span_len], set()).add(d)
+    dup = {g for g, docs in grams.items() if len(docs) >= min_docs}
+    out = []
+    for d, t in texts.items():
+        pos = [
+            p + 1
+            for p in range(len(t) - span_len + 1)
+            if t[p : p + span_len] in dup
+        ]
+        island = []
+        for p in pos:
+            if island and p <= island[-1] + span_len:
+                island.append(p)
+            else:
+                if island:
+                    out.append((d, island))
+                island = [p]
+        if island:
+            out.append((d, island))
+    return sorted(
+        (
+            d,
+            isl[0],
+            isl[-1] + span_len - 1,
+            isl[-1] + span_len - isl[0],
+            len(isl),
+        )
+        for d, isl in out
+    )
+
+
+def test_duplicate_span_intervals_matches_python_reference(spark):
+    """Random corpora with planted shared substrings of random lengths
+    and offsets: operator output must equal the brute-force reference
+    exactly (starts, ends, window counts)."""
+    from shifts_etl_spark.operators.dedup import duplicate_span_intervals
+
+    rng = random.Random(99)
+    alpha = "abcdefgh "
+    blocks = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(40, 120)))
+        for _ in range(6)
+    ]
+    texts = {}
+    for d in range(40):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            # unique filler (doc-stamped so it never matches cross-doc)
+            parts.append(
+                f"<{d}>" * rng.randint(5, 20)
+            )
+            if rng.random() < 0.7:
+                parts.append(rng.choice(blocks))
+        texts[d] = "".join(parts)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+            for d, t in texts.items()
+        ]
+    )
+    got = sorted(
+        (r.doc, r.span_start, r.span_end, r.span_chars, r.n_windows)
+        for r in duplicate_span_intervals(df).collect()
+    )
+    assert got == _py_span_intervals(texts)
