@@ -263,3 +263,78 @@ def streaming_merge_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_blocklist_scrub(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    gram_hashes: list[str],
+    span_len: int = 40,
+    max_frac: float = 0.5,
+    query_name: str = "scrubbed_docs",
+):
+    """Scrub a DOCUMENT STREAM against a boilerplate blocklist (the
+    gram-level fingerprints a batch pass like x43/x86 produced): for
+    every arriving doc, the fraction of its characters covered by
+    blocklisted ``span_len``-char windows, and a keep/drop verdict at
+    ``max_frac`` — the online admission filter in front of a training
+    corpus.
+
+    Entirely STATELESS streaming: the per-doc interval merge (the same
+    gaps-and-islands semantics as dedup.duplicate_span_intervals) runs
+    as a single-row JVM array fold — filter the window positions whose
+    md5 is blocklisted, then aggregate() them into merged covered chars
+    (positions arrive ascending, so one (total, prev_end) accumulator
+    suffices). No groupBy, no watermark, no state store: append mode
+    with zero streaming state, and the whole expression is codegen'd.
+
+    ``gram_hashes`` embeds as a literal array — right for a curated
+    blocklist (thousands of entries); for an unbounded one, switch to a
+    stream-static broadcast join on an exploded positions column."""
+    docs = spark.readStream.schema("doc_id long, text string").json(
+        str(input_dir)
+    )
+    block = F.array(*[F.lit(h) for h in gram_hashes])
+    npos = F.length("text") - (span_len - 1)
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hits = F.filter(
+        positions,
+        lambda p: F.array_contains(
+            block, F.md5(F.col("text").substr(p, F.lit(span_len)))
+        ),
+    )
+    zero = F.struct(
+        F.lit(0).alias("total"), F.lit(0).alias("prev_end")
+    )
+    blocked = F.aggregate(
+        hits,
+        zero,
+        lambda acc, p: F.struct(
+            (
+                acc["total"]
+                + (p + (span_len - 1))
+                - F.greatest(acc["prev_end"], p - 1)
+            ).alias("total"),
+            (p + (span_len - 1)).alias("prev_end"),
+        ),
+        lambda acc: acc["total"],
+    )
+    frac = blocked / F.greatest(F.length("text"), F.lit(1))
+    out = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        blocked.alias("blocked_chars"),
+        F.round(frac, 6).alias("blocked_frac"),
+        (frac <= max_frac).alias("keep"),
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

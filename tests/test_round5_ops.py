@@ -38,6 +38,16 @@ def test_canonical_representatives_picks_best_quality(spark):
     assert r.canonical_quality == 1.0
 
 
+def test_canonical_representatives_tiebreak_min_id(spark):
+    """Equal-quality members → min doc id wins the canonical slot (the
+    deterministic tie-break the oracle mirrors)."""
+    rows = [_doc(12, BASE), _doc(8, BASE)]  # identical text, same quality
+    out = canonical_representatives(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.cluster_id, r.n_members, r.canonical_doc) == (8, 2, 8)
+
+
 def test_duplicate_span_intervals_merges_windows(spark):
     """A 132-char block shared by docs 1 and 2 (at different offsets,
     surrounded by doc-unique filler) must surface as ONE maximal span

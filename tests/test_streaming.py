@@ -362,3 +362,49 @@ def test_streaming_value_psi_flags_shifted_window(spark, tmp_path):
     assert got[1].psi > 10 * max(got[0].psi, 1e-9)
     assert abs(got[0].psi - psi_of_counts([1] * 10, ref)) < 1e-9
     assert abs(got[1].psi - psi_of_counts([10] + [0] * 9, ref)) < 1e-9
+
+
+def test_streaming_blocklist_scrub_stateless(spark, tmp_path):
+    """Online admission filter: the gram blocklist built by the BATCH
+    substring pass (x43's fingerprints on a 2-doc corpus sharing a
+    132-char block) scrubs a STREAM of new docs — the contaminated doc
+    reports exactly the block's 132 merged chars and is dropped at
+    max_frac=0.5; the clean doc and a short doc pass with zeros."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from shifts_etl_spark.operators.dedup import substring_duplicate_spans
+    from shifts_etl_spark.streaming.micro_batch import (
+        streaming_blocklist_scrub,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog " * 3  # 132
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="U1" * 30 + shared + "V1" * 30),
+            Row(doc_id=2, text="W2" * 25 + shared + "Z2" * 40),
+        ]
+    )
+    grams = [r.gram for r in substring_duplicate_spans(corpus).collect()]
+    # the block repeats with period 44, so its 93 window POSITIONS fold
+    # to 44 DISTINCT fingerprints — the scrub must still cover all 132
+    # chars because membership is checked per position
+    assert len(grams) == 44
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    dirty = "A3" * 20 + shared + "B3" * 20  # 212 chars, 132 blocked
+    with open(inp / "batch0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 10, "text": dirty}) + "\n")
+        f.write(_json.dumps({"doc_id": 11, "text": "C4" * 60}) + "\n")
+        f.write(_json.dumps({"doc_id": 12, "text": "tiny"}) + "\n")
+    q = streaming_blocklist_scrub(
+        spark, inp, tmp_path / "ckpt_scrub", grams, query_name="scrub_t"
+    )
+    q.awaitTermination()
+    out = {r.doc_id: r for r in spark.sql("SELECT * FROM scrub_t").collect()}
+    assert set(out) == {10, 11, 12}
+    assert (out[10].blocked_chars, out[10].keep) == (132, False)
+    assert out[10].blocked_frac == round(132 / len(dirty), 6)
+    assert (out[11].blocked_chars, out[11].keep) == (0, True)
+    assert (out[12].blocked_chars, out[12].keep) == (0, True)  # < span_len
