@@ -189,19 +189,28 @@ def test_table_checksum_equals_python_xor(spark, rows):
 def test_driver_verified_set_parses_correctness_files():
     """The self-maintaining verified set must reproduce every green row
     of the driver's CORRECTNESS_r*.json files (and nothing that isn't a
-    catalog entry), so future rounds never ship a stale hand list."""
+    catalog entry), so future rounds never ship a stale hand list.
+    Round 5 made the set round-aware: a name whose semantics changed in
+    round N stays unverified until a round-N+ file re-greens it."""
     from shifts_etl_spark.plans.catalog import (
         CATALOG,
         _DRIVER_VERIFIED,
-        _driver_verified_from_files,
+        _SEMANTICS_CHANGED_IN,
+        _driver_green_rounds,
     )
 
-    from_files = _driver_verified_from_files()
-    assert from_files  # the repo root carries r01+r02 at minimum
-    assert from_files <= set(CATALOG)
-    assert from_files <= _DRIVER_VERIFIED
+    green = _driver_green_rounds()
+    assert green  # the repo root carries r01+r02 at minimum
+    assert set(green) <= set(CATALOG)
+    # every green row counts as verified unless its semantics changed in
+    # a later round than its newest green file
+    for name, rnd in green.items():
+        stale = _SEMANTICS_CHANGED_IN.get(name, 0) > rnd
+        assert (name in _DRIVER_VERIFIED) == (not stale), (name, rnd)
     # rows-only entries can never be driver-green
-    assert all(CATALOG[n].oracle is not None for n in from_files)
+    assert all(CATALOG[n].oracle is not None for n in green)
+    # round numbers parsed from filenames are sane
+    assert all(1 <= r <= 50 for r in green.values())
 
 
 def test_audio_energy_silence_and_peak(spark):
