@@ -304,3 +304,68 @@ def materialize_mixture(
         .where(F.col("draw_rank") <= F.col("alloc_docs"))
         .select("source", id_col, F.col("draw_rank").cast("long").alias("draw_rank"))
     )
+
+
+def calibrate_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source quality-score calibration (quantile normalization):
+    map each document's WITHIN-SOURCE percent-rank of quality through
+    the CORPUS inverse-ECDF, so a "good for its source" doc gets the
+    score a comparably-ranked doc has corpus-wide. This is the
+    score-normalization step before mixing heterogeneous sources — raw
+    quality distributions differ per source (homogeneous crawls skew
+    high), and mixing on raw scores over/under-samples whole sources.
+
+    Determinism + scale shape: textstats.quality_score takes values on
+    a 16-point lattice (subset sums of 0.4/0.3/0.2/0.1), so the corpus
+    CDF is a groupBy over ≤16 keys — collected (bounded by construction,
+    like the literal-centroid recipe) and re-embedded as LITERAL arrays;
+    the inverse-ECDF lookup is then a pure JVM array expression per row.
+    The only data-sized shuffle is the per-source rank window. Rank
+    arithmetic is exact-integer-over-integer in both engines, so the
+    DuckDB oracle reproduces every value bit-for-bit."""
+    from .textstats import quality_score
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round(quality_score(F.col(text_col)), 4).alias("q"),
+    )
+    cdf_rows = (
+        scored.groupBy("q").count().orderBy("q").collect()
+    )  # bounded: ≤16 lattice values
+    n = sum(r["count"] for r in cdf_rows)
+    qs, fracs, cum = [], [], 0
+    for r in cdf_rows:
+        cum += r["count"]
+        qs.append(float(r["q"]))
+        fracs.append(cum / n)
+    qs_arr, fr_arr = F.array(*[F.lit(v) for v in qs]), F.array(
+        *[F.lit(v) for v in fracs]
+    )
+    w = Window.partitionBy(source_col).orderBy("q", id_col)
+    ranked = scored.select(
+        id_col,
+        source_col,
+        "q",
+        F.percent_rank().over(w).alias("r"),
+    )
+    # smallest lattice value whose cumulative fraction covers r
+    idx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(qs) - 1)),
+        F.lit(-1),
+        lambda acc, i: F.when(
+            (acc == -1) & (F.element_at(fr_arr, i + 1) >= F.col("r")), i
+        ).otherwise(acc),
+    )
+    return ranked.select(
+        id_col,
+        source_col,
+        "q",
+        F.round("r", 6).alias("src_rank"),
+        F.element_at(qs_arr, idx + 1).alias("q_calibrated"),
+    )

@@ -4229,6 +4229,60 @@ FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
 """
 
 
+def x88_quality_calibration(spark, sf_dir):
+    """Cross-source quality-score calibration
+    (curation.calibrate_quality): each doc's within-source percent-rank
+    mapped through the corpus inverse-ECDF — quantile normalization
+    before mixing heterogeneous sources. The corpus CDF is bounded by
+    the 16-point quality lattice (collected, re-embedded as literal
+    arrays); rank arithmetic is exact int/int in both engines, so every
+    value is oracle-checked bit-for-bit."""
+    return curation.calibrate_quality(_t(spark, sf_dir, "documents"))
+
+
+X88_SQL = rf"""
+WITH qual AS (
+  SELECT doc_id, source,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+  )
+),
+cdf AS (
+  SELECT q AS qv,
+         CAST(SUM(COUNT(*)) OVER (ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / (SELECT COUNT(*) FROM qual) AS cf
+  FROM qual GROUP BY q
+),
+ranked AS (
+  SELECT doc_id, source, q,
+         percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS r
+  FROM qual
+)
+SELECT rk.doc_id, rk.source, rk.q,
+       round(rk.r, 6) AS src_rank,
+       (SELECT MIN(qv) FROM cdf WHERE cf >= rk.r) AS q_calibrated
+FROM ranked rk
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4321,4 +4375,5 @@ EXTENSIONS = {
     "x85_duplicate_spans": (x85_duplicate_spans, X85_SQL),
     "x86_boilerplate_catalog": (x86_boilerplate_catalog, X86_SQL),
     "x87_scrub_accounting": (x87_scrub_accounting, X87_SQL),
+    "x88_quality_calibration": (x88_quality_calibration, X88_SQL),
 }

@@ -118,3 +118,28 @@ def test_span_scrub_stats_accounts_all_docs(spark):
     assert out[1].n_chars == len(d1)
     assert out[1].dup_frac == round(132 / len(d1), 6)
     assert (out[3].dup_chars, out[3].n_spans, out[3].dup_frac) == (0, 0, 0.0)
+
+
+def test_quality_calibration_properties(spark):
+    """Quantile-normalization contract on the real sf0.001 corpus:
+    calibrated values come from the corpus quality lattice, each
+    source's worst doc (r=0) maps to the corpus minimum, each source's
+    best (r=1) maps to the corpus maximum, and calibration is monotone
+    in within-source rank."""
+    from shifts_etl_spark.operators.curation import calibrate_quality
+    from shifts_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = calibrate_quality(docs).collect()
+    corpus_q = sorted({r.q for r in out})
+    assert all(r.q_calibrated in corpus_q for r in out)
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r.src_rank)
+        if len(rows) > 1:
+            assert rows[0].q_calibrated == corpus_q[0]   # r = 0
+            assert rows[-1].q_calibrated == corpus_q[-1]  # r = 1
+        cal = [r.q_calibrated for r in rows]
+        assert cal == sorted(cal)  # monotone in rank
