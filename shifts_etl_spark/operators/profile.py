@@ -188,3 +188,110 @@ def ks_two_sample(
             F.max_by("val", F.struct(F.col("d"), -F.col("val"))), 2
         ).alias("at_value"),
     )
+
+
+def pca_whiten(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 8,
+    round_decimals: int = 6,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA whitening of an embedding column: project every vector onto
+    the top-``k`` principal components of the corpus covariance, scaled
+    to unit variance — the standard preconditioning step before
+    embedding clustering / SemDeDup / ANN (isotropic space, dominant-
+    direction bias removed). Returns (id, label, proj: array<double>).
+
+    Scale shape: the covariance is the SAME single-pass Arrow-batch
+    partial fold as ``embedding_covariance`` (per batch: dim·(dim+1)/2
+    partials; the reduce carries partials, never vectors); the
+    dim×dim eigendecomposition happens ONCE on the driver (64×64 —
+    microseconds, corpus-independent) and returns as LITERAL arrays, so
+    the projection is k sequential JVM zip_with/aggregate folds per row
+    — no shuffle at all in the apply stage, no Python in the row path.
+    Eigenvector signs are canonicalized (largest-|component| positive)
+    so the output is deterministic across LAPACK builds.
+
+    Not SQL-expressible (eigendecomposition), so the catalog entry is
+    rows-only; semantics are pytest-pinned against a full numpy
+    replica and the whitened-covariance≈identity property."""
+    import numpy as np
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_whiten: input has no rows")
+    dim = len(first[0])
+
+    # single-pass distributed moments (bounded collect: triangle rows)
+    iu, ju = np.triu_indices(dim)
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            s = m.sum(axis=0)
+            p = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.full(len(iu), m.shape[0], dtype="int64"),
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "sp": p[iu, ju],
+                }
+            )
+
+    tot = (
+        emb.select(vec_col)
+        .mapInPandas(
+            _partials, "i int, j int, n long, si double, sj double, sp double"
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("sp").alias("sp"),
+        )
+        .collect()
+    )
+    n = tot[0]["n"]
+    mean = np.zeros(dim)
+    cov = np.zeros((dim, dim))
+    for r in tot:
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["si"] / n
+        c = (r["sp"] - r["si"] * r["sj"] / n) / n
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(vecs.shape[1]):  # deterministic sign convention
+        if vecs[np.argmax(np.abs(vecs[:, c])), c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    w = vecs / np.sqrt(np.maximum(vals, eps))  # dim × k whitening map
+    consts = mean @ w  # k offsets: proj = v·w_c − mean·w_c
+
+    comps = []
+    for c in range(w.shape[1]):
+        wc = F.array(*[F.lit(float(x)) for x in w[:, c]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), wc, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(dot - float(consts[c]), round_decimals) + 0.0)
+    return emb.select(
+        id_col, label_col, F.array(*comps).alias("proj")
+    )

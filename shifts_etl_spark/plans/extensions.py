@@ -4283,6 +4283,16 @@ FROM ranked rk
 """
 
 
+def x89_pca_whiten(spark, sf_dir):
+    """PCA whitening of the embeddings table (profile.pca_whiten):
+    distributed single-pass covariance → bounded 64×64 driver-side
+    eigendecomposition (sign-canonicalized, deterministic) → top-8
+    whitened projection as k literal-array zip_with folds per row.
+    Rows-only (eigendecomposition is not SQL-expressible); pytest pins
+    the full numpy replica + whitened-covariance≈identity property."""
+    return profile.pca_whiten(_t(spark, sf_dir, "embeddings"))
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4376,4 +4386,5 @@ EXTENSIONS = {
     "x86_boilerplate_catalog": (x86_boilerplate_catalog, X86_SQL),
     "x87_scrub_accounting": (x87_scrub_accounting, X87_SQL),
     "x88_quality_calibration": (x88_quality_calibration, X88_SQL),
+    "x89_pca_whiten": (x89_pca_whiten, None),
 }

