@@ -369,3 +369,112 @@ def calibrate_quality(
         F.round("r", 6).alias("src_rank"),
         F.element_at(qs_arr, idx + 1).alias("q_calibrated"),
     )
+
+
+def select_within_token_budget(
+    docs: DataFrame,
+    budget_tokens: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Quality-greedy selection under a per-source TOKEN budget: rank
+    each source's docs by quality (ties → min id) and keep the prefix
+    whose running token total stays within ``budget_tokens`` — the
+    data-selection step when a mixture recipe allots each source a
+    token quota rather than a document count (x50 allocates quotas;
+    this materializes one). The first doc that would overflow the
+    budget is excluded, as is everything below it.
+
+    Scale shape: one scan computes (quality, token count) per doc; the
+    only shuffle is the per-source rank window (sources are the
+    partition key — salt a pathological mega-source before ranking);
+    the budget filter is a running-sum predicate inside the same
+    window pass. Deterministic end to end → value-hash oracle."""
+    from .textstats import quality_score, token_count
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round(quality_score(F.col(text_col)), 4).alias("q"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.desc("q"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.select(
+        id_col,
+        source_col,
+        "q",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    ).where(F.col("cum_tokens") <= budget_tokens)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every
+    out-of-target document by the mean per-token log-likelihood ratio
+    between an add-1-smoothed TARGET unigram LM (built from
+    ``target_source``'s docs) and the corpus-wide LM — positive means
+    "looks like the target domain", the signal DSIR resamples on to
+    steer a raw crawl toward a curated distribution.
+
+    Scale shape: both LMs are map-side-combinable (word, count)
+    aggregates; totals are 1-row broadcasts; the scoring join is
+    token-keyed (AQE broadcasts the vocab-sized count sides). The
+    per-doc mean is rounded to 4 dp so double summation order cannot
+    leak cross-engine (the y1 convention)."""
+    from .textstats import normalize_text, tokens
+
+    tok = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("w"),
+    )
+    tfreq = (
+        tok.where(F.col(source_col) == target_source)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    tot = cfreq.agg(
+        F.sum("cc").cast("double").alias("nc"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ttot = tfreq.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt")
+    )
+    pool = tok.where(F.col(source_col) != target_source)
+    j = (
+        pool.join(cfreq, "w")
+        .join(tfreq, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+    )
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("cc") + 1) / (F.col("nc") + F.col("v")))
+    mean_lr = F.round(F.avg(lr), 4) + 0.0
+    return (
+        j.groupBy(id_col, source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            mean_lr.alias("mean_log_ratio"),
+        )
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            "mean_log_ratio",
+            (F.col("mean_log_ratio") > 0).alias("target_like"),
+        )
+    )

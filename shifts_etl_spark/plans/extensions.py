@@ -4293,6 +4293,97 @@ def x89_pca_whiten(spark, sf_dir):
     return profile.pca_whiten(_t(spark, sf_dir, "embeddings"))
 
 
+def x90_budget_selection(spark, sf_dir):
+    """Quality-greedy selection under a per-source token budget
+    (curation.select_within_token_budget): each source keeps its
+    best-quality prefix whose running token total fits 1000 tokens —
+    materializing a token quota rather than a doc-count quota."""
+    return curation.select_within_token_budget(
+        _t(spark, sf_dir, "documents"), budget_tokens=1000
+    )
+
+
+X90_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q,
+         CAST(n_tokens AS INT) AS n_tokens
+  FROM (
+    SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+  )
+),
+ranked AS (
+  SELECT doc_id, source, q, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, source, q, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= 1000
+"""
+
+
+def x91_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (curation.dsir_importance_weights):
+    mean per-token log-likelihood ratio of the add-1-smoothed src0
+    unigram LM vs the corpus LM, for every out-of-target doc — the
+    importance-resampling signal that steers a raw crawl toward a
+    curated target distribution. Mean rounded to 4 dp (y1 convention)
+    so summation order cannot leak cross-engine."""
+    return curation.dsir_importance_weights(
+        _t(spark, sf_dir, "documents"), target_source="src0"
+    )
+
+
+X91_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_X67_NORM}) AS w FROM documents
+),
+tfreq AS (
+  SELECT w, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY w
+),
+cfreq AS (SELECT w, count(*) AS cc FROM tok GROUP BY w),
+tot AS (
+  SELECT CAST(SUM(cc) AS DOUBLE) AS nc, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM cfreq
+),
+ttot AS (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS nt FROM tfreq),
+scored AS (
+  SELECT p.doc_id, p.source,
+         COUNT(*) AS n_tokens,
+         round(AVG(ln((COALESCE(f.ct, 0) + 1) / (ttot.nt + tot.v))
+                 - ln((c.cc + 1) / (tot.nc + tot.v))), 4) + 0.0
+           AS mean_log_ratio
+  FROM tok p
+  JOIN cfreq c USING (w)
+  LEFT JOIN tfreq f USING (w)
+  CROSS JOIN tot CROSS JOIN ttot
+  WHERE p.source <> 'src0'
+  GROUP BY p.doc_id, p.source
+)
+SELECT doc_id, source, n_tokens, mean_log_ratio,
+       mean_log_ratio > 0 AS target_like
+FROM scored
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4387,4 +4478,6 @@ EXTENSIONS = {
     "x87_scrub_accounting": (x87_scrub_accounting, X87_SQL),
     "x88_quality_calibration": (x88_quality_calibration, X88_SQL),
     "x89_pca_whiten": (x89_pca_whiten, None),
+    "x90_budget_selection": (x90_budget_selection, X90_SQL),
+    "x91_dsir_weights": (x91_dsir_weights, X91_SQL),
 }

@@ -143,3 +143,62 @@ def test_quality_calibration_properties(spark):
             assert rows[-1].q_calibrated == corpus_q[-1]  # r = 1
         cal = [r.q_calibrated for r in rows]
         assert cal == sorted(cal)  # monotone in rank
+
+
+def test_budget_selection_keeps_quality_prefix(spark):
+    """Budget = tokens(A) + tokens(B) exactly: the quality-ranked prefix
+    A (q=1.0, 12 tokens) + B (q=0.9, 16 tokens) is kept; C (junk, 1
+    token) would overflow and is excluded even though it's tiny —
+    budget selection is a prefix rule, not a knapsack."""
+    from shifts_etl_spark.operators.curation import select_within_token_budget
+
+    rows = [
+        _doc(1, BASE),                                         # q=1.0, 12 tok
+        _doc(2, BASE + " 1234567890 987654321 55555555 4444444"),  # 0.9, 16
+        _doc(3, "zz"),                                         # low q, 1 tok
+    ]
+    out = {
+        r.doc_id: r
+        for r in select_within_token_budget(
+            spark.createDataFrame(rows), budget_tokens=28
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].q, out[1].n_tokens, out[1].cum_tokens) == (1.0, 12, 12)
+    assert (out[2].q, out[2].n_tokens, out[2].cum_tokens) == (0.9, 16, 28)
+
+
+def test_dsir_weights_sign(spark):
+    """Hand-checked likelihood ratios: a pool doc made of target-LM
+    words scores positive (ln(3/12) − ln(4/18) per token ≈ +0.1178); a
+    pool doc of words unseen in the target scores negative
+    (ln(1/12) − ln(2/18) ≈ −0.2877)."""
+    import math
+
+    from pyspark.sql import Row
+    from shifts_etl_spark.operators.curation import dsir_importance_weights
+
+    def d(i, src, text):
+        return Row(doc_id=i, text=text, lang="en", source=src,
+                   n_chars=len(text))
+
+    df = spark.createDataFrame(
+        [
+            d(1, "t", "alpha beta gamma"),
+            d(2, "t", "alpha beta gamma"),
+            d(3, "p", "alpha beta gamma"),
+            d(4, "p", "omega psi chi"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(df, target_source="t").collect()
+    }
+    assert set(out) == {3, 4}
+    assert out[3].target_like and not out[4].target_like
+    assert out[3].mean_log_ratio == round(
+        math.log(3 / 12) - math.log(4 / 18), 4
+    )
+    assert out[4].mean_log_ratio == round(
+        math.log(1 / 12) - math.log(2 / 18), 4
+    )

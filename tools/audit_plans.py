@@ -73,6 +73,8 @@ SINGLE_PARTITION_OK = {
     # per map task)
     "x83_minhash_calibration",  # calibration summary: one 1-row global
     # aggregate over the bounded candidate-pair diffs
+    "x91_dsir_weights",  # target/corpus LM totals (nt, nc, V): two 1-row
+    # aggregates (the y1 shape)
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -98,6 +100,7 @@ CROSS_JOIN_OK = {
     "x77_quality_psi",  # 10-bin grid + broadcast 1-row corpus total
     "y1_backoff_bigram_lm",  # crossJoin with the broadcast 1-row (N, V) totals
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
+    "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
 
 
