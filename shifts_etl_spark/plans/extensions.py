@@ -4384,6 +4384,112 @@ FROM scored
 """
 
 
+def x92_padding_audit(spark, sf_dir):
+    """Sequence-length bucketing padding audit: clip each doc's token
+    count at max_seq=256, assign the power-of-2 length bucket
+    (16/32/64/128/256 — exact integer CASE, no float log), and report
+    per bucket how many padded tokens a bucketed batcher would burn —
+    the throughput accounting that decides bucket boundaries before
+    packing (x22 packs; this measures what naive bucketing costs).
+    One scan + a 5-group aggregate; every term map-side combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.least(textstats.token_count(F.col("text")), F.lit(256))
+    bucket = (
+        F.when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .otherwise(256)
+    )
+    return (
+        docs.select(n.alias("eff_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("eff_tokens").cast("long").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket")).alias("sum_padded"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("eff_tokens") / (F.count(F.lit(1)) * F.col("bucket")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+X92_SQL = r"""
+WITH t AS (
+  SELECT least(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '')), 256) AS eff_tokens
+  FROM documents
+),
+b AS (
+  SELECT eff_tokens,
+         CASE WHEN eff_tokens <= 16 THEN 16
+              WHEN eff_tokens <= 32 THEN 32
+              WHEN eff_tokens <= 64 THEN 64
+              WHEN eff_tokens <= 128 THEN 128
+              ELSE 256 END AS bucket
+  FROM t
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(eff_tokens) AS BIGINT) AS sum_tokens,
+       COUNT(*) * bucket AS sum_padded,
+       round(1.0 - CAST(SUM(eff_tokens) AS DOUBLE) / (COUNT(*) * bucket), 6)
+         AS waste_frac
+FROM b GROUP BY bucket
+"""
+
+
+def x93_cross_source_dupes(spark, sf_dir):
+    """Cross-source duplication matrix: confirmed near-dup pairs (the
+    x67 blocking + Jaccard-confirm chain) rolled up by unordered source
+    pair — which sources copy from which, the provenance diagnostic
+    that decides source-level dedup priorities. Pair fan-out stays
+    df-bounded (never n²); the rollup shuffles (src, src) keys only."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.rare_shingle_pairs(docs)
+    conf = dedup.ngram_jaccard_pairs(docs, cands).where(
+        F.col("jaccard") >= 0.3
+    )
+    src = docs.select("doc_id", "source")
+    pairs = conf.join(
+        src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a"
+    ).join(
+        src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b"
+    )
+    return (
+        pairs.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# reuse the X67 chain through its confirmed-pairs CTE, then roll up by
+# unordered source pair instead of running the closure
+X93_SQL = X67_SQL.replace(
+    """edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node""",
+    """srcpairs AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM conf
+  JOIN documents da ON da.doc_id = conf.ia
+  JOIN documents db ON db.doc_id = conf.ib
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM srcpairs GROUP BY source_a, source_b""",
+)
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4480,4 +4586,6 @@ EXTENSIONS = {
     "x89_pca_whiten": (x89_pca_whiten, None),
     "x90_budget_selection": (x90_budget_selection, X90_SQL),
     "x91_dsir_weights": (x91_dsir_weights, X91_SQL),
+    "x92_padding_audit": (x92_padding_audit, X92_SQL),
+    "x93_cross_source_dupes": (x93_cross_source_dupes, X93_SQL),
 }

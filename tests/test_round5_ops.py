@@ -202,3 +202,56 @@ def test_dsir_weights_sign(spark):
     assert out[4].mean_log_ratio == round(
         math.log(1 / 12) - math.log(2 / 18), 4
     )
+
+
+def test_padding_audit_buckets(spark):
+    """12-token and 16-token docs land in the 16-bucket (28 real vs 32
+    padded); a 300-token doc clips to 256 with zero waste."""
+    from shifts_etl_spark.plans.extensions import x92_padding_audit
+
+    rows = [
+        _doc(1, " ".join(["w"] * 12)),
+        _doc(2, " ".join(["w"] * 16)),
+        _doc(3, " ".join(["w"] * 300)),
+    ]
+    import os
+
+    d = "/tmp/x92_docs_%d" % os.getpid()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r.bucket: r for r in x92_padding_audit(spark, d).collect()}
+    assert set(out) == {16, 256}
+    b16 = out[16]
+    assert (b16.n_docs, b16.sum_tokens, b16.sum_padded) == (2, 28, 32)
+    assert b16.waste_frac == round(1 - 28 / 32, 6)
+    assert (out[256].sum_tokens, out[256].waste_frac) == (256, 0.0)
+
+
+def test_cross_source_dupes_attribution(spark):
+    """A near-dup pair across sources A/B rolls up to one unordered
+    (A, B) row; an in-source pair rolls up to (C, C)."""
+    from pyspark.sql import Row
+    from shifts_etl_spark.plans.extensions import x93_cross_source_dupes
+
+    def d(i, src, text):
+        return Row(doc_id=i, text=text, lang="en", source=src,
+                   n_chars=len(text))
+
+    t1 = BASE
+    t2 = BASE + " 1234567890"
+    rows = [
+        d(1, "B", t1), d(2, "A", t2),            # cross-source near-dup
+        d(3, "C", t1 + " extra tail words here"),
+        d(4, "C", t1 + " extra tail words here now"),  # in-source near-dup
+    ]
+    import os
+
+    p = "/tmp/x93_docs_%d" % os.getpid()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{p}/documents.parquet"
+    )
+    out = {(r.source_a, r.source_b): r.n_pairs
+           for r in x93_cross_source_dupes(spark, p).collect()}
+    assert out[("A", "B")] >= 1
+    assert out[("C", "C")] >= 1
