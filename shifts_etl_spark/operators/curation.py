@@ -478,3 +478,36 @@ def dsir_importance_weights(
             (F.col("mean_log_ratio") > 0).alias("target_like"),
         )
     )
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """Per-source datasheet rollup — the "dataset card" table a corpus
+    release ships: volume (docs/tokens/chars), language mix (distinct
+    langs + English share), exact-duplicate rate (1 − distinct content
+    hashes / docs), and the mean heuristic quality score. One scan, one
+    (source)-keyed aggregate; every term is map-side combinable except
+    the distinct-hash count, whose partial dedup also happens map-side
+    on (source, hash) — at 100 TB the exchange carries one row per
+    distinct hash per source, never documents."""
+    from .textstats import quality_score, token_count
+
+    t = F.col("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).cast("long").alias("n_tokens"),
+            F.sum(F.length(t)).cast("long").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.avg((F.col("lang") == "en").cast("double")), 6
+            ).alias("share_en"),
+            F.round(
+                1.0
+                - F.countDistinct(F.md5(t)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.avg(quality_score(t)), 6).alias("mean_quality"),
+        )
+    )

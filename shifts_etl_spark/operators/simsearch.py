@@ -454,3 +454,70 @@ def hard_negative_topk(
         .where(F.col("rank") <= k)
         .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cosine", "rank")
     )
+
+
+def _sign_words(vec: Column, n_words: int = 2, word_bits: int = 32) -> list[Column]:
+    """Pack the sign bits of ``vec`` into ``n_words`` non-negative
+    integer words of ``word_bits`` bits each (bit i of word j =
+    vec[j*word_bits + i] >= 0; absent dims count as 0). Staying under
+    2^32 per word keeps every value positive so xor/bit_count semantics
+    are identical across engines."""
+    words = []
+    for j in range(n_words):
+        acc = None
+        for i in range(word_bits):
+            bit = F.coalesce(
+                (F.get(vec, j * word_bits + i) >= 0).cast("long"), F.lit(0)
+            ) * F.lit(1 << i)
+            acc = bit if acc is None else acc + bit
+        words.append(acc)
+    return words
+
+
+def hamming_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-embedding ANN: binarize each vector to its 64 sign bits
+    packed in two 32-bit words (16 bytes/vector — a 16× compression of
+    the float32 embedding), then rank candidates per query by Hamming
+    distance (bit_count of xor), ties by neighbor id. Sign-bit Hamming
+    is a monotone proxy for angular distance (Charikar's SimHash bound),
+    so this is the memory-tier scale path: the corpus-side index is two
+    longs per row, queries are broadcast, the distance is two xor +
+    popcount JVM ops, and the top-k shuffle carries (query, neighbor,
+    hamming) ints — never a vector. Integer-exact end to end, so the
+    DuckDB oracle matches bit-for-bit."""
+    w0, w1 = _sign_words(F.col(vec_col))
+    packed = emb.select(
+        F.col(id_col), w0.alias("w0"), w1.alias("w1")
+    )
+    q = packed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    c = packed.select(
+        F.col(id_col).alias("neighbor_id"), "w0", "w1"
+    )
+    pairs = F.broadcast(q).crossJoin(c).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", ham.cast("int").alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

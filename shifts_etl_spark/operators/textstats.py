@@ -729,3 +729,122 @@ def backoff_bigram_logprob(
             F.round(F.avg(score), 4).alias("mean_logscore"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 100,
+    min_ranks: int = 10,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Zipf-law fit: OLS slope/intercept of ln(freq) on ln(rank)
+    over the ``top_n`` most frequent normalized tokens — the power-law
+    exponent s in freq ∝ rank^(-s). Natural text sits near s ≈ 1; a flat
+    slope flags templated/generated text, a steep one flags tiny-vocab
+    spam. The corpus-level scan is one tokenize + (group, word) count; the
+    fit itself runs on ≤ ``top_n`` rows per group (the window sorts the
+    per-group vocabulary, never documents), so the regression input is
+    group-count-bounded regardless of corpus size. Ranks tie-break by
+    token for engine-independent determinism.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("w"),
+    )
+    freq = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), F.col("w"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "grp",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    fit = (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranks"),
+            (F.covar_pop("x", "y") / F.var_pop("x")).alias("_slope"),
+            F.avg("x").alias("_mx"),
+            F.avg("y").alias("_my"),
+        )
+        .where(F.col("n_ranks") >= min_ranks)
+    )
+    return (
+        fit.join(totals, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_types",
+            "n_tokens",
+            "n_ranks",
+            F.round("_slope", 4).alias("zipf_slope"),
+            F.round(F.col("_my") - F.col("_slope") * F.col("_mx"), 4).alias(
+                "zipf_intercept"
+            ),
+        )
+    )
+
+
+# Character alphabet for entropy scoring: letters, digits, space. Fixed
+# summation order (this literal order, left-assoc) keeps the float fold
+# bit-reproducible across engines.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(
+    docs: DataFrame,
+    low_entropy_nats: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) over the
+    37-symbol a-z/0-9/space alphabet — the cheapest garbage detector:
+    natural English sits near 2.8-3.0 nats, while repeated-character
+    filler, base64-ish noise stripped to few symbols, and template spam
+    fall under ~2. Counting is the length-minus-replace trick — 37
+    whole-stage-codegen string ops per row, NO explode-per-character (a
+    per-char unnest would be |corpus chars| rows; this stays one row per
+    document and never shuffles at all). Entropy folds the fixed-order
+    count columns, so both engines add the same doubles in the same
+    order."""
+    low = F.lower(F.col(text_col))
+    counts = docs.select(
+        id_col,
+        *[
+            (
+                F.length(low) - F.length(F.regexp_replace(low, f"[{ch}]", ""))
+                if ch != " "
+                else F.length(low) - F.length(F.regexp_replace(low, r"[ ]", ""))
+            ).alias(f"_c{i}")
+            for i, ch in enumerate(ENTROPY_ALPHABET)
+        ],
+    )
+    cols = [F.col(f"_c{i}") for i in range(len(ENTROPY_ALPHABET))]
+    n = sum(cols[1:], cols[0])
+    with_n = counts.withColumn("n_alpha", n.cast("long"))
+    nd = F.col("n_alpha").cast("double")
+    term = lambda c: F.when(  # noqa: E731 — local fold step
+        c > 0, -(c.cast("double") / nd) * F.log(c.cast("double") / nd)
+    ).otherwise(F.lit(0.0))
+    ent = sum((term(c) for c in cols[1:]), term(cols[0]))
+    entropy = F.when(F.col("n_alpha") > 0, F.round(ent, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return with_n.select(
+        id_col,
+        "n_alpha",
+        entropy.alias("char_entropy"),
+        (
+            (F.col("n_alpha") == 0)
+            | (entropy < F.lit(float(low_entropy_nats)))
+        ).alias("is_low_entropy"),
+    )

@@ -4490,6 +4490,180 @@ FROM srcpairs GROUP BY source_a, source_b""",
 )
 
 
+def x94_zipf_fit(spark, sf_dir):
+    """Per-source Zipf-law fit (textstats.zipf_fit): OLS of ln(freq) on
+    ln(rank) over each source's top-100 tokens — natural language sits
+    near slope −1; flat or cliff-shaped fits flag templated/generated
+    sources before they enter a mixture. Regression input is ≤ 100 rows
+    per source by construction."""
+    return textstats.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+X94_SQL = rf"""
+WITH tok AS (
+  SELECT source, unnest({_X67_NORM}) AS w FROM documents
+),
+freq AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (
+  SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM freq GROUP BY 1
+),
+ranked AS (
+  SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM (
+    SELECT source, c,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
+    FROM freq
+  ) WHERE rank <= 100
+),
+fit AS (
+  SELECT source, count(*) AS n_ranks,
+         covar_pop(x, y) / var_pop(x) AS slope,
+         avg(x) AS mx, avg(y) AS my
+  FROM ranked GROUP BY 1 HAVING count(*) >= 10
+)
+SELECT f.source, t.n_types, t.n_tokens, f.n_ranks,
+       round(f.slope, 4) AS zipf_slope,
+       round(f.my - f.slope * f.mx, 4) AS zipf_intercept
+FROM fit f JOIN totals t USING (source)
+"""
+
+
+def x95_hamming_ann(spark, sf_dir):
+    """Binary-embedding ANN (simsearch.hamming_topk): 64 sign bits
+    packed into two 32-bit words (16 bytes/vector), per-query top-10 by
+    Hamming distance — the memory-tier companion to x7/x8/x13/x44.
+    Integer-exact end to end."""
+    return simsearch.hamming_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+def _x95_word_sql(j: int) -> str:
+    return " + ".join(
+        f"CASE WHEN embedding[{j * 32 + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(32)
+    )
+
+
+X95_SQL = f"""
+WITH packed AS (
+  SELECT vec_id,
+         CAST({_x95_word_sql(0)} AS BIGINT) AS w0,
+         CAST({_x95_word_sql(1)} AS BIGINT) AS w1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+  FROM packed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, p.vec_id AS neighbor_id,
+         CAST(bit_count(xor(p.w0, q.q0))
+              + bit_count(xor(p.w1, q.q1)) AS INT) AS hamming
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def x96_char_entropy(spark, sf_dir):
+    """Character-entropy garbage detector (textstats.char_entropy):
+    per-doc Shannon entropy in nats over the a-z/0-9/space alphabet via
+    37 length-minus-replace counters — one codegen'd row-local pass, no
+    explode, no shuffle."""
+    return textstats.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+_X96_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_X96_COUNTS = ",\n         ".join(
+    f"length(t) - length(replace(t, '{ch}', '')) AS c{i}"
+    for i, ch in enumerate(_X96_ALPHABET)
+)
+_X96_N = " + ".join(f"c{i}" for i in range(len(_X96_ALPHABET)))
+_X96_ENT = "\n           + ".join(
+    f"CASE WHEN c{i} > 0 THEN -(CAST(c{i} AS DOUBLE) / n_alpha)"
+    f" * ln(CAST(c{i} AS DOUBLE) / n_alpha) ELSE 0.0 END"
+    for i in range(len(_X96_ALPHABET))
+)
+
+X96_SQL = f"""
+WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         {_X96_COUNTS}
+  FROM low
+),
+n AS (SELECT *, CAST({_X96_N} AS BIGINT) AS n_alpha FROM c),
+e AS (
+  SELECT doc_id, n_alpha,
+         {_X96_ENT} AS ent
+  FROM n
+),
+fin AS (
+  SELECT doc_id, n_alpha,
+         CASE WHEN n_alpha > 0 THEN round(ent, 6) ELSE 0.0 END
+           AS char_entropy
+  FROM e
+)
+SELECT doc_id, n_alpha, char_entropy,
+       (n_alpha = 0) OR (char_entropy < 2.0) AS is_low_entropy
+FROM fin
+"""
+
+
+def x97_dataset_card(spark, sf_dir):
+    """Per-source dataset card (curation.dataset_card): volume, language
+    mix, exact-dup rate, mean quality — the datasheet a corpus release
+    ships. One scan, one source-keyed aggregate."""
+    return curation.dataset_card(_t(spark, sf_dir, "documents"))
+
+
+X97_SQL = rf"""
+WITH base AS (
+  SELECT source, lang, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digr
+  FROM documents
+),
+derived AS (
+  SELECT source, lang, text, len(toks) AS n_tok,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+           / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                  t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS swr,
+         digr
+  FROM base
+),
+q AS (
+  SELECT source, lang, text, n_tok,
+         CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0.0 END AS quality
+  FROM derived
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS share_en,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       round(avg(quality), 6) AS mean_quality
+FROM q GROUP BY source
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4588,4 +4762,8 @@ EXTENSIONS = {
     "x91_dsir_weights": (x91_dsir_weights, X91_SQL),
     "x92_padding_audit": (x92_padding_audit, X92_SQL),
     "x93_cross_source_dupes": (x93_cross_source_dupes, X93_SQL),
+    "x94_zipf_fit": (x94_zipf_fit, X94_SQL),
+    "x95_hamming_ann": (x95_hamming_ann, X95_SQL),
+    "x96_char_entropy": (x96_char_entropy, X96_SQL),
+    "x97_dataset_card": (x97_dataset_card, X97_SQL),
 }

@@ -1,0 +1,154 @@
+"""Round-5 late ops: Zipf-law fit (x94), binary Hamming ANN (x95),
+character entropy (x96), dataset card (x97) — planted-data semantics
+pins; sf0.01/sf0.1 value-hash equivalence lives in the driver gate /
+check_correctness."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from shifts_etl_spark.operators.curation import dataset_card
+from shifts_etl_spark.operators.simsearch import hamming_topk
+from shifts_etl_spark.operators.textstats import (
+    char_entropy,
+    quality_score,
+    zipf_fit,
+)
+
+
+def _doc(i, text, lang="en", source="s"):
+    return Row(doc_id=i, text=text, lang=lang, source=source,
+               n_chars=len(text))
+
+
+def _ols(xs, ys):
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+    var = sum((x - mx) ** 2 for x in xs) / n
+    slope = cov / var
+    return slope, my - slope * mx
+
+
+def test_zipf_fit_matches_hand_ols(spark):
+    """Word counts 8/4/2/1 at ranks 1-4: the slope/intercept must equal
+    the hand-computed population OLS of ln(freq) on ln(rank), and the
+    totals must count the full per-source vocabulary."""
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([_doc(1, text)])
+    out = zipf_fit(df, min_ranks=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_types, r.n_tokens, r.n_ranks) == (4, 15, 4)
+    xs = [math.log(k) for k in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    slope, intercept = _ols(xs, ys)
+    assert r.zipf_slope == round(slope, 4)
+    assert r.zipf_intercept == round(intercept, 4)
+
+
+def test_zipf_fit_min_ranks_drops_tiny_sources(spark):
+    """A source with fewer distinct tokens than min_ranks yields no fit
+    row (var of a 1-point regression is 0 — filtered, not NaN)."""
+    df = spark.createDataFrame(
+        [_doc(1, "solo solo solo", source="tiny"),
+         _doc(2, " ".join(f"w{i}" for i in range(20)), source="big")]
+    )
+    out = {r.source: r for r in zipf_fit(df, min_ranks=10).collect()}
+    assert set(out) == {"big"}
+    assert out["big"].n_ranks == 20
+
+
+def test_hamming_topk_distances_and_ties(spark):
+    """Query 0 = all-positive 64-dim. Candidate 10 matches exactly
+    (hamming 0), 11 and 13 flip one sign each (hamming 1 — tie broken by
+    id), 12 flips all 64. A 32-dim candidate scores 32: absent dims pack
+    as 0-bits against the query's upper word of ones."""
+    plus = [1.0] * 64
+    rows = [
+        Row(vec_id=0, embedding=plus, label=0),
+        Row(vec_id=10, embedding=list(plus), label=0),
+        Row(vec_id=11, embedding=[-1.0] + [1.0] * 63, label=0),
+        Row(vec_id=13, embedding=[1.0] * 63 + [-1.0], label=0),
+        Row(vec_id=12, embedding=[-1.0] * 64, label=0),
+        Row(vec_id=14, embedding=[1.0] * 32, label=0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = hamming_topk(df, query_ids=[0], k=5).collect()
+    got = [(r.neighbor_id, r.hamming, r.rank) for r in
+           sorted(out, key=lambda r: r.rank)]
+    assert got == [(10, 0, 1), (11, 1, 2), (13, 1, 3), (14, 32, 4),
+                   (12, 64, 5)]
+
+
+def test_hamming_topk_zero_is_positive_bit(spark):
+    """An exactly-0.0 coordinate binarizes as a set bit (>= 0), matching
+    the oracle's CASE WHEN embedding[i] >= 0."""
+    rows = [
+        Row(vec_id=0, embedding=[0.0] * 64, label=0),
+        Row(vec_id=10, embedding=[1.0] * 64, label=0),
+    ]
+    out = hamming_topk(spark.createDataFrame(rows), query_ids=[0], k=1
+                       ).collect()
+    assert (out[0].neighbor_id, out[0].hamming) == (10, 0)
+
+
+def test_char_entropy_degenerate_and_uniform(spark):
+    """'aaaa' → 0 nats (flagged); 'abab' → exactly ln 2; an empty-
+    alphabet doc (symbols only) → n_alpha 0, entropy 0.0, flagged; a
+    natural sentence clears the 2.0-nat garbage bar."""
+    rows = [
+        _doc(1, "aaaa"),
+        _doc(2, "abab"),
+        _doc(3, "!!!???###"),
+        _doc(4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    out = {r.doc_id: r for r in
+           char_entropy(spark.createDataFrame(rows)).collect()}
+    assert (out[1].n_alpha, out[1].char_entropy, out[1].is_low_entropy) == \
+        (4, 0.0, True)
+    assert out[2].char_entropy == round(math.log(2), 6)
+    assert (out[3].n_alpha, out[3].char_entropy, out[3].is_low_entropy) == \
+        (0, 0.0, True)
+    assert out[4].char_entropy > 2.0 and not out[4].is_low_entropy
+
+
+def test_char_entropy_case_folds(spark):
+    """Upper/lower case fold together before counting: 'ABAB' scores the
+    same ln 2 as 'abab'."""
+    out = char_entropy(
+        spark.createDataFrame([_doc(1, "ABAB"), _doc(2, "abab")])
+    ).collect()
+    assert out[0].char_entropy == out[1].char_entropy == round(
+        math.log(2), 6
+    )
+
+
+def test_dataset_card_rollup(spark):
+    """Source A: 3 docs, one exact-dup pair → dup_rate 1/3; langs en/en/
+    fr → share_en 2/3, n_langs 2; token/char sums exact; mean_quality
+    equals the averaged per-doc quality_score."""
+    ta = "the cat sat on the mat with a hat and a bat for the day"
+    tb = "completely different words appear in this other document here"
+    rows = [
+        _doc(1, ta, lang="en", source="A"),
+        _doc(2, ta, lang="en", source="A"),
+        _doc(3, tb, lang="fr", source="A"),
+        _doc(4, "short", lang="en", source="B"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.source: r for r in dataset_card(df).collect()}
+    assert set(out) == {"A", "B"}
+    a = out["A"]
+    assert a.n_docs == 3
+    assert a.n_tokens == 15 + 15 + 9
+    assert a.n_chars == len(ta) * 2 + len(tb)
+    assert (a.n_langs, a.share_en) == (2, round(2 / 3, 6))
+    assert a.dup_rate == round(1 - 2 / 3, 6)
+    q = [r[0] for r in df.where(F.col("source") == "A")
+         .select(quality_score(F.col("text"))).collect()]
+    assert a.mean_quality == round(sum(q) / 3, 6)
+    b = out["B"]
+    assert (b.n_docs, b.dup_rate, b.n_langs) == (1, 0.0, 1)

@@ -86,6 +86,8 @@ CROSS_JOIN_OK = {
     "x41_heavy_hitters",  # crossJoin with the broadcast 1-row N total
     "x44_pq_ann",  # ADC scan: corpus codes × broadcast |Q|-row LUT table —
     # the compressed-scan contract (8-byte codes, never vectors)
+    "x95_hamming_ann",  # binary-index scan: corpus (2×32-bit sign words)
+    # × broadcast |Q|-row query words — the x44 contract at 16 B/vector
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
     "x46_split_drift",  # lang-universe × 2-split grid: both broadcast-tiny
