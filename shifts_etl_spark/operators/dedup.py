@@ -1021,3 +1021,113 @@ def span_scrub_stats(
             "dup_frac"
         ),
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Marginal-novelty attribution per source: credit each distinct
+    corpus shingle to the source of its FIRST-seen document (min doc id
+    = ingestion order), then report per source how much genuinely new
+    content it contributes vs how much it repeats — the dataset-mixing
+    diagnostic that says "source B is 80% re-crawl of A, cap it".
+
+    Scale shape: both aggregates key on the shingle (vocab-sized, never
+    doc-pairs); the source attachment is an id-keyed join carrying
+    (doc, shingle) pairs; text never shuffles. Deterministic (min over
+    unique ids), hence oracle-checkable."""
+    src = docs.select(F.col(id_col).alias("doc"), "source")
+    flat = (
+        shingle_rows(docs, text_col, id_col, shingle_n)
+        .select("doc", "s")
+        .distinct()
+    )
+    per_source = (
+        flat.join(src, "doc")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("s").alias("n_distinct"),
+        )
+    )
+    first = flat.groupBy("s").agg(F.min("doc").alias("doc"))
+    novel = (
+        first.join(src, "doc")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_source.join(novel, "source", "left")
+        .fillna(0, ["n_novel"])
+        .select(
+            "source",
+            "n_occurrences",
+            "n_distinct",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_distinct"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+def source_shingle_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Source-to-source content overlap: Jaccard similarity between the
+    DISTINCT-shingle sets of every source pair (full matrix, zero-overlap
+    pairs included) — the corpus-level companion to x93's doc-pair
+    attribution. The shingle join fans out C(sources-sharing, 2) per
+    shingle — bounded by the (tiny) source count squared, never by
+    corpus size; unions come from per-source sizes, so no union
+    materializes."""
+    src = docs.select(F.col(id_col).alias("doc"), "source")
+    srcsh = (
+        shingle_rows(docs, text_col, id_col, shingle_n)
+        .select("doc", "s")
+        .distinct()
+        .join(src, "doc")
+        .select("source", "s")
+        .distinct()
+    )
+    sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        srcsh.select(F.col("source").alias("source_a"), "s")
+        .join(srcsh.select(F.col("source").alias("source_b"), "s"), "s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("n_b")
+                )
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        grid.join(shared, ["source_a", "source_b"], "left")
+        .fillna(0, ["n_shared"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -295,3 +295,38 @@ def pca_whiten(
     return emb.select(
         id_col, label_col, F.array(*comps).alias("proj")
     )
+
+
+def categorical_mi(
+    df: DataFrame, col_a: str = "lang", col_b: str = "source"
+) -> DataFrame:
+    """Mutual-information audit between two categorical columns: per
+    (a, b) cell, the joint probability, pointwise MI ln(p(a,b)/(p(a)
+    p(b))), and the cell's contribution to total MI — the covariate-
+    dependence check (is language confounded with source?) that decides
+    whether stratified splits must key on both. One (a, b)-keyed count;
+    marginals and the 1-row total are cell-count-bounded and broadcast;
+    nothing row-sized survives the first aggregate."""
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n"))
+    tot = joint.agg(F.sum("n").cast("long").alias("n_total"))
+    ma = joint.groupBy(col_a).agg(F.sum("n").cast("long").alias("n_a"))
+    mb = joint.groupBy(col_b).agg(F.sum("n").cast("long").alias("n_b"))
+    out = (
+        joint.join(ma, col_a)
+        .join(mb, col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    pmi = F.log(
+        nd * F.col("n_total") / (F.col("n_a") * F.col("n_b"))
+    )
+    return out.select(
+        col_a,
+        col_b,
+        "n",
+        "n_a",
+        "n_b",
+        F.round(nd / F.col("n_total"), 6).alias("p_joint"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round((nd / F.col("n_total")) * pmi, 6).alias("mi_contrib"),
+    )

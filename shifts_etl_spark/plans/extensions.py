@@ -4664,6 +4664,107 @@ FROM q GROUP BY source
 """
 
 
+# Shared shingle CTE prefix (the X67 norm→shn→flat chain with flat keyed
+# as ``doc``) for the source-level shingle audits x98/x99.
+_SHINGLE3_CTES = rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id AS doc, unnest(sh) AS s FROM shn),
+src AS (SELECT doc_id AS doc, source FROM documents)
+"""
+
+
+def x98_shingle_novelty(spark, sf_dir):
+    """First-seen novelty attribution (dedup.shingle_novelty): each
+    distinct corpus 3-shingle is credited to the source of its earliest
+    document; per source, novel vs repeated content share — the
+    marginal-contribution diagnostic for mixture design."""
+    return dedup.shingle_novelty(_t(spark, sf_dir, "documents"))
+
+
+X98_SQL = (
+    _SHINGLE3_CTES
+    + """,
+per_source AS (
+  SELECT source, count(*) AS n_occurrences, count(DISTINCT s) AS n_distinct
+  FROM flat JOIN src USING (doc) GROUP BY 1
+),
+first AS (SELECT s, min(doc) AS doc FROM flat GROUP BY 1),
+novel AS (SELECT source, count(*) AS n_novel FROM first JOIN src USING (doc) GROUP BY 1)
+SELECT p.source, p.n_occurrences, p.n_distinct,
+       coalesce(n.n_novel, 0) AS n_novel,
+       round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_distinct, 6)
+         AS novelty_rate
+FROM per_source p LEFT JOIN novel n USING (source)
+"""
+)
+
+
+def x99_source_overlap(spark, sf_dir):
+    """Source-pair content overlap (dedup.source_shingle_overlap):
+    Jaccard between per-source distinct-shingle sets, full matrix —
+    the corpus-space companion to x93's confirmed doc-pair counts."""
+    return dedup.source_shingle_overlap(_t(spark, sf_dir, "documents"))
+
+
+X99_SQL = (
+    _SHINGLE3_CTES
+    + """,
+srcsh AS MATERIALIZED (SELECT DISTINCT source, s FROM flat JOIN src USING (doc)),
+sizes AS (SELECT source, count(*) AS n FROM srcsh GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM srcsh a JOIN srcsh b USING (s)
+  WHERE a.source < b.source GROUP BY 1, 2
+),
+grid AS (
+  SELECT sa.source AS source_a, sa.n AS n_a, sb.source AS source_b, sb.n AS n_b
+  FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source
+)
+SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+       coalesce(sh.n_shared, 0) AS n_shared,
+       round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+             / (g.n_a + g.n_b - coalesce(sh.n_shared, 0)), 6) AS jaccard
+FROM grid g LEFT JOIN shared sh USING (source_a, source_b)
+"""
+)
+
+
+def x100_lang_source_mi(spark, sf_dir):
+    """Language×source mutual information (profile.categorical_mi):
+    per-cell joint probability, pointwise MI, and MI contribution — the
+    covariate-confounding audit that decides whether splits must
+    stratify on both columns."""
+    return profile.categorical_mi(_t(spark, sf_dir, "documents"))
+
+
+X100_SQL = """
+WITH joint AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM joint),
+ma AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_a FROM joint GROUP BY 1),
+mb AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_b FROM joint GROUP BY 1)
+SELECT j.lang, j.source, j.n, ma.n_a, mb.n_b,
+       round(CAST(j.n AS DOUBLE) / t.n_total, 6) AS p_joint,
+       round(ln(CAST(j.n AS DOUBLE) * t.n_total / (ma.n_a * mb.n_b)), 6)
+         AS pmi,
+       round((CAST(j.n AS DOUBLE) / t.n_total)
+             * ln(CAST(j.n AS DOUBLE) * t.n_total / (ma.n_a * mb.n_b)), 6)
+         AS mi_contrib
+FROM joint j JOIN ma USING (lang) JOIN mb USING (source) CROSS JOIN tot t
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4766,4 +4867,7 @@ EXTENSIONS = {
     "x95_hamming_ann": (x95_hamming_ann, X95_SQL),
     "x96_char_entropy": (x96_char_entropy, X96_SQL),
     "x97_dataset_card": (x97_dataset_card, X97_SQL),
+    "x98_shingle_novelty": (x98_shingle_novelty, X98_SQL),
+    "x99_source_overlap": (x99_source_overlap, X99_SQL),
+    "x100_lang_source_mi": (x100_lang_source_mi, X100_SQL),
 }

@@ -152,3 +152,72 @@ def test_dataset_card_rollup(spark):
     assert a.mean_quality == round(sum(q) / 3, 6)
     b = out["B"]
     assert (b.n_docs, b.dup_rate, b.n_langs) == (1, 0.0, 1)
+
+
+def test_shingle_novelty_first_seen_attribution(spark):
+    """Doc 1 (A) coins both shingles of 'a b c d'; doc 2 (B) repeats
+    them verbatim, doc 3 (B) adds one new shingle → A is 100% novel,
+    B is 1/3 novel with 3 occurrence rows."""
+    from shifts_etl_spark.operators.dedup import shingle_novelty
+
+    rows = [
+        _doc(1, "a b c d", source="A"),
+        _doc(2, "a b c d", source="B"),
+        _doc(3, "x y z", source="B"),
+    ]
+    out = {r.source: r for r in
+           shingle_novelty(spark.createDataFrame(rows)).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n_occurrences, a.n_distinct, a.n_novel, a.novelty_rate) == \
+        (2, 2, 2, 1.0)
+    assert (b.n_occurrences, b.n_distinct, b.n_novel) == (3, 3, 1)
+    assert b.novelty_rate == round(1 / 3, 6)
+
+
+def test_source_overlap_full_matrix(spark):
+    """A ⊂ B shares both of A's shingles (Jaccard 2/3); C is disjoint
+    but still rows against A and B with jaccard 0.0 (full matrix)."""
+    from shifts_etl_spark.operators.dedup import source_shingle_overlap
+
+    rows = [
+        _doc(1, "a b c d", source="A"),            # {a b c, b c d}
+        _doc(2, "a b c d e", source="B"),          # + {c d e}
+        _doc(3, "q r s", source="C"),              # {q r s}
+    ]
+    out = {(r.source_a, r.source_b): r for r in
+           source_shingle_overlap(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_shared) == (2, 3, 2)
+    assert ab.jaccard == round(2 / 3, 6)
+    assert out[("A", "C")].jaccard == 0.0
+    assert out[("B", "C")].n_shared == 0
+
+
+def test_categorical_mi_dependence_and_independence(spark):
+    """Perfectly confounded lang↔source → every cell carries pmi ln 2;
+    a fully independent 2×2 grid → pmi 0 everywhere."""
+    from shifts_etl_spark.operators.profile import categorical_mi
+
+    dep = spark.createDataFrame(
+        [_doc(1, "t", lang="en", source="X"),
+         _doc(2, "t", lang="en", source="X"),
+         _doc(3, "t", lang="fr", source="Y"),
+         _doc(4, "t", lang="fr", source="Y")]
+    )
+    out = categorical_mi(dep).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r.n, r.n_a, r.n_b) == (2, 2, 2)
+        assert r.p_joint == 0.5
+        assert r.pmi == round(math.log(2), 6)
+        assert r.mi_contrib == round(0.5 * math.log(2), 6)
+
+    ind = spark.createDataFrame(
+        [_doc(1, "t", lang="en", source="X"),
+         _doc(2, "t", lang="en", source="Y"),
+         _doc(3, "t", lang="fr", source="X"),
+         _doc(4, "t", lang="fr", source="Y")]
+    )
+    for r in categorical_mi(ind).collect():
+        assert r.pmi == 0.0 and r.mi_contrib == 0.0

@@ -66,6 +66,8 @@ SINGLE_PARTITION_OK = {
     "x71_materialize_mixture",  # G-row allocation plan (x50 shape)
     "x77_quality_psi",  # corpus total: one 1-row aggregate
     "y1_backoff_bigram_lm",  # train-corpus totals (N, V): one 1-row aggregate
+    "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
+    # the (lang, source) cell counts — cell-bounded, never rows
     "x78_ks_drift",  # n_a/n_b totals: one 1-row aggregate; CDF prefix runs
     # on scalable_running_sum (N_partitions-row offsets fold, never data)
     "x81_table_checksum",  # the checksum IS a 1-row global aggregate
@@ -88,6 +90,8 @@ CROSS_JOIN_OK = {
     # the compressed-scan contract (8-byte codes, never vectors)
     "x95_hamming_ann",  # binary-index scan: corpus (2×32-bit sign words)
     # × broadcast |Q|-row query words — the x44 contract at 16 B/vector
+    "x99_source_overlap",  # G×G source-size grid (G = #sources, bounded)
+    "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
     "x46_split_drift",  # lang-universe × 2-split grid: both broadcast-tiny
