@@ -184,3 +184,88 @@ def kmeans_fit(
         feats.unpersist()
 
     return KMeansModel(centroids=centroids, objective=objective, sizes=sizes)
+
+
+def coverage_sample(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    budget: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = 6,
+    salt: str = "-cov",
+) -> DataFrame:
+    """Cluster-coverage subsample: allocate an integer ``budget`` across
+    k-means cells proportional to sqrt(cell size) — the diversity-
+    preserving compromise between uniform-over-rows (head clusters
+    dominate) and uniform-over-clusters (tail clusters oversampled) —
+    then draw each cell's quota by a deterministic md5 priority.
+    Returns (cell, vec_id, draw_rank). Quotas are largest-remainder
+    rounded (lower-cell tiebreak) and capped at the cell size, so the
+    draw is exact, reproducible, and sums to ``budget`` whenever no
+    cell is smaller than its quota.
+
+    Scale shape: assignment is the shuffle-free literal-centroid scan
+    (assign_cells); sizes/quotas are a k-row window; the draw joins the
+    broadcast k-row quota table and ranks with the two-phase bounded
+    top-k (partition-local prefilter first), so a giant cell never
+    funnels through one task — only quota x P rows reach the global
+    rank."""
+    from pyspark.sql import Window
+
+    from .curation import _hex_uniform_int
+
+    assign = assign_cells(emb, centroids, id_col, vec_col, round_decimals)
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    w = F.sqrt(F.col("n").cast("double"))
+    wsum = sizes.select(F.sqrt(F.col("n").cast("double")).alias("w")).agg(
+        F.sum("w").alias("ws")
+    )
+    scored = sizes.crossJoin(F.broadcast(wsum)).select(
+        "cell",
+        "n",
+        (w / F.col("ws")).alias("p"),
+        F.floor(w / F.col("ws") * budget).alias("base"),
+        (w / F.col("ws") * budget - F.floor(w / F.col("ws") * budget)).alias(
+            "frac"
+        ),
+    )
+    short = F.lit(budget) - F.sum("base").over(Window.partitionBy())
+    alloc = (
+        scored.select(
+            "cell",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("frac"), "cell"))
+            .alias("fr"),
+            short.alias("short"),
+            "base",
+        )
+        .select(
+            "cell",
+            F.least(
+                F.col("base")
+                + F.when(F.col("fr") <= F.col("short"), 1).otherwise(0),
+                F.col("n"),
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    pri = _hex_uniform_int(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    base = assign.select("cell", id_col, pri.alias("pri")).join(
+        F.broadcast(alloc), "cell"
+    )
+    w_local = Window.partitionBy("cell", "_p").orderBy("pri", id_col)
+    w_global = Window.partitionBy("cell").orderBy("pri", id_col)
+    return (
+        base.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rl", F.row_number().over(w_local))
+        .where(F.col("_rl") <= F.col("quota"))
+        .drop("_rl", "_p")
+        .withColumn("draw_rank", F.row_number().over(w_global))
+        .where(F.col("draw_rank") <= F.col("quota"))
+        .select("cell", id_col, F.col("draw_rank").cast("long").alias("draw_rank"))
+    )

@@ -511,3 +511,65 @@ def dataset_card(docs: DataFrame) -> DataFrame:
             F.round(F.avg(quality_score(t)), 6).alias("mean_quality"),
         )
     )
+
+
+def retention_sweep(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = (0.0, 0.3, 0.5, 0.7, 0.8, 1.0),
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Filter-tuning curve: for every (quality threshold, source) pair,
+    how many documents and tokens survive ``quality_score >= t`` — the
+    sweep a pipeline runs BEFORE committing to a cutoff, so the knob is
+    chosen from retention curves instead of a guess. One row per
+    (threshold, source) with kept counts and kept fractions.
+
+    Scale shape (the x88 lattice insight): quality_score takes at most
+    16 distinct values, so the corpus first collapses to (source, q)
+    cells — one map-side-combinable aggregate — and the threshold grid
+    explodes over CELLS, never documents; the second aggregate runs on
+    |sources| x 16 x |thresholds| rows. Scores round to 4 dp before
+    grouping so the cell lattice is identical across engines."""
+    from .textstats import quality_score, token_count
+
+    cells = docs.groupBy(
+        F.col(group_col).alias("source"),
+        F.round(quality_score(F.col(text_col)), 4).alias("q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    grid = cells.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in thresholds])
+        ).alias("threshold"),
+    )
+    kept = F.col("q") >= F.col("threshold")
+    return (
+        grid.groupBy("threshold", "source")
+        .agg(
+            F.sum(F.when(kept, F.col("n_docs")).otherwise(0))
+            .cast("long")
+            .alias("docs_kept"),
+            F.sum("n_docs").cast("long").alias("docs_total"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+        )
+        .select(
+            "threshold",
+            "source",
+            "docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("docs_kept").cast("double") / F.col("docs_total"), 6
+            ).alias("doc_retention"),
+            F.round(
+                F.col("tokens_kept").cast("double") / F.col("tokens_total"),
+                6,
+            ).alias("token_retention"),
+        )
+    )

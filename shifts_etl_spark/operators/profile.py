@@ -330,3 +330,59 @@ def categorical_mi(
         F.round(pmi, 6).alias("pmi"),
         F.round((nd / F.col("n_total")) * pmi, 6).alias("mi_contrib"),
     )
+
+
+def label_separability(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-dimension Fisher discriminant audit: decompose each embedding
+    dimension's variance into between-label and within-label parts and
+    report their ratio — the embedding-quality check that says which
+    dimensions actually separate the classes (and whether the space is
+    worth training a probe on). Uses the sum-of-moments identities
+    (between = E_l[m_l^2] - mu^2, within = E_l[E[v^2]_l - m_l^2]) so
+    everything derives from one (dim, label) aggregate.
+
+    Scale shape (the x59 contract): posexplode fans vectors into
+    (dim, label, v) rows whose groupBy partially aggregates map-side, so
+    the shuffle carries |dims| x |labels| rows per task, never vectors;
+    the second aggregate runs on that bounded cell table. Values cast to
+    double BEFORE aggregation; outputs round to 6 dp to absorb partial-
+    sum-order wobble."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cells = exploded.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("m"),
+        F.avg(F.col("v") * F.col("v")).alias("m2"),
+    )
+    nd = F.col("n").cast("double")
+    agg = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum("n").cast("double").alias("s0"),
+        F.sum(nd * F.col("m")).alias("s1"),
+        F.sum(nd * F.col("m") * F.col("m")).alias("s2"),
+        F.sum(nd * F.col("m2")).alias("sw"),
+    )
+    mu = F.col("s1") / F.col("s0")
+    between = F.col("s2") / F.col("s0") - mu * mu
+    within = (F.col("sw") - F.col("s2")) / F.col("s0")
+    return agg.select(
+        "dim",
+        "n_labels",
+        F.round(mu, 6).alias("grand_mean"),
+        F.round(between, 6).alias("between_var"),
+        F.round(within, 6).alias("within_var"),
+        F.when(within > 0, F.round(between / within, 6)).alias(
+            "fisher_ratio"
+        ),
+    )

@@ -848,3 +848,59 @@ def char_entropy(
             | (entropy < F.lit(float(low_entropy_nats)))
         ).alias("is_low_entropy"),
     )
+
+
+def langid_eval(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Language-ID classifier evaluation against the declared label:
+    per language value (union of declared labels and predictions, so
+    'und' rows when the heuristic abstains), the support, prediction
+    count, hits, and precision/recall/F1 — the audit that says whether
+    the x10 heuristic is trustworthy enough to route filtering by it.
+
+    Scale shape: one groupBy over documents produces the (declared,
+    predicted) confusion cells — at most |langs|^2 rows; every marginal,
+    diagonal, and metric derives from those cells, so nothing row-sized
+    survives the first aggregate. Zero-denominator metrics are pinned to
+    0.0 (not NULL) so downstream sorts are total."""
+    cells = docs.groupBy(
+        F.col(lang_col).alias("declared"),
+        predict_lang(F.col(text_col)).alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    declared = cells.groupBy(F.col("declared").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_declared")
+    )
+    predicted = cells.groupBy(F.col("predicted").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_predicted")
+    )
+    correct = (
+        cells.where(F.col("declared") == F.col("predicted"))
+        .groupBy(F.col("declared").alias("lang"))
+        .agg(F.sum("n").cast("long").alias("n_correct"))
+    )
+    base = (
+        declared.join(predicted, "lang", "full")
+        .join(correct, "lang", "left")
+        .fillna(0, ["n_declared", "n_predicted", "n_correct"])
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0,
+        F.col("n_correct").cast("double") / F.col("n_predicted"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_declared") > 0,
+        F.col("n_correct").cast("double") / F.col("n_declared"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "lang",
+        "n_declared",
+        "n_predicted",
+        "n_correct",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

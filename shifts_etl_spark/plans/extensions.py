@@ -4765,6 +4765,200 @@ FROM joint j JOIN ma USING (lang) JOIN mb USING (source) CROSS JOIN tot t
 """
 
 
+def x101_retention_sweep(spark, sf_dir):
+    """Quality-filter tuning curve (curation.retention_sweep): per
+    (threshold, source), documents and tokens surviving quality_score >=
+    t — the sweep run before committing to a cutoff. The corpus
+    collapses to the 16-point (source, quality) lattice first; the
+    threshold grid explodes over cells, never documents."""
+    return curation.retention_sweep(_t(spark, sf_dir, "documents"))
+
+
+X101_SQL = rf"""
+WITH base AS (
+  SELECT source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qual AS (
+  SELECT source, nt,
+         CAST(round(CASE WHEN nt BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT source,
+           len(toks) AS nt,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM base
+  )
+),
+cells AS (
+  SELECT source, q, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM qual GROUP BY 1, 2
+),
+grid AS (
+  SELECT c.*, t.threshold
+  FROM cells c CROSS JOIN
+       (SELECT CAST(unnest([0.0, 0.3, 0.5, 0.7, 0.8, 1.0]) AS DOUBLE) AS threshold) t
+)
+SELECT threshold, source,
+       CAST(SUM(CASE WHEN q >= threshold THEN n_docs ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(SUM(CASE WHEN q >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       round(CAST(SUM(CASE WHEN q >= threshold THEN n_docs ELSE 0 END) AS DOUBLE)
+             / SUM(n_docs), 6) AS doc_retention,
+       round(CAST(SUM(CASE WHEN q >= threshold THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / SUM(n_tokens), 6) AS token_retention
+FROM grid GROUP BY 1, 2
+"""
+
+
+def x102_langid_confusion(spark, sf_dir):
+    """Language-ID evaluation (textstats.langid_eval): per language,
+    support / prediction count / hits and precision-recall-F1 of the
+    x10 stopword-argmax heuristic against the declared label — the
+    trust audit before routing filters by predicted language. One
+    |langs|^2-cell confusion aggregate; metrics derive from cells."""
+    return textstats.langid_eval(_t(spark, sf_dir, "documents"))
+
+
+_X102_PRED = """CASE WHEN greatest(h_en, h_es, h_fr, h_de) < 1 THEN 'und'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            ELSE 'de' END"""
+
+X102_SQL = rf"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {_hits_sql(textstats.STOPWORDS['en'])} AS h_en,
+         {_hits_sql(textstats.STOPWORDS['es'])} AS h_es,
+         {_hits_sql(textstats.STOPWORDS['fr'])} AS h_fr,
+         {_hits_sql(textstats.STOPWORDS['de'])} AS h_de
+  FROM documents
+),
+pred AS (SELECT lang AS declared, {_X102_PRED} AS predicted FROM hits),
+cells AS (SELECT declared, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
+d AS (SELECT declared AS lang, CAST(SUM(n) AS BIGINT) AS n_declared FROM cells GROUP BY 1),
+p AS (SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS n_predicted FROM cells GROUP BY 1),
+c AS (SELECT declared AS lang, CAST(SUM(n) AS BIGINT) AS n_correct
+      FROM cells WHERE declared = predicted GROUP BY 1),
+base AS (
+  SELECT COALESCE(d.lang, p.lang) AS lang,
+         COALESCE(d.n_declared, 0) AS n_declared,
+         COALESCE(p.n_predicted, 0) AS n_predicted,
+         COALESCE(c.n_correct, 0) AS n_correct
+  FROM d FULL JOIN p ON d.lang = p.lang
+  LEFT JOIN c ON COALESCE(d.lang, p.lang) = c.lang
+),
+m AS (
+  SELECT lang, n_declared, n_predicted, n_correct,
+         CASE WHEN n_predicted > 0
+              THEN CAST(n_correct AS DOUBLE) / n_predicted ELSE 0.0 END AS pr,
+         CASE WHEN n_declared > 0
+              THEN CAST(n_correct AS DOUBLE) / n_declared ELSE 0.0 END AS rc
+  FROM base
+)
+SELECT lang, n_declared, n_predicted, n_correct,
+       round(pr, 6) AS "precision",
+       round(rc, 6) AS recall,
+       round(CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc) ELSE 0.0 END, 6) AS f1
+FROM m
+"""
+
+
+def x103_coverage_sample(spark, sf_dir):
+    """Cluster-coverage subsample (clustering.coverage_sample): a
+    200-vector budget allocated across the x30 k-means cells
+    proportional to sqrt(cell size) (largest-remainder, capped at cell
+    size), each cell's quota drawn by deterministic md5 priority — the
+    diversity-preserving alternative to uniform subsampling (head
+    clusters capped, tail clusters still represented). The oracle
+    replays the x30 Lloyd fixed point then mirrors the x50 allocation
+    and x40 priority conventions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = clustering.kmeans_fit(
+        emb, k=8, max_iter=3, init="first", round_decimals=6
+    )
+    return clustering.coverage_sample(emb, model.centroids, budget=200)
+
+
+X103_SQL = f"""{_kmeans_cells_sql(8, 3, 6)},
+sizes AS (SELECT cell, count(*) AS n FROM a4 GROUP BY 1),
+ws AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS ws FROM sizes),
+scored AS (
+  SELECT cell, n,
+         floor(sqrt(CAST(n AS DOUBLE)) / ws.ws * 200) AS base,
+         sqrt(CAST(n AS DOUBLE)) / ws.ws * 200
+           - floor(sqrt(CAST(n AS DOUBLE)) / ws.ws * 200) AS frac
+  FROM sizes CROSS JOIN ws
+),
+alloc AS (
+  SELECT cell,
+         least(base + CASE WHEN row_number() OVER (ORDER BY frac DESC, cell)
+                           <= 200 - SUM(base) OVER () THEN 1 ELSE 0 END,
+               n) AS quota
+  FROM scored
+),
+pri AS (
+  SELECT cell, vec_id, md5(CAST(vec_id AS VARCHAR) || '-cov') AS h
+  FROM a4
+),
+drawn AS (
+  SELECT cell, vec_id,
+         row_number() OVER (PARTITION BY cell ORDER BY ({_X40_U}), vec_id) AS rn
+  FROM pri
+)
+SELECT CAST(d.cell AS INT) AS cell, d.vec_id, CAST(d.rn AS BIGINT) AS draw_rank
+FROM drawn d JOIN alloc a USING (cell)
+WHERE d.rn <= a.quota
+"""
+
+
+def x104_label_separability(spark, sf_dir):
+    """Per-dimension Fisher discriminant audit
+    (profile.label_separability): between-label vs within-label variance
+    per embedding dimension — which dimensions actually separate the
+    classes. Sum-of-moments identities over one (dim, label) aggregate;
+    the shuffle carries dims x labels rows, never vectors."""
+    return profile.label_separability(_t(spark, sf_dir, "embeddings"))
+
+
+X104_SQL = """
+WITH exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cells AS (
+  SELECT dim, label, count(*) AS n, avg(v) AS m, avg(v * v) AS m2
+  FROM exploded GROUP BY 1, 2
+),
+agg AS (
+  SELECT dim, count(*) AS n_labels,
+         CAST(SUM(n) AS DOUBLE) AS s0,
+         SUM(n * m) AS s1,
+         SUM(n * m * m) AS s2,
+         SUM(n * m2) AS sw
+  FROM cells GROUP BY 1
+)
+SELECT dim, n_labels,
+       round(s1 / s0, 6) + 0 AS grand_mean,
+       round(s2 / s0 - (s1 / s0) * (s1 / s0), 6) + 0 AS between_var,
+       round((sw - s2) / s0, 6) + 0 AS within_var,
+       CASE WHEN (sw - s2) / s0 > 0
+            THEN round((s2 / s0 - (s1 / s0) * (s1 / s0)) / ((sw - s2) / s0), 6) + 0
+       END AS fisher_ratio
+FROM agg
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -4870,4 +5064,8 @@ EXTENSIONS = {
     "x98_shingle_novelty": (x98_shingle_novelty, X98_SQL),
     "x99_source_overlap": (x99_source_overlap, X99_SQL),
     "x100_lang_source_mi": (x100_lang_source_mi, X100_SQL),
+    "x101_retention_sweep": (x101_retention_sweep, X101_SQL),
+    "x102_langid_confusion": (x102_langid_confusion, X102_SQL),
+    "x103_coverage_sample": (x103_coverage_sample, X103_SQL),
+    "x104_label_separability": (x104_label_separability, X104_SQL),
 }

@@ -221,3 +221,106 @@ def test_categorical_mi_dependence_and_independence(spark):
     )
     for r in categorical_mi(ind).collect():
         assert r.pmi == 0.0 and r.mi_contrib == 0.0
+
+
+def test_retention_sweep_threshold_semantics(spark):
+    """Two docs per source at known quality scores: a long stopword-rich
+    doc scores 1.0, a 3-token doc scores 0.6 (loses len_ok 0.4);
+    threshold 0.7 keeps exactly the good doc, 0.0 keeps both."""
+    from shifts_etl_spark.operators.curation import retention_sweep
+
+    good = ("the quick brown fox jumped over the lazy sleeping dog "
+            "again today")
+    bad = "xxx yyy zzz"
+    rows = [_doc(1, good, source="A"), _doc(2, bad, source="A")]
+    df = spark.createDataFrame(rows)
+    q = {r.doc_id: r.q for r in df.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("q")
+    ).collect()}
+    assert q[1] == 1.0 and q[2] == 0.4  # bad: mtl 0.3 + digits 0.1
+    out = {r.threshold: r for r in
+           retention_sweep(df, thresholds=(0.0, 0.7)).collect()}
+    full = out[0.0]
+    assert (full.docs_kept, full.doc_retention) == (2, 1.0)
+    assert full.tokens_kept == 12 + 3
+    cut = out[0.7]
+    assert (cut.docs_kept, cut.tokens_kept) == (1, 12)
+    assert cut.doc_retention == 0.5
+    assert cut.token_retention == round(12 / 15, 6)
+
+
+def test_langid_eval_metrics(spark):
+    """3 en docs (2 predicted en, 1 with no stopwords → und) + 1 fr doc
+    predicted fr: en has recall 2/3 precision 1.0; fr is perfect; the
+    'und' row appears with zero declared support and zero precision."""
+    from shifts_etl_spark.operators.textstats import langid_eval
+
+    rows = [
+        _doc(1, "the cat of the hat", lang="en"),
+        _doc(2, "a dog and a cat", lang="en"),
+        _doc(3, "zzz qqq www", lang="en"),
+        _doc(4, "le chat et la maison", lang="fr"),
+    ]
+    out = {r.lang: r for r in
+           langid_eval(spark.createDataFrame(rows)).collect()}
+    en = out["en"]
+    assert (en.n_declared, en.n_predicted, en.n_correct) == (3, 2, 2)
+    assert en.precision == 1.0
+    assert en.recall == round(2 / 3, 6)
+    assert en.f1 == round(2 * 1.0 * (2 / 3) / (1.0 + 2 / 3), 6)
+    fr = out["fr"]
+    assert (fr.n_declared, fr.n_predicted, fr.f1) == (1, 1, 1.0)
+    und = out["und"]
+    assert (und.n_declared, und.n_predicted, und.n_correct) == (0, 1, 0)
+    assert (und.precision, und.recall, und.f1) == (0.0, 0.0, 0.0)
+
+
+def test_coverage_sample_sqrt_allocation(spark):
+    """Two well-separated clusters, 16 vs 4 vectors: sqrt weights 4:2
+    split a budget of 6 into quotas 4 and 2; every draw comes from the
+    right cell, ranks are 1..quota, and the draw is reproducible."""
+    from shifts_etl_spark.operators.clustering import (
+        coverage_sample, kmeans_fit,
+    )
+
+    rows = [Row(vec_id=i, embedding=[10.0, 10.0 + (i % 4) * 0.1], label=0)
+            for i in range(16)]
+    rows += [Row(vec_id=100 + i, embedding=[-10.0, -10.0 - i * 0.1], label=1)
+             for i in range(4)]
+    emb = spark.createDataFrame(rows)
+    model = kmeans_fit(emb, k=2, max_iter=3, init="first", round_decimals=6)
+    out = coverage_sample(emb, model.centroids, budget=6).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    quotas = sorted(len(v) for v in by_cell.values())
+    assert quotas == [2, 4]
+    for rs in by_cell.values():
+        assert sorted(r.draw_rank for r in rs) == list(range(1, len(rs) + 1))
+        ids = {r.vec_id for r in rs}
+        assert ids <= set(range(16)) or ids <= set(range(100, 104))
+    again = coverage_sample(emb, model.centroids, budget=6).collect()
+    assert sorted((r.cell, r.vec_id, r.draw_rank) for r in out) == \
+        sorted((r.cell, r.vec_id, r.draw_rank) for r in again)
+
+
+def test_label_separability_fisher_pins(spark):
+    """Dim 1 separates the labels perfectly (within-var 0 in each
+    label); dim 2 is identical across labels (between-var 0). Hand
+    numbers: dim1 means ±1 → between 1.0; dim2 values ±1 in both labels
+    → within 1.0, fisher 0."""
+    from shifts_etl_spark.operators.profile import label_separability
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 1.0], label=0),
+        Row(vec_id=2, embedding=[1.0, -1.0], label=0),
+        Row(vec_id=3, embedding=[-1.0, 1.0], label=1),
+        Row(vec_id=4, embedding=[-1.0, -1.0], label=1),
+    ]
+    out = {r.dim: r for r in
+           label_separability(spark.createDataFrame(rows)).collect()}
+    d1, d2 = out[1], out[2]
+    assert (d1.n_labels, d1.grand_mean) == (2, 0.0)
+    assert (d1.between_var, d1.within_var) == (1.0, 0.0)
+    assert d1.fisher_ratio is None  # within 0 → undefined, not an error
+    assert (d2.between_var, d2.within_var, d2.fisher_ratio) == (0.0, 1.0, 0.0)

@@ -66,6 +66,8 @@ SINGLE_PARTITION_OK = {
     "x71_materialize_mixture",  # G-row allocation plan (x50 shape)
     "x77_quality_psi",  # corpus total: one 1-row aggregate
     "y1_backoff_bigram_lm",  # train-corpus totals (N, V): one 1-row aggregate
+    "x103_coverage_sample",  # largest-remainder quota window over the
+    # k-row cell-size table (the x50 allocation shape), never vectors
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
     # the (lang, source) cell counts — cell-bounded, never rows
     "x78_ks_drift",  # n_a/n_b totals: one 1-row aggregate; CDF prefix runs
@@ -91,6 +93,7 @@ CROSS_JOIN_OK = {
     "x95_hamming_ann",  # binary-index scan: corpus (2×32-bit sign words)
     # × broadcast |Q|-row query words — the x44 contract at 16 B/vector
     "x99_source_overlap",  # G×G source-size grid (G = #sources, bounded)
+    "x103_coverage_sample",  # crossJoin with the broadcast 1-row sqrt-sum
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
