@@ -1131,3 +1131,79 @@ def source_shingle_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_savings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_n: int = 3,
+    min_df: int = 2,
+    max_df: int = 5,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Dedup impact accounting: per source, what deduplication actually
+    removes when every near-dup cluster keeps its best copy — document
+    and token counts before/after, and the savings fractions. This is
+    the report a curation pipeline publishes alongside the dedup pass
+    (x93 says who copies whom; this says what it costs to fix).
+
+    Removal rule matches ``canonical_representatives``: within each
+    blocked component, keep the max ``quality_score`` member (ties ->
+    min id), remove the rest.
+
+    Scale shape: components come from the df-bounded blocking chain
+    (never n^2); the elect-and-mark window partitions by cluster (near-
+    dup clusters are small by construction) and carries (cluster, doc,
+    q) only; the final rollup is one source-keyed aggregate over
+    (id, source, token_count) — text never shuffles."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_score, token_count
+
+    comps = blocked_dedup_components(
+        docs, text_col, id_col, shingle_n, min_df, max_df, threshold
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc"),
+        F.round(quality_score(F.col(text_col)), 4).alias("q"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc"))
+    removed = (
+        comps.join(scored, "doc")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc", F.lit(1).alias("removed"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(group_col).alias("source"),
+        token_count(F.col(text_col)).alias("nt"),
+    )
+    rm = F.coalesce(F.col("removed"), F.lit(0))
+    return (
+        base.join(removed, "doc", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(rm).cast("long").alias("docs_removed"),
+            F.sum("nt").cast("long").alias("tokens_total"),
+            F.sum(F.col("nt") * rm).cast("long").alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_removed",
+            "tokens_total",
+            "tokens_removed",
+            F.round(
+                F.col("docs_removed").cast("double") / F.col("n_docs"), 6
+            ).alias("doc_savings"),
+            F.round(
+                F.col("tokens_removed").cast("double")
+                / F.col("tokens_total"),
+                6,
+            ).alias("token_savings"),
+        )
+    )

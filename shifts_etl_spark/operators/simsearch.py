@@ -521,3 +521,49 @@ def hamming_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the binary Hamming index (``hamming_topk``) against
+    the exact cosine baseline (``brute_force_topk``) — the evaluation a
+    pipeline runs before trusting an ANN tier with its retrieval
+    traffic. One row per query: exact-neighbor count, how many of them
+    the index recovered, and the recall fraction.
+
+    Scale shape: both sub-ops are the audited index scans (corpus side
+    one pass each, queries broadcast, shuffles carry id/score ints);
+    this op only joins their two |Q| x k outputs — a broadcast-sized
+    frame — so the eval adds no data-sized stage of its own. Recall
+    denominators use the actual exact-neighbor count (< k on tiny
+    corpora), keeping the metric honest at any scale."""
+    exact = brute_force_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = hamming_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    hit = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    marked = exact.select("query_id", "neighbor_id").join(
+        F.broadcast(hit), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        marked.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -4959,6 +4959,141 @@ FROM agg
 """
 
 
+def x105_ann_recall(spark, sf_dir):
+    """ANN index certification (simsearch.ann_recall): recall@10 of the
+    x95 binary Hamming index against the x7 exact cosine baseline, per
+    query — the eval a pipeline runs before trusting an ANN tier with
+    retrieval traffic. Both sub-scans are the audited index shapes; the
+    eval itself joins two broadcast-sized |Q| x k frames."""
+    return simsearch.ann_recall(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=10
+    )
+
+
+X105_SQL = f"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sims
+  ) WHERE rank <= 10
+),
+packed AS (
+  SELECT vec_id,
+         CAST({_x95_word_sql(0)} AS BIGINT) AS w0,
+         CAST({_x95_word_sql(1)} AS BIGINT) AS w1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+  FROM packed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+hscored AS (
+  SELECT q.query_id, p.vec_id AS neighbor_id,
+         bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS hamming
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> q.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS rank
+    FROM hscored
+  ) WHERE rank <= 10
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1
+"""
+
+
+def x106_dedup_savings(spark, sf_dir):
+    """Dedup impact accounting (dedup.dedup_savings): per source, the
+    documents and tokens removed when every x67 near-dup cluster keeps
+    its best-quality copy (the x84 elect rule) — the before/after report
+    a curation pipeline publishes with the dedup pass. The oracle
+    extends the X67 recursive-components chain with the X84 quality
+    argmax and a source-keyed token rollup."""
+    return dedup.dedup_savings(_t(spark, sf_dir, "documents"))
+
+
+# X67's recursive-components chain, extended (the X84 surgery pattern) with
+# the quality elect, the rn>1 removal set, and a per-source token rollup.
+X106_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    rf""", comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+toks2 AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM toks2
+  )
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qual.q DESC, c.doc) AS rn
+  FROM comp c JOIN qual ON qual.doc_id = c.doc
+),
+removed AS (SELECT doc FROM ranked WHERE rn > 1)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+       CAST(SUM(len(t.toks)) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN len(t.toks) ELSE 0 END) AS BIGINT) AS tokens_removed,
+       round(CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS doc_savings,
+       round(CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN len(t.toks) ELSE 0 END) AS DOUBLE)
+             / SUM(len(t.toks)), 6) AS token_savings
+FROM toks2 t LEFT JOIN removed r ON t.doc_id = r.doc
+GROUP BY 1""",
+)
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5068,4 +5203,6 @@ EXTENSIONS = {
     "x102_langid_confusion": (x102_langid_confusion, X102_SQL),
     "x103_coverage_sample": (x103_coverage_sample, X103_SQL),
     "x104_label_separability": (x104_label_separability, X104_SQL),
+    "x105_ann_recall": (x105_ann_recall, X105_SQL),
+    "x106_dedup_savings": (x106_dedup_savings, X106_SQL),
 }

@@ -324,3 +324,75 @@ def test_label_separability_fisher_pins(spark):
     assert (d1.between_var, d1.within_var) == (1.0, 0.0)
     assert d1.fisher_ratio is None  # within 0 → undefined, not an error
     assert (d2.between_var, d2.within_var, d2.fisher_ratio) == (0.0, 1.0, 0.0)
+
+
+def test_ann_recall_hand_case(spark):
+    """4 vectors on known axes, queries 0 and 1, k=2: vector 0's exact
+    top-2 and Hamming top-2 agree on one neighbor out of two (sign
+    bits collapse 0/1 onto the same quadrant but cosine splits them),
+    so recall values are exact and hand-checkable; denominators use the
+    actual exact-neighbor count."""
+    from shifts_etl_spark.operators.simsearch import (
+        ann_recall, brute_force_topk, hamming_topk,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.1], label=0),
+        Row(vec_id=1, embedding=[1.0, -0.1], label=0),
+        Row(vec_id=2, embedding=[-1.0, 0.1], label=1),
+        Row(vec_id=3, embedding=[0.1, 1.0], label=1),
+    ]
+    emb = spark.createDataFrame(rows)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, [0, 1], k=2).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in hamming_topk(emb, [0, 1], k=2).collect()}
+    out = {r.query_id: r for r in ann_recall(emb, [0, 1], k=2).collect()}
+    for qid in (0, 1):
+        hits = len({p for p in exact if p[0] == qid}
+                   & {p for p in approx if p[0] == qid})
+        r = out[qid]
+        assert (r.n_exact, r.n_hits) == (2, hits)
+        assert r.recall == round(hits / 2, 6)
+
+
+def test_ann_recall_perfect_on_separated_corpus(spark):
+    """Two antipodal clusters: the Hamming index recovers the exact
+    top-k perfectly (recall 1.0 for every query)."""
+    from shifts_etl_spark.operators.simsearch import ann_recall
+
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 1.0], label=0)
+            for i in range(6)]
+    rows += [Row(vec_id=10 + i, embedding=[-1.0 - 0.01 * i, -1.0], label=1)
+             for i in range(6)]
+    emb = spark.createDataFrame(rows)
+    for r in ann_recall(emb, [0, 10], k=3).collect():
+        assert (r.n_exact, r.n_hits, r.recall) == (3, 3, 1.0)
+
+
+def test_dedup_savings_accounting(spark):
+    """Sources A (a near-dup pair, the lower-quality member removed) and
+    B (two unrelated docs, nothing removed): counts, token sums, and
+    savings fractions pin exactly."""
+    from shifts_etl_spark.operators.dedup import dedup_savings
+
+    dup = ("the quick brown fox jumped over the lazy sleeping dog "
+           "again today")
+    near = dup + " furthermore"  # shares rare shingles, high jaccard
+    rows = [
+        _doc(1, dup, source="A"),
+        _doc(2, near, source="A"),
+        _doc(3, "completely unrelated words appear here once", source="B"),
+        _doc(4, "another entirely different document body text", source="B"),
+    ]
+    out = {r.source: r for r in
+           dedup_savings(spark.createDataFrame(rows)).collect()}
+    a = out["A"]
+    assert (a.n_docs, a.docs_removed) == (2, 1)
+    assert a.tokens_total == 12 + 13
+    assert a.tokens_removed in (12, 13)  # the lower-quality member
+    assert a.doc_savings == 0.5
+    assert a.token_savings == round(a.tokens_removed / 25, 6)
+    b = out["B"]
+    assert (b.docs_removed, b.tokens_removed) == (0, 0)
+    assert (b.doc_savings, b.token_savings) == (0.0, 0.0)

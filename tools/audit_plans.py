@@ -92,6 +92,8 @@ CROSS_JOIN_OK = {
     # the compressed-scan contract (8-byte codes, never vectors)
     "x95_hamming_ann",  # binary-index scan: corpus (2×32-bit sign words)
     # × broadcast |Q|-row query words — the x44 contract at 16 B/vector
+    "x105_ann_recall",  # composes the x7 exact baseline + x95 binary
+    # index (both whitelisted scans); the eval joins two |Q|×k frames
     "x99_source_overlap",  # G×G source-size grid (G = #sources, bounded)
     "x103_coverage_sample",  # crossJoin with the broadcast 1-row sqrt-sum
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
