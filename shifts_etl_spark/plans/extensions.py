@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import bloom, clustering, countmin, curation, dedup, heavyhitters, multimodal, profile, simsearch, textstats, theta
+from ..operators import bloom, clustering, countmin, curation, dedup, funnel, heavyhitters, multimodal, profile, simsearch, textstats, theta
 from ..operators.profile import profile_table
 from ..sources.tables import load_table as _t_impl
 
@@ -5094,6 +5094,89 @@ GROUP BY 1""",
 )
 
 
+def x107_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (funnel.cohort_retention): users
+    cohorted by the ISO week of their first event; per (cohort_week,
+    week_offset), active members and the retained fraction. First-event
+    times from a per-user window min (one keyed shuffle); the matrix is
+    a distinct over (date, long, long) rows — events never shuffle
+    twice."""
+    return funnel.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+X107_SQL = """
+WITH cohorted AS (
+  SELECT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS event_week,
+         CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS DATE)
+           AS cohort_week
+  FROM events
+),
+active AS (
+  SELECT DISTINCT cohort_week,
+         CAST(date_diff('day', cohort_week, event_week) / 7 AS BIGINT)
+           AS week_offset,
+         user_id
+  FROM cohorted
+),
+counts AS (
+  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM active GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM counts WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM counts c JOIN sizes s USING (cohort_week)
+"""
+
+
+def x108_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (funnel.funnel_conversion): view -> click ->
+    purchase, each step reached only by an event strictly after the
+    user's previous-step reach time (earliest valid time kept). One
+    filtered scan + keyed hash join per step; conversions computed on
+    the 3-row summary."""
+    return funnel.funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+X108_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY 1
+),
+summary AS (
+  SELECT 1 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step_idx, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / first_value(n_users) OVER (ORDER BY step_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+         AS conv_from_top,
+       round(CAST(n_users AS DOUBLE)
+             / COALESCE(lag(n_users) OVER (ORDER BY step_idx), n_users), 6)
+         AS conv_from_prev
+FROM summary
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5205,4 +5288,6 @@ EXTENSIONS = {
     "x104_label_separability": (x104_label_separability, X104_SQL),
     "x105_ann_recall": (x105_ann_recall, X105_SQL),
     "x106_dedup_savings": (x106_dedup_savings, X106_SQL),
+    "x107_cohort_retention": (x107_cohort_retention, X107_SQL),
+    "x108_funnel_conversion": (x108_funnel_conversion, X108_SQL),
 }

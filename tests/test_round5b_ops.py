@@ -396,3 +396,56 @@ def test_dedup_savings_accounting(spark):
     b = out["B"]
     assert (b.docs_removed, b.tokens_removed) == (0, 0)
     assert (b.doc_savings, b.token_savings) == (0.0, 0.0)
+
+
+def _ev(i, user, etype, ts):
+    import datetime as _dt
+    return Row(event_id=i, ts=_dt.datetime.fromisoformat(ts),
+               user_id=user, event_type=etype, value=1.0, props="{}")
+
+
+def test_cohort_retention_matrix(spark):
+    """Users 1,2 cohort in the week of Mon 2024-01-01 (user 1 returns
+    two weeks later, user 2 doesn't); user 3 cohorts the next week.
+    Retention pins: W1 offset0 = 2/2, offset2 = 1/2; W2 offset0 = 1/1."""
+    from shifts_etl_spark.operators.funnel import cohort_retention
+    import datetime as dt
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-02T10:00:00"),
+        _ev(2, 1, "click", "2024-01-16T10:00:00"),  # offset 2
+        _ev(3, 2, "view", "2024-01-03T10:00:00"),
+        _ev(4, 3, "view", "2024-01-10T10:00:00"),
+    ]
+    out = {(r.cohort_week, r.week_offset): r for r in
+           cohort_retention(spark.createDataFrame(rows)).collect()}
+    w1, w2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    assert set(out) == {(w1, 0), (w1, 2), (w2, 0)}
+    assert (out[(w1, 0)].n_active, out[(w1, 0)].cohort_size,
+            out[(w1, 0)].retention) == (2, 2, 1.0)
+    assert (out[(w1, 2)].n_active, out[(w1, 2)].retention) == (1, 0.5)
+    assert (out[(w2, 0)].n_active, out[(w2, 0)].retention) == (1, 1.0)
+
+
+def test_funnel_conversion_strict_order(spark):
+    """User 1 completes view->click->purchase in order; user 2 clicked
+    BEFORE viewing (click must not count) and purchased without a valid
+    click; user 3 never viewed (excluded entirely). Funnel: 2 -> 1 -> 1."""
+    from shifts_etl_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-02T10:00:00"),
+        _ev(2, 1, "click", "2024-01-02T11:00:00"),
+        _ev(3, 1, "purchase", "2024-01-02T12:00:00"),
+        _ev(4, 2, "click", "2024-01-02T09:00:00"),  # before the view
+        _ev(5, 2, "view", "2024-01-02T10:00:00"),
+        _ev(6, 2, "purchase", "2024-01-02T11:00:00"),  # no click after view
+        _ev(7, 3, "click", "2024-01-02T10:00:00"),
+        _ev(8, 3, "purchase", "2024-01-02T11:00:00"),
+    ]
+    out = sorted(funnel_conversion(spark.createDataFrame(rows)).collect(),
+                 key=lambda r: r.step_idx)
+    assert [(r.step, r.n_users) for r in out] == [
+        ("view", 2), ("click", 1), ("purchase", 1)]
+    assert [r.conv_from_top for r in out] == [1.0, 0.5, 0.5]
+    assert [r.conv_from_prev for r in out] == [1.0, 0.5, 1.0]

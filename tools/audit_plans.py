@@ -68,6 +68,8 @@ SINGLE_PARTITION_OK = {
     "y1_backoff_bigram_lm",  # train-corpus totals (N, V): one 1-row aggregate
     "x103_coverage_sample",  # largest-remainder quota window over the
     # k-row cell-size table (the x50 allocation shape), never vectors
+    "x108_funnel_conversion",  # conversion window over the k-row
+    # step-summary frame (k = funnel length), never events
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
     # the (lang, source) cell counts — cell-bounded, never rows
     "x78_ks_drift",  # n_a/n_b totals: one 1-row aggregate; CDF prefix runs
