@@ -138,3 +138,130 @@ def funnel_conversion(
             6,
         ).alias("conv_from_prev"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation rollup: score every user 1-4 on Recency (days
+    since last event, lower = better), Frequency (event count), and
+    Monetary (summed value) against the corpus quartile boundaries, then
+    report each (r, f, m) segment's population and mean behavior — the
+    classic activity segmentation a growth pipeline feeds back into
+    sampling and targeting.
+
+    Scale shape: one per-user aggregate (keyed shuffle, map-side
+    combinable) produces the |users|-row metric frame; quartile
+    boundaries are ONE 1-row exact-percentile aggregate broadcast back
+    (no global sort, no ntile over a single partition — the scoring is
+    pure comparisons); the final rollup lands on <= 64 segment cells.
+    Monetary rounds to 4 dp before scoring so partial-sum order wobble
+    cannot flip a boundary comparison against the oracle."""
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(value_col), 4).alias("monetary"),
+    )
+    glob = per_user.agg(
+        F.max("last_ts").alias("now_ts"),
+        F.percentile("frequency", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)])).alias("f_q"),
+        F.percentile("monetary", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)])).alias("m_q"),
+    )
+    scored0 = per_user.crossJoin(F.broadcast(glob)).select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.datediff(F.col("now_ts").cast("date"), F.col("last_ts").cast("date"))
+        .cast("long")
+        .alias("recency_days"),
+        "f_q",
+        "m_q",
+    )
+    r_q = scored0.agg(
+        F.percentile(
+            "recency_days", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)])
+        ).alias("r_q")
+    )
+
+    def score(col, q, reverse=False):
+        s = (
+            F.when(col <= F.round(q[0], 6), 1)
+            .when(col <= F.round(q[1], 6), 2)
+            .when(col <= F.round(q[2], 6), 3)
+            .otherwise(4)
+        )
+        return (F.lit(5) - s) if reverse else s
+
+    scored = scored0.crossJoin(F.broadcast(r_q)).select(
+        "user_id",
+        "frequency",
+        "monetary",
+        # low recency_days = recent = best -> invert so 4 is best
+        score(F.col("recency_days").cast("double"), F.col("r_q"), reverse=True).alias("r_score"),
+        score(F.col("frequency").cast("double"), F.col("f_q")).alias("f_score"),
+        score(F.col("monetary"), F.col("m_q")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
+
+
+def type_cooccurrence_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket lift between event types: for every unordered type
+    pair, the users exhibiting both, the support and confidence, and the
+    lift over independence — which behaviors actually travel together
+    (lift > 1) vs merely being common.
+
+    Scale shape: the corpus collapses to distinct (user, type) rows
+    first (keyed shuffle, map-side combinable); the pair self-join is
+    co-partitioned on user with per-user fan-out bounded by C(|types|,
+    2); marginals and the user total are type-sized / 1-row broadcasts
+    onto the |types|^2-cell grid."""
+    utypes = events.select(
+        F.col(user_col).alias("user_id"), F.col(type_col).alias("etype")
+    ).distinct()
+    n_total = utypes.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_total")
+    )
+    marg = utypes.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_type")
+    )
+    a = utypes.select("user_id", F.col("etype").alias("type_a"))
+    b = utypes.select("user_id", F.col("etype").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ma = marg.select(F.col("etype").alias("type_a"), F.col("n_type").alias("n_a"))
+    mb = marg.select(F.col("etype").alias("type_b"), F.col("n_type").alias("n_b"))
+    nd = F.col("n_users_total").cast("double")
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / nd, 6).alias("support"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_both") * nd)
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

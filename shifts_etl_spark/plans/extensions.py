@@ -5177,6 +5177,96 @@ FROM summary
 """
 
 
+def x109_rfm_segments(spark, sf_dir):
+    """RFM segmentation rollup (funnel.rfm_segments): quartile-score
+    every user on recency/frequency/monetary against corpus boundaries
+    (one 1-row exact-percentile aggregate broadcast back — no global
+    sort, no single-partition ntile), then roll up the <= 64 (r, f, m)
+    segments."""
+    return funnel.rfm_segments(_t(spark, sf_dir, "events"))
+
+
+X109_SQL = """
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts, CAST(count(*) AS BIGINT) AS frequency,
+         round(SUM(value), 4) AS monetary
+  FROM events GROUP BY 1
+),
+gl AS (
+  SELECT MAX(last_ts) AS now_ts,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS f_q,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS m_q
+  FROM per_user
+),
+scored0 AS (
+  SELECT user_id, frequency, monetary,
+         date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+           AS recency_days,
+         f_q, m_q
+  FROM per_user CROSS JOIN gl
+),
+rq AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS r_q
+  FROM scored0
+),
+scored AS (
+  SELECT frequency, monetary,
+         5 - (CASE WHEN recency_days <= round(r_q[1], 6) THEN 1
+                   WHEN recency_days <= round(r_q[2], 6) THEN 2
+                   WHEN recency_days <= round(r_q[3], 6) THEN 3
+                   ELSE 4 END) AS r_score,
+         CASE WHEN frequency <= round(f_q[1], 6) THEN 1
+              WHEN frequency <= round(f_q[2], 6) THEN 2
+              WHEN frequency <= round(f_q[3], 6) THEN 3
+              ELSE 4 END AS f_score,
+         CASE WHEN monetary <= round(m_q[1], 6) THEN 1
+              WHEN monetary <= round(m_q[2], 6) THEN 2
+              WHEN monetary <= round(m_q[3], 6) THEN 3
+              ELSE 4 END AS m_score
+  FROM scored0 CROSS JOIN rq
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(frequency), 6) AS avg_frequency,
+       round(avg(monetary), 6) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def x110_type_cooccurrence(spark, sf_dir):
+    """Market-basket lift between event types
+    (funnel.type_cooccurrence_lift): per unordered type pair, users
+    exhibiting both, support, confidence, lift over independence. The
+    corpus collapses to distinct (user, type) first; the pair self-join
+    is co-partitioned on user with C(|types|, 2) per-user fan-out."""
+    return funnel.type_cooccurrence_lift(_t(spark, sf_dir, "events"))
+
+
+X110_SQL = """
+WITH utypes AS (SELECT DISTINCT user_id, event_type AS etype FROM events),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM utypes),
+marg AS (
+  SELECT etype, CAST(count(*) AS BIGINT) AS n_type FROM utypes GROUP BY 1
+),
+pairs AS (
+  SELECT a.etype AS type_a, b.etype AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM utypes a JOIN utypes b
+    ON a.user_id = b.user_id AND a.etype < b.etype
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(CAST(n_both AS DOUBLE) / t.n, 6) AS support,
+       round(CAST(n_both AS DOUBLE) / ma.n_type, 6) AS confidence,
+       round(CAST(n_both AS DOUBLE) * t.n
+             / (CAST(ma.n_type AS DOUBLE) * mb.n_type), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.etype = type_a
+JOIN marg mb ON mb.etype = type_b
+CROSS JOIN tot t
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5290,4 +5380,6 @@ EXTENSIONS = {
     "x106_dedup_savings": (x106_dedup_savings, X106_SQL),
     "x107_cohort_retention": (x107_cohort_retention, X107_SQL),
     "x108_funnel_conversion": (x108_funnel_conversion, X108_SQL),
+    "x109_rfm_segments": (x109_rfm_segments, X109_SQL),
+    "x110_type_cooccurrence": (x110_type_cooccurrence, X110_SQL),
 }

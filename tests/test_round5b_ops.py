@@ -449,3 +449,58 @@ def test_funnel_conversion_strict_order(spark):
         ("view", 2), ("click", 1), ("purchase", 1)]
     assert [r.conv_from_top for r in out] == [1.0, 0.5, 0.5]
     assert [r.conv_from_prev for r in out] == [1.0, 0.5, 1.0]
+
+
+def test_rfm_segments_quartile_scoring(spark):
+    """4 users with strictly increasing frequency/monetary and strictly
+    decreasing recency: quartile boundaries at the 3 interpolation
+    points give one user per score level, and the best user (most
+    recent, most frequent, highest value) lands in (4,4,4)."""
+    from shifts_etl_spark.operators.funnel import rfm_segments
+
+    rows = []
+    eid = 0
+    # user u has u events on day u (u=1..4): freq u, monetary u,
+    # recency (4 - u) days from the global max (day 4)
+    for u in range(1, 5):
+        for j in range(u):
+            eid += 1
+            rows.append(_ev(eid, u, "view",
+                            f"2024-01-0{u}T10:0{j}:00"))
+    out = {(r.r_score, r.f_score, r.m_score): r for r in
+           rfm_segments(spark.createDataFrame(rows)).collect()}
+    # each user occupies its own quartile on every axis
+    assert set(out) == {(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)}
+    best = out[(4, 4, 4)]
+    assert (best.n_users, best.avg_frequency, best.avg_monetary) == (
+        1, 4.0, 4.0)
+
+
+def test_type_cooccurrence_lift_values(spark):
+    """4 users: 2 with {view, click}, 1 view-only, 1 click+purchase.
+    Hand numbers: n=4; view 3, click 3, purchase 1; (click,view) both=2
+    -> support .5, confidence 2/3, lift 2*4/(3*3); (click,purchase)
+    both=1 -> lift 4/3; (purchase,view) pair absent (no user has
+    both)."""
+    from shifts_etl_spark.operators.funnel import type_cooccurrence_lift
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "click", "2024-01-01T11:00:00"),
+        _ev(3, 2, "view", "2024-01-01T10:00:00"),
+        _ev(4, 2, "click", "2024-01-01T11:00:00"),
+        _ev(5, 2, "click", "2024-01-01T12:00:00"),  # dup type, same user
+        _ev(6, 3, "view", "2024-01-01T10:00:00"),
+        _ev(7, 4, "click", "2024-01-01T10:00:00"),
+        _ev(8, 4, "purchase", "2024-01-01T11:00:00"),
+    ]
+    out = {(r.type_a, r.type_b): r for r in
+           type_cooccurrence_lift(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {("click", "view"), ("click", "purchase")}
+    cv = out[("click", "view")]
+    assert (cv.n_both, cv.support) == (2, 0.5)
+    assert cv.confidence == round(2 / 3, 6)
+    assert cv.lift == round(2 * 4 / (3 * 3), 6)
+    cp = out[("click", "purchase")]
+    assert (cp.n_both, cp.confidence) == (1, round(1 / 3, 6))
+    assert cp.lift == round(1 * 4 / (3 * 1), 6)

@@ -70,6 +70,10 @@ SINGLE_PARTITION_OK = {
     # k-row cell-size table (the x50 allocation shape), never vectors
     "x108_funnel_conversion",  # conversion window over the k-row
     # step-summary frame (k = funnel length), never events
+    "x109_rfm_segments",  # quartile boundaries: two 1-row exact-
+    # percentile aggregates over the per-user frame, broadcast back
+    "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
+    # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
     # the (lang, source) cell counts — cell-bounded, never rows
     "x78_ks_drift",  # n_a/n_b totals: one 1-row aggregate; CDF prefix runs
@@ -98,6 +102,9 @@ CROSS_JOIN_OK = {
     # index (both whitelisted scans); the eval joins two |Q|×k frames
     "x99_source_overlap",  # G×G source-size grid (G = #sources, bounded)
     "x103_coverage_sample",  # crossJoin with the broadcast 1-row sqrt-sum
+    "x109_rfm_segments",  # crossJoins with the two broadcast 1-row
+    # quartile-boundary frames
+    "x110_type_cooccurrence",  # crossJoin with the broadcast 1-row user total
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
