@@ -265,3 +265,120 @@ def type_cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def session_top_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top_k: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top event-type paths by session: sessionize each user's stream at
+    a ``gap_minutes`` inactivity gap (gaps-and-islands over the per-user
+    window), render each session as its ordered '>'-joined type string,
+    and return the ``top_k`` most common paths — the navigation summary
+    every product pipeline reports.
+
+    Determinism: events order by (ts, event_id) inside the session;
+    gaps compare whole truncated seconds (identical to date_diff
+    'second' semantics); the top-k tiebreak is (count desc, path asc).
+
+    Scale shape: one keyed shuffle on user for the session window; the
+    path assembly sorts structs WITHIN each (user, session) aggregate
+    row (array_sort on the collected structs, not a second shuffle);
+    path counts partially aggregate map-side; the final top-k is
+    TakeOrdered (per-partition heads + driver merge of top_k rows),
+    never a global sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("etype"),
+        F.when(gap > gap_minutes * 60, 1).otherwise(0).alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "etype",
+        F.sum("is_new").over(w2).alias("session_no"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "etype"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("evs", lambda x: x["etype"])
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return counts.orderBy(F.desc("n_sessions"), "path").limit(top_k)
+
+
+def interarrival_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_bucket: int = 17,
+) -> DataFrame:
+    """Per-type cadence profile: the distribution of inter-arrival gaps
+    between a user's consecutive events, bucketed into power-of-2 second
+    bands and attributed to the LATTER event's type — the signal that
+    separates burst behaviors (errors, clicks) from slow cycles
+    (purchases), and the input to bot/replay detection. One row per
+    (event_type, gap_bucket): count and within-type share.
+
+    Bucket rule (exact integer compares, no float log): bucket 0 holds
+    gaps <= 1 s; bucket k holds gaps in (2^(k-1), 2^k] seconds;
+    ``max_bucket`` is the overflow band. Gaps are whole truncated
+    seconds (Spark unix_timestamp diff == DuckDB date_diff('second')),
+    so both engines bucket identically.
+
+    Scale shape: one keyed shuffle on user for the lag window; the
+    profile collapses to |types| x |buckets| cells map-side; the
+    within-type totals are a types-sized broadcast back onto the
+    cells."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = (
+        F.unix_timestamp(F.col(ts_col))
+        - F.unix_timestamp(F.lag(ts_col).over(w))
+    ).alias("gap_s")
+    bucket = F.when(F.col("gap_s") <= 1, 0)
+    for k in range(1, max_bucket):
+        bucket = bucket.when(F.col("gap_s") <= (1 << k), k)
+    bucket = bucket.otherwise(max_bucket)
+    cells = (
+        events.select(F.col(type_col).alias("event_type"), gap)
+        .where(F.col("gap_s").isNotNull())
+        .select("event_type", bucket.alias("gap_bucket"))
+        .groupBy("event_type", "gap_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_gaps").cast("long").alias("n_type")
+    )
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "gap_bucket",
+        "n_gaps",
+        F.round(F.col("n_gaps").cast("double") / F.col("n_type"), 6).alias(
+            "share"
+        ),
+    )

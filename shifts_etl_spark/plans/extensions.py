@@ -5267,6 +5267,78 @@ CROSS JOIN tot t
 """
 
 
+def x111_session_paths(spark, sf_dir):
+    """Top session paths (funnel.session_top_paths): 30-min gap
+    sessionization (gaps-and-islands on the per-user window), sessions
+    rendered as ordered '>'-joined type strings, top-20 by count with
+    (count desc, path asc) tiebreak via TakeOrdered — never a global
+    sort."""
+    return funnel.session_top_paths(_t(spark, sf_dir, "events"))
+
+
+X111_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM ordered
+),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+def x112_interarrival_profile(spark, sf_dir):
+    """Per-type cadence profile (funnel.interarrival_profile):
+    power-of-2-second inter-arrival buckets attributed to the latter
+    event's type — burst-vs-slow-cycle separation, the bot/replay
+    detection input. Exact integer bucket compares (no float log), one
+    keyed lag window, |types| x 18 cells."""
+    return funnel.interarrival_profile(_t(spark, sf_dir, "events"))
+
+
+_X112_CASE = "CASE WHEN gap_s <= 1 THEN 0\n" + "\n".join(
+    f"              WHEN gap_s <= {1 << k} THEN {k}" for k in range(1, 17)
+) + "\n              ELSE 17 END"
+
+X112_SQL = f"""
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+),
+cells AS (
+  SELECT event_type,
+         {_X112_CASE} AS gap_bucket,
+         CAST(count(*) AS BIGINT) AS n_gaps
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n_gaps) AS BIGINT) AS n_type
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, c.gap_bucket, c.n_gaps,
+       round(CAST(c.n_gaps AS DOUBLE) / t.n_type, 6) AS share
+FROM cells c JOIN tot t USING (event_type)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5382,4 +5454,6 @@ EXTENSIONS = {
     "x108_funnel_conversion": (x108_funnel_conversion, X108_SQL),
     "x109_rfm_segments": (x109_rfm_segments, X109_SQL),
     "x110_type_cooccurrence": (x110_type_cooccurrence, X110_SQL),
+    "x111_session_paths": (x111_session_paths, X111_SQL),
+    "x112_interarrival_profile": (x112_interarrival_profile, X112_SQL),
 }

@@ -504,3 +504,53 @@ def test_type_cooccurrence_lift_values(spark):
     cp = out[("click", "purchase")]
     assert (cp.n_both, cp.confidence) == (1, round(1 / 3, 6))
     assert cp.lift == round(1 * 4 / (3 * 1), 6)
+
+
+def test_session_top_paths_gap_split(spark):
+    """User 1: view,click then a 31-min gap then purchase -> two
+    sessions ('view>click' and 'purchase'); user 2: a single
+    'view>click' session. Top paths: view>click x2, purchase x1."""
+    from shifts_etl_spark.operators.funnel import session_top_paths
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "click", "2024-01-01T10:05:00"),
+        _ev(3, 1, "purchase", "2024-01-01T10:36:01"),  # 31m01s after click
+        _ev(4, 2, "view", "2024-01-01T09:00:00"),
+        _ev(5, 2, "click", "2024-01-01T09:29:00"),
+    ]
+    out = [(r.path, r.n_sessions) for r in
+           session_top_paths(spark.createDataFrame(rows)).collect()]
+    assert out == [("view>click", 2), ("purchase", 1)]
+
+
+def test_session_top_paths_boundary_exact_gap(spark):
+    """A gap of exactly 30:00 does NOT split (rule is strictly >)."""
+    from shifts_etl_spark.operators.funnel import session_top_paths
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "click", "2024-01-01T10:30:00"),
+    ]
+    out = [(r.path, r.n_sessions) for r in
+           session_top_paths(spark.createDataFrame(rows)).collect()]
+    assert out == [("view>click", 1)]
+
+
+def test_interarrival_profile_buckets(spark):
+    """User 1 emits clicks at gaps of 1 s, 2 s, 5 s, 4000 s: buckets
+    0, 1, 3 (4 < 5 <= 8), 12 (2048 < 4000 <= 4096); shares are 1/4
+    each. First event contributes no gap."""
+    from shifts_etl_spark.operators.funnel import interarrival_profile
+
+    times = ["2024-01-01T10:00:00", "2024-01-01T10:00:01",
+             "2024-01-01T10:00:03", "2024-01-01T10:00:08"]
+    rows = [_ev(i + 1, 1, "click", t) for i, t in enumerate(times)]
+    import datetime as dt
+    last = dt.datetime.fromisoformat(times[-1]) + dt.timedelta(seconds=4000)
+    rows.append(_ev(9, 1, "click", last.isoformat()))
+    out = {r.gap_bucket: r for r in
+           interarrival_profile(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 1, 3, 12}
+    for r in out.values():
+        assert (r.event_type, r.n_gaps, r.share) == ("click", 1, 0.25)
