@@ -904,3 +904,107 @@ def langid_eval(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def lf_agreement(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Weak-supervision audit: pairwise agreement matrix of the four
+    quality labeling functions (length-ok, mean-token-length-ok,
+    stopword-ok, digit-ok — the quality_score components treated as
+    independent binary voters, the Snorkel label-model input). One row
+    per unordered LF pair: co-fire/agree/conflict counts and rates —
+    the diagnostic that says which heuristics are redundant and which
+    genuinely disagree before anyone trains a label model on them.
+
+    Scale shape: the four votes are row-local expressions folded by ONE
+    global aggregate (10 sums, map-side combinable); the 6-pair matrix
+    is a constant-width stack of that 1-row result. No shuffle carries
+    documents."""
+    t = F.col(text_col)
+    n = token_count(t)
+    mtl = mean_token_len(t)
+    votes = docs.select(
+        F.when((n >= 10) & (n <= 10000), 1).otherwise(0).alias("lf_len"),
+        F.when((mtl >= 3.0) & (mtl <= 10.0), 1).otherwise(0).alias("lf_mtl"),
+        F.when(stopword_ratio(t) >= 0.01, 1).otherwise(0).alias("lf_stop"),
+        F.when(digit_ratio(t) <= 0.2, 1).otherwise(0).alias("lf_digit"),
+    )
+    names = ["lf_len", "lf_mtl", "lf_stop", "lf_digit"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pairs.append((a, b))
+            aggs.append(
+                F.sum(F.when(F.col(a) == F.col(b), 1).otherwise(0))
+                .cast("long")
+                .alias(f"agree_{a}_{b}")
+            )
+            aggs.append(
+                F.sum(F.when((F.col(a) == 1) & (F.col(b) == 1), 1).otherwise(0))
+                .cast("long")
+                .alias(f"both_{a}_{b}")
+            )
+    agg = votes.agg(*aggs)
+    stack_args = []
+    for a, b in pairs:
+        stack_args += [
+            F.lit(a),
+            F.lit(b),
+            F.col(f"agree_{a}_{b}"),
+            F.col(f"both_{a}_{b}"),
+        ]
+    return agg.select(
+        "n_docs",
+        F.expr(
+            "stack({}, {})".format(
+                len(pairs),
+                ", ".join(
+                    f"'{a}', '{b}', agree_{a}_{b}, both_{a}_{b}"
+                    for a, b in pairs
+                ),
+            )
+        ).alias("lf_a", "lf_b", "n_agree", "n_both_fire"),
+    ).select(
+        "lf_a",
+        "lf_b",
+        "n_agree",
+        (F.col("n_docs") - F.col("n_agree")).cast("long").alias("n_conflict"),
+        "n_both_fire",
+        F.round(F.col("n_agree").cast("double") / F.col("n_docs"), 6).alias(
+            "agree_rate"
+        ),
+    )
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document, from three closed-form counts:
+    words (whitespace tokens), sentences ([.!?]+ runs, min 1), and
+    syllables ([aeiouy]+ vowel groups in the lowercased text, min 1 —
+    the standard regex approximation). flesch = 206.835 - 1.015 * w/s -
+    84.6 * syl/w, rounded to 4 dp; is_easy flags >= 60 (plain-English
+    band). Everything is one codegen'd row-local pass — three regexp
+    counters, no explode, no shuffle."""
+    t = F.col(text_col)
+    n_words = F.greatest(token_count(t), F.lit(1))
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    n_syl = F.greatest(
+        F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syl.cast("double") / n_words),
+        4,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+        (flesch >= 60.0).alias("is_easy"),
+    )

@@ -5339,6 +5339,99 @@ FROM cells c JOIN tot t USING (event_type)
 """
 
 
+def x113_lf_agreement(spark, sf_dir):
+    """Weak-supervision LF agreement matrix (textstats.lf_agreement):
+    pairwise agreement/conflict/co-fire counts of the four quality_score
+    component heuristics treated as binary voters — the Snorkel
+    label-model input audit. One global 10-sum aggregate; the 6-pair
+    matrix is a constant-width stack of the 1-row result."""
+    return textstats.lf_agreement(_t(spark, sf_dir, "documents"))
+
+
+_X113_PAIRS = [
+    ("lf_len", "lf_mtl"), ("lf_len", "lf_stop"), ("lf_len", "lf_digit"),
+    ("lf_mtl", "lf_stop"), ("lf_mtl", "lf_digit"), ("lf_stop", "lf_digit"),
+]
+
+_X113_AGGS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN {a} = {b} THEN 1 ELSE 0 END) AS BIGINT) AS ag_{a}_{b},\n"
+    f"         CAST(SUM(CASE WHEN {a} = 1 AND {b} = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS bo_{a}_{b}"
+    for a, b in _X113_PAIRS
+)
+
+_X113_ROWS = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS lf_a, '{b}' AS lf_b, ag_{a}_{b} AS n_agree,\n"
+    f"       CAST(n_docs - ag_{a}_{b} AS BIGINT) AS n_conflict,\n"
+    f"       bo_{a}_{b} AS n_both_fire,\n"
+    f"       round(CAST(ag_{a}_{b} AS DOUBLE) / n_docs, 6) AS agree_rate\n"
+    f"FROM agg"
+    for a, b in _X113_PAIRS
+)
+
+X113_SQL = rf"""
+WITH base AS (
+  SELECT text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT len(toks) AS nt,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+           / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                  t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS swr,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digr
+  FROM base
+),
+votes AS (
+  SELECT CASE WHEN nt BETWEEN 10 AND 10000 THEN 1 ELSE 0 END AS lf_len,
+         CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS lf_mtl,
+         CASE WHEN swr >= 0.01 THEN 1 ELSE 0 END AS lf_stop,
+         CASE WHEN digr <= 0.2 THEN 1 ELSE 0 END AS lf_digit
+  FROM feats
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         {_X113_AGGS}
+  FROM votes
+)
+{_X113_ROWS}
+"""
+
+
+def x114_readability(spark, sf_dir):
+    """Flesch reading-ease per document (textstats.readability): words /
+    sentence-run / vowel-group counts via three regexp counters in one
+    codegen'd row-local pass — no explode, no shuffle."""
+    return textstats.readability(_t(spark, sf_dir, "documents"))
+
+
+X114_SQL = r"""
+WITH counts AS (
+  SELECT doc_id,
+         greatest(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  t -> t <> '')), 1) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) >= 60.0
+         AS is_easy
+FROM counts
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5456,4 +5549,6 @@ EXTENSIONS = {
     "x110_type_cooccurrence": (x110_type_cooccurrence, X110_SQL),
     "x111_session_paths": (x111_session_paths, X111_SQL),
     "x112_interarrival_profile": (x112_interarrival_profile, X112_SQL),
+    "x113_lf_agreement": (x113_lf_agreement, X113_SQL),
+    "x114_readability": (x114_readability, X114_SQL),
 }

@@ -554,3 +554,56 @@ def test_interarrival_profile_buckets(spark):
     assert set(out) == {0, 1, 3, 12}
     for r in out.values():
         assert (r.event_type, r.n_gaps, r.share) == ("click", 1, 0.25)
+
+
+def test_lf_agreement_hand_matrix(spark):
+    """Two docs: a good one (all four LFs vote 1) and '1 2 3' (len 0,
+    mtl 0 [mean len 1], stop 0, digit 0 [ratio 3/5 > 0.2]). Every pair
+    agrees on both docs -> agree 2, conflict 0; both_fire = 1 (the good
+    doc only)."""
+    from shifts_etl_spark.operators.textstats import lf_agreement
+
+    good = ("the quick brown fox jumped over the lazy sleeping dog "
+            "again today")
+    rows = [_doc(1, good), _doc(2, "1 2 3")]
+    out = lf_agreement(spark.createDataFrame(rows)).collect()
+    assert len(out) == 6
+    for r in out:
+        assert (r.n_agree, r.n_conflict, r.n_both_fire) == (2, 0, 1)
+        assert r.agree_rate == 1.0
+
+
+def test_lf_agreement_conflict(spark):
+    """'123 456 789 ...' x12 tokens: lf_len fires (12 tokens), lf_digit
+    does not (all digits) -> the (lf_len, lf_digit) pair conflicts on
+    that doc."""
+    from shifts_etl_spark.operators.textstats import lf_agreement
+
+    digits = " ".join(str(100 + i) for i in range(12))
+    out = {(r.lf_a, r.lf_b): r for r in
+           lf_agreement(spark.createDataFrame([_doc(1, digits)])).collect()}
+    ld = out[("lf_len", "lf_digit")]
+    assert (ld.n_agree, ld.n_conflict, ld.n_both_fire) == (0, 1, 0)
+
+
+def test_readability_hand_flesch(spark):
+    """'The cat sat. The dog ran.' -> 6 words, 2 sentences, 6 vowel
+    groups: flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19, easy."""
+    from shifts_etl_spark.operators.textstats import readability
+
+    r = readability(
+        spark.createDataFrame([_doc(1, "The cat sat. The dog ran.")])
+    ).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert r.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert bool(r.is_easy) is True
+
+
+def test_readability_guards(spark):
+    """No terminal punctuation and no vowels: all three counts floor at
+    1 and the formula still evaluates."""
+    from shifts_etl_spark.operators.textstats import readability
+
+    r = readability(spark.createDataFrame([_doc(1, "zzz")])).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (1, 1, 1)
+    assert r.flesch == round(206.835 - 1.015 - 84.6, 4)

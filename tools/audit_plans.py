@@ -72,6 +72,8 @@ SINGLE_PARTITION_OK = {
     # step-summary frame (k = funnel length), never events
     "x109_rfm_segments",  # quartile boundaries: two 1-row exact-
     # percentile aggregates over the per-user frame, broadcast back
+    "x113_lf_agreement",  # one global 10-sum aggregate (map-side
+    # combined); the 6-pair matrix is a constant-width stack of 1 row
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
     # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
