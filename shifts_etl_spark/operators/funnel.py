@@ -382,3 +382,42 @@ def interarrival_profile(
             "share"
         ),
     )
+
+
+def hourly_bursts(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Burst detection on the event stream: count each (event_type,
+    hour) cell, z-score every cell against its type's mean/stddev hourly
+    rate (population stddev over OBSERVED hours — silent hours are not
+    zero-filled), and flag cells ``z_threshold`` deviations hot — the
+    incident/abuse monitor a pipeline runs before trusting volume-
+    sensitive downstream stats.
+
+    Scale shape: events collapse to |types| x |hours| cells in one
+    map-side-combinable aggregate; the per-type moments are a
+    types-sized broadcast back onto the cells. z rounds to 6 dp to
+    absorb partial-sum order wobble in the stddev."""
+    cells = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    stats = cells.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_n"),
+        F.stddev_pop("n_events").alias("sd_n"),
+    )
+    z = F.when(
+        F.col("sd_n") > 0,
+        F.round((F.col("n_events") - F.col("mean_n")) / F.col("sd_n"), 6),
+    ).otherwise(F.lit(0.0))
+    return cells.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round("mean_n", 6).alias("mean_hourly"),
+        z.alias("z_score"),
+        (z >= z_threshold).alias("is_burst"),
+    )

@@ -1008,3 +1008,40 @@ def readability(
         flesch.alias("flesch"),
         (flesch >= 60.0).alias("is_easy"),
     )
+
+
+def vocab_richness(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source lexical-richness profile: token volume, distinct
+    vocabulary size, type-token ratio, and hapax-legomena share (types
+    seen exactly once) — the cheap template/generated-text detector that
+    complements x94's Zipf slope (templated sources have low TTR and a
+    thin hapax tail).
+
+    Scale shape: one explode over lowered tokens feeds a (source, token)
+    count — map-side combinable, the shuffle carries vocab-sized cells,
+    never documents; the per-source rollup then runs on those cells."""
+    cells = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return cells.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

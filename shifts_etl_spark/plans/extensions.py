@@ -5432,6 +5432,69 @@ FROM counts
 """
 
 
+def x115_vocab_richness(spark, sf_dir):
+    """Per-source lexical richness (textstats.vocab_richness): token
+    volume, vocabulary size, type-token ratio, hapax share — the cheap
+    template detector complementing x94's Zipf slope. One explode into a
+    map-side-combinable (source, token) count; the rollup runs on
+    vocab-sized cells."""
+    return textstats.vocab_richness(_t(spark, sf_dir, "documents"))
+
+
+X115_SQL = r"""
+WITH base AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+flat AS (SELECT source, unnest(toks) AS token FROM base),
+cells AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM flat GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / SUM(cnt), 6) AS ttr,
+       round(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio
+FROM cells GROUP BY 1
+"""
+
+
+def x116_hourly_bursts(spark, sf_dir):
+    """Hourly burst monitor (funnel.hourly_bursts): (event_type, hour)
+    cells z-scored against the type's mean/stddev hourly rate over
+    observed hours, flagged at z >= 3 — the volume-anomaly check run
+    before trusting volume-sensitive stats. Events collapse to cells in
+    one aggregate; per-type moments broadcast back."""
+    return funnel.hourly_bursts(_t(spark, sf_dir, "events"))
+
+
+X116_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n_events) AS mean_n, stddev_pop(n_events) AS sd_n
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, c.hour, c.n_events,
+       round(s.mean_n, 6) AS mean_hourly,
+       CASE WHEN s.sd_n > 0
+            THEN round((c.n_events - s.mean_n) / s.sd_n, 6)
+            ELSE 0.0 END AS z_score,
+       (CASE WHEN s.sd_n > 0
+             THEN round((c.n_events - s.mean_n) / s.sd_n, 6)
+             ELSE 0.0 END) >= 3.0 AS is_burst
+FROM cells c JOIN stats s USING (event_type)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5551,4 +5614,6 @@ EXTENSIONS = {
     "x112_interarrival_profile": (x112_interarrival_profile, X112_SQL),
     "x113_lf_agreement": (x113_lf_agreement, X113_SQL),
     "x114_readability": (x114_readability, X114_SQL),
+    "x115_vocab_richness": (x115_vocab_richness, X115_SQL),
+    "x116_hourly_bursts": (x116_hourly_bursts, X116_SQL),
 }

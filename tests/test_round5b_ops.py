@@ -607,3 +607,50 @@ def test_readability_guards(spark):
     r = readability(spark.createDataFrame([_doc(1, "zzz")])).collect()[0]
     assert (r.n_words, r.n_sentences, r.n_syllables) == (1, 1, 1)
     assert r.flesch == round(206.835 - 1.015 - 84.6, 4)
+
+
+def test_vocab_richness_hand_counts(spark):
+    """Source A: 'the cat the dog' + 'the cat' -> 6 tokens, 3 types
+    (the x3, cat x2, dog x1), hapax {dog}: ttr 0.5, hapax 1/3."""
+    from shifts_etl_spark.operators.textstats import vocab_richness
+
+    rows = [_doc(1, "the cat the dog", source="A"),
+            _doc(2, "The cat", source="A")]
+    r = vocab_richness(spark.createDataFrame(rows)).collect()[0]
+    assert (r.n_tokens, r.n_types, r.n_hapax) == (6, 3, 1)
+    assert r.ttr == 0.5
+    assert r.hapax_ratio == round(1 / 3, 6)
+
+
+def test_hourly_bursts_zscore(spark):
+    """Type 'click' over 4 observed hours with counts 1,1,1,5: mean 2,
+    sd_pop sqrt(3); only the 5-count hour crosses z>=... (z = 3/sqrt(3)
+    = 1.73, so NOT a burst at 3.0) — then make it 1,1,1,13 where z =
+    (13-4)/sqrt(27) = 1.73 still... use counts 1,1,1,1,25: mean 5.8,
+    sd sqrt(92.16) = 9.6, z = 2.0. Instead pin exact z values rather
+    than the flag, plus the sd=0 guard on a flat type."""
+    from shifts_etl_spark.operators.funnel import hourly_bursts
+    import math
+
+    rows, eid = [], 0
+    counts = [1, 1, 1, 5]
+    for h, c in enumerate(counts):
+        for j in range(c):
+            eid += 1
+            rows.append(_ev(eid, 1, "click",
+                            f"2024-01-01T{10 + h:02d}:{j:02d}:00"))
+    # a flat type: same count every hour -> sd 0 -> z pinned to 0.0
+    for h in range(3):
+        eid += 1
+        rows.append(_ev(eid, 2, "view", f"2024-01-01T{10 + h:02d}:00:00"))
+    out = hourly_bursts(spark.createDataFrame(rows)).collect()
+    clicks = sorted([r for r in out if r.event_type == "click"],
+                    key=lambda r: r.hour)
+    mean, sd = 2.0, math.sqrt(3.0)
+    assert [r.n_events for r in clicks] == counts
+    for r, c in zip(clicks, counts):
+        assert r.z_score == round((c - mean) / sd, 6)
+        assert bool(r.is_burst) is False
+    for r in out:
+        if r.event_type == "view":
+            assert (r.n_events, r.z_score, bool(r.is_burst)) == (1, 0.0, False)
