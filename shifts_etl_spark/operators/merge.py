@@ -161,3 +161,66 @@ def merge_partial_aggregates(
         _PARTIAL_FNS[how][1](col).alias(col) for col, how in measures.items()
     ]
     return current.unionByName(delta_partial).groupBy(*keys).agg(*exprs)
+
+
+def scd2_intervals(
+    events: DataFrame,
+    attr: "F.Column | None" = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event stream:
+    collapse each user's consecutive runs of an attribute value (default:
+    the ``k`` field of the props JSON) into validity intervals
+    [valid_from, valid_to), with valid_to NULL on the current row — the
+    change-data modeling step that turns an append-only log into an
+    as-of-joinable dimension.
+
+    Determinism: events order by (ts, event_id); a run starts where the
+    attribute differs from its lag (or at the user's first event).
+
+    Scale shape: one keyed shuffle on user drives both windows (lag for
+    change marks, cumulative sum for run ids, lead for interval close);
+    the per-run aggregate carries (user, run, value, ts) rows only."""
+    from pyspark.sql import Window
+
+    if attr is None:
+        attr = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    marked = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        attr.alias("attr"),
+    ).select(
+        "*",
+        F.when(
+            F.lag("attr").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).eqNullSafe(F.col("attr")),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_change"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = marked.select(
+        "user_id",
+        "ts",
+        "attr",
+        F.sum("is_change").over(w2).alias("run_id"),
+    )
+    intervals = runs.groupBy("user_id", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("attr").alias("attr"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w3 = Window.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id",
+        F.col("attr"),
+        "valid_from",
+        F.lead("valid_from").over(w3).alias("valid_to"),
+        "n_events",
+    )

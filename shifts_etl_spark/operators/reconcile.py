@@ -71,3 +71,61 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(_fp)").alias("checksum"),
     )
+
+
+def order_total_audit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    buckets: tuple[float, ...] = (0.0, 0.0001, 0.01, 0.05),
+) -> DataFrame:
+    """Denormalization-consistency audit: recompute each order's total
+    from its line items (sum of extendedprice * (1-discount) * (1+tax),
+    rounded to cents) and band the relative error against the stored
+    o_totalprice — the referential-integrity check a warehouse runs
+    after every load (a drifting band distribution means a broken
+    loader, not a broken query). One row per error band: order count,
+    share, and the band's min/max relative error.
+
+    Scale shape: the recompute is one map-side-combinable groupBy on
+    l_orderkey; the compare joins two orderkey-keyed frames (co-
+    partitioned hash join); the band rollup lands on |buckets|+1 cells.
+    Line sums round to 2 dp before comparing so partial-sum order cannot
+    move an order across a band edge."""
+    li = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+            ),
+            2,
+        ).alias("li_total")
+    )
+    joined = orders.select("o_orderkey", "o_totalprice").join(
+        li, "o_orderkey"
+    )
+    rel = F.round(
+        F.abs(F.col("li_total") - F.col("o_totalprice"))
+        / F.col("o_totalprice"),
+        6,
+    )
+    band = F.when(rel <= buckets[0], 0)
+    for i, b in enumerate(buckets[1:], start=1):
+        band = band.when(rel <= b, i)
+    band = band.otherwise(len(buckets))
+    scored = joined.select(rel.alias("rel_err"), band.alias("err_band"))
+    out = scored.groupBy("err_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.min("rel_err"), 6).alias("min_rel_err"),
+        F.round(F.max("rel_err"), 6).alias("max_rel_err"),
+    )
+    total = out.agg(F.sum("n_orders").cast("long").alias("n_total"))
+    return out.crossJoin(F.broadcast(total)).select(
+        "err_band",
+        "n_orders",
+        F.round(F.col("n_orders").cast("double") / F.col("n_total"), 6).alias(
+            "share"
+        ),
+        "min_rel_err",
+        "max_rel_err",
+    )

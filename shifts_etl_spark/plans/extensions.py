@@ -5495,6 +5495,93 @@ FROM cells c JOIN stats s USING (event_type)
 """
 
 
+def x117_order_total_audit(spark, sf_dir):
+    """Denormalization-consistency audit (reconcile.order_total_audit):
+    recompute each order's total from its line items and band the
+    relative error vs the stored o_totalprice — the post-load
+    referential check. Orderkey-keyed recompute + co-partitioned join;
+    the rollup lands on 5 band cells."""
+    from ..operators.reconcile import order_total_audit
+
+    return order_total_audit(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+X117_SQL = """
+WITH li AS (
+  SELECT l_orderkey AS o_orderkey,
+         round(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+           AS li_total
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT round(abs(li.li_total - o.o_totalprice) / o.o_totalprice, 6)
+           AS rel_err
+  FROM orders o JOIN li USING (o_orderkey)
+),
+banded AS (
+  SELECT rel_err,
+         CASE WHEN rel_err <= 0.0 THEN 0
+              WHEN rel_err <= 0.0001 THEN 1
+              WHEN rel_err <= 0.01 THEN 2
+              WHEN rel_err <= 0.05 THEN 3
+              ELSE 4 END AS err_band
+  FROM joined
+),
+agg AS (
+  SELECT err_band, CAST(count(*) AS BIGINT) AS n_orders,
+         round(MIN(rel_err), 6) AS min_rel_err,
+         round(MAX(rel_err), 6) AS max_rel_err
+  FROM banded GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM agg)
+SELECT err_band, n_orders,
+       round(CAST(n_orders AS DOUBLE) / t.n_total, 6) AS share,
+       min_rel_err, max_rel_err
+FROM agg CROSS JOIN tot t
+"""
+
+
+def x118_scd2_intervals(spark, sf_dir):
+    """Type-2 SCD history from the event log (merge.scd2_intervals):
+    per-user consecutive runs of the props.k attribute collapsed into
+    [valid_from, valid_to) intervals, valid_to NULL on the current row.
+    One keyed shuffle drives the lag/cumsum/lead windows."""
+    from ..operators.merge import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+X118_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CAST(props->>'$.k' AS INTEGER) AS attr,
+         CASE WHEN lag(CAST(props->>'$.k' AS INTEGER))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NOT DISTINCT FROM CAST(props->>'$.k' AS INTEGER)
+              THEN 0 ELSE 1 END AS is_change
+  FROM events
+),
+runs AS (
+  SELECT user_id, ts, attr,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS run_id
+  FROM marked
+),
+intervals AS (
+  SELECT user_id, run_id, MIN(ts) AS valid_from, MIN(attr) AS attr,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, attr, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM intervals
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5616,4 +5703,6 @@ EXTENSIONS = {
     "x114_readability": (x114_readability, X114_SQL),
     "x115_vocab_richness": (x115_vocab_richness, X115_SQL),
     "x116_hourly_bursts": (x116_hourly_bursts, X116_SQL),
+    "x117_order_total_audit": (x117_order_total_audit, X117_SQL),
+    "x118_scd2_intervals": (x118_scd2_intervals, X118_SQL),
 }

@@ -654,3 +654,61 @@ def test_hourly_bursts_zscore(spark):
     for r in out:
         if r.event_type == "view":
             assert (r.n_events, r.z_score, bool(r.is_burst)) == (1, 0.0, False)
+
+
+def test_order_total_audit_bands(spark):
+    """Three orders: one exact (band 0), one off by ~0.5% (band 2), one
+    off by 10% (band 4). Counts, shares, and band edges pin exactly."""
+    from shifts_etl_spark.operators.reconcile import order_total_audit
+
+    li_rows = [
+        Row(l_orderkey=1, l_extendedprice=100.0, l_discount=0.0, l_tax=0.0),
+        Row(l_orderkey=2, l_extendedprice=100.0, l_discount=0.0, l_tax=0.0),
+        Row(l_orderkey=3, l_extendedprice=100.0, l_discount=0.0, l_tax=0.0),
+    ]
+    o_rows = [
+        Row(o_orderkey=1, o_totalprice=100.0),
+        Row(o_orderkey=2, o_totalprice=100.5),
+        Row(o_orderkey=3, o_totalprice=110.0),
+    ]
+    out = {r.err_band: r for r in order_total_audit(
+        spark.createDataFrame(o_rows), spark.createDataFrame(li_rows)
+    ).collect()}
+    assert set(out) == {0, 2, 4}
+    assert out[0].n_orders == 1 and out[0].max_rel_err == 0.0
+    assert out[2].n_orders == 1
+    assert out[2].min_rel_err == round(0.5 / 100.5, 6)
+    assert out[4].n_orders == 1
+    assert out[4].min_rel_err == round(10.0 / 110.0, 6)
+    for r in out.values():
+        assert r.share == round(1 / 3, 6)
+
+
+def test_scd2_intervals_runs(spark):
+    """User 1's k sequence 5,5,7,5 collapses to three intervals
+    [t1,t3) k=5 (2 events), [t3,t4) k=7, [t4,NULL) k=5; a single-event
+    user yields one open interval."""
+    from shifts_etl_spark.operators.merge import scd2_intervals
+    import datetime as dt
+
+    def ev(i, user, k, ts):
+        return Row(event_id=i, ts=dt.datetime.fromisoformat(ts),
+                   user_id=user, event_type="view", value=1.0,
+                   props='{"k": %d}' % k)
+
+    rows = [
+        ev(1, 1, 5, "2024-01-01T10:00:00"),
+        ev(2, 1, 5, "2024-01-01T11:00:00"),
+        ev(3, 1, 7, "2024-01-01T12:00:00"),
+        ev(4, 1, 5, "2024-01-01T13:00:00"),
+        ev(5, 2, 9, "2024-01-01T10:00:00"),
+    ]
+    out = sorted(scd2_intervals(spark.createDataFrame(rows)).collect(),
+                 key=lambda r: (r.user_id, r.valid_from))
+    u1 = [r for r in out if r.user_id == 1]
+    assert [(r.attr, r.n_events) for r in u1] == [(5, 2), (7, 1), (5, 1)]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None
+    u2 = [r for r in out if r.user_id == 2]
+    assert [(r.attr, r.valid_to) for r in u2] == [(9, None)]

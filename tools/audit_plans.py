@@ -74,6 +74,8 @@ SINGLE_PARTITION_OK = {
     # percentile aggregates over the per-user frame, broadcast back
     "x113_lf_agreement",  # one global 10-sum aggregate (map-side
     # combined); the 6-pair matrix is a constant-width stack of 1 row
+    "x117_order_total_audit",  # order total: one 1-row aggregate over
+    # the 5 error-band cells, broadcast back
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
     # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
@@ -107,6 +109,8 @@ CROSS_JOIN_OK = {
     "x109_rfm_segments",  # crossJoins with the two broadcast 1-row
     # quartile-boundary frames
     "x110_type_cooccurrence",  # crossJoin with the broadcast 1-row user total
+    "x117_order_total_audit",  # crossJoin with the broadcast 1-row
+    # order total onto the 5 error-band cells
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
