@@ -421,3 +421,45 @@ def hourly_bursts(
         z.alias("z_score"),
         (z >= z_threshold).alias("is_burst"),
     )
+
+
+def user_concentration(
+    events: DataFrame,
+    top_k: int = 10,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Traffic-concentration audit: how dominated is the event stream by
+    its heaviest users — the Herfindahl-Hirschman index (sum of squared
+    user shares; 1/n_users = uniform, 1.0 = single user) plus the share
+    held by the top ``top_k`` users. The skew early-warning for any
+    per-user keyed operator downstream (a high HHI predicts hot keys).
+
+    Scale shape: one per-user count (keyed, map-side combinable); HHI
+    is a closed-form 1-row aggregate over those counts — NO global sort
+    or rank; the top-k sum is TakeOrdered (per-partition heads), and its
+    value is tie-invariant (equal counts swap users, not the sum)."""
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_u")
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_u").cast("long").alias("n_events"),
+        F.sum(F.col("n_u").cast("double") * F.col("n_u")).alias("sum_sq"),
+    )
+    top = (
+        per_user.orderBy(F.desc("n_u"), "user_id")
+        .limit(top_k)
+        .agg(F.sum("n_u").cast("long").alias("top_events"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_users",
+        "n_events",
+        F.round(
+            F.col("sum_sq")
+            / (F.col("n_events").cast("double") * F.col("n_events")),
+            6,
+        ).alias("hhi"),
+        F.round(
+            F.col("top_events").cast("double") / F.col("n_events"), 6
+        ).alias(f"top{top_k}_share"),
+    )

@@ -386,3 +386,52 @@ def label_separability(
             "fisher_ratio"
         ),
     )
+
+
+def grouped_correlation(
+    fact: DataFrame,
+    dim: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    join_keys: tuple[str, str],
+) -> DataFrame:
+    """Per-group Pearson correlation between two fact measures, grouped
+    by a dimension attribute (e.g. discount vs quantity by part brand —
+    the pricing-behavior scan). Computed in CLOSED FORM from the five
+    moment sums (n, Sx, Sy, Sxx, Syy, Sxy) so both engines evaluate the
+    identical expression tree — no reliance on a built-in corr's
+    implementation or NaN conventions; zero-variance groups yield NULL
+    explicitly.
+
+    Scale shape: the dim side broadcasts onto the fact scan (attribute
+    pruning keeps it two columns); the moment sums partially aggregate
+    map-side, so the shuffle carries |groups| x 6 doubles."""
+    fk, pk = join_keys
+    joined = fact.select(
+        F.col(fk), F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).join(
+        F.broadcast(dim.select(F.col(pk), F.col(group_col))),
+        F.col(fk) == F.col(pk),
+    )
+    agg = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        F.col(group_col),
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("pearson_r"),
+    )

@@ -5582,6 +5582,75 @@ FROM intervals
 """
 
 
+def x119_user_concentration(spark, sf_dir):
+    """Traffic-concentration audit (funnel.user_concentration): HHI over
+    user event shares + top-10 user share — the hot-key early warning
+    for per-user keyed operators. Closed-form 1-row aggregate (no global
+    rank); top-k via TakeOrdered with a tie-invariant sum."""
+    return funnel.user_concentration(_t(spark, sf_dir, "events"))
+
+
+X119_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_u FROM events GROUP BY 1
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_u) AS BIGINT) AS n_events,
+         SUM(CAST(n_u AS DOUBLE) * n_u) AS sum_sq
+  FROM per_user
+),
+top AS (
+  SELECT CAST(SUM(n_u) AS BIGINT) AS top_events FROM (
+    SELECT n_u FROM per_user ORDER BY n_u DESC, user_id LIMIT 10
+  )
+)
+SELECT n_users, n_events,
+       round(sum_sq / (CAST(n_events AS DOUBLE) * n_events), 6) AS hhi,
+       round(CAST(top_events AS DOUBLE) / n_events, 6) AS top10_share
+FROM totals CROSS JOIN top
+"""
+
+
+def x120_brand_discount_corr(spark, sf_dir):
+    """Pricing-behavior scan (profile.grouped_correlation): per-brand
+    Pearson correlation between line discount and quantity, in closed
+    form from the five moment sums (identical expression tree in both
+    engines; zero-variance groups NULL). Part broadcasts onto the
+    lineitem scan; the shuffle carries |brands| x 6 doubles."""
+    return profile.grouped_correlation(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        group_col="p_brand",
+        x_col="l_discount",
+        y_col="l_quantity",
+        join_keys=("l_partkey", "p_partkey"),
+    )
+
+
+X120_SQL = """
+WITH joined AS (
+  SELECT p.p_brand,
+         CAST(l.l_discount AS DOUBLE) AS x,
+         CAST(l.l_quantity AS DOUBLE) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+agg AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM joined GROUP BY 1
+)
+SELECT p_brand, n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                       6)
+       END AS pearson_r
+FROM agg
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5705,4 +5774,6 @@ EXTENSIONS = {
     "x116_hourly_bursts": (x116_hourly_bursts, X116_SQL),
     "x117_order_total_audit": (x117_order_total_audit, X117_SQL),
     "x118_scd2_intervals": (x118_scd2_intervals, X118_SQL),
+    "x119_user_concentration": (x119_user_concentration, X119_SQL),
+    "x120_brand_discount_corr": (x120_brand_discount_corr, X120_SQL),
 }

@@ -712,3 +712,43 @@ def test_scd2_intervals_runs(spark):
     assert u1[2].valid_to is None
     u2 = [r for r in out if r.user_id == 2]
     assert [(r.attr, r.valid_to) for r in u2] == [(9, None)]
+
+
+def test_user_concentration_hand_hhi(spark):
+    """Counts 6,2,1,1 over 4 users (10 events): HHI = (36+4+1+1)/100 =
+    0.42; top-10 covers everyone (share 1.0). With top_k=2 the share is
+    8/10."""
+    from shifts_etl_spark.operators.funnel import user_concentration
+
+    rows, eid = [], 0
+    for u, c in [(1, 6), (2, 2), (3, 1), (4, 1)]:
+        for j in range(c):
+            eid += 1
+            rows.append(_ev(eid, u, "view", f"2024-01-01T10:{j:02d}:00"))
+    df = spark.createDataFrame(rows)
+    r = user_concentration(df).collect()[0]
+    assert (r.n_users, r.n_events, r.hhi, r.top10_share) == (4, 10, 0.42, 1.0)
+    r2 = user_concentration(df, top_k=2).collect()[0]
+    assert r2.top2_share == 0.8
+
+
+def test_grouped_correlation_signs_and_null(spark):
+    """Group A: y = 2x exactly -> r = 1.0; group B: y = -x -> r = -1.0;
+    group C: constant x -> NULL (zero variance)."""
+    from shifts_etl_spark.operators.profile import grouped_correlation
+
+    fact = spark.createDataFrame(
+        [Row(fk=1, x=float(i), y=2.0 * i) for i in range(5)]
+        + [Row(fk=2, x=float(i), y=-1.0 * i) for i in range(5)]
+        + [Row(fk=3, x=1.0, y=float(i)) for i in range(5)]
+    )
+    dim = spark.createDataFrame(
+        [Row(pk=1, grp="A"), Row(pk=2, grp="B"), Row(pk=3, grp="C")]
+    )
+    out = {r.grp: r for r in grouped_correlation(
+        fact, dim, "grp", "x", "y", ("fk", "pk")
+    ).collect()}
+    assert out["A"].pearson_r == 1.0
+    assert out["B"].pearson_r == -1.0
+    assert out["C"].pearson_r is None
+    assert all(r.n == 5 for r in out.values())

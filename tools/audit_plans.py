@@ -76,6 +76,8 @@ SINGLE_PARTITION_OK = {
     # combined); the 6-pair matrix is a constant-width stack of 1 row
     "x117_order_total_audit",  # order total: one 1-row aggregate over
     # the 5 error-band cells, broadcast back
+    "x119_user_concentration",  # HHI totals + top-k sum: two 1-row
+    # aggregates over the per-user count frame
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
     # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
@@ -111,6 +113,7 @@ CROSS_JOIN_OK = {
     "x110_type_cooccurrence",  # crossJoin with the broadcast 1-row user total
     "x117_order_total_audit",  # crossJoin with the broadcast 1-row
     # order total onto the 5 error-band cells
+    "x119_user_concentration",  # crossJoin of the two 1-row summary frames
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
