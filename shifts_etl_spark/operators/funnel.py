@@ -463,3 +463,56 @@ def user_concentration(
             F.col("top_events").cast("double") / F.col("n_events"), 6
         ).alias(f"top{top_k}_share"),
     )
+
+
+def acquisition_mix(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    cust_col: str = "o_custkey",
+) -> DataFrame:
+    """New-vs-returning mix by month: for every order month, how many
+    orders and distinct customers it saw, how many of those customers
+    were NEW (their first-ever order month), and the new share — the
+    acquisition report that complements x107's retention matrix (that
+    one follows cohorts forward; this one decomposes each period's
+    mix).
+
+    Scale shape: the first-order month is a per-customer window min
+    (one keyed shuffle); the monthly rollup is one aggregate over
+    (month, customer, is_new) rows with distinct counts — map-side
+    combinable after the distinct."""
+    w = Window.partitionBy(cust_col)
+    base = orders.select(
+        F.date_trunc("month", F.col(date_col)).cast("date").alias("month"),
+        F.col(cust_col).alias("custkey"),
+        F.date_trunc("month", F.min(date_col).over(w))
+        .cast("date")
+        .alias("first_month"),
+    )
+    return (
+        base.select(
+            "month",
+            "custkey",
+            (F.col("month") == F.col("first_month")).alias("is_new"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("custkey").cast("long").alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("is_new"), F.col("custkey"))
+            )
+            .cast("long")
+            .alias("n_new_customers"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "n_customers",
+            "n_new_customers",
+            F.round(
+                F.col("n_new_customers").cast("double") / F.col("n_customers"),
+                6,
+            ).alias("new_customer_share"),
+        )
+    )

@@ -435,3 +435,43 @@ def grouped_correlation(
             F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("pearson_r"),
     )
+
+
+def nn_hubness(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hubness audit of the embedding space: the in-degree distribution
+    of the blocked nearest-neighbor graph (how many vectors chose each
+    vector as THEIR nearest neighbor, zero included) — high-in-degree
+    hubs are the classic high-dimensional pathology that poisons
+    retrieval, and a heavy in-degree tail says the space needs
+    whitening (x89) before ANN serving. One row per observed in-degree:
+    vector count and share.
+
+    Scale shape: the NN graph comes from the blocked pair scan
+    (embedding_nn_pairs — per-block cross products, never global); the
+    in-degree is one keyed count; zero-degree coverage is a left join
+    from the id column only; the histogram lands on max-degree cells."""
+    from .dedup import embedding_nn_pairs
+
+    nn = embedding_nn_pairs(emb)
+    indeg = nn.groupBy(
+        F.col("neighbor_id").alias(id_col)
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    deg = (
+        emb.select(id_col)
+        .join(indeg, id_col, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("in_degree"))
+    )
+    hist = deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = hist.agg(F.sum("n_vectors").cast("long").alias("n"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "in_degree",
+        "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / F.col("n"), 6).alias(
+            "share"
+        ),
+    )

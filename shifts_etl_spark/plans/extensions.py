@@ -5651,6 +5651,67 @@ FROM agg
 """
 
 
+def x121_nn_hubness(spark, sf_dir):
+    """Embedding hubness audit (profile.nn_hubness): in-degree
+    distribution of the x6 blocked NN graph, zeros included — the
+    high-dimensional hub pathology check run before ANN serving. The
+    oracle extends X6's chain with the in-degree left join and
+    histogram."""
+    return profile.nn_hubness(_t(spark, sf_dir, "embeddings"))
+
+
+# X6's blocked-NN chain, extended (the X84 surgery pattern) with the
+# zero-inclusive in-degree left join and the degree histogram.
+X121_SQL = X6_SQL.replace(
+    """SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
+FROM ranked WHERE rn = 1""",
+    """, nn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rn = 1),
+indeg AS (
+  SELECT e.vec_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS in_degree
+  FROM (SELECT DISTINCT vec_id FROM embeddings) e
+  LEFT JOIN (SELECT neighbor_id, count(*) AS cnt FROM nn GROUP BY 1) c
+    ON e.vec_id = c.neighbor_id
+),
+hist AS (
+  SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM indeg GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n FROM hist)
+SELECT in_degree, n_vectors,
+       round(CAST(n_vectors AS DOUBLE) / t.n, 6) AS share
+FROM hist CROSS JOIN tot t""",
+)
+
+
+def x122_acquisition_mix(spark, sf_dir):
+    """New-vs-returning customer mix by order month
+    (funnel.acquisition_mix): per month, orders, distinct customers,
+    first-ever-month customers, and the new share — the acquisition
+    decomposition complementing x107's retention matrix."""
+    return funnel.acquisition_mix(_t(spark, sf_dir, "orders"))
+
+
+X122_SQL = """
+WITH base AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_custkey AS custkey,
+         CAST(date_trunc('month',
+              MIN(o_orderdate) OVER (PARTITION BY o_custkey)) AS DATE)
+           AS first_month
+  FROM orders
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT CASE WHEN month = first_month THEN custkey END)
+            AS BIGINT) AS n_new_customers,
+       round(CAST(count(DISTINCT CASE WHEN month = first_month THEN custkey END)
+                  AS DOUBLE)
+             / count(DISTINCT custkey), 6) AS new_customer_share
+FROM base GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5776,4 +5837,6 @@ EXTENSIONS = {
     "x118_scd2_intervals": (x118_scd2_intervals, X118_SQL),
     "x119_user_concentration": (x119_user_concentration, X119_SQL),
     "x120_brand_discount_corr": (x120_brand_discount_corr, X120_SQL),
+    "x121_nn_hubness": (x121_nn_hubness, X121_SQL),
+    "x122_acquisition_mix": (x122_acquisition_mix, X122_SQL),
 }

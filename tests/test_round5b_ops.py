@@ -752,3 +752,46 @@ def test_grouped_correlation_signs_and_null(spark):
     assert out["B"].pearson_r == -1.0
     assert out["C"].pearson_r is None
     assert all(r.n == 5 for r in out.values())
+
+
+def test_nn_hubness_planted_hub(spark):
+    """One block, NN graph 0->1, 1->0, 2->0, 3->1 (verified by cosine):
+    vectors 0 and 1 are hubs with in-degree 2, vectors 2 and 3 are
+    never chosen (in-degree 0, included via the zero-coverage join).
+    Histogram: (0: 2 vectors), (2: 2 vectors); shares sum to 1."""
+    from shifts_etl_spark.operators.profile import nn_hubness
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.9, 0.1], label=0),
+        Row(vec_id=2, embedding=[0.9, -0.1], label=0),
+        Row(vec_id=3, embedding=[0.8, 0.2], label=0),
+    ]
+    out = {r.in_degree: r for r in
+           nn_hubness(spark.createDataFrame(rows)).collect()}
+    assert {d: r.n_vectors for d, r in out.items()} == {0: 2, 2: 2}
+    assert sum(r.share for r in out.values()) == 1.0
+
+
+def test_acquisition_mix_new_vs_returning(spark):
+    """Customer 1 orders in Jan and Feb; customer 2 only in Feb: Jan is
+    100% new (1 cust), Feb has 2 customers of which 1 new -> share
+    0.5."""
+    from shifts_etl_spark.operators.funnel import acquisition_mix
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=1, o_custkey=1, o_orderdate=dt.date(2024, 1, 5)),
+        Row(o_orderkey=2, o_custkey=1, o_orderdate=dt.date(2024, 2, 10)),
+        Row(o_orderkey=3, o_custkey=2, o_orderdate=dt.date(2024, 2, 15)),
+        Row(o_orderkey=4, o_custkey=2, o_orderdate=dt.date(2024, 2, 20)),
+    ]
+    out = {r.month: r for r in
+           acquisition_mix(spark.createDataFrame(rows)).collect()}
+    jan, feb = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    assert (out[jan].n_orders, out[jan].n_customers,
+            out[jan].n_new_customers, out[jan].new_customer_share) == (
+        1, 1, 1, 1.0)
+    assert (out[feb].n_orders, out[feb].n_customers,
+            out[feb].n_new_customers, out[feb].new_customer_share) == (
+        3, 2, 1, 0.5)
