@@ -573,3 +573,41 @@ def retention_sweep(
             ).alias("token_retention"),
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-sampling
+    classic: raise each source's token share to ``alpha`` < 1 and
+    renormalize, upweighting low-resource sources): per source, the raw
+    token share, the alpha-smoothed sampling weight, and the
+    oversampling factor (weight / share) a sampler must apply — the
+    design step BEFORE x50/x71 materialize a mixture.
+
+    Scale shape: one source-keyed token-count aggregate (G rows), one
+    1-row total broadcast back; the pow/renormalize runs on G rows."""
+    from .textstats import token_count
+
+    counts = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").cast("double").alias("n_total"),
+    )
+    p = F.col("n_tokens") / F.col("n_total")
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", p.alias("p"), F.pow(p, F.lit(alpha)).alias("pa")
+    )
+    pa_tot = shares.agg(F.sum("pa").alias("pa_total"))
+    w = F.col("pa") / F.col("pa_total")
+    return shares.crossJoin(F.broadcast(pa_tot)).select(
+        "source",
+        "n_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(w, 6).alias("sample_weight"),
+        F.round(w / F.col("p"), 6).alias("oversample_factor"),
+    )

@@ -475,3 +475,72 @@ def nn_hubness(
             "share"
         ),
     )
+
+
+def label_compactness(
+    emb: DataFrame,
+    outlier_threshold: float = 0.5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Intra-class compactness audit: per label, the cosine of every
+    member to its label centroid (the exact per-dimension mean), rolled
+    up to mean/min cosine and the share of members below
+    ``outlier_threshold`` — the mislabel/contamination detector for a
+    labeled embedding set (a loose cluster or a fat outlier tail means
+    the label is noisy). Complements x42 (BETWEEN-label centroid
+    similarity) with the WITHIN-label view.
+
+    Scale shape: everything runs in exploded (label, dim, v) space — the
+    x104 contract: the centroid is a (label, dim) mean whose groupBy
+    partially aggregates map-side; member-centroid dots join on (label,
+    dim) cells. Determinism: each member cosine quantizes to an exact
+    integer (x 1e6) BEFORE the label rollup, so the mean/min/outlier
+    aggregates are integer-exact — a plain avg-of-rounded-doubles
+    flips at 6-dp boundaries with Spark's partial-merge order (observed
+    1-in-3 at sf0.01)."""
+    elem = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "v0"),
+    ).select(
+        "vid", "label", (F.col("pos") + 1).alias("i"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cent = elem.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    per_member = (
+        elem.join(cent, ["label", "i"])
+        .groupBy("vid", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn"),
+        )
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "label",
+            F.round(
+                F.col("dot") / (F.col("vn") * F.col("cn")) * 1e6
+            )
+            .cast("long")
+            .alias("icos"),
+        )
+    )
+    ithresh = int(round(outlier_threshold * 1e6))
+    return per_member.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum("icos").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_cos"),
+        (F.min("icos").cast("double") / 1e6).alias("min_cos"),
+        F.round(
+            F.sum(
+                F.when(F.col("icos") < ithresh, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_share"),
+    )

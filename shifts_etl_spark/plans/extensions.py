@@ -5712,6 +5712,76 @@ FROM base GROUP BY 1
 """
 
 
+def x123_temperature_mixture(spark, sf_dir):
+    """Temperature-sampling mixture design (curation.temperature_mixture,
+    alpha = 0.3): per-source token share, alpha-smoothed sampling
+    weight, and oversampling factor — the multilingual upweighting step
+    before x50/x71 materialize a mixture. G-row math off one keyed
+    count + 1-row totals."""
+    return curation.temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
+X123_SQL = rf"""
+WITH counts AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS n_total FROM counts),
+shares AS (
+  SELECT source, n_tokens,
+         n_tokens / t.n_total AS p,
+         pow(n_tokens / t.n_total, 0.3) AS pa
+  FROM counts CROSS JOIN tot t
+),
+pt AS (SELECT SUM(pa) AS pa_total FROM shares)
+SELECT source, n_tokens,
+       round(p, 6) AS token_share,
+       round(pa / pt.pa_total, 6) AS sample_weight,
+       round((pa / pt.pa_total) / p, 6) AS oversample_factor
+FROM shares CROSS JOIN pt
+"""
+
+
+def x124_label_compactness(spark, sf_dir):
+    """Intra-class compactness audit (profile.label_compactness): per
+    label, member-to-centroid cosine mean/min and the below-0.5 outlier
+    share — the mislabel detector complementing x42's between-label
+    view. Runs in exploded (label, dim) cell space, the x104 contract."""
+    return profile.label_compactness(_t(spark, sf_dir, "embeddings"))
+
+
+X124_SQL = """
+WITH elem AS (
+  SELECT vec_id AS vid, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label, i, avg(v) AS c FROM elem GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY 1),
+per_member AS (
+  SELECT e.vid, e.label,
+         SUM(e.v * c.c) AS dot,
+         sqrt(SUM(e.v * e.v)) AS vn
+  FROM elem e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY 1, 2
+),
+cosines AS (
+  SELECT m.label,
+         CAST(round(m.dot / (m.vn * n.cn) * 1e6, 0) AS BIGINT) AS icos
+  FROM per_member m JOIN cnorm n ON m.label = n.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(icos) AS DOUBLE) / count(*) / 1e6, 6) AS mean_cos,
+       CAST(MIN(icos) AS DOUBLE) / 1e6 AS min_cos,
+       round(CAST(SUM(CASE WHEN icos < 500000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS outlier_share
+FROM cosines GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5839,4 +5909,6 @@ EXTENSIONS = {
     "x120_brand_discount_corr": (x120_brand_discount_corr, X120_SQL),
     "x121_nn_hubness": (x121_nn_hubness, X121_SQL),
     "x122_acquisition_mix": (x122_acquisition_mix, X122_SQL),
+    "x123_temperature_mixture": (x123_temperature_mixture, X123_SQL),
+    "x124_label_compactness": (x124_label_compactness, X124_SQL),
 }

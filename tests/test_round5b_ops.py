@@ -795,3 +795,50 @@ def test_acquisition_mix_new_vs_returning(spark):
     assert (out[feb].n_orders, out[feb].n_customers,
             out[feb].n_new_customers, out[feb].new_customer_share) == (
         3, 2, 1, 0.5)
+
+
+def test_temperature_mixture_upweights_tail(spark):
+    """Sources with 90% and 10% of tokens at alpha=0.3: weights
+    proportional to 0.9^0.3 and 0.1^0.3 — hand-checked; the tail source
+    oversamples (factor > 1), the head undersamples (< 1)."""
+    from shifts_etl_spark.operators.curation import temperature_mixture
+
+    rows = [_doc(1, " ".join(["w"] * 90), source="head"),
+            _doc(2, " ".join(["w"] * 10), source="tail")]
+    out = {r.source: r for r in
+           temperature_mixture(spark.createDataFrame(rows)).collect()}
+    pa_h, pa_t = 0.9 ** 0.3, 0.1 ** 0.3
+    tot = pa_h + pa_t
+    assert out["head"].token_share == 0.9
+    assert out["head"].sample_weight == round(pa_h / tot, 6)
+    assert out["tail"].sample_weight == round(pa_t / tot, 6)
+    assert out["tail"].oversample_factor == round((pa_t / tot) / 0.1, 6)
+    assert out["tail"].oversample_factor > 1.0 > out["head"].oversample_factor
+
+
+def test_label_compactness_tight_vs_noisy(spark):
+    """Label 0: three near-identical vectors -> mean_cos ~1, no
+    outliers. Label 1: two opposed vectors -> centroid orthogonal-ish,
+    both members' cosines well below 1; with threshold 0.5 the
+    anti-aligned member counts as an outlier."""
+    from shifts_etl_spark.operators.profile import label_compactness
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 0.01], label=0),
+        Row(vec_id=3, embedding=[1.0, -0.01], label=0),
+        Row(vec_id=4, embedding=[1.0, 0.5], label=1),
+        Row(vec_id=5, embedding=[-1.0, 0.5], label=1),
+    ]
+    out = {r.label: r for r in
+           label_compactness(spark.createDataFrame(rows)).collect()}
+    t = out[0]
+    assert t.n_members == 3 and t.mean_cos > 0.999
+    assert t.outlier_share == 0.0
+    n = out[1]
+    # centroid of label 1 is (0, 0.5); cos(member, centroid) = 0.5/|m|
+    import math
+    c4 = round(0.25 / (math.hypot(1.0, 0.5) * 0.5), 6)
+    assert n.n_members == 2
+    assert n.min_cos == c4 and n.mean_cos == c4
+    assert n.outlier_share == 1.0  # both cosines ~0.447 < 0.5

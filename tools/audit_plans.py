@@ -80,6 +80,8 @@ SINGLE_PARTITION_OK = {
     # aggregates over the per-user count frame
     "x121_nn_hubness",  # histogram total: one 1-row aggregate over the
     # max-degree cells
+    "x123_temperature_mixture",  # token total + pow-sum: two 1-row
+    # aggregates over the G-row source-count frame
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
     # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
@@ -117,6 +119,7 @@ CROSS_JOIN_OK = {
     # order total onto the 5 error-band cells
     "x119_user_concentration",  # crossJoin of the two 1-row summary frames
     "x121_nn_hubness",  # crossJoin with the broadcast 1-row histogram total
+    "x123_temperature_mixture",  # crossJoins with the two broadcast 1-row totals
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
