@@ -544,3 +544,41 @@ def label_compactness(
             6,
         ).alias("outlier_share"),
     )
+
+
+def ship_latency_sla(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Fulfilment-latency SLA report: per return flag, the distribution
+    of order-to-ship lag in days (count, mean, exact p50/p90, max) — the
+    operational rollup a logistics pipeline publishes per load (slow
+    shipping predicting returns is the classic finding). Lags are
+    integer day diffs, so the mean is an exact rational and the
+    interpolated percentiles match across engines bit-for-bit.
+
+    Scale shape: the join is orderkey-keyed (both sides hash-partition
+    on the key); the percentile aggregate is per flag — a handful of
+    groups, each a single exact-percentile pass."""
+    days = (
+        lineitem.select(
+            "l_orderkey",
+            "l_returnflag",
+            F.col("l_shipdate").alias("shipdate"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.datediff("shipdate", "o_orderdate").cast("double").alias("d"),
+        )
+    )
+    return days.groupBy("returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.round(F.avg("d"), 4).alias("mean_days"),
+        F.round(F.percentile("d", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("d", F.lit(0.9)), 4).alias("p90_days"),
+        F.max("d").cast("long").alias("max_days"),
+    )

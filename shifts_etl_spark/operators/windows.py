@@ -222,3 +222,46 @@ def scalable_running_sum(
         out = out.withColumn(oc, F.col(f"_local_{j}") + offset)
         drops.append(f"_local_{j}")
     return out.drop(*drops)
+
+
+def revenue_moving_average(
+    orders: DataFrame,
+    window_days: int = 7,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Daily-revenue trend monitor: revenue per order date, its trailing
+    ``window_days``-row moving average, and the relative deviation — the
+    time-series smoothing every revenue dashboard runs, with the warmup
+    rows visible via ``n_in_window``.
+
+    Determinism: daily revenue quantizes to integer CENTS before the
+    sliding frame, so the frame sum is exact (a float sliding sum
+    drifts under Spark's incremental pane arithmetic vs a recompute);
+    the moving average and deviation then derive from exact integers in
+    one double division each.
+
+    Scale shape: orders collapse to |dates| rows in one keyed aggregate;
+    the sliding window runs over that calendar-bounded frame (one
+    ordered partition of |dates| rows — sanctioned, it can never be
+    data-sized)."""
+    daily = orders.groupBy(F.col(date_col).alias("day")).agg(
+        F.round(F.sum(amount_col) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    framed = daily.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("sum_c"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    )
+    ma = F.col("sum_c").cast("double") / F.col("n_in_window")
+    return framed.select(
+        "day",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        "n_in_window",
+        F.round(ma / 100.0, 4).alias("moving_avg"),
+        F.round(F.col("rev_cents") / ma - 1.0, 6).alias("deviation"),
+    )

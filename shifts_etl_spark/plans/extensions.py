@@ -5782,6 +5782,66 @@ FROM cosines GROUP BY 1
 """
 
 
+def x125_revenue_moving_avg(spark, sf_dir):
+    """Daily revenue 7-day moving average + deviation
+    (windows.revenue_moving_average): integer-cents frame sums (exact
+    sliding arithmetic — no float pane drift), calendar-bounded window.
+    The x124 determinism lesson applied to time series."""
+    from ..operators.windows import revenue_moving_average
+
+    return revenue_moving_average(_t(spark, sf_dir, "orders"))
+
+
+X125_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(round(SUM(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+),
+framed AS (
+  SELECT day, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum_c,
+         CAST(count(*) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_in_window
+  FROM daily
+)
+SELECT day,
+       round(rev_cents / 100.0, 2) AS revenue,
+       n_in_window,
+       round((CAST(sum_c AS DOUBLE) / n_in_window) / 100.0, 4) AS moving_avg,
+       round(rev_cents / (CAST(sum_c AS DOUBLE) / n_in_window) - 1.0, 6)
+         AS deviation
+FROM framed
+"""
+
+
+def x126_ship_latency_sla(spark, sf_dir):
+    """Fulfilment-latency SLA by return flag (profile.ship_latency_sla):
+    integer day lags -> exact mean and interpolated p50/p90 that match
+    across engines bit-for-bit; orderkey-keyed join."""
+    return profile.ship_latency_sla(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+X126_SQL = """
+WITH days AS (
+  SELECT l.l_returnflag AS returnflag,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT returnflag,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(avg(d), 4) AS mean_days,
+       round(quantile_cont(d, 0.5), 4) AS p50_days,
+       round(quantile_cont(d, 0.9), 4) AS p90_days,
+       CAST(MAX(d) AS BIGINT) AS max_days
+FROM days GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5911,4 +5971,6 @@ EXTENSIONS = {
     "x122_acquisition_mix": (x122_acquisition_mix, X122_SQL),
     "x123_temperature_mixture": (x123_temperature_mixture, X123_SQL),
     "x124_label_compactness": (x124_label_compactness, X124_SQL),
+    "x125_revenue_moving_avg": (x125_revenue_moving_avg, X125_SQL),
+    "x126_ship_latency_sla": (x126_ship_latency_sla, X126_SQL),
 }

@@ -842,3 +842,51 @@ def test_label_compactness_tight_vs_noisy(spark):
     assert n.n_members == 2
     assert n.min_cos == c4 and n.mean_cos == c4
     assert n.outlier_share == 1.0  # both cosines ~0.447 < 0.5
+
+
+def test_revenue_moving_average_exact_frames(spark):
+    """Daily revenues 100, 200, 300 with window 2: moving averages 100,
+    150, 250; deviations derive from the exact integer-cents frame
+    sums; n_in_window exposes the warmup row."""
+    from shifts_etl_spark.operators.windows import revenue_moving_average
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=1, o_orderdate=dt.date(2024, 1, 1), o_totalprice=60.0),
+        Row(o_orderkey=2, o_orderdate=dt.date(2024, 1, 1), o_totalprice=40.0),
+        Row(o_orderkey=3, o_orderdate=dt.date(2024, 1, 2), o_totalprice=200.0),
+        Row(o_orderkey=4, o_orderdate=dt.date(2024, 1, 3), o_totalprice=300.0),
+    ]
+    out = sorted(
+        revenue_moving_average(
+            spark.createDataFrame(rows), window_days=2
+        ).collect(),
+        key=lambda r: r.day,
+    )
+    assert [(r.revenue, r.n_in_window, r.moving_avg) for r in out] == [
+        (100.0, 1, 100.0), (200.0, 2, 150.0), (300.0, 2, 250.0)]
+    assert out[1].deviation == round(200.0 / 150.0 - 1.0, 6)
+    assert out[0].deviation == 0.0
+
+
+def test_ship_latency_sla_percentiles(spark):
+    """Flag N lags 1,2,3,10 days: mean 4, p50 = 2.5 (interpolated),
+    p90 = 7.9, max 10."""
+    from shifts_etl_spark.operators.profile import ship_latency_sla
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    o_rows = [Row(o_orderkey=i, o_orderdate=base) for i in range(1, 5)]
+    lags = [1, 2, 3, 10]
+    l_rows = [
+        Row(l_orderkey=i, l_returnflag="N",
+            l_shipdate=base + dt.timedelta(days=d))
+        for i, d in enumerate(lags, start=1)
+    ]
+    r = ship_latency_sla(
+        spark.createDataFrame(o_rows), spark.createDataFrame(l_rows)
+    ).collect()[0]
+    assert (r.returnflag, r.n_lineitems, r.mean_days, r.max_days) == (
+        "N", 4, 4.0, 10)
+    assert r.p50_days == 2.5
+    assert r.p90_days == round(3 + 0.7 * 7, 4)  # linear interp at 0.9

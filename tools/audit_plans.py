@@ -82,6 +82,8 @@ SINGLE_PARTITION_OK = {
     # max-degree cells
     "x123_temperature_mixture",  # token total + pow-sum: two 1-row
     # aggregates over the G-row source-count frame
+    "x125_revenue_moving_avg",  # sliding frame over the calendar-bounded
+    # |dates|-row daily aggregate — never order rows
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
     # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
