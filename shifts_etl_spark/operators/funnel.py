@@ -516,3 +516,54 @@ def acquisition_mix(
             ).alias("new_customer_share"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (prev_type, next_type) pair observed consecutively within a
+    user's history, the transition count, P(next | prev), the marginal
+    P(next), and the lift of the conditional over the marginal — which
+    behaviors actually FOLLOW each other vs merely being common (the
+    sequence-model sanity check under x65's trigram counts).
+
+    Scale shape: one keyed lag window on user; transitions collapse to
+    |types|^2 cells map-side; row totals and the grand total are
+    type-sized / 1-row broadcasts back onto the cells."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    from_tot = trans.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("long").alias("n_from")
+    )
+    to_tot = trans.groupBy("next_type").agg(
+        F.sum("n_trans").cast("long").alias("n_to")
+    )
+    grand = trans.agg(F.sum("n_trans").cast("double").alias("n_all"))
+    p_cond = F.col("n_trans").cast("double") / F.col("n_from")
+    p_marg = F.col("n_to") / F.col("n_all")
+    return (
+        trans.join(F.broadcast(from_tot), "prev_type")
+        .join(F.broadcast(to_tot), "next_type")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.round(p_cond, 6).alias("p_next_given_prev"),
+            F.round(p_marg, 6).alias("p_next"),
+            F.round(p_cond / p_marg, 6).alias("lift"),
+        )
+    )

@@ -582,3 +582,63 @@ def ship_latency_sla(
         F.round(F.percentile("d", F.lit(0.9)), 4).alias("p90_days"),
         F.max("d").cast("long").alias("max_days"),
     )
+
+
+def nation_clv(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Customer-lifetime-value geography rollup: per nation, the
+    customer count, mean and median CLV (summed order value), and the
+    revenue share held by the nation's top decile (CLV >= the exact p90
+    boundary, ties included) — the whale-concentration view sales
+    pipelines slice by region.
+
+    Determinism: CLV quantizes to integer cents before any percentile
+    or share math (the x124/x125 convention), so boundaries and sums are
+    exact integers in both engines.
+
+    Scale shape: CLV is a custkey-keyed aggregate; customer joins it
+    co-partitioned on the key; nation broadcasts; the p90 boundary is a
+    per-nation percentile aggregate broadcast back onto the |customers|
+    frame for the one-pass share rollup."""
+    clv = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("clv_cents")
+    )
+    per_cust = clv.join(
+        customer.select("c_custkey", "c_nationkey"), "c_custkey"
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("n_name").alias("nation"), "clv_cents")
+    bounds = per_cust.groupBy("nation").agg(
+        F.percentile(F.col("clv_cents").cast("double"), F.lit(0.9)).alias("p90")
+    )
+    return (
+        per_cust.join(F.broadcast(bounds), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("clv_cents").cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                4,
+            ).alias("mean_clv"),
+            F.round(
+                F.percentile(F.col("clv_cents").cast("double"), F.lit(0.5))
+                / 100.0,
+                4,
+            ).alias("median_clv"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("clv_cents") >= F.col("p90"), F.col("clv_cents")
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("clv_cents"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )

@@ -5842,6 +5842,84 @@ FROM days GROUP BY 1
 """
 
 
+def x127_nation_clv(spark, sf_dir):
+    """CLV geography rollup (profile.nation_clv): per nation, customer
+    count, mean/median CLV, and top-decile revenue share — integer-cents
+    quantization (the x124/x125 convention) keeps percentile boundaries
+    and share sums exact in both engines."""
+    return profile.nation_clv(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+X127_SQL = """
+WITH clv AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(round(SUM(o_totalprice) * 100, 0) AS BIGINT) AS clv_cents
+  FROM orders GROUP BY 1
+),
+per_cust AS (
+  SELECT n.n_name AS nation, clv.clv_cents
+  FROM clv
+  JOIN customer c ON clv.c_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+bounds AS (
+  SELECT nation, quantile_cont(CAST(clv_cents AS DOUBLE), 0.9) AS p90
+  FROM per_cust GROUP BY 1
+)
+SELECT p.nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(clv_cents) AS DOUBLE) / count(*) / 100.0, 4)
+         AS mean_clv,
+       round(quantile_cont(CAST(clv_cents AS DOUBLE), 0.5) / 100.0, 4)
+         AS median_clv,
+       round(CAST(SUM(CASE WHEN clv_cents >= b.p90 THEN clv_cents ELSE 0 END)
+                  AS DOUBLE)
+             / SUM(clv_cents), 6) AS top_decile_share
+FROM per_cust p JOIN bounds b USING (nation)
+GROUP BY 1
+"""
+
+
+def x128_transition_matrix(spark, sf_dir):
+    """Event-type Markov transition matrix (funnel.transition_matrix):
+    per consecutive (prev, next) pair within user histories, the count,
+    P(next|prev), marginal P(next), and lift — one keyed lag window,
+    |types|^2 cells, broadcast totals."""
+    return funnel.transition_matrix(_t(spark, sf_dir, "events"))
+
+
+X128_SQL = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+ft AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+       FROM trans GROUP BY 1),
+tt AS (SELECT next_type, CAST(SUM(n_trans) AS BIGINT) AS n_to
+       FROM trans GROUP BY 1),
+g AS (SELECT CAST(SUM(n_trans) AS DOUBLE) AS n_all FROM trans)
+SELECT t.prev_type, t.next_type, t.n_trans,
+       round(CAST(t.n_trans AS DOUBLE) / ft.n_from, 6) AS p_next_given_prev,
+       round(tt.n_to / g.n_all, 6) AS p_next,
+       round((CAST(t.n_trans AS DOUBLE) / ft.n_from)
+             / (tt.n_to / g.n_all), 6) AS lift
+FROM trans t
+JOIN ft USING (prev_type)
+JOIN tt USING (next_type)
+CROSS JOIN g
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -5973,4 +6051,6 @@ EXTENSIONS = {
     "x124_label_compactness": (x124_label_compactness, X124_SQL),
     "x125_revenue_moving_avg": (x125_revenue_moving_avg, X125_SQL),
     "x126_ship_latency_sla": (x126_ship_latency_sla, X126_SQL),
+    "x127_nation_clv": (x127_nation_clv, X127_SQL),
+    "x128_transition_matrix": (x128_transition_matrix, X128_SQL),
 }

@@ -890,3 +890,49 @@ def test_ship_latency_sla_percentiles(spark):
         "N", 4, 4.0, 10)
     assert r.p50_days == 2.5
     assert r.p90_days == round(3 + 0.7 * 7, 4)  # linear interp at 0.9
+
+
+def test_nation_clv_decile_share(spark):
+    """One nation, 10 customers with CLV 1..9 and 100: p90 boundary
+    interpolates at 90.1 -> only the 100-CLV whale is top-decile ->
+    share 100/145; mean and median pin exactly."""
+    from shifts_etl_spark.operators.profile import nation_clv
+    import datetime as dt
+
+    cust = spark.createDataFrame(
+        [Row(c_custkey=i, c_nationkey=1) for i in range(1, 11)])
+    nat = spark.createDataFrame([Row(n_nationkey=1, n_name="FR")])
+    vals = list(range(1, 10)) + [100]
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=i, o_totalprice=float(v),
+             o_orderdate=dt.date(2024, 1, 1))
+         for i, v in enumerate(vals, start=1)])
+    r = nation_clv(cust, orders, nat).collect()[0]
+    assert (r.nation, r.n_customers) == ("FR", 10)
+    assert r.mean_clv == round(sum(vals) / 10, 4)
+    assert r.median_clv == 5.5
+    assert r.top_decile_share == round(100 / sum(vals), 6)
+
+
+def test_transition_matrix_hand_probs(spark):
+    """User path view->click->view->purchase: transitions view->click,
+    click->view, view->purchase. P(click|view) = 0.5, lift of
+    click given view = 0.5 / (1/3) = 1.5."""
+    from shifts_etl_spark.operators.funnel import transition_matrix
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "click", "2024-01-01T10:01:00"),
+        _ev(3, 1, "view", "2024-01-01T10:02:00"),
+        _ev(4, 1, "purchase", "2024-01-01T10:03:00"),
+    ]
+    out = {(r.prev_type, r.next_type): r for r in
+           transition_matrix(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {("view", "click"), ("click", "view"),
+                        ("view", "purchase")}
+    vc = out[("view", "click")]
+    assert (vc.n_trans, vc.p_next_given_prev) == (1, 0.5)
+    assert vc.p_next == round(1 / 3, 6)
+    assert vc.lift == round(0.5 / (1 / 3), 6)
+    cv = out[("click", "view")]
+    assert (cv.n_trans, cv.p_next_given_prev) == (1, 1.0)

@@ -84,6 +84,8 @@ SINGLE_PARTITION_OK = {
     # aggregates over the G-row source-count frame
     "x125_revenue_moving_avg",  # sliding frame over the calendar-bounded
     # |dates|-row daily aggregate — never order rows
+    "x128_transition_matrix",  # grand total: one 1-row aggregate over
+    # the |types|^2 transition cells
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
     # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
@@ -122,6 +124,7 @@ CROSS_JOIN_OK = {
     "x119_user_concentration",  # crossJoin of the two 1-row summary frames
     "x121_nn_hubness",  # crossJoin with the broadcast 1-row histogram total
     "x123_temperature_mixture",  # crossJoins with the two broadcast 1-row totals
+    "x128_transition_matrix",  # crossJoin with the broadcast 1-row grand total
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
