@@ -1207,3 +1207,55 @@ def dedup_savings(
             ).alias("token_savings"),
         )
     )
+
+
+def repeated_sentences(
+    docs: DataFrame,
+    min_docs: int = 2,
+    min_chars: int = 20,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-granular boilerplate catalog: segment every document at
+    [.!?]+ boundaries, trim, and surface the ``top_k`` sentences (of at
+    least ``min_chars`` chars) repeated across at least ``min_docs``
+    distinct documents — the template/disclaimer detector at the
+    granularity x86's fixed-width char grams approximate. Rows carry the
+    md5 key, doc/occurrence counts, sentence length, and the sentence
+    itself as the scrub-list payload.
+
+    Scale shape: the sentence explode is corpus-sized but collapses
+    map-side into per-sentence-hash counts (the shuffle carries one
+    row per distinct sentence: hash + counts + one exemplar via min —
+    never per-occurrence text); the final top-k is TakeOrdered with a
+    (docs desc, hash asc) total order."""
+    sent = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), r"[.!?]+"),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: F.length(s) >= min_chars,
+            )
+        ).alias("sentence"),
+    )
+    counts = sent.groupBy(F.md5(F.col("sentence")).alias("sentence_md5")).agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("sentence").alias("sentence"),
+    )
+    return (
+        counts.where(F.col("n_docs") >= min_docs)
+        .select(
+            "sentence_md5",
+            "n_docs",
+            "n_occurrences",
+            F.length("sentence").cast("long").alias("n_chars"),
+            "sentence",
+        )
+        .orderBy(F.desc("n_docs"), "sentence_md5")
+        .limit(top_k)
+    )

@@ -642,3 +642,47 @@ def nation_clv(
             ).alias("top_decile_share"),
         )
     )
+
+
+def norm_profile(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    bin_width: float = 0.5,
+) -> DataFrame:
+    """Embedding L2-norm quality profile: histogram of vector norms in
+    ``bin_width`` bins plus degenerate-vector accounting (zero-norm
+    vectors break cosine math; extreme norms flag an unnormalized or
+    corrupted encoder batch). One row per observed bin: bounds, count,
+    share, zero-vector count.
+
+    Determinism: the norm folds over the array IN ROW ORDER (same
+    sequence of IEEE adds in both engines — no shuffle-order wobble),
+    and binning floors norm / bin_width, so bins are stable.
+
+    Scale shape: entirely row-local until the bin-sized groupBy; the
+    share join is a broadcast 1-row total."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    binned = emb.select(
+        F.floor(norm / bin_width).cast("long").alias("bin"),
+        (norm == 0.0).cast("long").alias("is_zero"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("is_zero").cast("long").alias("n_zero"),
+    )
+    tot = hist.agg(F.sum("n_vectors").cast("double").alias("n"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(F.col("bin") * bin_width, 2).alias("bin_lo"),
+        F.round((F.col("bin") + 1) * bin_width, 2).alias("bin_hi"),
+        "n_vectors",
+        "n_zero",
+        F.round(F.col("n_vectors") / F.col("n"), 6).alias("share"),
+    )

@@ -5920,6 +5920,74 @@ CROSS JOIN g
 """
 
 
+def x129_norm_profile(spark, sf_dir):
+    """Embedding L2-norm QA histogram (profile.norm_profile): 0.5-wide
+    norm bins + zero-vector accounting — the degenerate-encoder check
+    before any cosine math. Row-local fold (array-order IEEE adds, no
+    shuffle wobble), bin-sized groupBy, broadcast 1-row total."""
+    return profile.norm_profile(_t(spark, sf_dir, "embeddings"))
+
+
+X129_SQL = """
+WITH norms AS (
+  SELECT sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+         AS nrm
+  FROM embeddings
+),
+binned AS (
+  SELECT CAST(floor(nrm / 0.5) AS BIGINT) AS bin,
+         CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END AS is_zero
+  FROM norms
+),
+hist AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(is_zero) AS BIGINT) AS n_zero
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_vectors) AS DOUBLE) AS n FROM hist)
+SELECT bin,
+       round(bin * CAST(0.5 AS DOUBLE), 2) AS bin_lo,
+       round((bin + 1) * CAST(0.5 AS DOUBLE), 2) AS bin_hi,
+       n_vectors, n_zero,
+       round(n_vectors / t.n, 6) AS share
+FROM hist CROSS JOIN tot t
+"""
+
+
+def x130_repeated_sentences(spark, sf_dir):
+    """Sentence-granular boilerplate catalog (dedup.repeated_sentences):
+    top-20 sentences repeated across >= 2 docs, with doc/occurrence
+    counts and the scrub payload — the template detector at real
+    sentence boundaries (x86 approximates with fixed-width char grams).
+    Map-side collapse to per-sentence counts; TakeOrdered top-k."""
+    from ..operators.dedup import repeated_sentences
+
+    return repeated_sentences(_t(spark, sf_dir, "documents"))
+
+
+X130_SQL = """
+WITH sent AS (
+  SELECT d.doc_id AS doc, trim(t.s) AS sentence
+  FROM documents d,
+       unnest(regexp_split_to_array(d.text, '[.!?]+')) AS t(s)
+  WHERE length(trim(t.s)) >= 20
+),
+counts AS (
+  SELECT md5(sentence) AS sentence_md5,
+         CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         MIN(sentence) AS sentence
+  FROM sent GROUP BY 1
+)
+SELECT sentence_md5, n_docs, n_occurrences,
+       CAST(length(sentence) AS BIGINT) AS n_chars, sentence
+FROM counts WHERE n_docs >= 2
+ORDER BY n_docs DESC, sentence_md5
+LIMIT 20
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6053,4 +6121,6 @@ EXTENSIONS = {
     "x126_ship_latency_sla": (x126_ship_latency_sla, X126_SQL),
     "x127_nation_clv": (x127_nation_clv, X127_SQL),
     "x128_transition_matrix": (x128_transition_matrix, X128_SQL),
+    "x129_norm_profile": (x129_norm_profile, X129_SQL),
+    "x130_repeated_sentences": (x130_repeated_sentences, X130_SQL),
 }

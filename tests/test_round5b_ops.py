@@ -936,3 +936,43 @@ def test_transition_matrix_hand_probs(spark):
     assert vc.lift == round(0.5 / (1 / 3), 6)
     cv = out[("click", "view")]
     assert (cv.n_trans, cv.p_next_given_prev) == (1, 1.0)
+
+
+def test_norm_profile_bins_and_zero(spark):
+    """Norms 0, 1.0 (bin 2: [1.0,1.5)), 5.0 (bin 10): zero-vector lands
+    in bin 0 with n_zero 1; bounds and shares pin exactly."""
+    from shifts_etl_spark.operators.profile import norm_profile
+
+    rows = [
+        Row(vec_id=1, embedding=[0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=3, embedding=[3.0, 4.0], label=0),
+    ]
+    out = {r.bin: r for r in
+           norm_profile(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 2, 10}
+    assert (out[0].n_vectors, out[0].n_zero) == (1, 1)
+    assert (out[2].bin_lo, out[2].bin_hi, out[2].n_zero) == (1.0, 1.5, 0)
+    assert out[10].bin_lo == 5.0
+    for r in out.values():
+        assert r.share == round(1 / 3, 6)
+
+
+def test_repeated_sentences_catalog(spark):
+    """The disclaimer sentence appears verbatim in docs 1 and 2 (doc 2's
+    'again ...' variant is a DIFFERENT sentence): n_docs 2,
+    n_occurrences 2; unique long sentences and short fragments are
+    excluded."""
+    from shifts_etl_spark.operators.dedup import repeated_sentences
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        _doc(1, f"{boiler}. unique opening line of document one here."),
+        _doc(2, f"short bit. {boiler}! again {boiler}."),
+        _doc(3, "a totally different very long sentence lives here."),
+    ]
+    out = repeated_sentences(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.n_occurrences, r.n_chars) == (2, 2, len(boiler))
+    assert r.sentence == boiler
