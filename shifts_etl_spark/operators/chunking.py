@@ -74,3 +74,53 @@ def pack_sequences(
         F.floor(before / budget_tokens).cast("long").alias("pack_id"),
         (before % budget_tokens).cast("long").alias("pack_offset"),
     )
+
+
+def chunking_audit(
+    docs: DataFrame,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-chunking cost accounting: run the x21 chunker and report, per
+    chunks-per-doc value, the document count, source vs emitted token
+    sums, and the token overhead factor the overlap costs — the
+    context-window budget check run BEFORE materializing a chunked
+    corpus (overhead ~ chunk/(chunk-overlap) on long docs, 1.0 on
+    single-chunk docs).
+
+    Scale shape: reuses chunk_documents (one explode, row-local
+    slices); the per-doc rollup is keyed on doc; the histogram lands on
+    |distinct chunk counts| cells with a broadcast total for shares."""
+    chunks = chunk_documents(docs, chunk_tokens, overlap, text_col, id_col)
+    per_doc = chunks.groupBy(F.col(id_col).alias("doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("emitted_tokens"),
+    )
+    src = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(normalize_text(F.col(text_col))))
+        .cast("long")
+        .alias("source_tokens"),
+    )
+    joined = per_doc.join(src, "doc")
+    return (
+        joined.groupBy("n_chunks")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("source_tokens").cast("long").alias("source_tokens"),
+            F.sum("emitted_tokens").cast("long").alias("emitted_tokens"),
+        )
+        .select(
+            "n_chunks",
+            "n_docs",
+            "source_tokens",
+            "emitted_tokens",
+            F.round(
+                F.col("emitted_tokens").cast("double")
+                / F.col("source_tokens"),
+                6,
+            ).alias("overhead_factor"),
+        )
+    )

@@ -1045,3 +1045,73 @@ def vocab_richness(
             6,
         ).alias("hapax_ratio"),
     )
+
+
+def keyness_terms(
+    docs: DataFrame,
+    top_k: int = 10,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Distinctive-term extraction (corpus-linguistics keyness): for
+    every group (default: language), the ``top_k`` tokens whose add-1
+    smoothed within-group rate most exceeds their rest-of-corpus rate,
+    scored by the log ratio — what actually characterizes each slice,
+    beyond raw frequency (x19's TF-IDF is per-doc; this is per-group).
+
+    Scale shape: (group, token) counts collapse map-side; group totals
+    (G rows) and the (N, V) corpus totals broadcast back; the per-token
+    rest-rate join is co-keyed on token (vocab-sized both sides). The
+    per-group top-k runs two-phase — a partition-local rank prefilter
+    keeps <= k x P rows per group before the global rank — so a giant
+    group's vocabulary never funnels through one task unbounded."""
+    cells = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grp_tot = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n_g"))
+    tok_tot = cells.groupBy("token").agg(F.sum("c").cast("long").alias("n_t"))
+    corpus = cells.agg(
+        F.sum("c").cast("long").alias("n_all"),
+        F.countDistinct("token").cast("long").alias("v"),
+    )
+    rate_in = (F.col("c") + 1).cast("double") / (F.col("n_g") + F.col("v"))
+    rate_out = (F.col("n_t") - F.col("c") + 1).cast("double") / (
+        F.col("n_all") - F.col("n_g") + F.col("v")
+    )
+    scored = (
+        cells.join(F.broadcast(grp_tot), "grp")
+        .join(tok_tot, "token")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "grp",
+            "token",
+            "c",
+            F.round(F.log(rate_in / rate_out), 6).alias("keyness"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("grp", "_p").orderBy(
+        F.desc("keyness"), "token"
+    )
+    w_global = Window.partitionBy("grp").orderBy(F.desc("keyness"), "token")
+    return (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rl", F.row_number().over(w_local))
+        .where(F.col("_rl") <= top_k)
+        .drop("_rl", "_p")
+        .withColumn("rank", F.row_number().over(w_global))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("c").alias("n_in_group"),
+            "keyness",
+        )
+    )

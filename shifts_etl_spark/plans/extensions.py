@@ -5988,6 +5988,96 @@ LIMIT 20
 """
 
 
+def x131_keyness_terms(spark, sf_dir):
+    """Per-language distinctive terms (textstats.keyness_terms): top-10
+    tokens by add-1 smoothed log rate-ratio vs the rest of the corpus —
+    corpus-linguistics keyness (x19's TF-IDF is per-doc; this is
+    per-group). Two-phase bounded per-group top-k, vocab-sized cell
+    joins, broadcast totals."""
+    return textstats.keyness_terms(_t(spark, sf_dir, "documents"))
+
+
+X131_SQL = r"""
+WITH flat AS (
+  SELECT lang AS grp,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+cells AS (
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS c FROM flat GROUP BY 1, 2
+),
+gt AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+tt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS n_t FROM cells GROUP BY 1),
+corpus AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_all,
+         CAST(count(DISTINCT token) AS BIGINT) AS v
+  FROM cells
+),
+scored AS (
+  SELECT cells.grp, cells.token, cells.c,
+         round(ln(((c + 1) / CAST(n_g + v AS DOUBLE))
+                  / ((n_t - c + 1) / CAST(n_all - n_g + v AS DOUBLE))), 6)
+           AS keyness
+  FROM cells JOIN gt USING (grp) JOIN tt USING (token) CROSS JOIN corpus
+)
+SELECT grp AS lang, CAST(rank AS BIGINT) AS rank, token,
+       c AS n_in_group, keyness
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY keyness DESC, token) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+def x132_chunking_audit(spark, sf_dir):
+    """RAG-chunking cost accounting (chunking.chunking_audit): per
+    chunks-per-doc value, doc counts and source-vs-emitted token sums
+    with the overlap overhead factor — the context-window budget check
+    before materializing a chunked corpus. Mirrors X21's closed-form
+    slice arithmetic."""
+    from ..operators.chunking import chunking_audit
+
+    return chunking_audit(_t(spark, sf_dir, "documents"))
+
+
+X132_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS tk FROM documents
+),
+idx AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0,
+           CAST(greatest(ceil((len(tk) - 20) / 80.0), 1) AS BIGINT) - 1))
+           AS chunk_idx
+  FROM toked
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(len(tk[chunk_idx * 80 + 1 : chunk_idx * 80 + 100]) AS BIGINT)
+           AS n_tokens
+  FROM idx
+),
+per_doc AS (
+  SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(n_tokens) AS BIGINT) AS emitted_tokens
+  FROM chunks GROUP BY 1
+),
+src AS (
+  SELECT doc_id AS doc, CAST(len(tk) AS BIGINT) AS source_tokens FROM toked
+)
+SELECT p.n_chunks, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.source_tokens) AS BIGINT) AS source_tokens,
+       CAST(SUM(p.emitted_tokens) AS BIGINT) AS emitted_tokens,
+       round(CAST(SUM(p.emitted_tokens) AS DOUBLE) / SUM(s.source_tokens), 6)
+         AS overhead_factor
+FROM per_doc p JOIN src s USING (doc)
+GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6123,4 +6213,6 @@ EXTENSIONS = {
     "x128_transition_matrix": (x128_transition_matrix, X128_SQL),
     "x129_norm_profile": (x129_norm_profile, X129_SQL),
     "x130_repeated_sentences": (x130_repeated_sentences, X130_SQL),
+    "x131_keyness_terms": (x131_keyness_terms, X131_SQL),
+    "x132_chunking_audit": (x132_chunking_audit, X132_SQL),
 }

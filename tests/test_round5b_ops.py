@@ -976,3 +976,43 @@ def test_repeated_sentences_catalog(spark):
     r = out[0]
     assert (r.n_docs, r.n_occurrences, r.n_chars) == (2, 2, len(boiler))
     assert r.sentence == boiler
+
+
+def test_keyness_terms_distinctive_tokens(spark):
+    """'gato' appears only in es docs and 'cat' only in en docs: each
+    tops its language's keyness ranking with the hand-computed add-1
+    log rate-ratio; the shared token 'the' never ranks above them."""
+    from shifts_etl_spark.operators.textstats import keyness_terms
+
+    rows = [
+        _doc(1, "the cat cat cat", lang="en"),
+        _doc(2, "the gato gato gato", lang="es"),
+    ]
+    out = {(r.lang, r.rank): r for r in
+           keyness_terms(spark.createDataFrame(rows), top_k=2).collect()}
+    assert out[("en", 1)].token == "cat"
+    assert out[("es", 1)].token == "gato"
+    # hand numbers for en/cat: c=3, n_g=4, n_t=3, n_all=8, v=3
+    rate_in = (3 + 1) / (4 + 3)
+    rate_out = (3 - 3 + 1) / (8 - 4 + 3)
+    assert out[("en", 1)].keyness == round(math.log(rate_in / rate_out), 6)
+    assert out[("en", 2)].token == "the"
+
+
+def test_chunking_audit_overhead(spark):
+    """A 180-token doc chunks as [100, 100] (20-token overlap repeated)
+    -> emitted 200, overhead 200/180; a 50-token doc is one chunk with
+    overhead 1.0."""
+    from shifts_etl_spark.operators.chunking import chunking_audit
+
+    rows = [_doc(1, " ".join(f"t{i}" for i in range(180))),
+            _doc(2, " ".join(f"t{i}" for i in range(50)))]
+    out = {r.n_chunks: r for r in
+           chunking_audit(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2}
+    two = out[2]
+    assert (two.n_docs, two.source_tokens, two.emitted_tokens) == (1, 180, 200)
+    assert two.overhead_factor == round(200 / 180, 6)
+    one = out[1]
+    assert (one.source_tokens, one.emitted_tokens, one.overhead_factor) == (
+        50, 50, 1.0)
