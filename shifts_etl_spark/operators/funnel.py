@@ -567,3 +567,43 @@ def transition_matrix(
             F.round(p_cond / p_marg, 6).alias("lift"),
         )
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    top_k: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Bot/replay-abuse audit: the ``top_k`` users by peak events-per-
+    minute, with volume and active-minute context — superhuman burst
+    rates are the first-line automation signal, and the rest of the
+    per-user keyed pipeline wants these ids quarantined first.
+
+    Scale shape: events collapse to (user, minute) cells in one map-
+    side-combinable aggregate; the per-user rollup is a second keyed
+    aggregate over cells; the final top-k is TakeOrdered with a (peak
+    desc, user asc) total order — no global sort."""
+    cells = events.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("minute", F.col(ts_col)).alias("minute"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_user = cells.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_active_minutes"),
+        F.max("n").cast("long").alias("peak_per_minute"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            "n_active_minutes",
+            "peak_per_minute",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_active_minutes"),
+                4,
+            ).alias("mean_per_active_minute"),
+        )
+        .orderBy(F.desc("peak_per_minute"), "user_id")
+        .limit(top_k)
+    )

@@ -686,3 +686,42 @@ def norm_profile(
         "n_zero",
         F.round(F.col("n_vectors") / F.col("n"), 6).alias("share"),
     )
+
+
+def order_aging(
+    orders: DataFrame,
+) -> DataFrame:
+    """Backlog aging report: per (order status, priority) cell, the
+    order count and share, revenue, and the mean/max age in days
+    against the dataset's latest order date — the open-work triage view
+    every fulfilment dashboard leads with.
+
+    Scale shape: one status x priority cell aggregate (map-side
+    combinable) after a row-local age projection against the broadcast
+    1-row anchor date; revenue quantizes to integer cents (the x125
+    convention) so sums are exact."""
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    aged = orders.crossJoin(F.broadcast(anchor)).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.datediff("anchor", "o_orderdate").cast("long").alias("age_days"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cells = aged.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum("age_days").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_age_days"),
+        F.max("age_days").alias("max_age_days"),
+        F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+    )
+    tot = cells.agg(F.sum("n_orders").cast("double").alias("n_total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("n_total"), 6).alias("share"),
+        "mean_age_days",
+        "max_age_days",
+        "revenue",
+    )

@@ -6078,6 +6078,67 @@ GROUP BY 1
 """
 
 
+def x133_rate_anomalies(spark, sf_dir):
+    """Bot/replay-abuse audit (funnel.rate_anomalies): top-20 users by
+    peak events-per-minute with volume context — two keyed cell
+    aggregates + TakeOrdered, no global sort."""
+    return funnel.rate_anomalies(_t(spark, sf_dir, "events"))
+
+
+X133_SQL = """
+WITH cells AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_active_minutes,
+         CAST(MAX(n) AS BIGINT) AS peak_per_minute
+  FROM cells GROUP BY 1
+)
+SELECT user_id, n_events, n_active_minutes, peak_per_minute,
+       round(CAST(n_events AS DOUBLE) / n_active_minutes, 4)
+         AS mean_per_active_minute
+FROM per_user
+ORDER BY peak_per_minute DESC, user_id
+LIMIT 20
+"""
+
+
+def x134_order_aging(spark, sf_dir):
+    """Backlog aging (profile.order_aging): per (status, priority),
+    count/share/revenue and mean/max age vs the latest order date —
+    row-local age projection against a broadcast anchor, one cell
+    aggregate; integer-cents revenue (the x125 convention)."""
+    return profile.order_aging(_t(spark, sf_dir, "orders"))
+
+
+X134_SQL = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+aged AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(date_diff('day', o_orderdate, a.anchor) AS BIGINT) AS age_days,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders CROSS JOIN anchor a
+),
+cells AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(SUM(age_days) AS DOUBLE) / count(*), 4) AS mean_age_days,
+         MAX(age_days) AS max_age_days,
+         round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue
+  FROM aged GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_orders) AS DOUBLE) AS n_total FROM cells)
+SELECT o_orderstatus, o_orderpriority, n_orders,
+       round(n_orders / t.n_total, 6) AS share,
+       mean_age_days, max_age_days, revenue
+FROM cells CROSS JOIN tot t
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6215,4 +6276,6 @@ EXTENSIONS = {
     "x130_repeated_sentences": (x130_repeated_sentences, X130_SQL),
     "x131_keyness_terms": (x131_keyness_terms, X131_SQL),
     "x132_chunking_audit": (x132_chunking_audit, X132_SQL),
+    "x133_rate_anomalies": (x133_rate_anomalies, X133_SQL),
+    "x134_order_aging": (x134_order_aging, X134_SQL),
 }

@@ -1016,3 +1016,47 @@ def test_chunking_audit_overhead(spark):
     one = out[1]
     assert (one.source_tokens, one.emitted_tokens, one.overhead_factor) == (
         50, 50, 1.0)
+
+
+def test_rate_anomalies_peak_detection(spark):
+    """User 1 fires 5 events inside one minute plus 1 later (peak 5,
+    2 active minutes); user 2 is slow (peak 1). Ranking puts the burst
+    user first with exact stats."""
+    from shifts_etl_spark.operators.funnel import rate_anomalies
+
+    rows = [_ev(i, 1, "click", f"2024-01-01T10:00:{i:02d}") for i in range(5)]
+    rows.append(_ev(9, 1, "click", "2024-01-01T10:05:00"))
+    rows += [_ev(20 + i, 2, "view", f"2024-01-01T1{i}:00:00") for i in range(3)]
+    out = rate_anomalies(spark.createDataFrame(rows)).collect()
+    assert [r.user_id for r in out] == [1, 2]
+    u1 = out[0]
+    assert (u1.n_events, u1.n_active_minutes, u1.peak_per_minute) == (6, 2, 5)
+    assert u1.mean_per_active_minute == 3.0
+    assert (out[1].peak_per_minute, out[1].n_active_minutes) == (1, 3)
+
+
+def test_order_aging_cells(spark):
+    """Two (status, priority) cells; ages against the max date (Jan 10):
+    the O/1-URGENT cell averages (9 + 0) / 2 = 4.5 days and holds 2/3 of
+    orders; revenue sums exactly."""
+    from shifts_etl_spark.operators.profile import order_aging
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+            o_totalprice=10.5, o_orderdate=dt.date(2024, 1, 1),
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="O",
+            o_totalprice=20.0, o_orderdate=dt.date(2024, 1, 10),
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=3, o_custkey=2, o_orderstatus="F",
+            o_totalprice=5.25, o_orderdate=dt.date(2024, 1, 5),
+            o_orderpriority="5-LOW"),
+    ]
+    out = {(r.o_orderstatus, r.o_orderpriority): r for r in
+           order_aging(spark.createDataFrame(rows)).collect()}
+    ou = out[("O", "1-URGENT")]
+    assert (ou.n_orders, ou.mean_age_days, ou.max_age_days) == (2, 4.5, 9)
+    assert ou.share == round(2 / 3, 6)
+    assert ou.revenue == 30.5
+    assert out[("F", "5-LOW")].revenue == 5.25
