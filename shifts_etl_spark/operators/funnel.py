@@ -607,3 +607,38 @@ def rate_anomalies(
         .orderBy(F.desc("peak_per_minute"), "user_id")
         .limit(top_k)
     )
+
+
+def weekday_seasonality(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+) -> DataFrame:
+    """Weekday-seasonality audit with a chi-square uniformity test: per
+    ISO weekday (1 = Monday), the order count, its share, the expected
+    uniform count, the relative deviation, and the day's chi-square
+    contribution — sum the last column for the test statistic. Exact
+    integer counts feed a closed-form statistic, so both engines agree
+    bit-for-bit.
+
+    Scale shape: one 7-cell aggregate off a row-local weekday
+    projection; the total broadcasts back."""
+    cells = orders.select(
+        F.dayofweek(F.col(date_col)).alias("dow_sun1")
+    ).select(
+        # ISO: Monday = 1 ... Sunday = 7 (dayofweek is Sunday = 1)
+        ((F.col("dow_sun1") + 5) % 7 + 1).cast("long").alias("weekday")
+    ).groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = cells.agg(F.sum("n_orders").cast("double").alias("n_total"))
+    e = F.col("n_total") / 7.0
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("n_total"), 6).alias("share"),
+        F.round(e, 4).alias("expected"),
+        F.round(F.col("n_orders") / e - 1.0, 6).alias("deviation"),
+        F.round(
+            (F.col("n_orders") - e) * (F.col("n_orders") - e) / e, 6
+        ).alias("chi2_contrib"),
+    )

@@ -1115,3 +1115,59 @@ def keyness_terms(
             "keyness",
         )
     )
+
+
+def code_switch_profile(
+    docs: DataFrame,
+    min_chars: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Code-switching detector: segment each document at [.!?]+
+    boundaries, language-ID every sentence with the x10 heuristic, and
+    report the per-doc language mix — sentence count, distinct predicted
+    languages, the dominant language and its share, and an is_mixed
+    flag. Doc-level language labels hide mixed documents; multilingual
+    pipelines route or split them, and this is the audit that finds
+    them. Docs whose sentences all fall under ``min_chars`` emit no row.
+
+    Scale shape: the sentence explode collapses to (doc, predicted)
+    cells map-side (the x128 cell discipline); the dominant-language
+    argmax is a per-doc window over those tiny cells; text never
+    shuffles."""
+    sent = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+                ),
+                lambda s: F.length(s) >= min_chars,
+            )
+        ).alias("sentence"),
+    )
+    cells = sent.groupBy(
+        "doc", predict_lang(F.col("sentence")).alias("pred")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.desc("n"), "pred")
+    ranked = cells.select(
+        "doc", "pred", "n", F.row_number().over(w).alias("rn")
+    )
+    per_doc = ranked.groupBy("doc").agg(
+        F.sum("n").cast("long").alias("n_sentences"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min(F.when(F.col("rn") == 1, F.col("pred"))).alias("dominant_lang"),
+        F.min(F.when(F.col("rn") == 1, F.col("n"))).alias("dominant_n"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        "n_sentences",
+        "n_langs",
+        "dominant_lang",
+        F.round(
+            F.col("dominant_n").cast("double") / F.col("n_sentences"), 6
+        ).alias("dominant_share"),
+        (F.col("n_langs") >= 2).alias("is_mixed"),
+    )

@@ -6139,6 +6139,75 @@ FROM cells CROSS JOIN tot t
 """
 
 
+def x135_code_switch(spark, sf_dir):
+    """Code-switching audit (textstats.code_switch_profile): per doc,
+    sentence-level language mix (distinct predicted langs, dominant
+    share, is_mixed) from the x10 heuristic applied per sentence —
+    (doc, predicted) cells, per-doc argmax window over tiny cells."""
+    return textstats.code_switch_profile(_t(spark, sf_dir, "documents"))
+
+
+_X135_HITS = "\n         ".join(
+    f"{_hits_sql(textstats.STOPWORDS[l]).replace('trim(lower(text))', 'trim(lower(sentence))')} AS h_{l},"
+    for l in ("en", "es", "fr", "de")
+).rstrip(",")
+
+X135_SQL = rf"""
+WITH sent AS (
+  SELECT d.doc_id AS doc, trim(t.s) AS sentence
+  FROM documents d,
+       unnest(regexp_split_to_array(d.text, '[.!?]+')) AS t(s)
+  WHERE length(trim(t.s)) >= 20
+),
+hits AS (
+  SELECT doc,
+         {_X135_HITS}
+  FROM sent
+),
+pred AS (SELECT doc, {_X102_PRED} AS pred FROM hits),
+cells AS (
+  SELECT doc, pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc, pred, n,
+         row_number() OVER (PARTITION BY doc ORDER BY n DESC, pred) AS rn
+  FROM cells
+)
+SELECT doc AS doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_sentences,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       MIN(CASE WHEN rn = 1 THEN pred END) AS dominant_lang,
+       round(CAST(MIN(CASE WHEN rn = 1 THEN n END) AS DOUBLE) / SUM(n), 6)
+         AS dominant_share,
+       count(*) >= 2 AS is_mixed
+FROM ranked GROUP BY 1
+"""
+
+
+def x136_weekday_seasonality(spark, sf_dir):
+    """Weekday seasonality + chi-square uniformity contributions
+    (funnel.weekday_seasonality): 7 ISO-weekday cells off a row-local
+    projection; exact integer counts make the statistic engine-exact."""
+    return funnel.weekday_seasonality(_t(spark, sf_dir, "orders"))
+
+
+X136_SQL = """
+WITH cells AS (
+  SELECT CAST(isodow(o_orderdate) AS BIGINT) AS weekday,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_orders) AS DOUBLE) AS n_total FROM cells)
+SELECT weekday, n_orders,
+       round(n_orders / t.n_total, 6) AS share,
+       round(t.n_total / 7.0, 4) AS expected,
+       round(n_orders / (t.n_total / 7.0) - 1.0, 6) AS deviation,
+       round((n_orders - t.n_total / 7.0) * (n_orders - t.n_total / 7.0)
+             / (t.n_total / 7.0), 6) AS chi2_contrib
+FROM cells CROSS JOIN tot t
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6278,4 +6347,6 @@ EXTENSIONS = {
     "x132_chunking_audit": (x132_chunking_audit, X132_SQL),
     "x133_rate_anomalies": (x133_rate_anomalies, X133_SQL),
     "x134_order_aging": (x134_order_aging, X134_SQL),
+    "x135_code_switch": (x135_code_switch, X135_SQL),
+    "x136_weekday_seasonality": (x136_weekday_seasonality, X136_SQL),
 }

@@ -1060,3 +1060,53 @@ def test_order_aging_cells(spark):
     assert ou.share == round(2 / 3, 6)
     assert ou.revenue == 30.5
     assert out[("F", "5-LOW")].revenue == 5.25
+
+
+def test_code_switch_profile_mixed_doc(spark):
+    """Doc 1 mixes two en sentences with one es sentence (dominant en,
+    share 2/3, mixed); doc 2 is monolingual; a doc of only short
+    fragments emits no row."""
+    from shifts_etl_spark.operators.textstats import code_switch_profile
+
+    rows = [
+        _doc(1, "the cat sat on the mat. a dog and the hat sat. "
+                "el gato y el perro en la casa."),
+        _doc(2, "the cat sat on the mat. the dog ran to the cat."),
+        _doc(3, "hi. no. yes."),
+    ]
+    out = {r.doc_id: r for r in
+           code_switch_profile(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2}
+    d1 = out[1]
+    assert (d1.n_sentences, d1.n_langs, d1.dominant_lang) == (3, 2, "en")
+    assert d1.dominant_share == round(2 / 3, 6)
+    assert bool(d1.is_mixed) is True
+    d2 = out[2]
+    assert (d2.n_langs, bool(d2.is_mixed), d2.dominant_share) == (
+        1, False, 1.0)
+
+
+def test_weekday_seasonality_chi2(spark):
+    """Orders on Mon, Mon, Sun: Monday weekday=1 count 2, Sunday
+    weekday=7 count 1; expected 3/7 each; chi2 contributions pin to the
+    closed form."""
+    from shifts_etl_spark.operators.funnel import weekday_seasonality
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O", o_totalprice=1.0,
+            o_orderdate=dt.date(2024, 1, 1), o_orderpriority="1"),  # Monday
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="O", o_totalprice=1.0,
+            o_orderdate=dt.date(2024, 1, 8), o_orderpriority="1"),  # Monday
+        Row(o_orderkey=3, o_custkey=1, o_orderstatus="O", o_totalprice=1.0,
+            o_orderdate=dt.date(2024, 1, 7), o_orderpriority="1"),  # Sunday
+    ]
+    out = {r.weekday: r for r in
+           weekday_seasonality(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 7}
+    e = 3 / 7.0
+    mon = out[1]
+    assert mon.n_orders == 2
+    assert mon.chi2_contrib == round((2 - e) ** 2 / e, 6)
+    assert mon.deviation == round(2 / e - 1, 6)
+    assert out[7].n_orders == 1
