@@ -642,3 +642,79 @@ def weekday_seasonality(
             (F.col("n_orders") - e) * (F.col("n_orders") - e) / e, 6
         ).alias("chi2_contrib"),
     )
+
+
+def value_streaks(
+    events: DataFrame,
+    top_k: int = 5,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hot-streak detection on the daily event-value series: the
+    ``top_k`` longest runs of consecutive OBSERVED days whose daily mean
+    value sits above the overall daily-mean average — the
+    change-onset report a monitoring pipeline publishes when a metric
+    runs hot for days at a time. One row per streak: start/end dates,
+    length, and the streak's mean relative lift.
+
+    Determinism: daily means compare as integer-micro quantities
+    (value x 1e6 summed exactly / count), so the above/below split and
+    every streak boundary are engine-exact.
+
+    Scale shape: events collapse to |days| cells in one aggregate;
+    islands number via the classic two-rank trick (day rank minus
+    above-run rank is constant within a run) on the calendar-bounded
+    cell frame; the top-k is TakeOrdered."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("micro"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    glob = daily.agg(
+        F.sum("micro").cast("double").alias("g_micro"),
+        F.sum("n").cast("double").alias("g_n"),
+    )
+    marked = daily.crossJoin(F.broadcast(glob)).select(
+        "day",
+        (F.col("micro").cast("double") / F.col("n")).alias("day_mean_micro"),
+        (F.col("g_micro") / F.col("g_n")).alias("glob_mean_micro"),
+        (
+            F.col("micro").cast("double") / F.col("n")
+            > F.col("g_micro") / F.col("g_n")
+        ).alias("above"),
+    )
+    from pyspark.sql import Window
+
+    runs = (
+        marked.where(F.col("above"))
+        .select(
+            "day",
+            "day_mean_micro",
+            "glob_mean_micro",
+            (
+                F.row_number().over(Window.orderBy("day"))
+            ).alias("rk"),
+        )
+        .select(
+            "*",
+            F.date_sub(F.col("day"), F.col("rk")).alias("anchor"),
+        )
+    )
+    return (
+        runs.groupBy("anchor")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.avg(
+                    F.col("day_mean_micro") / F.col("glob_mean_micro") - 1.0
+                ),
+                6,
+            ).alias("mean_lift"),
+        )
+        .drop("anchor")
+        .orderBy(F.desc("n_days"), "start_day")
+        .limit(top_k)
+    )

@@ -725,3 +725,60 @@ def order_aging(
         "max_age_days",
         "revenue",
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str = "c_acctbal",
+    group_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Tukey IQR-fence outlier audit: per group, the exact quartiles,
+    the 1.5-IQR fences, and how many values fall outside them — the
+    distribution-free outlier screen (q40's MAD flavor is robust to the
+    same; the fences are what BI tools draw). Values quantize to integer
+    cents first (the x125 convention) so quartiles and fence
+    comparisons are engine-exact.
+
+    Scale shape: one exact-percentile aggregate per group produces the
+    fence table (G rows, broadcast back); the outlier count is a second
+    one-pass cell aggregate."""
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    fences = vals.groupBy("grp").agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(0.25)).alias("q1c"),
+        F.percentile(F.col("cents").cast("double"), F.lit(0.75)).alias("q3c"),
+    )
+    lo = F.col("q1c") - 1.5 * (F.col("q3c") - F.col("q1c"))
+    hi = F.col("q3c") + 1.5 * (F.col("q3c") - F.col("q1c"))
+    return (
+        vals.join(F.broadcast(fences), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("q1c") / 100.0, 4).alias("q1"),
+            F.round(F.min("q3c") / 100.0, 4).alias("q3"),
+            F.round(F.min(lo) / 100.0, 4).alias("lo_fence"),
+            F.round(F.min(hi) / 100.0, 4).alias("hi_fence"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < lo) | (F.col("cents") > hi), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "q1",
+            "q3",
+            "lo_fence",
+            "hi_fence",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n"), 6
+            ).alias("outlier_share"),
+        )
+    )

@@ -6208,6 +6208,84 @@ FROM cells CROSS JOIN tot t
 """
 
 
+def x137_iqr_outliers(spark, sf_dir):
+    """Tukey IQR-fence outliers per market segment
+    (profile.iqr_outliers): exact integer-cents quartiles, 1.5-IQR
+    fences, outlier counts/shares — one percentile aggregate broadcast
+    back + one counting pass."""
+    return profile.iqr_outliers(_t(spark, sf_dir, "customer"))
+
+
+X137_SQL = """
+WITH vals AS (
+  SELECT c_mktsegment AS grp,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+fences AS (
+  SELECT grp,
+         quantile_cont(CAST(cents AS DOUBLE), 0.25) AS q1c,
+         quantile_cont(CAST(cents AS DOUBLE), 0.75) AS q3c
+  FROM vals GROUP BY 1
+)
+SELECT v.grp AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(MIN(q1c) / 100.0, 4) AS q1,
+       round(MIN(q3c) / 100.0, 4) AS q3,
+       round(MIN(q1c - 1.5 * (q3c - q1c)) / 100.0, 4) AS lo_fence,
+       round(MIN(q3c + 1.5 * (q3c - q1c)) / 100.0, 4) AS hi_fence,
+       CAST(SUM(CASE WHEN v.cents < q1c - 1.5 * (q3c - q1c)
+                       OR v.cents > q3c + 1.5 * (q3c - q1c)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(SUM(CASE WHEN v.cents < q1c - 1.5 * (q3c - q1c)
+                             OR v.cents > q3c + 1.5 * (q3c - q1c)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS outlier_share
+FROM vals v JOIN fences f USING (grp)
+GROUP BY 1
+"""
+
+
+def x138_value_streaks(spark, sf_dir):
+    """Hot-streak detection (funnel.value_streaks): top-5 longest runs
+    of consecutive observed days whose daily mean event value beats the
+    overall mean — integer-micro day means (engine-exact boundaries),
+    two-rank island numbering on the calendar-bounded cell frame,
+    TakeOrdered."""
+    return funnel.value_streaks(_t(spark, sf_dir, "events"))
+
+
+X138_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS micro,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+g AS (SELECT CAST(SUM(micro) AS DOUBLE) AS g_micro,
+             CAST(SUM(n) AS DOUBLE) AS g_n
+      FROM daily),
+marked AS (
+  SELECT day,
+         CAST(micro AS DOUBLE) / n AS day_mean_micro,
+         g.g_micro / g.g_n AS glob_mean_micro
+  FROM daily CROSS JOIN g
+  WHERE CAST(micro AS DOUBLE) / n > g.g_micro / g.g_n
+),
+runs AS (
+  SELECT day, day_mean_micro, glob_mean_micro,
+         day - CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS anchor
+  FROM marked
+)
+SELECT MIN(day) AS start_day, MAX(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(day_mean_micro / glob_mean_micro - 1.0), 6) AS mean_lift
+FROM runs GROUP BY anchor
+ORDER BY n_days DESC, start_day
+LIMIT 5
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6349,4 +6427,6 @@ EXTENSIONS = {
     "x134_order_aging": (x134_order_aging, X134_SQL),
     "x135_code_switch": (x135_code_switch, X135_SQL),
     "x136_weekday_seasonality": (x136_weekday_seasonality, X136_SQL),
+    "x137_iqr_outliers": (x137_iqr_outliers, X137_SQL),
+    "x138_value_streaks": (x138_value_streaks, X138_SQL),
 }

@@ -1110,3 +1110,47 @@ def test_weekday_seasonality_chi2(spark):
     assert mon.chi2_contrib == round((2 - e) ** 2 / e, 6)
     assert mon.deviation == round(2 / e - 1, 6)
     assert out[7].n_orders == 1
+
+
+def test_iqr_outliers_hand_fences(spark):
+    """Group A balances [1,2,3,4,100]: q1=2, q3=4, IQR=2, fences
+    [-1, 7] — exactly one outlier (100), share 0.2. Group B is tight
+    (no outliers)."""
+    from shifts_etl_spark.operators.profile import iqr_outliers
+
+    rows = [Row(c_mktsegment="A", c_acctbal=v)
+            for v in (1.0, 2.0, 3.0, 4.0, 100.0)]
+    rows += [Row(c_mktsegment="B", c_acctbal=v) for v in (5.0, 5.0, 5.0)]
+    out = {r.c_mktsegment: r for r in
+           iqr_outliers(spark.createDataFrame(rows)).collect()}
+    a = out["A"]
+    assert (a.n, a.q1, a.q3) == (5, 2.0, 4.0)
+    assert (a.lo_fence, a.hi_fence) == (-1.0, 7.0)
+    assert (a.n_outliers, a.outlier_share) == (1, 0.2)
+    b = out["B"]
+    assert (b.n_outliers, b.q1, b.q3) == (0, 5.0, 5.0)
+
+
+def test_value_streaks_hand_runs(spark):
+    """Daily means 10,10,1,1,10 (global mean 6.4): above-mean days are
+    d1,d2,d5 → streaks [d1..d2] (len 2) and [d5] (len 1), each with
+    lift 10/6.4 - 1 = 0.5625."""
+    from shifts_etl_spark.operators.funnel import value_streaks
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "view", "2024-01-02T10:00:00"),
+        _ev(3, 1, "view", "2024-01-03T10:00:00"),
+        _ev(4, 1, "view", "2024-01-04T10:00:00"),
+        _ev(5, 1, "view", "2024-01-05T10:00:00"),
+    ]
+    vals = {1: 10.0, 2: 10.0, 3: 1.0, 4: 1.0, 5: 10.0}
+    df = spark.createDataFrame(
+        [Row(**{**r.asDict(), "value": vals[r.event_id]}) for r in rows]
+    )
+    out = value_streaks(df, top_k=5).collect()
+    assert [(str(r.start_day), str(r.end_day), r.n_days) for r in out] == [
+        ("2024-01-01", "2024-01-02", 2),
+        ("2024-01-05", "2024-01-05", 1),
+    ]
+    assert all(r.mean_lift == round(10 / 6.4 - 1, 6) for r in out)

@@ -92,6 +92,8 @@ SINGLE_PARTITION_OK = {
     # over the vocab cells
     "x134_order_aging",  # anchor date + cell total: two 1-row aggregates
     "x136_weekday_seasonality",  # weekday total: one 1-row aggregate over 7 cells
+    "x138_value_streaks",  # day-rank window over the calendar-bounded
+    # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
     # the |types|^2-cell grid
     "x100_lang_source_mi",  # corpus total N: one 1-row aggregate over
@@ -135,6 +137,7 @@ CROSS_JOIN_OK = {
     "x131_keyness_terms",  # crossJoin with the broadcast 1-row (N, V) totals
     "x134_order_aging",  # crossJoins with the broadcast 1-row anchor/total
     "x136_weekday_seasonality",  # crossJoin with the broadcast 1-row total
+    "x138_value_streaks",  # crossJoin with the broadcast 1-row global mean
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
