@@ -177,3 +177,60 @@ def bpe_encode_counts(
             F.round(F.col("n_pieces") / F.col("n_words"), 6).alias("pieces_per_word"),
         )
     )
+
+
+def bpe_fertility_by_lang(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | None = None,
+    n_merges: int = 10,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-fertility fairness audit: per language, how many BPE
+    pieces the learned merges spend per word and per character —
+    languages the merge table under-serves fragment into more pieces,
+    so they pay more sequence length (and more compute) per character
+    of content. One row per language: (lang, n_words, n_chars,
+    n_pieces, pieces_per_word, chars_per_piece).
+
+    Same scale shape as :func:`bpe_encode_counts`: merges apply to the
+    DISTINCT-word frame (vocab-sized), and the broadcast word->pieces
+    map joins back over the corpus word stream; the final aggregate is
+    language-keyed (a handful of cells). Integer counts throughout; the
+    two ratios round at 6 dp."""
+    if merges is None:
+        merges = bpe_train(docs, n_merges, text_col)
+    vocab = word_vocab(docs, text_col).select(
+        "word", _initial_symbols(F.col("word")).alias("sym")
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    for a, b, _ in merges:
+        vocab = vocab.select(
+            "word", _apply_merge(F.col("sym"), a, b).alias("sym")
+        ).localCheckpoint(eager=True)
+    pieces = vocab.select("word", F.size("sym").alias("wp"))
+    words = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(pieces), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("wp").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 6
+            ).alias("pieces_per_word"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_pieces"), 6
+            ).alias("chars_per_piece"),
+        )
+    )

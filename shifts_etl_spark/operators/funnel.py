@@ -718,3 +718,54 @@ def value_streaks(
         .orderBy(F.desc("n_days"), "start_day")
         .limit(top_k)
     )
+
+
+def deseasonalized_anomalies(
+    orders: DataFrame,
+    z_threshold: float = 2.0,
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> DataFrame:
+    """Weekday-adjusted daily revenue anomalies: divide each day's
+    revenue by its ISO-weekday seasonal factor (weekday mean over the
+    global daily mean), z-score the deseasonalized series, and emit the
+    days beyond ``z_threshold`` — the x125/x136 composition that stops
+    a Sunday from paging just for being a Sunday.
+
+    Scale shape: orders collapse to |days| integer-cents cells in one
+    aggregate; the 7-row weekday factor table and 1-row global moments
+    broadcast back. z rounds at 6 dp (the hourly_bursts convention)."""
+    daily = orders.groupBy(F.col(date_col).alias("day")).agg(
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).alias("rev_cents")
+    )
+    daily = daily.select("day", "rev_cents", F.dayofweek("day").alias("weekday"))
+    wk = daily.groupBy("weekday").agg(F.avg("rev_cents").alias("wk_mean"))
+    glob = daily.agg(F.avg("rev_cents").alias("g_mean"))
+    deseason = (
+        daily.join(F.broadcast(wk), "weekday")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "day",
+            "weekday",
+            "rev_cents",
+            (F.col("rev_cents") / (F.col("wk_mean") / F.col("g_mean"))).alias("adj"),
+        )
+    )
+    moments = deseason.agg(
+        F.avg("adj").alias("m"), F.stddev_pop("adj").alias("sd")
+    )
+    z = F.when(
+        F.col("sd") > 0, F.round((F.col("adj") - F.col("m")) / F.col("sd"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        deseason.crossJoin(F.broadcast(moments))
+        .select(
+            "day",
+            "weekday",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("adj") / 100.0, 2).alias("deseasonalized"),
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= z_threshold)
+        .orderBy("day")
+    )

@@ -782,3 +782,129 @@ def iqr_outliers(
             ).alias("outlier_share"),
         )
     )
+
+
+def isotropy_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space isotropy audit per label: the mean pairwise
+    cosine across all n·(n-1) ordered pairs inside each label, computed
+    in CLOSED FORM — for unit vectors u, sum of all pairwise dots is
+    ||SUM(u)||^2 - SUM(||u||^2), so the all-pairs quantity needs one
+    per-dimension sum, never a pair join. High mean cosine = anisotropic
+    (collapsed) label cones; near-zero = isotropic spread. Ethayarajh
+    (2019)-style contextual-anisotropy check as a data-QA table.
+
+    Determinism: each vector normalizes via the in-row-order IEEE fold
+    (norm_profile's convention), unit components quantize to integer
+    micro, so the per-dimension sums and the self-dot total are
+    engine-exact longs; only the final 64-term sum of squares is float,
+    rounded at 6 dp.
+
+    Scale shape: row-local quantize -> one (label, dim)-keyed
+    map-side-combinable aggregate (|labels| x 64 cells) -> one
+    |labels|-row fold. Vectors shuffle as (label, dim, long), never as
+    arrays; no pair join exists in the plan."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    q = emb.where(norm > 0.0).select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(
+                v, lambda x: F.round(x.cast("double") / norm * 1e6).cast("long")
+            )
+        ).alias("i", "q"),
+    )
+    dims = q.groupBy("label", "i").agg(
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("selfsq"),
+    )
+    per_label = dims.groupBy("label").agg(
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double")).alias("ss2"),
+        F.sum("selfsq").alias("selfsq"),
+    )
+    counts = emb.where(norm > 0.0).groupBy(
+        F.col(label_col).alias("label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per_label.join(counts, "label")
+        .where(F.col("n") > 1)
+        .select(
+            "label",
+            "n",
+            F.round(
+                (F.col("ss2") - F.col("selfsq").cast("double"))
+                / (F.col("n").cast("double") * (F.col("n") - 1.0))
+                / 1e12,
+                6,
+            ).alias("mean_pairwise_cosine"),
+        )
+    )
+
+
+def winsorization_report(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    group_col: str = "o_orderpriority",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Winsorization impact report: per group, the exact p-lo/p-hi
+    percentile fences on integer cents, how many values each side would
+    clamp, and how far the group mean moves once clamped — the
+    before/after accounting a feature pipeline publishes when it caps
+    outliers instead of dropping them (iqr_outliers' sibling: that one
+    flags, this one measures the repair).
+
+    Scale shape: one exact-percentile aggregate per group (G rows,
+    broadcast back) + one counting/means pass. Integer-cents input so
+    raw means are engine-exact; clamped means round at 4 dp to absorb
+    interpolated-fence ulps."""
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    fences = vals.groupBy("grp").agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(lo)).alias("loc"),
+        F.percentile(F.col("cents").cast("double"), F.lit(hi)).alias("hic"),
+    )
+    wins = F.least(F.greatest(F.col("cents").cast("double"), F.col("loc")), F.col("hic"))
+    return (
+        vals.join(F.broadcast(fences), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("loc") / 100.0, 4).alias("lo_fence"),
+            F.round(F.min("hic") / 100.0, 4).alias("hi_fence"),
+            F.sum((F.col("cents") < F.col("loc")).cast("long"))
+            .cast("long")
+            .alias("n_lo"),
+            F.sum((F.col("cents") > F.col("hic")).cast("long"))
+            .cast("long")
+            .alias("n_hi"),
+            F.round(F.avg(F.col("cents").cast("double")) / 100.0, 4).alias("raw_mean"),
+            F.round(F.avg(wins) / 100.0, 4).alias("wins_mean"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "lo_fence",
+            "hi_fence",
+            "n_lo",
+            "n_hi",
+            F.round((F.col("n_lo") + F.col("n_hi")).cast("double") / F.col("n"), 6).alias(
+                "clamp_share"
+            ),
+            "raw_mean",
+            "wins_mean",
+            F.round(F.col("wins_mean") - F.col("raw_mean"), 4).alias("mean_shift"),
+        )
+    )

@@ -6286,6 +6286,170 @@ LIMIT 5
 """
 
 
+def x139_bpe_fertility(spark, sf_dir):
+    """Tokenizer-fertility fairness audit (bpe.bpe_fertility_by_lang):
+    per language, BPE pieces per word and chars per piece under x74's
+    10 learned merges — the languages a merge table under-serves pay
+    more sequence length per character. Vocab-sized merge application,
+    broadcast word->pieces map, language-keyed cells."""
+    from ..operators.bpe import bpe_fertility_by_lang
+
+    return bpe_fertility_by_lang(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
+X139_SQL = f"""{_bpe_chain_sql(10)},
+final AS (
+  SELECT word, len(string_split(sym, ' ')) AS wp
+  FROM sel WHERE it = (SELECT max(it) FROM sel)
+),
+stream AS (SELECT doc_id, unnest(toks) AS word FROM norm)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(s.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(f.wp) AS BIGINT) AS n_pieces,
+       round(CAST(SUM(f.wp) AS DOUBLE) / count(*), 6) AS pieces_per_word,
+       round(CAST(SUM(length(s.word)) AS DOUBLE) / SUM(f.wp), 6)
+         AS chars_per_piece
+FROM stream s
+JOIN final f USING (word)
+JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def x140_isotropy_audit(spark, sf_dir):
+    """Per-label embedding isotropy (profile.isotropy_audit): mean
+    pairwise cosine across all ordered pairs inside each label via the
+    closed form ||SUM(u)||^2 - SUM(||u||^2) on micro-quantized unit
+    vectors — one (label, dim) aggregate, no pair join anywhere."""
+    return profile.isotropy_audit(_t(spark, sf_dir, "embeddings"))
+
+
+X140_SQL = """
+WITH normed AS (
+  SELECT label, vec_id,
+         sqrt(list_sum(list_transform(
+           embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         ))) AS nrm,
+         embedding
+  FROM embeddings
+),
+q AS (
+  SELECT label, vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm * 1e6, 0)
+              AS BIGINT) AS q
+  FROM normed WHERE nrm > 0
+),
+dims AS (
+  SELECT label,
+         SUM(q * q) AS selfsq
+  FROM q GROUP BY 1
+),
+svec AS (
+  SELECT label, i, SUM(qq) AS s
+  FROM (
+    SELECT label, vec_id,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm * 1e6, 0)
+                AS BIGINT) AS qq,
+           generate_subscripts(embedding, 1) AS i
+    FROM normed WHERE nrm > 0
+  ) GROUP BY 1, 2
+),
+ss AS (
+  SELECT label, SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss2
+  FROM svec GROUP BY 1
+),
+cnt AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n
+  FROM normed WHERE nrm > 0 GROUP BY 1
+)
+SELECT c.label, c.n,
+       round((ss.ss2 - d.selfsq) / (CAST(c.n AS DOUBLE) * (c.n - 1.0))
+             / 1e12, 6) AS mean_pairwise_cosine
+FROM cnt c JOIN ss USING (label) JOIN dims d USING (label)
+WHERE c.n > 1
+"""
+
+
+def x141_winsorization(spark, sf_dir):
+    """Winsorization impact report (profile.winsorization_report): per
+    order priority, exact p01/p99 integer-cents fences, clamp counts,
+    and the raw->clamped mean shift — one G-row percentile aggregate
+    broadcast back + one counting/means pass."""
+    return profile.winsorization_report(_t(spark, sf_dir, "orders"))
+
+
+X141_SQL = """
+WITH vals AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+fences AS (
+  SELECT grp,
+         quantile_cont(CAST(cents AS DOUBLE), 0.01) AS loc,
+         quantile_cont(CAST(cents AS DOUBLE), 0.99) AS hic
+  FROM vals GROUP BY 1
+),
+agg AS (
+  SELECT v.grp,
+         CAST(count(*) AS BIGINT) AS n,
+         round(MIN(loc) / 100.0, 4) AS lo_fence,
+         round(MIN(hic) / 100.0, 4) AS hi_fence,
+         CAST(SUM(CASE WHEN v.cents < loc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lo,
+         CAST(SUM(CASE WHEN v.cents > hic THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi,
+         round(avg(CAST(v.cents AS DOUBLE)) / 100.0, 4) AS raw_mean,
+         round(avg(LEAST(GREATEST(CAST(v.cents AS DOUBLE), loc), hic))
+               / 100.0, 4) AS wins_mean
+  FROM vals v JOIN fences f USING (grp)
+  GROUP BY 1
+)
+SELECT grp AS o_orderpriority, n, lo_fence, hi_fence, n_lo, n_hi,
+       round(CAST(n_lo + n_hi AS DOUBLE) / n, 6) AS clamp_share,
+       raw_mean, wins_mean,
+       round(wins_mean - raw_mean, 4) AS mean_shift
+FROM agg
+"""
+
+
+def x142_deseasonalized_anomalies(spark, sf_dir):
+    """Weekday-adjusted daily revenue anomalies
+    (funnel.deseasonalized_anomalies): daily integer-cents cells, 7-row
+    weekday factor + 1-row moments broadcast back, |z| >= 2 days only —
+    the x125/x136 composition."""
+    return funnel.deseasonalized_anomalies(_t(spark, sf_dir, "orders"))
+
+
+X142_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         dayofweek(o_orderdate) + 1 AS weekday
+  FROM orders GROUP BY 1
+),
+wk AS (SELECT weekday, avg(rev_cents) AS wk_mean FROM daily GROUP BY 1),
+g AS (SELECT avg(rev_cents) AS g_mean FROM daily),
+deseason AS (
+  SELECT d.day, d.weekday, d.rev_cents,
+         d.rev_cents / (w.wk_mean / g.g_mean) AS adj
+  FROM daily d JOIN wk w USING (weekday) CROSS JOIN g
+),
+m AS (SELECT avg(adj) AS m, stddev_pop(adj) AS sd FROM deseason)
+SELECT day, weekday,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round(adj / 100.0, 2) AS deseasonalized,
+       CASE WHEN m.sd > 0 THEN round((adj - m.m) / m.sd, 6) ELSE 0.0 END
+         AS z_score
+FROM deseason CROSS JOIN m
+WHERE abs(CASE WHEN m.sd > 0 THEN round((adj - m.m) / m.sd, 6)
+               ELSE 0.0 END) >= 2.0
+ORDER BY day
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6429,4 +6593,11 @@ EXTENSIONS = {
     "x136_weekday_seasonality": (x136_weekday_seasonality, X136_SQL),
     "x137_iqr_outliers": (x137_iqr_outliers, X137_SQL),
     "x138_value_streaks": (x138_value_streaks, X138_SQL),
+    "x139_bpe_fertility": (x139_bpe_fertility, X139_SQL),
+    "x140_isotropy_audit": (x140_isotropy_audit, X140_SQL),
+    "x141_winsorization": (x141_winsorization, X141_SQL),
+    "x142_deseasonalized_anomalies": (
+        x142_deseasonalized_anomalies,
+        X142_SQL,
+    ),
 }

@@ -1154,3 +1154,105 @@ def test_value_streaks_hand_runs(spark):
         ("2024-01-05", "2024-01-05", 1),
     ]
     assert all(r.mean_lift == round(10 / 6.4 - 1, 6) for r in out)
+
+
+def test_bpe_fertility_by_lang_hand(spark):
+    """Corpus 'low low low low lower' (en) + 'ab ab' (de): the first
+    learned merge is (l,o) then (lo,w) ... with n_merges=2 the en words
+    'low'->[low? ] — pin against bpe_encode_counts ground truth: the
+    per-lang sums must equal the per-doc sums regrouped by lang."""
+    from shifts_etl_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_fertility_by_lang,
+        bpe_train,
+    )
+
+    rows = [
+        _doc(1, "low low low low lower", lang="en"),
+        _doc(2, "ab ab ab", lang="de"),
+    ]
+    df = spark.createDataFrame(rows)
+    merges = bpe_train(df, n_merges=3)
+    per_doc = {r.doc_id: r for r in
+               bpe_encode_counts(df, merges=merges).collect()}
+    out = {r.lang: r for r in
+           bpe_fertility_by_lang(df, merges=merges).collect()}
+    en, de = out["en"], out["de"]
+    d1, d2 = per_doc[1], per_doc[2]
+    assert (en.n_words, en.n_chars, en.n_pieces) == (
+        d1.n_words, d1.n_chars, d1.n_pieces)
+    assert (de.n_words, de.n_chars, de.n_pieces) == (
+        d2.n_words, d2.n_chars, d2.n_pieces)
+    assert en.pieces_per_word == round(en.n_pieces / en.n_words, 6)
+    assert de.chars_per_piece == round(de.n_chars / de.n_pieces, 6)
+
+
+def test_isotropy_audit_closed_form(spark):
+    """Label 0: two identical unit vectors -> mean pairwise cosine 1;
+    label 1: two orthogonal unit vectors -> 0; label 2: u and -u -> -1;
+    a singleton label emits no row; a zero vector is excluded."""
+    from shifts_etl_spark.operators.profile import isotropy_audit
+
+    rows = [
+        Row(vec_id=1, label=0, embedding=[1.0, 0.0]),
+        Row(vec_id=2, label=0, embedding=[1.0, 0.0]),
+        Row(vec_id=3, label=1, embedding=[1.0, 0.0]),
+        Row(vec_id=4, label=1, embedding=[0.0, 1.0]),
+        Row(vec_id=5, label=2, embedding=[0.5, 0.0]),
+        Row(vec_id=6, label=2, embedding=[-2.0, 0.0]),
+        Row(vec_id=7, label=3, embedding=[1.0, 1.0]),
+        Row(vec_id=8, label=4, embedding=[0.0, 0.0]),
+        Row(vec_id=9, label=4, embedding=[1.0, 0.0]),
+    ]
+    out = {r.label: r for r in
+           isotropy_audit(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n, out[0].mean_pairwise_cosine) == (2, 1.0)
+    assert (out[1].n, out[1].mean_pairwise_cosine) == (2, 0.0)
+    assert (out[2].n, out[2].mean_pairwise_cosine) == (2, -1.0)
+
+
+def test_winsorization_report_hand(spark):
+    """Group 'A' prices 1..100: p01 = 1.99, p99 = 99.01; exactly one
+    value clamps each side; the clamped mean moves by
+    ((1.99-1) + (99.01-100))/100 = 0.0001 below 50.5... pinned in full."""
+    from shifts_etl_spark.operators.profile import winsorization_report
+
+    rows = [Row(o_orderpriority="A", o_totalprice=float(i))
+            for i in range(1, 101)]
+    out = winsorization_report(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.n_lo, r.n_hi) == (100, 1, 1)
+    assert (r.lo_fence, r.hi_fence) == (1.99, 99.01)
+    assert r.raw_mean == 50.5
+    wins_mean = (sum(range(2, 100)) + 1.99 + 99.01) / 100
+    assert r.wins_mean == round(wins_mean, 4)
+    assert r.mean_shift == round(round(wins_mean, 4) - 50.5, 4)
+    assert r.clamp_share == 0.02
+
+
+def test_deseasonalized_anomalies_flags_spike(spark):
+    """Two weeks of flat 100/day revenue with one 1000 Monday: the
+    spike inflates its own weekday factor (wk_mean 550), so BOTH
+    Mondays deseasonalize away from the mean symmetrically — the spike
+    week high, the normal Monday low — and nothing else flags."""
+    from shifts_etl_spark.operators.funnel import deseasonalized_anomalies
+    import datetime as dt
+
+    rows = []
+    day0 = dt.date(2024, 1, 1)  # Monday
+    k = 1
+    for d in range(14):
+        day = day0 + dt.timedelta(days=d)
+        price = 1000.0 if d == 7 else 100.0
+        rows.append(Row(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+                        o_totalprice=price, o_orderdate=day,
+                        o_orderpriority="1")); k += 1
+    out = deseasonalized_anomalies(spark.createDataFrame(rows)).collect()
+    assert [(str(r.day), r.revenue) for r in out] == [
+        ("2024-01-01", 100.0), ("2024-01-08", 1000.0)]
+    lo, hi = out
+    assert hi.z_score > 2.0 and lo.z_score < -2.0
+    assert hi.z_score == -lo.z_score
+    assert hi.deseasonalized == round(10 * lo.deseasonalized, 2)

@@ -92,6 +92,8 @@ SINGLE_PARTITION_OK = {
     # over the vocab cells
     "x134_order_aging",  # anchor date + cell total: two 1-row aggregates
     "x136_weekday_seasonality",  # weekday total: one 1-row aggregate over 7 cells
+    "x142_deseasonalized_anomalies",  # global mean / moments: two 1-row
+    # aggregates over the |days| cells
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -138,6 +140,8 @@ CROSS_JOIN_OK = {
     "x134_order_aging",  # crossJoins with the broadcast 1-row anchor/total
     "x136_weekday_seasonality",  # crossJoin with the broadcast 1-row total
     "x138_value_streaks",  # crossJoin with the broadcast 1-row global mean
+    "x142_deseasonalized_anomalies",  # crossJoins with the broadcast
+    # 1-row global mean / moments onto the |days| cells
     "x100_lang_source_mi",  # crossJoin with the broadcast 1-row N total
     "q35_inactive_big_balance",  # crossJoin with the broadcast 1-row AVG
     "x45_bm25_scores",  # crossJoin with the broadcast 1-row (N, avgdl)
