@@ -908,3 +908,75 @@ def winsorization_report(
             F.round(F.col("wins_mean") - F.col("raw_mean"), 4).alias("mean_shift"),
         )
     )
+
+
+def embedding_split_drift(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    frac_a_pct: int = 50,
+) -> DataFrame:
+    """Embedding drift between two deterministic md5 halves of the
+    corpus, per label: cosine between the half centroids and the L2
+    distance between them — the vector-space companion to
+    :func:`ks_two_sample` (a scalar KS can't see a direction change
+    that preserves marginals). Healthy identically-distributed halves
+    sit at cosine ~1; a drop flags an encoder or population shift
+    inside that label.
+
+    Determinism: components quantize to integer micro row-locally, so
+    the per-(label, half, dim) sums are engine-exact longs; only the
+    final 64-term cosine/L2 folds are float, rounded at 6 dp.
+
+    Scale shape: one (label, dim)-keyed map-side-combinable aggregate
+    (vectors shuffle as long partials, never arrays), then a
+    |labels|-row fold. The split is the x24 content-hash bucket, so
+    halves are reproducible on backfill."""
+    hx = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(F.substring(hx, 2, 1))
+    ) % 100
+    q = emb.select(
+        F.col(label_col).alias("label"),
+        (bucket < frac_a_pct).cast("long").alias("a"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+            )
+        ).alias("i", "q"),
+    )
+    dims = q.groupBy("label", "i").agg(
+        F.sum(F.col("a") * F.col("q")).alias("sa"),
+        F.sum((1 - F.col("a")) * F.col("q")).alias("sb"),
+        F.sum("a").alias("na_i"),
+        F.sum(F.lit(1) - F.col("a")).alias("nb_i"),
+    )
+    per_label = dims.groupBy("label").agg(
+        F.max("na_i").cast("long").alias("n_a"),
+        F.max("nb_i").cast("long").alias("n_b"),
+        F.sum(F.col("sa").cast("double") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa").cast("double") * F.col("sa")).alias("aa"),
+        F.sum(F.col("sb").cast("double") * F.col("sb")).alias("bb"),
+        F.sum(
+            (
+                F.col("sa").cast("double") / F.greatest(F.col("na_i"), F.lit(1))
+                - F.col("sb").cast("double") / F.greatest(F.col("nb_i"), F.lit(1))
+            )
+            ** 2
+        ).alias("dsq"),
+    )
+    return (
+        per_label.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .where((F.col("aa") > 0) & (F.col("bb") > 0))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("aa") * F.col("bb")), 6
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt(F.col("dsq")) / 1e6, 6).alias("centroid_l2"),
+        )
+    )

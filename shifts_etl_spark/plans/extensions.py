@@ -6450,6 +6450,74 @@ ORDER BY day
 """
 
 
+def x143_heavy_user_profile(spark, sf_dir):
+    """Skew-proof heavy-user profile (funnel.heavy_user_profile):
+    salted (user, md5-shard) partial counts/sums folded per user +
+    two-stage pair-collapse exact distinct types — no reducer ever
+    holds a hot user's full stream; the oracle is the naive single
+    GROUP BY, proving plan-for-plan equality."""
+    return funnel.heavy_user_profile(_t(spark, sf_dir, "events"))
+
+
+X143_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       round(CAST(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
+             / 1e6, 4) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+
+def x144_embedding_split_drift(spark, sf_dir):
+    """Per-label embedding drift between md5 halves
+    (profile.embedding_split_drift): centroid cosine + centroid L2 on
+    micro-quantized component sums — one (label, dim) aggregate, the
+    vector-space companion to x78's scalar KS."""
+    return profile.embedding_split_drift(_t(spark, sf_dir, "embeddings"))
+
+
+X144_SQL = """
+WITH q AS (
+  SELECT label,
+         CASE WHEN (ascii(substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) * 256
+                  + ascii(substring(md5(CAST(vec_id AS VARCHAR)), 2, 1))) % 100 < 50
+              THEN 1 ELSE 0 END AS a,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0) AS BIGINT)
+           AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i,
+         SUM(a * qv) AS sa,
+         SUM((1 - a) * qv) AS sb,
+         SUM(a) AS na_i,
+         SUM(1 - a) AS nb_i
+  FROM q GROUP BY 1, 2
+),
+per_label AS (
+  SELECT label,
+         CAST(MAX(na_i) AS BIGINT) AS n_a,
+         CAST(MAX(nb_i) AS BIGINT) AS n_b,
+         SUM(CAST(sa AS DOUBLE) * sb) AS dot,
+         SUM(CAST(sa AS DOUBLE) * sa) AS aa,
+         SUM(CAST(sb AS DOUBLE) * sb) AS bb,
+         SUM(pow(CAST(sa AS DOUBLE) / GREATEST(na_i, 1)
+                 - CAST(sb AS DOUBLE) / GREATEST(nb_i, 1), 2)) AS dsq
+  FROM dims GROUP BY 1
+)
+SELECT label, n_a, n_b,
+       round(dot / sqrt(aa * bb), 6) AS centroid_cosine,
+       round(sqrt(dsq) / 1e6, 6) AS centroid_l2
+FROM per_label
+WHERE n_a > 0 AND n_b > 0 AND aa > 0 AND bb > 0
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6599,5 +6667,10 @@ EXTENSIONS = {
     "x142_deseasonalized_anomalies": (
         x142_deseasonalized_anomalies,
         X142_SQL,
+    ),
+    "x143_heavy_user_profile": (x143_heavy_user_profile, X143_SQL),
+    "x144_embedding_split_drift": (
+        x144_embedding_split_drift,
+        X144_SQL,
     ),
 }

@@ -1256,3 +1256,56 @@ def test_deseasonalized_anomalies_flags_spike(spark):
     assert hi.z_score > 2.0 and lo.z_score < -2.0
     assert hi.z_score == -lo.z_score
     assert hi.deseasonalized == round(10 * lo.deseasonalized, 2)
+
+
+def test_heavy_user_profile_matches_naive(spark):
+    """User 1: 5 events over 2 types, values 1.5 each; user 2: 2 events
+    1 type; the salted/two-stage plan must equal the naive groupBy
+    exactly, top-k ordered by count then user id."""
+    from shifts_etl_spark.operators.funnel import heavy_user_profile
+
+    rows = [_ev(i, 1, "view" if i % 2 else "click",
+                f"2024-01-01T10:00:{i:02d}") for i in range(5)]
+    rows += [_ev(10 + i, 2, "view", f"2024-01-02T10:00:{i:02d}")
+             for i in range(2)]
+    df = spark.createDataFrame(
+        [Row(**{**r.asDict(), "value": 1.5}) for r in rows]
+    )
+    out = heavy_user_profile(df, top_k=10).collect()
+    assert [(r.user_id, r.n_events, r.n_types, r.total_value)
+            for r in out] == [(1, 5, 2, 7.5), (2, 2, 1, 3.0)]
+
+
+def test_embedding_split_drift_identical_halves(spark):
+    """All vectors of label 0 identical -> both half centroids equal:
+    cosine 1, L2 0. Label 1's halves point apart -> cosine < 1. A
+    label with an empty half emits no row."""
+    from shifts_etl_spark.operators.profile import embedding_split_drift
+
+    # vec_ids chosen so each label gets members in both md5 halves:
+    # bucket(id) = (ascii pair of md5) % 100 < 50 -> half A
+    import hashlib
+
+    def half(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return (ord(h[0]) * 256 + ord(h[1])) % 100 < 50
+
+    ids = list(range(1, 40))
+    a_ids = [i for i in ids if half(i)]
+    b_ids = [i for i in ids if not half(i)]
+    assert a_ids and b_ids
+    rows = []
+    # label 0: identical vectors on both halves
+    for i in (a_ids[0], a_ids[1], b_ids[0], b_ids[1]):
+        rows.append(Row(vec_id=i, label=0, embedding=[1.0, 2.0]))
+    # label 1: half A points +x, half B points +y
+    rows.append(Row(vec_id=a_ids[2], label=1, embedding=[1.0, 0.0]))
+    rows.append(Row(vec_id=b_ids[2], label=1, embedding=[0.0, 1.0]))
+    # label 2: only half A -> no row
+    rows.append(Row(vec_id=a_ids[3], label=2, embedding=[1.0, 1.0]))
+    out = {r.label: r for r in
+           embedding_split_drift(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].centroid_cosine, out[0].centroid_l2) == (1.0, 0.0)
+    assert out[1].centroid_cosine == 0.0
+    assert out[1].centroid_l2 == round(math.sqrt(2), 6)
