@@ -980,3 +980,38 @@ def embedding_split_drift(
             F.round(F.sqrt(F.col("dsq")) / 1e6, 6).alias("centroid_l2"),
         )
     )
+
+
+def fulfillment_latency(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Order-completion latency per priority: an order is complete when
+    its LAST line ships, so the lag is max(l_shipdate) - o_orderdate —
+    the order-granularity companion to :func:`ship_latency_sla` (which
+    measures per-LINE ship lag; a 6-line order is one observation here,
+    six there). One row per priority: count, exact mean, interpolated
+    p50/p90/p99, max.
+
+    Scale shape: per-order max is an orderkey-keyed aggregate; the join
+    back to orders is co-partitioned on the same key (no extra
+    exchange); the percentile pass runs per priority — a handful of
+    cells. Integer day lags, so means are exact rationals and the
+    interpolated percentiles match engines bit-for-bit."""
+    last = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    days = orders.select("o_orderkey", "o_orderdate", "o_orderpriority").join(
+        last, "o_orderkey"
+    ).select(
+        "o_orderpriority",
+        F.datediff("last_ship", "o_orderdate").cast("double").alias("d"),
+    )
+    return days.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("d"), 4).alias("mean_days"),
+        F.round(F.percentile("d", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("d", F.lit(0.9)), 4).alias("p90_days"),
+        F.round(F.percentile("d", F.lit(0.99)), 4).alias("p99_days"),
+        F.max("d").cast("long").alias("max_days"),
+    )

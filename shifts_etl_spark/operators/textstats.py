@@ -1171,3 +1171,58 @@ def code_switch_profile(
         ).alias("dominant_share"),
         (F.col("n_langs") >= 2).alias("is_mixed"),
     )
+
+
+def lm_score_deciles(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Perplexity-filtering report: decile the held-out docs by their
+    stupid-backoff LM score (:func:`backoff_bigram_logprob`) and
+    summarize each band — doc count, mean logscore, mean backoff share,
+    transition volume. This is the artifact a curation pipeline
+    publishes before picking the keep-threshold for perplexity
+    filtering (CCNet-style: low-score bands are the candidates to
+    drop). Decile 10 = highest (most-fluent) scores.
+
+    Scale shape: per-doc scores ride the y1 pipeline; the 9 decile
+    edges are ONE exact-percentile 1-row aggregate broadcast back; the
+    band rollup is a 10-cell aggregate. Edges compare against 4
+    dp-rounded scores with > (ties sink), so banding is engine-stable."""
+    scored = backoff_bigram_logprob(
+        train_docs, score_docs, text_col, id_col, alpha
+    )
+    edges = scored.agg(
+        F.percentile(
+            F.col("mean_logscore"),
+            F.lit([i / 10.0 for i in range(1, 10)]),
+        ).alias("edges")
+    )
+    banded = scored.crossJoin(F.broadcast(edges)).select(
+        "n_transitions",
+        "n_backoff",
+        "mean_logscore",
+        (
+            1
+            + F.aggregate(
+                F.col("edges"),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("mean_logscore") > e, 1).otherwise(0),
+            )
+        ).alias("decile"),
+    )
+    return banded.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("mean_logscore"), 4).alias("mean_logscore"),
+        F.round(
+            F.avg(
+                F.col("n_backoff").cast("double") / F.col("n_transitions")
+            ),
+            6,
+        ).alias("mean_backoff_share"),
+        F.sum("n_transitions").cast("long").alias("n_transitions"),
+    )

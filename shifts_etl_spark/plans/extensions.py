@@ -6518,6 +6518,71 @@ WHERE n_a > 0 AND n_b > 0 AND aa > 0 AND bb > 0
 """
 
 
+def x145_fulfillment_latency(spark, sf_dir):
+    """Order-completion latency per priority
+    (profile.fulfillment_latency): max(l_shipdate) per order joined
+    co-partitioned on orderkey, integer day lags, exact
+    mean/p50/p90/p99/max per priority cell."""
+    return profile.fulfillment_latency(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+X145_SQL = """
+WITH last AS (
+  SELECT l_orderkey AS o_orderkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+days AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', o.o_orderdate, l.last_ship) AS DOUBLE) AS d
+  FROM orders o JOIN last l USING (o_orderkey)
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(d), 4) AS mean_days,
+       round(quantile_cont(d, 0.5), 4) AS p50_days,
+       round(quantile_cont(d, 0.9), 4) AS p90_days,
+       round(quantile_cont(d, 0.99), 4) AS p99_days,
+       CAST(MAX(d) AS BIGINT) AS max_days
+FROM days GROUP BY 1
+"""
+
+
+def x146_lm_score_deciles(spark, sf_dir):
+    """Perplexity-filtering decile report (textstats.lm_score_deciles):
+    y1's held-out stupid-backoff doc scores bucketed by 9 exact decile
+    edges (1-row broadcast), 10-cell band rollup — the keep-threshold
+    artifact for CCNet-style perplexity filtering."""
+    assigned = _split_docs(spark, sf_dir)
+    return textstats.lm_score_deciles(
+        assigned.where(F.col("split") == "train"),
+        assigned.where(F.col("split") != "train"),
+    )
+
+
+X146_SQL = f"""
+WITH perdoc AS ({Y1_SQL}),
+edges AS (
+  SELECT quantile_cont(mean_logscore,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+  FROM perdoc
+),
+banded AS (
+  SELECT p.n_transitions, p.n_backoff, p.mean_logscore,
+         1 + len(list_filter(e.e, x -> p.mean_logscore > x)) AS decile
+  FROM perdoc p CROSS JOIN edges e
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(mean_logscore), 4) AS mean_logscore,
+       round(avg(CAST(n_backoff AS DOUBLE) / n_transitions), 6)
+         AS mean_backoff_share,
+       CAST(SUM(n_transitions) AS BIGINT) AS n_transitions
+FROM banded GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6669,6 +6734,8 @@ EXTENSIONS = {
         X142_SQL,
     ),
     "x143_heavy_user_profile": (x143_heavy_user_profile, X143_SQL),
+    "x145_fulfillment_latency": (x145_fulfillment_latency, X145_SQL),
+    "x146_lm_score_deciles": (x146_lm_score_deciles, X146_SQL),
     "x144_embedding_split_drift": (
         x144_embedding_split_drift,
         X144_SQL,

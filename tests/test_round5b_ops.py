@@ -1309,3 +1309,55 @@ def test_embedding_split_drift_identical_halves(spark):
     assert (out[0].centroid_cosine, out[0].centroid_l2) == (1.0, 0.0)
     assert out[1].centroid_cosine == 0.0
     assert out[1].centroid_l2 == round(math.sqrt(2), 6)
+
+
+def test_fulfillment_latency_hand(spark):
+    """Order 1 lines ship +2/+9 days (lag 9), order 2 ships +1 (lag 1):
+    mean 5, p50 5, p90 8.2, p99 8.92, max 9."""
+    from shifts_etl_spark.operators.profile import fulfillment_latency
+    import datetime as dt
+
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_orderdate=dt.date(2024, 1, 1),
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=2, o_orderdate=dt.date(2024, 1, 1),
+            o_orderpriority="1-URGENT"),
+    ])
+    lines = spark.createDataFrame([
+        Row(l_orderkey=1, l_shipdate=dt.date(2024, 1, 3)),
+        Row(l_orderkey=1, l_shipdate=dt.date(2024, 1, 10)),
+        Row(l_orderkey=2, l_shipdate=dt.date(2024, 1, 2)),
+    ])
+    out = fulfillment_latency(orders, lines).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_orders, r.mean_days, r.max_days) == (2, 5.0, 9)
+    assert (r.p50_days, r.p90_days, r.p99_days) == (5.0, 8.2, 8.92)
+
+
+def test_lm_score_deciles_partitions_and_orders(spark):
+    """Deciles must partition the scored docs (counts sum to the
+    per-doc row count) and mean logscore must be nondecreasing in the
+    decile index."""
+    from shifts_etl_spark.operators.textstats import (
+        backoff_bigram_logprob,
+        lm_score_deciles,
+    )
+
+    train = spark.createDataFrame([
+        _doc(1, "the cat sat on the mat and the dog ran"),
+        _doc(2, "the cat ran to the mat and sat"),
+    ])
+    score = spark.createDataFrame([
+        _doc(10, "the cat sat on the mat"),
+        _doc(11, "the dog ran to the cat"),
+        _doc(12, "purple quantum zebras hallucinate loudly"),
+        _doc(13, "the cat ran and the dog sat"),
+    ])
+    per_doc = backoff_bigram_logprob(train, score).collect()
+    out = sorted(lm_score_deciles(train, score).collect(),
+                 key=lambda r: r.decile)
+    assert sum(r.n_docs for r in out) == len(per_doc)
+    means = [r.mean_logscore for r in out]
+    assert means == sorted(means)
+    assert all(1 <= r.decile <= 10 for r in out)

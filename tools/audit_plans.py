@@ -94,6 +94,8 @@ SINGLE_PARTITION_OK = {
     "x136_weekday_seasonality",  # weekday total: one 1-row aggregate over 7 cells
     "x142_deseasonalized_anomalies",  # global mean / moments: two 1-row
     # aggregates over the |days| cells
+    "x146_lm_score_deciles",  # y1's (N, V) totals + the 9 decile edges:
+    # 1-row aggregates broadcast onto the per-doc score frame
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -156,6 +158,8 @@ CROSS_JOIN_OK = {
     "x71_materialize_mixture",  # crossJoins with broadcast 1-row totals (x50)
     "x77_quality_psi",  # 10-bin grid + broadcast 1-row corpus total
     "y1_backoff_bigram_lm",  # crossJoin with the broadcast 1-row (N, V) totals
+    "x146_lm_score_deciles",  # y1's crossJoins + the broadcast 1-row
+    # decile-edge array onto the per-doc score frame
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
