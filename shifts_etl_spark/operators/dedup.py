@@ -1259,3 +1259,76 @@ def repeated_sentences(
         .orderBy(F.desc("n_docs"), "sentence_md5")
         .limit(top_k)
     )
+
+
+def neardup_split_contamination(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """NEAR-duplicate train/test leakage audit: run the banded
+    MinHash-LSH candidate generation across the WHOLE corpus, keep
+    candidate pairs whose estimated Jaccard clears ``threshold`` and
+    whose members sit in different splits, and summarize per split
+    pair — the fuzzy companion to the exact n-gram contamination check
+    (y4): a paraphrased or lightly-edited test document sails through
+    exact n-gram matching but still collides in MinHash bands.
+
+    One row per unordered split pair: (split_lo, split_hi, n_pairs,
+    n_docs_involved, mean_est_jaccard). Scale shape: everything rides
+    :func:`minhash_lsh_pairs` (banded buckets, hot-bucket cap — never
+    all-pairs); the split attachment is a doc-keyed equi join of
+    (id, split); the rollup is a <=3-cell aggregate."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, hash_fn=hash_fn)
+    splits = docs.select(
+        F.col(id_col).alias("_id"), F.col(split_col).alias("_sp")
+    )
+    labeled = (
+        pairs.join(
+            splits.select(
+                F.col("_id").alias("id_a"), F.col("_sp").alias("sp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("_id").alias("id_b"), F.col("_sp").alias("sp_b")
+            ),
+            "id_b",
+        )
+        .where(
+            (F.col("sp_a") != F.col("sp_b"))
+            & (F.col("est_jaccard") >= threshold)
+        )
+        .select(
+            F.least("sp_a", "sp_b").alias("split_lo"),
+            F.greatest("sp_a", "sp_b").alias("split_hi"),
+            "id_a",
+            "id_b",
+            "est_jaccard",
+        )
+    )
+    per_pair = labeled.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("est_jaccard"), 6).alias("mean_est_jaccard"),
+    )
+    docs_involved = (
+        labeled.select(
+            "split_lo",
+            "split_hi",
+            F.explode(F.array("id_a", "id_b")).alias("d"),
+        )
+        .distinct()
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_involved"))
+    )
+    return per_pair.join(docs_involved, ["split_lo", "split_hi"]).select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        "n_docs_involved",
+        "mean_est_jaccard",
+    )

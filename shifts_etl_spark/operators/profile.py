@@ -1015,3 +1015,47 @@ def fulfillment_latency(
         F.round(F.percentile("d", F.lit(0.99)), 4).alias("p99_days"),
         F.max("d").cast("long").alias("max_days"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Benford's-law first-digit audit: the distribution of leading
+    significant digits of a positive monetary column against the
+    Benford expectation log10(1 + 1/d) — the classic forensic screen
+    for fabricated or synthetically-generated amounts (a uniform
+    generator fails it loudly; organic multiplicative processes pass).
+    One row per digit 1-9: count, observed share, expected share,
+    deviation, and the chi-square contribution n*(obs-exp)^2/exp.
+
+    Determinism: the leading digit comes from the integer-cents string
+    (exact), and expected shares are closed-form constants; only the
+    9-cell shares divide, rounded at 6 dp.
+
+    Scale shape: one map-side-combinable 9-cell aggregate + a broadcast
+    1-row total."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    cells = (
+        df.where(cents > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").cast("double").alias("total"))
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.col("n") / F.col("total")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("obs_share"),
+            F.round(exp, 6).alias("exp_share"),
+            F.round(obs - exp, 6).alias("deviation"),
+            F.round(
+                F.col("total") * (obs - exp) * (obs - exp) / exp, 6
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

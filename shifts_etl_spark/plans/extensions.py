@@ -6583,6 +6583,85 @@ FROM banded GROUP BY 1
 """
 
 
+def x147_benford_audit(spark, sf_dir):
+    """Benford first-digit forensic audit on order totals
+    (profile.benford_audit): 9-cell digit histogram vs log10(1+1/d)
+    expectation with chi-square contributions — one map-side aggregate
+    + broadcast 1-row total."""
+    return profile.benford_audit(_t(spark, sf_dir, "orders"))
+
+
+X147_SQL = """
+WITH cells AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cells)
+SELECT digit, n,
+       round(n / total, 6) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS exp_share,
+       round(n / total - log10(1.0 + 1.0 / digit), 6) AS deviation,
+       round(total * pow(n / total - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 6) AS chi2_contrib
+FROM cells CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+def x148_neardup_contamination(spark, sf_dir):
+    """Near-duplicate split contamination
+    (dedup.neardup_split_contamination): x3's banded MinHash-LSH
+    candidates (md5 hash family, hot-bucket cap) filtered to
+    cross-split pairs with est_jaccard >= 0.5, rolled up per split
+    pair — the fuzzy companion to y4's exact n-gram check."""
+    return dedup.neardup_split_contamination(
+        _split_docs(spark, sf_dir), hash_fn="md5"
+    )
+
+
+X148_SQL = f"""
+WITH cand AS ({X3_SQL}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ({_Y_SPLIT_INNER}) < 5 THEN 'val'
+              WHEN ({_Y_SPLIT_INNER}) < 15 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+),
+labeled AS (
+  SELECT LEAST(sa.split, sb.split) AS split_lo,
+         GREATEST(sa.split, sb.split) AS split_hi,
+         p.id_a, p.id_b, p.est_jaccard
+  FROM cand p
+  JOIN sp sa ON p.id_a = sa.doc_id
+  JOIN sp sb ON p.id_b = sb.doc_id
+  WHERE sa.split <> sb.split AND p.est_jaccard >= 0.5
+),
+per_pair AS (
+  SELECT split_lo, split_hi,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         round(avg(est_jaccard), 6) AS mean_est_jaccard
+  FROM labeled GROUP BY 1, 2
+),
+involved AS (
+  SELECT split_lo, split_hi,
+         CAST(count(*) AS BIGINT) AS n_docs_involved
+  FROM (
+    SELECT DISTINCT split_lo, split_hi, d
+    FROM (
+      SELECT split_lo, split_hi, unnest([id_a, id_b]) AS d FROM labeled
+    )
+  ) GROUP BY 1, 2
+)
+SELECT split_lo, split_hi, n_pairs, n_docs_involved, mean_est_jaccard
+FROM per_pair JOIN involved USING (split_lo, split_hi)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6736,6 +6815,11 @@ EXTENSIONS = {
     "x143_heavy_user_profile": (x143_heavy_user_profile, X143_SQL),
     "x145_fulfillment_latency": (x145_fulfillment_latency, X145_SQL),
     "x146_lm_score_deciles": (x146_lm_score_deciles, X146_SQL),
+    "x147_benford_audit": (x147_benford_audit, X147_SQL),
+    "x148_neardup_contamination": (
+        x148_neardup_contamination,
+        X148_SQL,
+    ),
     "x144_embedding_split_drift": (
         x144_embedding_split_drift,
         X144_SQL,

@@ -1361,3 +1361,46 @@ def test_lm_score_deciles_partitions_and_orders(spark):
     means = [r.mean_logscore for r in out]
     assert means == sorted(means)
     assert all(1 <= r.decile <= 10 for r in out)
+
+
+def test_benford_audit_hand(spark):
+    """Prices 1.0, 1.5, 19.99, 2.0, 9.0: digits 1,1,1,2,9 -> shares
+    3/5, 1/5, 1/5; expectations log10(1+1/d); zero/negative rows drop."""
+    from shifts_etl_spark.operators.profile import benford_audit
+
+    rows = [Row(o_totalprice=v) for v in (1.0, 1.5, 19.99, 2.0, 9.0, 0.0)]
+    out = {r.digit: r for r in
+           benford_audit(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1].n == 3 and out[1].obs_share == 0.6
+    assert out[2].exp_share == round(math.log10(1.5), 6)
+    exp9 = math.log10(1 + 1 / 9)
+    assert out[9].chi2_contrib == round(5 * (0.2 - exp9) ** 2 / exp9, 6)
+
+
+def test_neardup_split_contamination_planted(spark):
+    """Docs 1 (train) and 2 (test) share a long boilerplate body with a
+    one-word edit -> a cross-split candidate with high est_jaccard;
+    docs 3/4 are identical but both train -> excluded; doc 5 is
+    unrelated."""
+    from shifts_etl_spark.operators.dedup import neardup_split_contamination
+
+    body = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "astronauts careful measure gravitational lensing around the "
+            "old observatory every cold tuesday morning in late november")
+    rows = [
+        Row(doc_id=1, text=body + " extra", split="train"),
+        Row(doc_id=2, text=body + " bonus", split="test"),
+        Row(doc_id=3, text="identical twin body here " * 5, split="train"),
+        Row(doc_id=4, text="identical twin body here " * 5, split="train"),
+        Row(doc_id=5, text="completely different content about databases",
+            split="val"),
+    ]
+    out = neardup_split_contamination(
+        spark.createDataFrame(rows), threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.split_lo, r.split_hi) == ("test", "train")
+    assert (r.n_pairs, r.n_docs_involved) == (1, 2)
+    assert r.mean_est_jaccard >= 0.5

@@ -96,6 +96,7 @@ SINGLE_PARTITION_OK = {
     # aggregates over the |days| cells
     "x146_lm_score_deciles",  # y1's (N, V) totals + the 9 decile edges:
     # 1-row aggregates broadcast onto the per-doc score frame
+    "x147_benford_audit",  # digit total: one 1-row aggregate over 9 cells
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -160,6 +161,8 @@ CROSS_JOIN_OK = {
     "y1_backoff_bigram_lm",  # crossJoin with the broadcast 1-row (N, V) totals
     "x146_lm_score_deciles",  # y1's crossJoins + the broadcast 1-row
     # decile-edge array onto the per-doc score frame
+    "x147_benford_audit",  # crossJoin with the broadcast 1-row total
+    # onto the 9 digit cells
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
