@@ -838,3 +838,49 @@ def heavy_user_profile(
         .orderBy(F.desc("n_events"), "user_id")
         .limit(top_k)
     )
+
+
+def revenue_trend(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+    group_col: str = "o_orderpriority",
+) -> DataFrame:
+    """Revenue time-trend per group: population OLS of daily revenue on
+    the day index (days since the global first order date), one row per
+    group with (n_days, slope per day, intercept, r2) — the
+    trend-detection rollup behind "is this segment growing or decaying",
+    and the regression twin of x125's moving average.
+
+    Determinism: daily revenue quantizes to integer cents and the day
+    index is an exact integer, so the regression moments are sums of
+    exact products; slope/intercept/r2 round at 4/4/6 dp.
+
+    Scale shape: orders collapse to (group, day) cells in one
+    map-side-combinable aggregate; the global min date is a broadcast
+    1-row scalar; the regression is a G-cell aggregate via the built-in
+    regr_* family (JVM-side, no UDF)."""
+    daily = orders.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(date_col).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).alias("cents")
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(t0)).select(
+        "grp",
+        F.datediff("day", "d0").cast("double").alias("x"),
+        (F.col("cents").cast("double") / 100.0).alias("y"),
+    )
+    return pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.regr_slope("y", "x"), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n_days",
+        "slope_per_day",
+        "intercept",
+        "r2",
+    )

@@ -106,3 +106,40 @@ def k_anonymity_histogram(
             (F.col("class_size") < k).alias("at_risk"),
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_exprs: dict[str, "F.Column"],
+    sensitive: "F.Column",
+    l_threshold: int = 3,
+) -> DataFrame:
+    """l-diversity release gate — the k-anonymity companion
+    (:func:`k_anonymity_histogram`) that catches the attack k-anonymity
+    misses: a large equivalence class whose SENSITIVE value is uniform
+    still leaks it for everyone inside. Per quasi-identifier class:
+    size k, distinct-l (count of distinct sensitive values), entropy of
+    the sensitive distribution in nats, and the under-threshold flag.
+
+    Scale shape: one (class, sensitive)-keyed map-side-combinable
+    aggregate, then a class-keyed fold — shuffles carry cell rows, never
+    raw rows. Entropy = ln(k) - sum(c*ln(c))/k folds from exact integer
+    cell counts; rounded at 6 dp."""
+    qi = [e.alias(n) for n, e in qi_exprs.items()]
+    names = list(qi_exprs.keys())
+    cells = df.groupBy(*qi, sensitive.alias("_sv")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_class = cells.groupBy(*names).agg(
+        F.sum("c").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sum(F.col("c").cast("double") * F.log("c")).alias("_clc"),
+    )
+    entropy = F.log(F.col("k").cast("double")) - F.col("_clc") / F.col("k")
+    return per_class.select(
+        *names,
+        "k",
+        "l_distinct",
+        F.round(entropy, 6).alias("entropy"),
+        (F.col("l_distinct") < l_threshold).alias("at_risk"),
+    )

@@ -6662,6 +6662,72 @@ FROM per_pair JOIN involved USING (split_lo, split_hi)
 """
 
 
+def x149_revenue_trend(spark, sf_dir):
+    """Per-priority revenue time trend (funnel.revenue_trend):
+    population OLS of integer-cents daily revenue on the day index via
+    the built-in regr_* family — (group, day) cells + a broadcast 1-row
+    min date + a G-cell regression aggregate."""
+    return funnel.revenue_trend(_t(spark, sf_dir, "orders"))
+
+
+X149_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS grp, o_orderdate AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+t0 AS (SELECT MIN(day) AS d0 FROM daily),
+pts AS (
+  SELECT grp,
+         CAST(date_diff('day', t0.d0, day) AS DOUBLE) AS x,
+         CAST(cents AS DOUBLE) / 100.0 AS y
+  FROM daily CROSS JOIN t0
+)
+SELECT grp AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(regr_slope(y, x), 4) AS slope_per_day,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM pts GROUP BY 1
+"""
+
+
+def x150_l_diversity(spark, sf_dir):
+    """l-diversity release gate (quality.l_diversity_report): per
+    (nation, segment) quasi-identifier class over customers, the
+    distinct count and entropy of the generalized balance band — the
+    uniform-sensitive-value attack k-anonymity (x61) can't see."""
+    from ..operators.quality import l_diversity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return l_diversity_report(
+        cust,
+        {
+            "nationkey": F.col("c_nationkey"),
+            "segment": F.col("c_mktsegment"),
+        },
+        F.floor(F.col("c_acctbal") / 2000).cast("long"),
+    )
+
+
+X150_SQL = """
+WITH cells AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT nationkey, segment,
+       CAST(SUM(c) AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(c)) / SUM(c), 6) AS entropy,
+       count(*) < 3 AS at_risk
+FROM cells GROUP BY 1, 2
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6816,6 +6882,8 @@ EXTENSIONS = {
     "x145_fulfillment_latency": (x145_fulfillment_latency, X145_SQL),
     "x146_lm_score_deciles": (x146_lm_score_deciles, X146_SQL),
     "x147_benford_audit": (x147_benford_audit, X147_SQL),
+    "x149_revenue_trend": (x149_revenue_trend, X149_SQL),
+    "x150_l_diversity": (x150_l_diversity, X150_SQL),
     "x148_neardup_contamination": (
         x148_neardup_contamination,
         X148_SQL,

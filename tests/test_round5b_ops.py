@@ -1404,3 +1404,43 @@ def test_neardup_split_contamination_planted(spark):
     assert (r.split_lo, r.split_hi) == ("test", "train")
     assert (r.n_pairs, r.n_docs_involved) == (1, 2)
     assert r.mean_est_jaccard >= 0.5
+
+
+def test_revenue_trend_exact_line(spark):
+    """Group A: revenue 10, 20, 30 on consecutive days -> slope 10/day,
+    intercept 10, r2 = 1. Group B flat -> slope 0."""
+    from shifts_etl_spark.operators.funnel import revenue_trend
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [Row(o_orderpriority="A", o_totalprice=10.0 * (i + 1),
+                o_orderdate=d0 + dt.timedelta(days=i)) for i in range(3)]
+    rows += [Row(o_orderpriority="B", o_totalprice=5.0,
+                 o_orderdate=d0 + dt.timedelta(days=i)) for i in range(3)]
+    out = {r.o_orderpriority: r for r in
+           revenue_trend(spark.createDataFrame(rows)).collect()}
+    a = out["A"]
+    assert (a.n_days, a.slope_per_day, a.intercept, a.r2) == (3, 10.0, 10.0, 1.0)
+    assert out["B"].slope_per_day == 0.0
+
+
+def test_l_diversity_uniform_class_flagged(spark):
+    """Class (1, 'X'): 4 rows all in band 0 -> l=1, entropy 0, at_risk;
+    class (2, 'Y'): bands 0,1,2 -> l=3, entropy ln(3) with equal cells,
+    not at risk."""
+    from shifts_etl_spark.operators.quality import l_diversity_report
+
+    rows = [Row(c_nationkey=1, c_mktsegment="X", c_acctbal=100.0 + i)
+            for i in range(4)]
+    rows += [Row(c_nationkey=2, c_mktsegment="Y", c_acctbal=v)
+             for v in (100.0, 2100.0, 4100.0)]
+    out = {(r.nationkey, r.segment): r for r in l_diversity_report(
+        spark.createDataFrame(rows),
+        {"nationkey": F.col("c_nationkey"), "segment": F.col("c_mktsegment")},
+        F.floor(F.col("c_acctbal") / 2000).cast("long"),
+    ).collect()}
+    x = out[(1, "X")]
+    assert (x.k, x.l_distinct, x.entropy, x.at_risk) == (4, 1, 0.0, True)
+    y = out[(2, "Y")]
+    assert (y.k, y.l_distinct, y.at_risk) == (3, 3, False)
+    assert y.entropy == round(math.log(3), 6)

@@ -97,6 +97,8 @@ SINGLE_PARTITION_OK = {
     "x146_lm_score_deciles",  # y1's (N, V) totals + the 9 decile edges:
     # 1-row aggregates broadcast onto the per-doc score frame
     "x147_benford_audit",  # digit total: one 1-row aggregate over 9 cells
+    "x149_revenue_trend",  # global min date: one 1-row aggregate over
+    # the (group, day) cells
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -163,6 +165,7 @@ CROSS_JOIN_OK = {
     # decile-edge array onto the per-doc score frame
     "x147_benford_audit",  # crossJoin with the broadcast 1-row total
     # onto the 9 digit cells
+    "x149_revenue_trend",  # crossJoin with the broadcast 1-row min date
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
