@@ -884,3 +884,82 @@ def revenue_trend(
         "intercept",
         "r2",
     )
+
+
+def basket_lift(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_pair_orders: int = 2,
+) -> DataFrame:
+    """Market-basket association mining at the brand level: for every
+    pair of brands co-purchased in the same order, the support and the
+    lift P(a,b) / (P(a)·P(b)) — the classic affinity signal behind
+    "customers who bought X" (brand-level, so the pair space is
+    bounded at |brands|² regardless of corpus size). One row per
+    unordered brand pair with at least ``min_pair_orders`` co-orders.
+
+    Scale shape: the lineitem->part attachment is a partkey-keyed
+    equi join (co-partitioned shuffle; part is NOT broadcast — at 100
+    TB the dimension outgrows a broadcast); baskets collapse to
+    distinct (order, brand) rows (<= 25 per order); the pair self-join
+    is orderkey-keyed with per-order fan-out bounded by |brands|²; the
+    rollup and the brand marginals are brand-keyed cells with the
+    1-row order total broadcast back. Lift folds from exact integer
+    counts, rounded at 6 dp."""
+    items = lineitem.select("l_orderkey", "l_partkey").join(
+        part.select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand"
+        ),
+        "l_partkey",
+    )
+    baskets = items.select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+    ).distinct()
+    n_orders = baskets.groupBy().agg(
+        F.count_distinct("okey").cast("double").alias("n_orders")
+    )
+    marg = baskets.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brand")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("a.brand") < F.col("b.brand"))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_orders)
+    )
+    return (
+        pairs.join(
+            marg.select(
+                F.col("brand").alias("brand_a"),
+                F.col("n_brand").alias("n_a"),
+            ),
+            "brand_a",
+        )
+        .join(
+            marg.select(
+                F.col("brand").alias("brand_b"),
+                F.col("n_brand").alias("n_b"),
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("n_pair") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1226,3 +1226,50 @@ def lm_score_deciles(
         ).alias("mean_backoff_share"),
         F.sum("n_transitions").cast("long").alias("n_transitions"),
     )
+
+
+def truncation_loss(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    band_width: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window truncation loss audit: if every document trains
+    truncated at ``max_tokens``, how many tokens does each doc-length
+    band lose? One row per ``band_width``-token length band: doc count,
+    total tokens, tokens beyond the window, and the band's loss share —
+    the table that decides between truncation and chunking (x21) for a
+    corpus, and sizes the waste before anyone burns compute on it.
+
+    Scale shape: token counts are row-local (size of the tokenizer
+    split — the corpus is never exploded); bands collapse to
+    |max_len / band_width| cells in one map-side-combinable aggregate.
+    Integer token arithmetic end-to-end; only shares round (6 dp)."""
+    n = F.size(tokens(normalize_text(F.col(text_col))))
+    cells = (
+        docs.select(
+            n.alias("n_tokens"),
+            F.floor(n / band_width).cast("long").alias("band"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                F.greatest(F.col("n_tokens") - max_tokens, F.lit(0))
+            )
+            .cast("long")
+            .alias("lost_tokens"),
+        )
+    )
+    return cells.select(
+        "band",
+        (F.col("band") * band_width).alias("band_lo"),
+        ((F.col("band") + 1) * band_width - 1).alias("band_hi"),
+        "n_docs",
+        "total_tokens",
+        "lost_tokens",
+        F.round(
+            F.col("lost_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("loss_share"),
+    )

@@ -6728,6 +6728,69 @@ FROM cells GROUP BY 1, 2
 """
 
 
+def x151_basket_lift(spark, sf_dir):
+    """Brand-level market-basket lift (funnel.basket_lift): partkey-
+    keyed lineitem->part attachment, distinct (order, brand) baskets,
+    orderkey-keyed pair self-join bounded at |brands|^2 per order,
+    brand-cell rollup + broadcast 1-row order total."""
+    return funnel.basket_lift(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+X151_SQL = """
+WITH items AS (
+  SELECT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+baskets AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand FROM items),
+n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM baskets),
+marg AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.brand_a, p.brand_b, p.n_pair,
+       ma.nb AS n_a, mb.nb AS n_b,
+       round(p.n_pair / n.n_orders, 6) AS support,
+       round(p.n_pair * n.n_orders / (CAST(ma.nb AS DOUBLE) * mb.nb), 6)
+         AS lift
+FROM pairs p
+JOIN marg ma ON p.brand_a = ma.brand
+JOIN marg mb ON p.brand_b = mb.brand
+CROSS JOIN n
+"""
+
+
+def x152_truncation_loss(spark, sf_dir):
+    """Context-window truncation loss audit
+    (textstats.truncation_loss): row-local token counts folded into
+    256-token length bands with tokens lost beyond a 512 window — the
+    truncate-vs-chunk sizing table."""
+    return textstats.truncation_loss(_t(spark, sf_dir, "documents"))
+
+
+X152_SQL = f"""
+WITH norm AS (SELECT doc_id, {_X67_NORM} AS toks FROM documents),
+cells AS (
+  SELECT CAST(floor(len(toks) / 256) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+         CAST(SUM(GREATEST(len(toks) - 512, 0)) AS BIGINT) AS lost_tokens
+  FROM norm GROUP BY 1
+)
+SELECT band, band * 256 AS band_lo, (band + 1) * 256 - 1 AS band_hi,
+       n_docs, total_tokens, lost_tokens,
+       round(CAST(lost_tokens AS DOUBLE) / total_tokens, 6) AS loss_share
+FROM cells
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6884,6 +6947,8 @@ EXTENSIONS = {
     "x147_benford_audit": (x147_benford_audit, X147_SQL),
     "x149_revenue_trend": (x149_revenue_trend, X149_SQL),
     "x150_l_diversity": (x150_l_diversity, X150_SQL),
+    "x151_basket_lift": (x151_basket_lift, X151_SQL),
+    "x152_truncation_loss": (x152_truncation_loss, X152_SQL),
     "x148_neardup_contamination": (
         x148_neardup_contamination,
         X148_SQL,

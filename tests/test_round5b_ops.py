@@ -1444,3 +1444,45 @@ def test_l_diversity_uniform_class_flagged(spark):
     y = out[(2, "Y")]
     assert (y.k, y.l_distinct, y.at_risk) == (3, 3, False)
     assert y.entropy == round(math.log(3), 6)
+
+
+def test_basket_lift_hand(spark):
+    """3 orders: {A,B}, {A,B}, {A}: P(A)=1, P(B)=2/3, P(AB)=2/3 ->
+    lift(A,B) = (2/3)/(1*(2/3)) = 1.0, support 2/3; pair below
+    min_pair_orders drops."""
+    from shifts_etl_spark.operators.funnel import basket_lift
+
+    lines = [
+        Row(l_orderkey=1, l_partkey=1), Row(l_orderkey=1, l_partkey=2),
+        Row(l_orderkey=2, l_partkey=1), Row(l_orderkey=2, l_partkey=2),
+        Row(l_orderkey=3, l_partkey=1), Row(l_orderkey=3, l_partkey=3),
+    ]
+    parts = [Row(p_partkey=1, p_brand="A"), Row(p_partkey=2, p_brand="B"),
+             Row(p_partkey=3, p_brand="C")]
+    out = basket_lift(
+        spark.createDataFrame(lines), spark.createDataFrame(parts)
+    ).collect()
+    assert len(out) == 1  # (A,C) occurs once -> filtered
+    r = out[0]
+    assert (r.brand_a, r.brand_b, r.n_pair, r.n_a, r.n_b) == ("A", "B", 2, 3, 2)
+    assert (r.support, r.lift) == (round(2 / 3, 6), 1.0)
+
+
+def test_truncation_loss_bands(spark):
+    """Docs of 3 and 600 tokens at window 512, band 256: band 0 loses
+    nothing; band 2 (512-767) loses 88 of 600."""
+    from shifts_etl_spark.operators.textstats import truncation_loss
+
+    rows = [
+        _doc(1, "one two three"),
+        _doc(2, " ".join(f"w{i}" for i in range(600))),
+    ]
+    out = {r.band: r for r in
+           truncation_loss(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 2}
+    assert (out[0].n_docs, out[0].total_tokens, out[0].lost_tokens,
+            out[0].loss_share) == (1, 3, 0, 0.0)
+    b2 = out[2]
+    assert (b2.band_lo, b2.band_hi) == (512, 767)
+    assert (b2.total_tokens, b2.lost_tokens) == (600, 88)
+    assert b2.loss_share == round(88 / 600, 6)

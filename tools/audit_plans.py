@@ -99,6 +99,8 @@ SINGLE_PARTITION_OK = {
     "x147_benford_audit",  # digit total: one 1-row aggregate over 9 cells
     "x149_revenue_trend",  # global min date: one 1-row aggregate over
     # the (group, day) cells
+    "x151_basket_lift",  # order total: one 1-row aggregate over the
+    # distinct (order, brand) basket frame
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -166,6 +168,8 @@ CROSS_JOIN_OK = {
     "x147_benford_audit",  # crossJoin with the broadcast 1-row total
     # onto the 9 digit cells
     "x149_revenue_trend",  # crossJoin with the broadcast 1-row min date
+    "x151_basket_lift",  # crossJoin with the broadcast 1-row order total
+    # onto the |brands|^2-bounded pair cells
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
