@@ -963,3 +963,109 @@ def basket_lift(
             ).alias("lift"),
         )
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Rolling N-day active users — the WAU/MAU family, computed EXACTLY
+    at scale: per calendar day, how many distinct users appeared in the
+    trailing ``window_days`` window, plus the window's event volume.
+
+    The scale trick: a naive sliding COUNT(DISTINCT) re-scans N days of
+    raw events per day. Instead the stream collapses once to (user, day)
+    cells (the only corpus-sized aggregate), each cell fans out to the N
+    window-ends it contributes to (xN on the CELL frame, which is
+    |users|x|days| at worst — orders of magnitude under the event
+    count), and the distinct-(window, user) count folds per window end.
+    Emitted window ends clamp to the observed max day (broadcast 1-row).
+
+    All integer counts — engine-exact."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cells = (
+        events.select(F.col(user_col).alias("u"), day.alias("day"))
+        .groupBy("u", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    maxd = cells.agg(F.max("day").alias("max_day"))
+    fanned = cells.select(
+        "u",
+        "n",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), window_days - 1),
+            )
+        ).alias("win_end"),
+    ).crossJoin(F.broadcast(maxd)).where(F.col("win_end") <= F.col("max_day"))
+    return (
+        fanned.groupBy("win_end")
+        .agg(
+            F.count_distinct("u").cast("long").alias("active_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("win_end").alias("day"),
+            "active_users",
+            "n_events",
+        )
+    )
+
+
+def session_timeout_sweep(
+    events: DataFrame,
+    timeouts_s: tuple[int, ...] = (300, 900, 1800, 3600),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization sensitivity sweep: how many sessions (and how
+    many events per session) the corpus yields at each inactivity
+    timeout — the table that justifies the 30-minute default before a
+    pipeline bakes it in. n_sessions(t) = n_users + #(inter-event gaps
+    > t), so ONE pass over per-user ordered gaps answers every
+    threshold: one aggregate emits the conditional counts, then a
+    constant-width stack unpivots to a row per timeout.
+
+    Scale shape: the lag window partitions by user (no global
+    ordering); the sweep is a 1-row aggregate fanned to |timeouts|
+    rows. Gaps compare in integer MICROseconds (unix_micros /
+    epoch_us), so sub-second timestamps can't truncate differently
+    across engines; only events-per-session divides (round 6)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), "event_id")
+    gaps = events.select(
+        F.col(user_col).alias("u"),
+        (
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.lag(ts_col).over(w))
+        ).alias("gap"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("gap") > int(t) * 1_000_000, 1).otherwise(0)
+        ).cast("long").alias(f"g{t}")
+        for t in timeouts_s
+    ]
+    one = gaps.agg(
+        F.count_distinct("u").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *aggs,
+    )
+    stacked = ", ".join(
+        f"{int(t)}L, g{int(t)}" for t in timeouts_s
+    )
+    return one.selectExpr(
+        "n_users",
+        "n_rows",
+        f"stack({len(timeouts_s)}, {stacked}) as (timeout_s, n_breaks)",
+    ).select(
+        "timeout_s",
+        (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / (F.col("n_users") + F.col("n_breaks")),
+            6,
+        ).alias("events_per_session"),
+    )

@@ -6791,6 +6791,73 @@ FROM cells
 """
 
 
+def x153_rolling_active_users(spark, sf_dir):
+    """Exact rolling 7-day active users (funnel.rolling_active_users):
+    one corpus-sized (user, day) cell aggregate, x7 fan-out on the CELL
+    frame (never events), distinct fold per window end clamped to the
+    observed max day."""
+    return funnel.rolling_active_users(_t(spark, sf_dir, "events"))
+
+
+X153_SQL = """
+WITH cells AS (
+  SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+maxd AS (SELECT MAX(day) AS max_day FROM cells),
+fanned AS (
+  SELECT c.u, c.n, c.day + CAST(i AS INT) AS win_end
+  FROM cells c, unnest(generate_series(0, 6)) AS g(i)
+  CROSS JOIN maxd m
+  WHERE c.day + CAST(i AS INT) <= m.max_day
+)
+SELECT win_end AS day,
+       CAST(count(DISTINCT u) AS BIGINT) AS active_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM fanned
+GROUP BY 1
+"""
+
+
+def x154_session_timeout_sweep(spark, sf_dir):
+    """Sessionization sensitivity sweep (funnel.session_timeout_sweep):
+    per-user lag gaps in integer microseconds, ONE 1-row aggregate with
+    a conditional count per timeout, stacked to a row per threshold."""
+    return funnel.session_timeout_sweep(_t(spark, sf_dir, "events"))
+
+
+X154_SQL = """
+WITH gaps AS (
+  SELECT user_id AS u,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+),
+one AS (
+  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN gap > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS g300,
+         CAST(SUM(CASE WHEN gap > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS g900,
+         CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS g1800,
+         CAST(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS g3600
+  FROM gaps
+)
+SELECT t.timeout_s,
+       n_users + t.g AS n_sessions,
+       round(CAST(n_rows AS DOUBLE) / (n_users + t.g), 6)
+         AS events_per_session
+FROM one, LATERAL (
+  SELECT * FROM (VALUES
+    (CAST(300 AS BIGINT), g300),
+    (CAST(900 AS BIGINT), g900),
+    (CAST(1800 AS BIGINT), g1800),
+    (CAST(3600 AS BIGINT), g3600)
+  ) AS v(timeout_s, g)
+) t
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -6949,6 +7016,14 @@ EXTENSIONS = {
     "x150_l_diversity": (x150_l_diversity, X150_SQL),
     "x151_basket_lift": (x151_basket_lift, X151_SQL),
     "x152_truncation_loss": (x152_truncation_loss, X152_SQL),
+    "x153_rolling_active_users": (
+        x153_rolling_active_users,
+        X153_SQL,
+    ),
+    "x154_session_timeout_sweep": (
+        x154_session_timeout_sweep,
+        X154_SQL,
+    ),
     "x148_neardup_contamination": (
         x148_neardup_contamination,
         X148_SQL,

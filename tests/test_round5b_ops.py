@@ -1486,3 +1486,39 @@ def test_truncation_loss_bands(spark):
     assert (b2.band_lo, b2.band_hi) == (512, 767)
     assert (b2.total_tokens, b2.lost_tokens) == (600, 88)
     assert b2.loss_share == round(88 / 600, 6)
+
+
+def test_rolling_active_users_hand(spark):
+    """User 1 on day 1, user 2 on day 3 (2 events): window ends 1-2 see
+    only user 1; 3-7 see both; 8-9 see only user 2; window ends clamp
+    at the observed max day (3)."""
+    from shifts_etl_spark.operators.funnel import rolling_active_users
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 2, "view", "2024-01-03T10:00:00"),
+        _ev(3, 2, "view", "2024-01-03T11:00:00"),
+    ]
+    out = {str(r.day): r for r in
+           rolling_active_users(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert (out["2024-01-01"].active_users, out["2024-01-01"].n_events) == (1, 1)
+    assert (out["2024-01-03"].active_users, out["2024-01-03"].n_events) == (2, 3)
+
+
+def test_session_timeout_sweep_hand(spark):
+    """User 1 fires at t, t+10min, t+40min: gaps 600s and 1800s. At
+    300s both gaps break (3 sessions); at 900s one breaks (2); at
+    1800s none (gap == 1800 is NOT > 1800) -> 1 session; at 3600s 1."""
+    from shifts_etl_spark.operators.funnel import session_timeout_sweep
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "view", "2024-01-01T10:10:00"),
+        _ev(3, 1, "view", "2024-01-01T10:40:00"),
+    ]
+    out = {r.timeout_s: r for r in
+           session_timeout_sweep(spark.createDataFrame(rows)).collect()}
+    assert [out[t].n_sessions for t in (300, 900, 1800, 3600)] == [3, 2, 1, 1]
+    assert out[300].events_per_session == 1.0
+    assert out[1800].events_per_session == 3.0

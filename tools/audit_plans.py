@@ -101,6 +101,10 @@ SINGLE_PARTITION_OK = {
     # the (group, day) cells
     "x151_basket_lift",  # order total: one 1-row aggregate over the
     # distinct (order, brand) basket frame
+    "x153_rolling_active_users",  # observed max day: one 1-row
+    # aggregate over the (user, day) cells
+    "x154_session_timeout_sweep",  # the sweep IS a 1-row aggregate
+    # (n_users + 4 conditional gap counts), stacked to 4 rows
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -170,6 +174,8 @@ CROSS_JOIN_OK = {
     "x149_revenue_trend",  # crossJoin with the broadcast 1-row min date
     "x151_basket_lift",  # crossJoin with the broadcast 1-row order total
     # onto the |brands|^2-bounded pair cells
+    "x153_rolling_active_users",  # crossJoin with the broadcast 1-row
+    # max-day clamp onto the (user, day) cells
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
