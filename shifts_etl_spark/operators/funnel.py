@@ -1069,3 +1069,106 @@ def session_timeout_sweep(
             6,
         ).alias("events_per_session"),
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from the FIRST
+    ``from_type`` event to the first ``to_type`` event after it; one
+    summary row with the converter count, conversion rate among users
+    who ever emitted ``from_type``, and exact mean / interpolated
+    p50/p90 latency in seconds — the product-analytics companion to
+    x108's step-conversion counts (how MANY convert) answering how FAST
+    they do.
+
+    Determinism: lags are integer microseconds (unix_micros) divided
+    once at the end; percentiles interpolate over exact integers.
+
+    Scale shape: two user-keyed min-aggregates folded in ONE pass
+    (conditional mins), then a 1-row summary — no window, no self-join."""
+    t = F.unix_micros(F.col(ts_col))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.when(F.col(type_col) == from_type, t)).alias("t_from"),
+    )
+    # first to_type AFTER the user's first from_type: one more
+    # conditional min keyed on the broadcast-free same-pass trick is
+    # impossible without t_from, so re-aggregate the joined stream —
+    # both aggregates and the join are user-keyed (co-partitioned).
+    with_from = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), t.alias("t")
+    ).join(per_user.where(F.col("t_from").isNotNull()), "u")
+    conv = with_from.groupBy("u").agg(
+        F.min("t_from").alias("t_from"),
+        F.min(
+            F.when(
+                (F.col("et") == to_type) & (F.col("t") >= F.col("t_from")),
+                F.col("t"),
+            )
+        ).alias("t_to"),
+    )
+    lag_s = (F.col("t_to") - F.col("t_from")) / 1e6
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_with_view"),
+        F.count("t_to").cast("long").alias("n_converted"),
+        F.round(
+            F.count("t_to") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+        F.round(F.avg(lag_s), 4).alias("mean_latency_s"),
+        F.round(F.percentile(lag_s, F.lit(0.5)), 4).alias("p50_latency_s"),
+        F.round(F.percentile(lag_s, F.lit(0.9)), 4).alias("p90_latency_s"),
+    )
+
+
+def wilson_error_rates(
+    events: DataFrame,
+    top_k: int = 20,
+    z: float = 1.96,
+    error_type: str = "error",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Statistically-sound error-rate screening: per user, the error
+    share with its Wilson score interval, ranked by the LOWER bound —
+    the ranking that can't be gamed by tiny samples (1 error in 1 event
+    is a 100% rate but a near-zero lower bound), the same math behind
+    Reddit's comment sort. Top ``top_k`` users by lower bound.
+
+    Determinism: counts are integers; the Wilson closed form evaluates
+    per row from exact integers (identical IEEE expression both
+    engines), rounded at 6 dp; ties break on user id.
+
+    Scale shape: one user-keyed map-side-combinable aggregate, then
+    TakeOrdered."""
+    cells = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (F.col(type_col) == error_type).cast("long")
+        ).cast("long").alias("n_errors"),
+    )
+    n = F.col("n_events").cast("double")
+    p = F.col("n_errors") / n
+    z2 = float(z) * float(z)
+    # grouped EXACTLY like the oracle SQL — ((p + z2/2n) -+ z*sqrt(...))
+    # / (1 + z2/n) as ONE final division — so the IEEE op sequence is
+    # identical across engines before the 6 dp round
+    half = F.lit(float(z)) * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    lo = ((p + z2 / (2 * n)) - half) / (1 + z2 / n)
+    hi = ((p + z2 / (2 * n)) + half) / (1 + z2 / n)
+    return (
+        cells.select(
+            "user_id",
+            "n_events",
+            "n_errors",
+            F.round(p, 6).alias("error_share"),
+            F.round(lo, 6).alias("wilson_lo"),
+            F.round(hi, 6).alias("wilson_hi"),
+        )
+        .orderBy(F.desc("wilson_lo"), "user_id")
+        .limit(top_k)
+    )

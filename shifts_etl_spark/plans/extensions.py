@@ -6858,6 +6858,79 @@ FROM one, LATERAL (
 """
 
 
+def x155_conversion_latency(spark, sf_dir):
+    """View->purchase time-to-convert summary
+    (funnel.conversion_latency): user-keyed conditional mins
+    (co-partitioned join, no window), integer-micro lags, 1-row
+    summary with rate + mean/p50/p90 seconds."""
+    return funnel.conversion_latency(_t(spark, sf_dir, "events"))
+
+
+X155_SQL = """
+WITH per_user AS (
+  SELECT user_id AS u,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_from
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id AS u, MIN(p.t_from) AS t_from,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) >= p.t_from
+                  THEN epoch_us(e.ts) END) AS t_to
+  FROM events e JOIN per_user p ON e.user_id = p.u
+  WHERE p.t_from IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_with_view,
+       CAST(count(t_to) AS BIGINT) AS n_converted,
+       round(CAST(count(t_to) AS DOUBLE) / count(*), 6) AS conversion_rate,
+       round(avg((t_to - t_from) / 1e6), 4) AS mean_latency_s,
+       round(quantile_cont((t_to - t_from) / 1e6, 0.5), 4) AS p50_latency_s,
+       round(quantile_cont((t_to - t_from) / 1e6, 0.9), 4) AS p90_latency_s
+FROM conv
+"""
+
+
+def x156_wilson_error_rates(spark, sf_dir):
+    """Wilson-lower-bound error-rate screening
+    (funnel.wilson_error_rates): one user-keyed aggregate, closed-form
+    Wilson interval from exact integers, top-20 by lower bound — the
+    small-sample-proof ranking."""
+    return funnel.wilson_error_rates(_t(spark, sf_dir, "events"))
+
+
+X156_SQL = """
+WITH cells AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT user_id, n_events, n_errors,
+         round(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_share,
+         round(((CAST(n_errors AS DOUBLE) / n_events
+                 + 3.8416 / (2 * n_events))
+                - 1.96 * sqrt((CAST(n_errors AS DOUBLE) / n_events
+                               * (1 - CAST(n_errors AS DOUBLE) / n_events)
+                               + 3.8416 / (4 * n_events)) / n_events))
+               / (1 + 3.8416 / n_events), 6) AS wilson_lo,
+         round(((CAST(n_errors AS DOUBLE) / n_events
+                 + 3.8416 / (2 * n_events))
+                + 1.96 * sqrt((CAST(n_errors AS DOUBLE) / n_events
+                               * (1 - CAST(n_errors AS DOUBLE) / n_events)
+                               + 3.8416 / (4 * n_events)) / n_events))
+               / (1 + 3.8416 / n_events), 6) AS wilson_hi
+  FROM cells
+)
+SELECT user_id, n_events, n_errors, error_share, wilson_lo, wilson_hi
+FROM scored
+ORDER BY wilson_lo DESC, user_id
+LIMIT 20
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7020,6 +7093,8 @@ EXTENSIONS = {
         x153_rolling_active_users,
         X153_SQL,
     ),
+    "x155_conversion_latency": (x155_conversion_latency, X155_SQL),
+    "x156_wilson_error_rates": (x156_wilson_error_rates, X156_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1522,3 +1522,45 @@ def test_session_timeout_sweep_hand(spark):
     assert [out[t].n_sessions for t in (300, 900, 1800, 3600)] == [3, 2, 1, 1]
     assert out[300].events_per_session == 1.0
     assert out[1800].events_per_session == 3.0
+
+
+def test_conversion_latency_hand(spark):
+    """User 1: view at t0, purchase 90 s later (converts). User 2: view
+    only. User 3: purchase BEFORE any view -> view exists (no) — user 3
+    has no view so excluded entirely. Rate 1/2, latencies all 90 s."""
+    from shifts_etl_spark.operators.funnel import conversion_latency
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "purchase", "2024-01-01T10:01:30"),
+        _ev(3, 2, "view", "2024-01-01T11:00:00"),
+        _ev(4, 3, "purchase", "2024-01-01T09:00:00"),
+    ]
+    out = conversion_latency(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_with_view, r.n_converted, r.conversion_rate) == (2, 1, 0.5)
+    assert (r.mean_latency_s, r.p50_latency_s, r.p90_latency_s) == (
+        90.0, 90.0, 90.0)
+
+
+def test_wilson_error_rates_ranking(spark):
+    """User 1: 1/1 errors (share 1.0 but tiny sample); user 2: 8/10
+    errors. Wilson lower bound must rank user 2 FIRST despite the lower
+    raw share — the whole point of the interval."""
+    from shifts_etl_spark.operators.funnel import wilson_error_rates
+
+    rows = [_ev(1, 1, "error", "2024-01-01T10:00:00")]
+    rows += [_ev(10 + i, 2, "error" if i < 8 else "view",
+                 f"2024-01-01T10:00:{i:02d}") for i in range(10)]
+    out = wilson_error_rates(spark.createDataFrame(rows)).collect()
+    assert [r.user_id for r in out] == [2, 1]
+    u2, u1 = out
+    assert u1.error_share == 1.0 and u2.error_share == 0.8
+    assert u2.wilson_lo > u1.wilson_lo
+    # closed-form check for user 2 (p=.8, n=10, z=1.96)
+    p, n, zz = 0.8, 10.0, 1.96
+    lo = ((p + zz * zz / (2 * n))
+          - zz * math.sqrt((p * (1 - p) + zz * zz / (4 * n)) / n)) \
+        / (1 + zz * zz / n)
+    assert abs(u2.wilson_lo - lo) < 1e-4

@@ -105,6 +105,8 @@ SINGLE_PARTITION_OK = {
     # aggregate over the (user, day) cells
     "x154_session_timeout_sweep",  # the sweep IS a 1-row aggregate
     # (n_users + 4 conditional gap counts), stacked to 4 rows
+    "x155_conversion_latency",  # the summary IS a 1-row aggregate over
+    # the per-user conversion frame
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
