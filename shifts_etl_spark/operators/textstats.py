@@ -1273,3 +1273,125 @@ def truncation_loss(
             F.col("lost_tokens").cast("double") / F.col("total_tokens"), 6
         ).alias("loss_share"),
     )
+
+
+def heaps_law(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth fit: V(n) ~ K * n^beta, estimated
+    from ``n_buckets`` deterministic md5 prefixes of the corpus (the
+    content-addressed stand-in for ingestion order). One row per
+    prefix: cumulative tokens, cumulative distinct types, plus the
+    corpus-level (beta, K) from population OLS of ln V on ln n — the
+    curve that predicts how much NEW vocabulary the next 10x of data
+    buys (and whether a tokenizer's vocab budget will saturate).
+
+    The scale trick: cumulative DISTINCT types never re-scan prefixes —
+    each type contributes one (type, min_bucket) row, so prefix k's
+    vocabulary is the count of types with min_bucket <= k: one
+    corpus-sized aggregate, then |buckets|-row folds.
+
+    Scale shape: token explode -> two keyed aggregates (bucket cells,
+    type min-bucket); the cumulative/prefix math runs on the 10-row
+    cell frame (sanctioned tiny window); the OLS is a 1-row regr_*
+    aggregate broadcast back."""
+    from pyspark.sql import Window
+
+    hx = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        (F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(F.substring(hx, 2, 1)))
+        % n_buckets
+    )
+    tok = docs.select(
+        bucket.alias("b"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("t"),
+    )
+    per_bucket = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_types = (
+        tok.groupBy("t")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    cells = per_bucket.join(new_types, "b", "full").select(
+        "b",
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = cells.select(
+        (F.col("b") + 1).alias("k"),
+        F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("long").alias("cum_types"),
+    ).where(F.col("cum_tokens") > 0)
+    fit = pts.agg(
+        F.round(
+            F.regr_slope(F.log("cum_types"), F.log("cum_tokens")), 6
+        ).alias("beta"),
+        F.round(
+            F.exp(
+                F.regr_intercept(F.log("cum_types"), F.log("cum_tokens"))
+            ),
+            4,
+        ).alias("heaps_k"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "k", "cum_tokens", "cum_types", "beta", "heaps_k"
+    )
+
+
+def filter_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-filter agreement matrix: how correlated are the corpus
+    filters actually being run? Each x18 rejection reason becomes an
+    independent row-local flag (too-short, digit-heavy, short-words),
+    and every unordered filter pair reports its reject counts, overlap,
+    and Jaccard — near-1 pairs are redundant (drop one), near-0 pairs
+    are orthogonal (both earn their compute). The meta-audit a curation
+    pipeline runs before adding filter #7.
+
+    Scale shape: the flags are row-local expressions folded by ONE
+    global aggregate (map-side combined, 6 conditional sums); the
+    matrix is a constant-width stack of that 1-row frame."""
+    c = F.col(text_col)
+    a = token_count(c) < 20
+    b = digit_ratio(c) > 0.2
+    d = mean_token_len(c) < 3.0
+    flags = docs.select(
+        a.cast("long").alias("fa"),
+        b.cast("long").alias("fb"),
+        d.cast("long").alias("fd"),
+    )
+    one = flags.agg(
+        F.sum("fa").cast("long").alias("na"),
+        F.sum("fb").cast("long").alias("nb"),
+        F.sum("fd").cast("long").alias("nd"),
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("nab"),
+        F.sum(F.col("fa") * F.col("fd")).cast("long").alias("nad"),
+        F.sum(F.col("fb") * F.col("fd")).cast("long").alias("nbd"),
+    )
+    stacked = one.selectExpr(
+        "stack(3, "
+        "'too_few_tokens', 'too_many_digits', na, nb, nab, "
+        "'too_few_tokens', 'tokens_too_short', na, nd, nad, "
+        "'too_many_digits', 'tokens_too_short', nb, nd, nbd"
+        ") as (filter_a, filter_b, n_a, n_b, n_both)"
+    )
+    either = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return stacked.select(
+        "filter_a",
+        "filter_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(either > 0, F.round(F.col("n_both") / either.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )

@@ -6931,6 +6931,103 @@ LIMIT 20
 """
 
 
+def x157_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth fit (textstats.heaps_law): 10 md5
+    corpus prefixes, cumulative-distinct via per-type min bucket (one
+    corpus aggregate, never prefix re-scans), ln-ln OLS via regr_* on
+    the 10-point frame."""
+    return textstats.heaps_law(_t(spark, sf_dir, "documents"))
+
+
+X157_SQL = f"""
+WITH norm AS (
+  SELECT (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS b,
+         {_X67_NORM} AS toks
+  FROM documents
+),
+tok AS (SELECT b, unnest(toks) AS t FROM norm),
+per_bucket AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
+),
+new_types AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_new
+  FROM (SELECT t, MIN(b) AS b FROM tok GROUP BY 1) GROUP BY 1
+),
+cells AS (
+  SELECT COALESCE(p.b, n.b) AS b,
+         COALESCE(p.n_tok, 0) AS n_tok,
+         COALESCE(n.n_new, 0) AS n_new
+  FROM per_bucket p FULL JOIN new_types n USING (b)
+),
+pts AS (
+  SELECT b + 1 AS k,
+         CAST(SUM(n_tok) OVER (ORDER BY b) AS BIGINT) AS cum_tokens,
+         CAST(SUM(n_new) OVER (ORDER BY b) AS BIGINT) AS cum_types
+  FROM cells
+),
+kept AS (SELECT * FROM pts WHERE cum_tokens > 0),
+fit AS (
+  SELECT round(regr_slope(ln(cum_types), ln(cum_tokens)), 6) AS beta,
+         round(exp(regr_intercept(ln(cum_types), ln(cum_tokens))), 4)
+           AS heaps_k
+  FROM kept
+)
+SELECT k, cum_tokens, cum_types, beta, heaps_k
+FROM kept CROSS JOIN fit
+"""
+
+
+def x158_filter_agreement(spark, sf_dir):
+    """Quality-filter agreement matrix (textstats.filter_agreement):
+    x18's three rejection reasons as independent row-local flags, ONE
+    1-row aggregate of 6 conditional sums, constant-width stack to the
+    3 unordered pairs with overlap Jaccard."""
+    return textstats.filter_agreement(_t(spark, sf_dir, "documents"))
+
+
+X158_SQL = r"""
+WITH flags AS (
+  SELECT CASE WHEN len(list_filter(
+                regexp_split_to_array(trim(text), '\s+'), t -> t <> ''
+              )) < 20 THEN 1 ELSE 0 END AS fa,
+         CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS DOUBLE) / greatest(length(text), 1) > 0.2
+              THEN 1 ELSE 0 END AS fb,
+         CASE WHEN CAST(list_aggregate(list_transform(
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t <> ''),
+                     t -> length(t)), 'sum') AS DOUBLE)
+                   / greatest(len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       t -> t <> '')), 1) < 3.0
+              THEN 1 ELSE 0 END AS fd
+  FROM documents
+),
+one AS (
+  SELECT CAST(SUM(fa) AS BIGINT) AS na, CAST(SUM(fb) AS BIGINT) AS nb,
+         CAST(SUM(fd) AS BIGINT) AS nd,
+         CAST(SUM(fa * fb) AS BIGINT) AS nab,
+         CAST(SUM(fa * fd) AS BIGINT) AS nad,
+         CAST(SUM(fb * fd) AS BIGINT) AS nbd
+  FROM flags
+),
+stacked AS (
+  SELECT 'too_few_tokens' AS filter_a, 'too_many_digits' AS filter_b,
+         na AS n_a, nb AS n_b, nab AS n_both FROM one
+  UNION ALL
+  SELECT 'too_few_tokens', 'tokens_too_short', na, nd, nad FROM one
+  UNION ALL
+  SELECT 'too_many_digits', 'tokens_too_short', nb, nd, nbd FROM one
+)
+SELECT filter_a, filter_b, n_a, n_b, n_both,
+       CASE WHEN n_a + n_b - n_both > 0
+            THEN round(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both), 6)
+            ELSE 0.0 END AS jaccard
+FROM stacked
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7095,6 +7192,8 @@ EXTENSIONS = {
     ),
     "x155_conversion_latency": (x155_conversion_latency, X155_SQL),
     "x156_wilson_error_rates": (x156_wilson_error_rates, X156_SQL),
+    "x157_heaps_law": (x157_heaps_law, X157_SQL),
+    "x158_filter_agreement": (x158_filter_agreement, X158_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1564,3 +1564,44 @@ def test_wilson_error_rates_ranking(spark):
           - zz * math.sqrt((p * (1 - p) + zz * zz / (4 * n)) / n)) \
         / (1 + zz * zz / n)
     assert abs(u2.wilson_lo - lo) < 1e-4
+
+
+def test_heaps_law_monotone_and_fit(spark):
+    """Cumulative tokens/types must be nondecreasing in k, the last
+    point must hold the full corpus totals, and on an exact power-law
+    corpus the fitted beta matches the log-log line."""
+    from shifts_etl_spark.operators.textstats import heaps_law
+
+    rows = [_doc(i, " ".join(f"w{i}x{j}" for j in range(5)) + " shared")
+            for i in range(1, 31)]
+    df = spark.createDataFrame(rows)
+    pts = sorted(heaps_law(df).collect(), key=lambda r: r.k)
+    toks = [r.cum_tokens for r in pts]
+    typs = [r.cum_types for r in pts]
+    assert toks == sorted(toks) and typs == sorted(typs)
+    assert toks[-1] == 30 * 6
+    assert typs[-1] == 30 * 5 + 1  # 5 unique/doc + 'shared'
+    assert all(r.beta == pts[0].beta for r in pts)
+    xs = [math.log(t) for t in toks]
+    ys = [math.log(v) for v in typs]
+    slope, _ = _ols(xs, ys)
+    assert abs(pts[0].beta - round(slope, 6)) < 1e-5
+
+
+def test_filter_agreement_planted_overlap(spark):
+    """Doc 1 is short AND digit-heavy; doc 2 only short; doc 3 clean ->
+    pair (few_tokens, many_digits): n_a=2, n_b=1, both=1, J=1/2."""
+    from shifts_etl_spark.operators.textstats import filter_agreement
+
+    rows = [
+        _doc(1, "12345 67890"),
+        _doc(2, "hello brave new world"),
+        _doc(3, " ".join("word" + "abcdefghijklmnopqrstuvwxy"[i] * 2
+                         for i in range(25))),
+    ]
+    out = {(r.filter_a, r.filter_b): r for r in
+           filter_agreement(spark.createDataFrame(rows)).collect()}
+    r = out[("too_few_tokens", "too_many_digits")]
+    assert (r.n_a, r.n_b, r.n_both, r.jaccard) == (2, 1, 1, 0.5)
+    r2 = out[("too_few_tokens", "tokens_too_short")]
+    assert r2.n_a == 2

@@ -107,6 +107,10 @@ SINGLE_PARTITION_OK = {
     # (n_users + 4 conditional gap counts), stacked to 4 rows
     "x155_conversion_latency",  # the summary IS a 1-row aggregate over
     # the per-user conversion frame
+    "x157_heaps_law",  # 10-row prefix cumsum + 1-row regr fit over the
+    # bucket cell frame
+    "x158_filter_agreement",  # the matrix IS a 1-row aggregate of 6
+    # conditional sums, stacked to 3 rows
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -178,6 +182,8 @@ CROSS_JOIN_OK = {
     # onto the |brands|^2-bounded pair cells
     "x153_rolling_active_users",  # crossJoin with the broadcast 1-row
     # max-day clamp onto the (user, day) cells
+    "x157_heaps_law",  # crossJoin with the broadcast 1-row (beta, K)
+    # fit onto the 10 prefix points
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
