@@ -143,3 +143,48 @@ def l_diversity_report(
         F.round(entropy, 6).alias("entropy"),
         (F.col("l_distinct") < l_threshold).alias("at_risk"),
     )
+
+
+def fk_coverage_matrix(
+    edges: dict[str, tuple[DataFrame, "F.Column", DataFrame, "F.Column"]],
+) -> DataFrame:
+    """Whole-schema referential-integrity report: one row per FK edge
+    with the child row count, orphan count (child keys with no parent),
+    and orphan share — the single table an ingestion pipeline checks
+    before promoting a snapshot, generalizing the one-edge orphan query
+    (q28) to the full FK graph.
+
+    ``edges``: {edge_name: (child_df, child_key, parent_df,
+    parent_key)}. Scale shape: per edge, one key-distinct parent frame
+    and one left-anti join keyed on the FK (AQE broadcasts small
+    parents); counts fold map-side; the union is |edges| rows."""
+    outs = []
+    for name, (child, ck, parent, pk) in edges.items():
+        keys = parent.select(pk.alias("_pk")).distinct()
+        total = child.select(ck.alias("_ck"))
+        orphans = total.join(
+            keys, total["_ck"] == keys["_pk"], "left_anti"
+        )
+        outs.append(
+            total.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+            ).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "edge",
+        "n_child",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double")
+            / F.greatest(F.col("n_child"), F.lit(1)),
+            6,
+        ).alias("orphan_share"),
+    )

@@ -1395,3 +1395,63 @@ def filter_agreement(
         .otherwise(F.lit(0.0))
         .alias("jaccard"),
     )
+
+
+def vocab_coverage_by_lang(
+    train_docs: DataFrame,
+    heldout_docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Vocabulary coverage fairness audit: per language of the held-out
+    split, what share of token OCCURRENCES and of distinct TYPES fall
+    outside the training vocabulary — the fast screen for "this
+    language's text will be mostly <unk> under the frozen vocab" that
+    complements x139's fertility view (fertility measures splitting
+    cost; this measures outright misses).
+
+    Scale shape: the train vocab is a distinct-word aggregate; the
+    held-out stream joins it word-keyed (left, null = OOV); token
+    shares fold per language; type shares fold on the distinct
+    (lang, word) frame. Integer counts, shares at 6 dp."""
+    vocab = (
+        train_docs.select(
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("word")
+        )
+        .distinct()
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    held = heldout_docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    ).join(vocab, "word", "left")
+    tok = held.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+    typ = (
+        held.select("lang", "word", "in_vocab")
+        .distinct()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_types"),
+        )
+    )
+    return tok.join(typ, "lang").select(
+        "lang",
+        "n_tokens",
+        "oov_tokens",
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_token_share"),
+        "n_types",
+        "oov_types",
+        F.round(
+            F.col("oov_types").cast("double") / F.col("n_types"), 6
+        ).alias("oov_type_share"),
+    )

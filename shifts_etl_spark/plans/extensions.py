@@ -7028,6 +7028,140 @@ FROM stacked
 """
 
 
+def x159_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage by language (textstats.vocab_coverage_by_
+    lang): token- and type-level OOV shares of the held-out md5 splits
+    under the train-split vocabulary — word-keyed left join, language
+    cells."""
+    assigned = _split_docs(spark, sf_dir)
+    return textstats.vocab_coverage_by_lang(
+        assigned.where(F.col("split") == "train"),
+        assigned.where(F.col("split") != "train"),
+    )
+
+
+X159_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_X67_NORM} AS toks,
+         {_Y_SPLIT_CASE} AS split
+  FROM (SELECT doc_id, lang, text, {_Y_SPLIT_INNER} AS b FROM documents)
+),
+vocab AS (
+  SELECT DISTINCT unnest(toks) AS word FROM base WHERE split = 'train'
+),
+held AS (
+  SELECT b.lang, u.word, v.word IS NOT NULL AS in_vocab
+  FROM base b, unnest(b.toks) AS u(word)
+  LEFT JOIN vocab v ON u.word = v.word
+  WHERE b.split <> 'train'
+),
+tok AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_tokens
+  FROM held GROUP BY 1
+),
+typ AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_types
+  FROM (SELECT DISTINCT lang, word, in_vocab FROM held) GROUP BY 1
+)
+SELECT lang, n_tokens, oov_tokens,
+       round(CAST(oov_tokens AS DOUBLE) / n_tokens, 6) AS oov_token_share,
+       n_types, oov_types,
+       round(CAST(oov_types AS DOUBLE) / n_types, 6) AS oov_type_share
+FROM tok JOIN typ USING (lang)
+"""
+
+
+def x160_fk_coverage(spark, sf_dir):
+    """Whole-schema FK integrity matrix (quality.fk_coverage_matrix):
+    one left-anti join per FK edge of the TPC-H-ish graph, orphan
+    counts/shares per edge — q28's one-edge orphan check generalized."""
+    from ..operators.quality import fk_coverage_matrix
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return fk_coverage_matrix(
+        {
+            "orders.custkey": (o, F.col("o_custkey"), c, F.col("c_custkey")),
+            "lineitem.orderkey": (
+                li, F.col("l_orderkey"), o, F.col("o_orderkey")),
+            "lineitem.partkey": (
+                li, F.col("l_partkey"), p, F.col("p_partkey")),
+            "lineitem.suppkey": (
+                li, F.col("l_suppkey"), s, F.col("s_suppkey")),
+            "customer.nationkey": (
+                c, F.col("c_nationkey"), n, F.col("n_nationkey")),
+            "supplier.nationkey": (
+                s, F.col("s_nationkey"), n, F.col("n_nationkey")),
+            "nation.regionkey": (
+                n, F.col("n_regionkey"), r, F.col("r_regionkey")),
+        }
+    )
+
+
+X160_SQL = """
+WITH e1 AS (
+  SELECT 'orders.custkey' AS edge, CAST(count(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+e2 AS (
+  SELECT 'lineitem.orderkey', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+e3 AS (
+  SELECT 'lineitem.partkey', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+),
+e4 AS (
+  SELECT 'lineitem.suppkey', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+e5 AS (
+  SELECT 'customer.nationkey', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+e6 AS (
+  SELECT 'supplier.nationkey', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+e7 AS (
+  SELECT 'nation.regionkey', CAST(count(*) AS BIGINT),
+         CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+u AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+  UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5
+  UNION ALL SELECT * FROM e6 UNION ALL SELECT * FROM e7
+)
+SELECT edge, n_child, n_orphans,
+       round(CAST(n_orphans AS DOUBLE) / GREATEST(n_child, 1), 6)
+         AS orphan_share
+FROM u
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7194,6 +7328,8 @@ EXTENSIONS = {
     "x156_wilson_error_rates": (x156_wilson_error_rates, X156_SQL),
     "x157_heaps_law": (x157_heaps_law, X157_SQL),
     "x158_filter_agreement": (x158_filter_agreement, X158_SQL),
+    "x159_vocab_coverage": (x159_vocab_coverage, X159_SQL),
+    "x160_fk_coverage": (x160_fk_coverage, X160_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1605,3 +1605,41 @@ def test_filter_agreement_planted_overlap(spark):
     assert (r.n_a, r.n_b, r.n_both, r.jaccard) == (2, 1, 1, 0.5)
     r2 = out[("too_few_tokens", "tokens_too_short")]
     assert r2.n_a == 2
+
+
+def test_vocab_coverage_by_lang_hand(spark):
+    """Train vocab {the, cat, sat}: held-out en doc 'the cat ran ran'
+    -> 2/4 token OOV, 1/3 type OOV; de doc fully OOV."""
+    from shifts_etl_spark.operators.textstats import vocab_coverage_by_lang
+
+    train = spark.createDataFrame([_doc(1, "the cat sat")])
+    held = spark.createDataFrame([
+        _doc(10, "the cat ran ran", lang="en"),
+        _doc(11, "der hund", lang="de"),
+    ])
+    out = {r.lang: r for r in
+           vocab_coverage_by_lang(train, held).collect()}
+    en = out["en"]
+    assert (en.n_tokens, en.oov_tokens, en.oov_token_share) == (4, 2, 0.5)
+    assert (en.n_types, en.oov_types, en.oov_type_share) == (
+        3, 1, round(1 / 3, 6))
+    de = out["de"]
+    assert (de.oov_token_share, de.oov_type_share) == (1.0, 1.0)
+
+
+def test_fk_coverage_matrix_planted_orphan(spark):
+    """Child rows [1, 2, 99] against parents [1, 2]: one orphan,
+    share 1/3; a fully-covered edge reports zero."""
+    from shifts_etl_spark.operators.quality import fk_coverage_matrix
+
+    child = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=99)])
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    out = {r.edge: r for r in fk_coverage_matrix({
+        "child.k": (child, F.col("k"), parent, F.col("pk")),
+        "parent.self": (parent, F.col("pk"), parent, F.col("pk")),
+    }).collect()}
+    bad = out["child.k"]
+    assert (bad.n_child, bad.n_orphans, bad.orphan_share) == (
+        3, 1, round(1 / 3, 6))
+    assert (out["parent.self"].n_orphans, out["parent.self"].orphan_share) \
+        == (0, 0.0)

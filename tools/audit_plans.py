@@ -111,6 +111,8 @@ SINGLE_PARTITION_OK = {
     # bucket cell frame
     "x158_filter_agreement",  # the matrix IS a 1-row aggregate of 6
     # conditional sums, stacked to 3 rows
+    "x160_fk_coverage",  # per FK edge: two 1-row count aggregates
+    # (child total + anti-join orphans), 7-row union
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -184,6 +186,8 @@ CROSS_JOIN_OK = {
     # max-day clamp onto the (user, day) cells
     "x157_heaps_law",  # crossJoin with the broadcast 1-row (beta, K)
     # fit onto the 10 prefix points
+    "x160_fk_coverage",  # 1-row x 1-row crossJoin per FK edge
+    # (child total x orphan count)
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
