@@ -1332,3 +1332,80 @@ def neardup_split_contamination(
         "n_docs_involved",
         "mean_est_jaccard",
     )
+
+
+def clean_eval_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    lang_col: str = "lang",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Decontaminated-eval extraction accounting: after excluding every
+    held-out document with a near-duplicate (banded MinHash-LSH
+    candidate at >= ``threshold`` estimated Jaccard) in the TRAIN
+    split, how much eval data survives, per language — the size report
+    that accompanies a "clean" benchmark release
+    (:func:`neardup_split_contamination` finds the pairs; this is the
+    eval-side consequence).
+
+    Scale shape: candidate pairs ride the banded LSH (never
+    all-pairs); contaminated ids collapse to a distinct id frame,
+    attached to the held-out docs with a doc-keyed LEFT ANTI membership
+    join; the rollup is language cells."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, hash_fn=hash_fn)
+    splits = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(split_col).alias("_sp"),
+        F.col(lang_col).alias("_lang"),
+    )
+    labeled = (
+        pairs.where(F.col("est_jaccard") >= threshold)
+        .join(
+            splits.select(
+                F.col("_id").alias("id_a"), F.col("_sp").alias("sp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("_id").alias("id_b"), F.col("_sp").alias("sp_b")
+            ),
+            "id_b",
+        )
+    )
+    contaminated = (
+        labeled.where(
+            (F.col("sp_a") == "train") & (F.col("sp_b") != "train")
+        )
+        .select(F.col("id_b").alias("_id"))
+        .union(
+            labeled.where(
+                (F.col("sp_b") == "train") & (F.col("sp_a") != "train")
+            ).select(F.col("id_a").alias("_id"))
+        )
+        .distinct()
+    )
+    held = splits.where(F.col("_sp") != "train")
+    kept = held.join(contaminated, "_id", "left_anti")
+    tot = held.groupBy(F.col("_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_heldout")
+    )
+    surv = kept.groupBy(F.col("_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return tot.join(surv, "lang", "left").select(
+        "lang",
+        "n_heldout",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_heldout") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_excluded"
+        ),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)).cast("double")
+            / F.col("n_heldout"),
+            6,
+        ).alias("kept_share"),
+    )

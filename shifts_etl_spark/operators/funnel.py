@@ -1172,3 +1172,64 @@ def wilson_error_rates(
         .orderBy(F.desc("wilson_lo"), "user_id")
         .limit(top_k)
     )
+
+
+def churn_risk(
+    orders: DataFrame,
+    customer: DataFrame,
+    min_orders: int = 3,
+    factor: float = 2.0,
+) -> DataFrame:
+    """Churn-risk rollup against each customer's OWN cadence: a
+    customer is at risk when their silence since the last order exceeds
+    ``factor`` x their personal median inter-order gap — the
+    personalized baseline that doesn't mislabel a quarterly buyer as
+    churned after 30 days. Per market segment: eligible customers
+    (>= ``min_orders`` orders), at-risk count/share, and the median of
+    the personal median gaps.
+
+    Determinism: gaps are integer day diffs; medians interpolate over
+    exact integers (halves exact in binary); the anchor is the global
+    max order date (broadcast 1-row).
+
+    Scale shape: one custkey-keyed lag window (partitioned, no global
+    sort), one custkey aggregate, a custkey-keyed join to customer,
+    segment cells."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("o_orderdate").alias("last_date"),
+        F.percentile(F.col("gap").cast("double"), F.lit(0.5)).alias("med_gap"),
+    ).where(F.col("n_orders") >= min_orders)
+    anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
+    flagged = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "med_gap",
+        (
+            F.datediff("max_date", "last_date")
+            > F.lit(float(factor)) * F.col("med_gap")
+        ).cast("long").alias("at_risk"),
+    )
+    seg = flagged.join(
+        customer.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    )
+    return seg.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("at_risk").cast("long").alias("n_at_risk"),
+        F.round(
+            F.sum("at_risk").cast("double") / F.count(F.lit(1)), 6
+        ).alias("at_risk_share"),
+        F.round(F.percentile("med_gap", F.lit(0.5)), 4).alias(
+            "median_personal_gap_days"
+        ),
+    )

@@ -7162,6 +7162,103 @@ FROM u
 """
 
 
+def x161_churn_risk(spark, sf_dir):
+    """Personal-cadence churn risk per segment (funnel.churn_risk):
+    custkey-keyed lag gaps, per-customer median gap, broadcast anchor
+    date, at-risk = silence > 2x own median; segment cells."""
+    return funnel.churn_risk(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+X161_SQL = """
+WITH gaps AS (
+  SELECT o_custkey, o_orderdate,
+         date_diff('day', lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         MAX(o_orderdate) AS last_date,
+         quantile_cont(CAST(gap AS DOUBLE), 0.5) AS med_gap
+  FROM gaps GROUP BY 1
+  HAVING count(*) >= 3
+),
+anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+flagged AS (
+  SELECT p.o_custkey, p.med_gap,
+         CASE WHEN date_diff('day', p.last_date, a.max_date)
+                   > 2.0 * p.med_gap THEN 1 ELSE 0 END AS at_risk
+  FROM per_cust p CROSS JOIN anchor a
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(f.at_risk) AS BIGINT) AS n_at_risk,
+       round(CAST(SUM(f.at_risk) AS DOUBLE) / count(*), 6)
+         AS at_risk_share,
+       round(quantile_cont(f.med_gap, 0.5), 4)
+         AS median_personal_gap_days
+FROM flagged f JOIN customer c ON f.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def x162_clean_eval(spark, sf_dir):
+    """Decontaminated-eval extraction accounting
+    (dedup.clean_eval_report): held-out docs surviving exclusion of
+    every x3-candidate near-dup of a TRAIN doc (md5 hash family,
+    est Jaccard >= 0.5), per language."""
+    return dedup.clean_eval_report(_split_docs(spark, sf_dir), hash_fn="md5")
+
+
+X162_SQL = f"""
+WITH cand AS ({X3_SQL}),
+sp AS (
+  SELECT doc_id, lang,
+         CASE WHEN ({_Y_SPLIT_INNER}) < 5 THEN 'val'
+              WHEN ({_Y_SPLIT_INNER}) < 15 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+),
+labeled AS (
+  SELECT p.id_a, p.id_b, sa.split AS sp_a, sb.split AS sp_b
+  FROM cand p
+  JOIN sp sa ON p.id_a = sa.doc_id
+  JOIN sp sb ON p.id_b = sb.doc_id
+  WHERE p.est_jaccard >= 0.5
+),
+contaminated AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_b AS id FROM labeled
+    WHERE sp_a = 'train' AND sp_b <> 'train'
+    UNION
+    SELECT id_a FROM labeled
+    WHERE sp_b = 'train' AND sp_a <> 'train'
+  )
+),
+held AS (SELECT doc_id, lang FROM sp WHERE split <> 'train'),
+kept AS (
+  SELECT h.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM held h LEFT JOIN contaminated c ON h.doc_id = c.id
+  WHERE c.id IS NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_heldout
+  FROM held GROUP BY 1
+)
+SELECT t.lang, t.n_heldout,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       t.n_heldout - COALESCE(k.n_kept, 0) AS n_excluded,
+       round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / t.n_heldout, 6)
+         AS kept_share
+FROM tot t LEFT JOIN kept k USING (lang)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7330,6 +7427,8 @@ EXTENSIONS = {
     "x158_filter_agreement": (x158_filter_agreement, X158_SQL),
     "x159_vocab_coverage": (x159_vocab_coverage, X159_SQL),
     "x160_fk_coverage": (x160_fk_coverage, X160_SQL),
+    "x161_churn_risk": (x161_churn_risk, X161_SQL),
+    "x162_clean_eval": (x162_clean_eval, X162_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

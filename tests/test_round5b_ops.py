@@ -1643,3 +1643,69 @@ def test_fk_coverage_matrix_planted_orphan(spark):
         3, 1, round(1 / 3, 6))
     assert (out["parent.self"].n_orphans, out["parent.self"].orphan_share) \
         == (0, 0.0)
+
+
+def test_churn_risk_personal_baseline(spark):
+    """Customer 1: monthly cadence (gaps 30), last order right at the
+    anchor -> not at risk. Customer 2: gaps of 10 days but silent for
+    the final 100 -> at risk. Customer 3 has 2 orders -> excluded."""
+    from shifts_etl_spark.operators.funnel import churn_risk
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    k = 1
+    for i in range(5):  # customer 1: days 0,30,...,120 (anchor = 130)
+        rows.append(Row(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+                        o_totalprice=1.0, o_orderpriority="1",
+                        o_orderdate=d0 + dt.timedelta(days=30 * i))); k += 1
+    for i in range(4):  # customer 2: days 0,10,20,30 then silence
+        rows.append(Row(o_orderkey=k, o_custkey=2, o_orderstatus="O",
+                        o_totalprice=1.0, o_orderpriority="1",
+                        o_orderdate=d0 + dt.timedelta(days=10 * i))); k += 1
+    rows.append(Row(o_orderkey=k, o_custkey=3, o_orderstatus="O",
+                    o_totalprice=1.0, o_orderpriority="1",
+                    o_orderdate=d0 + dt.timedelta(days=130))); k += 1
+    rows.append(Row(o_orderkey=k, o_custkey=3, o_orderstatus="O",
+                    o_totalprice=1.0, o_orderpriority="1",
+                    o_orderdate=d0))
+    cust = spark.createDataFrame([
+        Row(c_custkey=1, c_mktsegment="X"),
+        Row(c_custkey=2, c_mktsegment="Y"),
+        Row(c_custkey=3, c_mktsegment="X"),
+    ])
+    out = {r.c_mktsegment: r for r in
+           churn_risk(spark.createDataFrame(rows), cust).collect()}
+    assert (out["X"].n_customers, out["X"].n_at_risk) == (1, 0)
+    assert (out["Y"].n_customers, out["Y"].n_at_risk,
+            out["Y"].at_risk_share) == (1, 1, 1.0)
+    assert out["Y"].median_personal_gap_days == 10.0
+
+
+def test_clean_eval_report_excludes_contaminated(spark):
+    """Held-out doc 2 near-dups train doc 1 -> excluded; held-out doc 5
+    is clean -> kept. Held-out pair 6/7 duplicating EACH OTHER (no
+    train member) must NOT be excluded."""
+    from shifts_etl_spark.operators.dedup import clean_eval_report
+
+    body = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "astronauts careful measure gravitational lensing around the "
+            "old observatory every cold tuesday morning in late november")
+    other = ("completely different writing about distributed query engines "
+             "and the optimizers that plan them across many machines with "
+             "care and tests and benchmarks every single release cycle")
+    rows = [
+        Row(doc_id=1, text=body + " extra", split="train", lang="en"),
+        Row(doc_id=2, text=body + " bonus", split="test", lang="en"),
+        Row(doc_id=5, text="short unrelated note about gardens",
+            split="test", lang="en"),
+        Row(doc_id=6, text=other + " one", split="test", lang="de"),
+        Row(doc_id=7, text=other + " two", split="val", lang="de"),
+    ]
+    out = {r.lang: r for r in
+           clean_eval_report(spark.createDataFrame(rows)).collect()}
+    en = out["en"]
+    assert (en.n_heldout, en.n_kept, en.n_excluded) == (2, 1, 1)
+    assert en.kept_share == 0.5
+    de = out["de"]
+    assert (de.n_heldout, de.n_excluded) == (2, 0)
