@@ -1233,3 +1233,39 @@ def churn_risk(
             "median_personal_gap_days"
         ),
     )
+
+
+def transition_dwell(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Dwell-time profile per event-type transition: for every
+    (prev_type -> type) pair a user performs consecutively, the count,
+    exact mean and interpolated median dwell seconds — the timing layer
+    x128's transition-count matrix lacks (two transitions can be
+    equally common but one takes 2 s and one takes 2 h; only the timing
+    separates a bot path from a human one).
+
+    Determinism: dwell is an integer microsecond diff (unix_micros)
+    divided once at the end; percentiles interpolate over exact
+    integers.
+
+    Scale shape: one user-keyed lag window (partitioned, never global),
+    then a |types|^2-cell aggregate."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), "event_id")
+    t = F.unix_micros(F.col(ts_col))
+    trans = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("event_type"),
+        (t - F.lag(t).over(w)).alias("dwell_us"),
+    ).where(F.col("prev_type").isNotNull())
+    return trans.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("dwell_us") / 1e6, 4).alias("mean_dwell_s"),
+        F.round(
+            F.percentile(F.col("dwell_us").cast("double"), F.lit(0.5)) / 1e6,
+            4,
+        ).alias("p50_dwell_s"),
+    )

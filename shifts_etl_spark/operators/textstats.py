@@ -1455,3 +1455,66 @@ def vocab_coverage_by_lang(
             F.col("oov_types").cast("double") / F.col("n_types"), 6
         ).alias("oov_type_share"),
     )
+
+
+def vocab_budget_curve(
+    docs: DataFrame,
+    targets: tuple[int, ...] = (100, 1000, 5000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary budget sizing: if the tokenizer keeps only the top-K
+    types by frequency, what share of token OCCURRENCES stays covered?
+    One row per target K: the effective cutoff (block-aligned on count
+    ties, so the answer is deterministic — whole frequency blocks in or
+    out, never an arbitrary tie split) and the coverage share. The
+    companion to x157's Heaps fit: Heaps says how fast vocabulary
+    grows; this says what a fixed budget buys.
+
+    Scale shape: the corpus folds to (type, count) once, then to a
+    COUNT-VALUE histogram (|distinct counts| rows — thousands at most,
+    Zipf guarantees it); the cumulative walk runs on that tiny frame
+    (sanctioned window); targets attach by a broadcast literal frame
+    and a min_by per target."""
+    vocab = docs.select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("t")
+    ).groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    hist = vocab.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.col("c") * F.count(F.lit(1))).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        F.sum("n_types").over(w).cast("long").alias("cum_types"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+    tot = vocab.agg(F.sum("c").cast("double").alias("total_tokens"))
+    tgt = docs.sparkSession.createDataFrame(
+        [(int(k),) for k in targets], "target_k long"
+    )
+    hits = cum.crossJoin(F.broadcast(tgt)).where(
+        F.col("cum_types") >= F.col("target_k")
+    )
+    best = hits.groupBy("target_k").agg(
+        F.min("cum_types").cast("long").alias("k_eff")
+    )
+    return (
+        best.join(
+            cum.select(
+                F.col("cum_types").alias("k_eff"),
+                "cum_tokens",
+            ).distinct(),
+            "k_eff",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "target_k",
+            "k_eff",
+            F.round(
+                F.col("cum_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )

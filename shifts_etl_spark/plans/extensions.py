@@ -7259,6 +7259,73 @@ FROM tot t LEFT JOIN kept k USING (lang)
 """
 
 
+def x163_vocab_budget(spark, sf_dir):
+    """Vocabulary budget coverage curve (textstats.vocab_budget_curve):
+    top-K-types token coverage via the count-value histogram cumsum
+    (tiny frame), block-aligned on frequency ties."""
+    return textstats.vocab_budget_curve(_t(spark, sf_dir, "documents"))
+
+
+X163_SQL = f"""
+WITH norm AS (SELECT {_X67_NORM} AS toks FROM documents),
+vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS t FROM norm) GROUP BY 1
+),
+hist AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(c * count(*) AS BIGINT) AS n_tokens
+  FROM vocab GROUP BY 1
+),
+cum AS (
+  SELECT CAST(SUM(n_types) OVER (ORDER BY c DESC) AS BIGINT) AS cum_types,
+         CAST(SUM(n_tokens) OVER (ORDER BY c DESC) AS BIGINT) AS cum_tokens
+  FROM hist
+),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total_tokens FROM vocab),
+tgt AS (SELECT unnest([100, 1000, 5000, 10000]) AS target_k),
+best AS (
+  SELECT t.target_k, CAST(MIN(c.cum_types) AS BIGINT) AS k_eff
+  FROM cum c JOIN tgt t ON c.cum_types >= t.target_k
+  GROUP BY 1
+)
+SELECT CAST(b.target_k AS BIGINT) AS target_k, b.k_eff,
+       round(CAST(c.cum_tokens AS DOUBLE) / tot.total_tokens, 6)
+         AS coverage
+FROM best b
+JOIN (SELECT DISTINCT cum_types, cum_tokens FROM cum) c
+  ON b.k_eff = c.cum_types
+CROSS JOIN tot
+"""
+
+
+def x164_transition_dwell(spark, sf_dir):
+    """Per-transition dwell-time profile (funnel.transition_dwell):
+    user-keyed lag window, integer-micro dwells, |types|^2 cells with
+    exact mean + interpolated median seconds — the timing layer on
+    x128's count matrix."""
+    return funnel.transition_dwell(_t(spark, sf_dir, "events"))
+
+
+X164_SQL = """
+WITH trans AS (
+  SELECT lag(event_type) OVER w AS prev_type,
+         event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dwell_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(dwell_us) / 1e6, 4) AS mean_dwell_s,
+       round(quantile_cont(CAST(dwell_us AS DOUBLE), 0.5) / 1e6, 4)
+         AS p50_dwell_s
+FROM trans
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7429,6 +7496,8 @@ EXTENSIONS = {
     "x160_fk_coverage": (x160_fk_coverage, X160_SQL),
     "x161_churn_risk": (x161_churn_risk, X161_SQL),
     "x162_clean_eval": (x162_clean_eval, X162_SQL),
+    "x163_vocab_budget": (x163_vocab_budget, X163_SQL),
+    "x164_transition_dwell": (x164_transition_dwell, X164_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1709,3 +1709,39 @@ def test_clean_eval_report_excludes_contaminated(spark):
     assert en.kept_share == 0.5
     de = out["de"]
     assert (de.n_heldout, de.n_excluded) == (2, 0)
+
+
+def test_vocab_budget_curve_blocks(spark):
+    """Counts 8,4,4,1,1,1 (types a; b,c; d,e,f): block boundaries are
+    cum_types 1, 3, 6. target 100 exceeds the vocab -> absent; a tiny
+    target set exercises block alignment: target 2 -> k_eff 3 (ties
+    keep the whole count-4 block), coverage (8+4+4)/19."""
+    from shifts_etl_spark.operators.textstats import vocab_budget_curve
+
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 4
+                    + ["dd", "ee", "ff"])
+    df = spark.createDataFrame([_doc(1, text)])
+    out = {r.target_k: r for r in
+           vocab_budget_curve(df, targets=(1, 2, 6, 100)).collect()}
+    assert set(out) == {1, 2, 6}  # 100 unreachable on a 6-type vocab
+    assert (out[1].k_eff, out[1].coverage) == (1, round(8 / 19, 6))
+    assert (out[2].k_eff, out[2].coverage) == (3, round(16 / 19, 6))
+    assert (out[6].k_eff, out[6].coverage) == (6, 1.0)
+
+
+def test_transition_dwell_hand(spark):
+    """User path view -(60s)-> click -(120s)-> view: two transition
+    cells with exact means/medians."""
+    from shifts_etl_spark.operators.funnel import transition_dwell
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "click", "2024-01-01T10:01:00"),
+        _ev(3, 1, "view", "2024-01-01T10:03:00"),
+    ]
+    out = {(r.prev_type, r.event_type): r for r in
+           transition_dwell(spark.createDataFrame(rows)).collect()}
+    vc = out[("view", "click")]
+    assert (vc.n, vc.mean_dwell_s, vc.p50_dwell_s) == (1, 60.0, 60.0)
+    cv = out[("click", "view")]
+    assert (cv.mean_dwell_s, cv.p50_dwell_s) == (120.0, 120.0)

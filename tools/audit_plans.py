@@ -114,6 +114,8 @@ SINGLE_PARTITION_OK = {
     "x160_fk_coverage",  # per FK edge: two 1-row count aggregates
     # (child total + anti-join orphans), 7-row union
     "x161_churn_risk",  # anchor date: one 1-row aggregate over orders
+    "x163_vocab_budget",  # count-histogram cumsum (|distinct counts|
+    # rows, Zipf-bounded) + 1-row token total
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -190,6 +192,8 @@ CROSS_JOIN_OK = {
     "x160_fk_coverage",  # 1-row x 1-row crossJoin per FK edge
     # (child total x orphan count)
     "x161_churn_risk",  # crossJoin with the broadcast 1-row anchor date
+    "x163_vocab_budget",  # crossJoins with the broadcast 4-row target
+    # frame and the 1-row token total
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
