@@ -1269,3 +1269,43 @@ def transition_dwell(
             4,
         ).alias("p50_dwell_s"),
     )
+
+
+def retention_halflife(
+    events: DataFrame,
+    max_offset: int = 8,
+    min_points: int = 3,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Retention half-life per weekly cohort: fit ln(retention) ~
+    week_offset on the cohort's decay curve (offsets 1..``max_offset``,
+    positive retention only) and report the implied half-life
+    -ln(2)/slope — the single number that compares cohort stickiness
+    across product changes, distilled from x107's full matrix.
+
+    Scale shape: rides :func:`cohort_retention` (cell-sized frames
+    throughout); the fit is a |cohorts|-cell regr_* aggregate. Only
+    cohorts with >= ``min_points`` usable points and a negative slope
+    report a half-life."""
+    ret = cohort_retention(events, ts_col, user_col)
+    pts = ret.where(
+        (F.col("week_offset") >= 1)
+        & (F.col("week_offset") <= max_offset)
+        & (F.col("retention") > 0)
+    )
+    fit = pts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.regr_slope(
+            F.log("retention"), F.col("week_offset").cast("double")
+        ).alias("slope"),
+    ).where(F.col("n_points") >= min_points)
+    ln2 = 0.6931471805599453
+    return fit.select(
+        "cohort_week",
+        "n_points",
+        F.round("slope", 6).alias("decay_slope"),
+        F.when(
+            F.col("slope") < 0, F.round(F.lit(ln2) / -F.col("slope"), 4)
+        ).alias("halflife_weeks"),
+    )

@@ -7326,6 +7326,71 @@ GROUP BY 1, 2
 """
 
 
+def x165_revenue_gini(spark, sf_dir):
+    """Per-priority revenue Gini (profile.revenue_gini): exact
+    histogram form on integer-cents cells (bounded by the price
+    domain), group-partitioned cumulative walk, G-cell fold."""
+    return profile.revenue_gini(_t(spark, sf_dir, "orders"))
+
+
+X165_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+walked AS (
+  SELECT grp, cents, c,
+         CAST(SUM(c) OVER (PARTITION BY grp ORDER BY cents) AS BIGINT)
+           AS cum_c
+  FROM cells
+),
+per_grp AS (
+  SELECT grp,
+         CAST(SUM(c) AS BIGINT) AS n_orders,
+         CAST(SUM(cents * c) AS BIGINT) AS tot_cents,
+         SUM(CAST(cents AS DOUBLE) * c * (cum_c - c + 1 + cum_c) / 2.0)
+           AS rank_mass
+  FROM walked GROUP BY 1
+)
+SELECT grp AS o_orderpriority, n_orders,
+       round(tot_cents / 100.0, 2) AS total_revenue,
+       round(2.0 * rank_mass / (CAST(n_orders AS DOUBLE) * tot_cents)
+             - (n_orders + 1.0) / n_orders, 6) AS gini
+FROM per_grp
+"""
+
+
+def x166_retention_halflife(spark, sf_dir):
+    """Cohort retention half-life (funnel.retention_halflife): ln
+    decay fit over x107's retention curve (offsets 1-8, >= 3 points),
+    -ln2/slope per cohort."""
+    return funnel.retention_halflife(_t(spark, sf_dir, "events"))
+
+
+X166_SQL = f"""
+WITH ret AS ({X107_SQL}),
+pts AS (
+  SELECT cohort_week, CAST(week_offset AS DOUBLE) AS x, retention
+  FROM ret
+  WHERE week_offset BETWEEN 1 AND 8 AND retention > 0
+),
+fit AS (
+  SELECT cohort_week,
+         CAST(count(*) AS BIGINT) AS n_points,
+         regr_slope(ln(retention), x) AS slope
+  FROM pts GROUP BY 1
+  HAVING count(*) >= 3
+)
+SELECT cohort_week, n_points,
+       round(slope, 6) AS decay_slope,
+       CASE WHEN slope < 0 THEN round(0.6931471805599453 / -slope, 4)
+       END AS halflife_weeks
+FROM fit
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7498,6 +7563,11 @@ EXTENSIONS = {
     "x162_clean_eval": (x162_clean_eval, X162_SQL),
     "x163_vocab_budget": (x163_vocab_budget, X163_SQL),
     "x164_transition_dwell": (x164_transition_dwell, X164_SQL),
+    "x165_revenue_gini": (x165_revenue_gini, X165_SQL),
+    "x166_retention_halflife": (
+        x166_retention_halflife,
+        X166_SQL,
+    ),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1745,3 +1745,45 @@ def test_transition_dwell_hand(spark):
     assert (vc.n, vc.mean_dwell_s, vc.p50_dwell_s) == (1, 60.0, 60.0)
     cv = out[("click", "view")]
     assert (cv.mean_dwell_s, cv.p50_dwell_s) == (120.0, 120.0)
+
+
+def test_revenue_gini_closed_form(spark):
+    """Group A perfectly equal (all 5.0) -> G = 0; group B values
+    1,1,1,1,96 -> hand Gini = 2*(1*1+2*1+3*1+4*1+5*96)/(5*100) - 6/5
+    = 0.76."""
+    from shifts_etl_spark.operators.profile import revenue_gini
+
+    rows = [Row(o_orderpriority="A", o_totalprice=5.0) for _ in range(4)]
+    rows += [Row(o_orderpriority="B", o_totalprice=v)
+             for v in (1.0, 1.0, 1.0, 1.0, 96.0)]
+    out = {r.o_orderpriority: r for r in
+           revenue_gini(spark.createDataFrame(rows)).collect()}
+    assert out["A"].gini == 0.0
+    b = out["B"]
+    assert (b.n_orders, b.total_revenue) == (5, 100.0)
+    assert b.gini == round(2 * (1 + 2 + 3 + 4 + 5 * 96) / 500 - 1.2, 6)
+
+
+def test_retention_halflife_exact_decay(spark):
+    """A cohort decaying exactly by halves each week (16 -> 8 -> 4 -> 2
+    users active at offsets 0..3) has slope -ln2 and half-life 1."""
+    from shifts_etl_spark.operators.funnel import retention_halflife
+    import datetime as dt
+
+    rows = []
+    k = 1
+    base = dt.datetime(2024, 1, 1, 10)  # Monday
+    for u in range(16):
+        rows.append(Row(event_id=k, ts=base, user_id=u,
+                        event_type="view", value=1.0, props="{}")); k += 1
+        for off in (1, 2, 3):
+            if u < 16 >> off:
+                rows.append(Row(event_id=k, ts=base + dt.timedelta(weeks=off),
+                                user_id=u, event_type="view", value=1.0,
+                                props="{}")); k += 1
+    out = retention_halflife(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 3
+    assert abs(r.decay_slope + math.log(2)) < 1e-6
+    assert r.halflife_weeks == 1.0
