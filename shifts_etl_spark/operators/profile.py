@@ -1119,3 +1119,42 @@ def revenue_gini(
         F.round(F.col("tot_cents") / 100.0, 2).alias("total_revenue"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str = "p_brand",
+    col_col: str = "p_type",
+) -> DataFrame:
+    """Chi-square independence audit for two categorical columns: the
+    full contingency table with expected counts under independence
+    (row_total * col_total / N) and per-cell chi-square contributions —
+    the screen for "does brand determine container" style coupling that
+    breaks stratified-sampling assumptions. x136 tests one margin
+    against uniform; this tests the JOINT table against the product of
+    its margins.
+
+    Scale shape: one (row, col) cell aggregate (bounded by the category
+    product), two margin rollups broadcast back, a broadcast 1-row
+    grand total. Integer counts; expected/contrib round at 6 dp."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rows = cells.groupBy("r").agg(F.sum("n").cast("long").alias("n_r"))
+    cols = cells.groupBy("c").agg(F.sum("n").cast("long").alias("n_c"))
+    tot = cells.agg(F.sum("n").cast("double").alias("grand"))
+    e = F.col("n_r") * F.col("n_c") / F.col("grand")
+    return (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(cols), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias(row_col),
+            F.col("c").alias(col_col),
+            "n",
+            F.round(e, 6).alias("expected"),
+            F.round((F.col("n") - e) * (F.col("n") - e) / e, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )

@@ -1518,3 +1518,64 @@ def vocab_budget_curve(
             ).alias("coverage"),
         )
     )
+
+
+def quality_outliers(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multivariate quality-outlier screening: z-score each document on
+    four row-local style features (token count, digit ratio, mean token
+    length, punctuation ratio) against the corpus moments and rank by
+    the summed squared z — the docs that are weird on SEVERAL axes at
+    once, which single-feature filters (x18) each let through. Top
+    ``top_k`` by score.
+
+    Determinism: features are exact rationals; corpus moments are one
+    1-row aggregate broadcast back; the score rounds at 6 dp BEFORE the
+    ordering (with an id tie-break), so a last-ulp moment wobble cannot
+    reorder the boundary.
+
+    Scale shape: row-local features -> 1-row moments -> broadcast ->
+    TakeOrdered."""
+    c = F.col(text_col)
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(c).cast("double").alias("f1"),
+        digit_ratio(c).alias("f2"),
+        mean_token_len(c).alias("f3"),
+        punct_ratio(c).alias("f4"),
+    )
+    moments = feats.agg(
+        *[
+            x
+            for i in (1, 2, 3, 4)
+            for x in (
+                F.avg(f"f{i}").alias(f"m{i}"),
+                F.stddev_pop(f"f{i}").alias(f"s{i}"),
+            )
+        ]
+    )
+    z = [
+        F.when(
+            F.col(f"s{i}") > 0,
+            (F.col(f"f{i}") - F.col(f"m{i}")) / F.col(f"s{i}"),
+        ).otherwise(F.lit(0.0))
+        for i in (1, 2, 3, 4)
+    ]
+    score = sum(zi * zi for zi in z)
+    return (
+        feats.crossJoin(F.broadcast(moments))
+        .select(
+            "doc_id",
+            F.col("f1").cast("long").alias("n_tokens"),
+            F.round("f2", 6).alias("digit_ratio"),
+            F.round("f3", 6).alias("mean_token_len"),
+            F.round("f4", 6).alias("punct_ratio"),
+            F.round(score, 6).alias("outlier_score"),
+        )
+        .orderBy(F.desc("outlier_score"), "doc_id")
+        .limit(top_k)
+    )

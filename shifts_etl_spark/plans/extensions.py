@@ -7391,6 +7391,92 @@ FROM fit
 """
 
 
+def x167_brand_type_chi2(spark, sf_dir):
+    """Brand x type chi-square independence table
+    (profile.chi2_independence): bounded contingency cells, broadcast
+    margins + 1-row grand total, per-cell contributions."""
+    return profile.chi2_independence(_t(spark, sf_dir, "part"))
+
+
+X167_SQL = """
+WITH cells AS (
+  SELECT p_brand AS r, p_type AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+),
+rmarg AS (SELECT r, CAST(SUM(n) AS BIGINT) AS n_r FROM cells GROUP BY 1),
+cmarg AS (SELECT c, CAST(SUM(n) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM cells)
+SELECT cells.r AS p_brand, cells.c AS p_type, cells.n,
+       round(n_r * n_c / t.N, 6) AS expected,
+       round((cells.n - n_r * n_c / t.N)
+             * (cells.n - n_r * n_c / t.N)
+             / (n_r * n_c / t.N), 6) AS chi2_contrib
+FROM cells
+JOIN rmarg USING (r)
+JOIN cmarg USING (c)
+CROSS JOIN tot t
+"""
+
+
+def x168_quality_outliers(spark, sf_dir):
+    """Multivariate quality-outlier screen (textstats.quality_outliers):
+    4 row-local style features z-scored against broadcast 1-row corpus
+    moments, summed squared z rounded BEFORE ordering, top-20."""
+    return textstats.quality_outliers(_t(spark, sf_dir, "documents"))
+
+
+_X168_FEATS = r"""
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> t <> '')) AS DOUBLE) AS f1,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS f2,
+         CAST(list_aggregate(list_transform(
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            t -> t <> ''),
+                t -> length(t)), 'sum') AS DOUBLE)
+           / greatest(len(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 1)
+           AS f3,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS f4
+  FROM documents
+"""
+
+X168_SQL = f"""
+WITH feats AS ({_X168_FEATS}),
+m AS (
+  SELECT avg(f1) AS m1, stddev_pop(f1) AS s1,
+         avg(f2) AS m2, stddev_pop(f2) AS s2,
+         avg(f3) AS m3, stddev_pop(f3) AS s3,
+         avg(f4) AS m4, stddev_pop(f4) AS s4
+  FROM feats
+),
+zs AS (
+  SELECT doc_id, f1, f2, f3, f4,
+         CASE WHEN s1 > 0 THEN (f1 - m1) / s1 ELSE 0 END AS z1,
+         CASE WHEN s2 > 0 THEN (f2 - m2) / s2 ELSE 0 END AS z2,
+         CASE WHEN s3 > 0 THEN (f3 - m3) / s3 ELSE 0 END AS z3,
+         CASE WHEN s4 > 0 THEN (f4 - m4) / s4 ELSE 0 END AS z4
+  FROM feats CROSS JOIN m
+),
+scored AS (
+  SELECT doc_id,
+         CAST(f1 AS BIGINT) AS n_tokens,
+         round(f2, 6) AS digit_ratio,
+         round(f3, 6) AS mean_token_len,
+         round(f4, 6) AS punct_ratio,
+         round(z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4, 6)
+           AS outlier_score
+  FROM zs
+)
+SELECT * FROM scored
+ORDER BY outlier_score DESC, doc_id
+LIMIT 20
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7568,6 +7654,11 @@ EXTENSIONS = {
         x166_retention_halflife,
         X166_SQL,
     ),
+    "x167_brand_type_chi2": (
+        x167_brand_type_chi2,
+        X167_SQL,
+    ),
+    "x168_quality_outliers": (x168_quality_outliers, X168_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1787,3 +1787,33 @@ def test_retention_halflife_exact_decay(spark):
     assert r.n_points == 3
     assert abs(r.decay_slope + math.log(2)) < 1e-6
     assert r.halflife_weeks == 1.0
+
+
+def test_chi2_independence_hand(spark):
+    """2x2 table with counts (A,x)=3, (A,y)=1, (B,x)=1, (B,y)=3:
+    margins 4/4, expected 2 everywhere, contrib (o-2)^2/2 = 0.5."""
+    from shifts_etl_spark.operators.profile import chi2_independence
+
+    rows = []
+    for brand, typ, n in (("A", "x", 3), ("A", "y", 1),
+                          ("B", "x", 1), ("B", "y", 3)):
+        rows += [Row(p_brand=brand, p_type=typ)] * n
+    out = {(r.p_brand, r.p_type): r for r in
+           chi2_independence(spark.createDataFrame(rows)).collect()}
+    assert out[("A", "x")].n == 3
+    assert all(r.expected == 2.0 for r in out.values())
+    assert all(r.chi2_contrib == 0.5 for r in out.values())
+
+
+def test_quality_outliers_ranks_weird_doc(spark):
+    """Nine ordinary prose docs + one digit-soup doc: the weird one
+    must rank first with the largest outlier score."""
+    from shifts_etl_spark.operators.textstats import quality_outliers
+
+    rows = [_doc(i, f"a perfectly ordinary sentence about topic "
+                    f"number {i} with plain words")
+            for i in range(1, 10)]
+    rows.append(_doc(99, "000 111 222 333 444 555 666 777 888 999 " * 4))
+    out = quality_outliers(spark.createDataFrame(rows), top_k=3).collect()
+    assert out[0].doc_id == 99
+    assert out[0].outlier_score > out[1].outlier_score

@@ -116,6 +116,9 @@ SINGLE_PARTITION_OK = {
     "x161_churn_risk",  # anchor date: one 1-row aggregate over orders
     "x163_vocab_budget",  # count-histogram cumsum (|distinct counts|
     # rows, Zipf-bounded) + 1-row token total
+    "x167_brand_type_chi2",  # grand total: one 1-row aggregate over
+    # the bounded contingency cells
+    "x168_quality_outliers",  # corpus moments: one 1-row aggregate
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -194,6 +197,8 @@ CROSS_JOIN_OK = {
     "x161_churn_risk",  # crossJoin with the broadcast 1-row anchor date
     "x163_vocab_budget",  # crossJoins with the broadcast 4-row target
     # frame and the 1-row token total
+    "x167_brand_type_chi2",  # crossJoin with the broadcast 1-row grand total
+    "x168_quality_outliers",  # crossJoin with the broadcast 1-row moments
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
