@@ -1158,3 +1158,59 @@ def chi2_independence(
             ),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str = "l_extendedprice",
+    weight_col: str = "l_quantity",
+    group_col: str = "l_returnflag",
+) -> DataFrame:
+    """Exact WEIGHTED median per group — the quantity-weighted price a
+    plain median misreports whenever cheap lines carry most of the
+    volume. Lower weighted median convention: the smallest value whose
+    cumulative weight reaches half the total (compared as
+    2*cum_w >= tot_w in integers, so no halves ever materialize).
+
+    Scale shape: rows collapse to (group, value-cents) HISTOGRAM cells
+    with integer-quantized weights (the x165 walk); the cumulative
+    weight is a group-partitioned window over cells (bounded by the
+    value domain); the answer is a min per group."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    ).agg(
+        F.sum(F.round(F.col(weight_col)).cast("long")).alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    win = Window.partitionBy("grp").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walked = cells.select(
+        "grp",
+        "cents",
+        "n",
+        "w",
+        F.sum("w").over(win).cast("long").alias("cum_w"),
+    )
+    tot = cells.groupBy("grp").agg(
+        F.sum("w").cast("long").alias("tot_w"),
+        F.sum("n").cast("long").alias("n_lines"),
+    )
+    hit = (
+        walked.join(F.broadcast(tot), "grp")
+        .where(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("grp")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    return (
+        tot.join(hit, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_lines",
+            "tot_w",
+            F.round(F.col("med_cents") / 100.0, 2).alias("weighted_median"),
+        )
+    )

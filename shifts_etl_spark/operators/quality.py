@@ -188,3 +188,32 @@ def fk_coverage_matrix(
             6,
         ).alias("orphan_share"),
     )
+
+
+def linenumber_audit(lineitem: DataFrame) -> DataFrame:
+    """Line-numbering integrity audit: per order, line numbers should
+    be exactly 1..n (contiguous, no duplicates) — the invariant a
+    re-ingestion or merge bug breaks first. One summary row:
+    order count, orders with duplicate line numbers, orders with gaps
+    (distinct numbers but max != count), combined bad share.
+
+    Scale shape: one orderkey-keyed aggregate (count / min / max /
+    distinct), then a 1-row fold. All integers — engine-exact."""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("l_linenumber").cast("long").alias("mn"),
+        F.max("l_linenumber").cast("long").alias("mx"),
+        F.count_distinct("l_linenumber").cast("long").alias("dn"),
+    )
+    dup = F.col("dn") < F.col("cnt")
+    gap = (~dup) & ((F.col("mx") != F.col("cnt")) | (F.col("mn") != 1))
+    return per_order.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(dup.cast("long")).cast("long").alias("n_dup_lines"),
+        F.sum(gap.cast("long")).cast("long").alias("n_gapped"),
+        F.round(
+            F.sum((dup | gap).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bad_share"),
+    )

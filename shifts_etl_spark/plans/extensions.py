@@ -7477,6 +7477,75 @@ LIMIT 20
 """
 
 
+def x169_linenumber_audit(spark, sf_dir):
+    """Line-numbering integrity audit (quality.linenumber_audit): per
+    order 1..n contiguity (dups + gaps), one orderkey aggregate +
+    1-row fold."""
+    from ..operators.quality import linenumber_audit
+
+    return linenumber_audit(_t(spark, sf_dir, "lineitem"))
+
+
+X169_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(MIN(l_linenumber) AS BIGINT) AS mn,
+         CAST(MAX(l_linenumber) AS BIGINT) AS mx,
+         CAST(count(DISTINCT l_linenumber) AS BIGINT) AS dn
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN dn < cnt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_lines,
+       CAST(SUM(CASE WHEN dn = cnt AND (mx <> cnt OR mn <> 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gapped,
+       round(CAST(SUM(CASE WHEN dn < cnt OR mx <> cnt OR mn <> 1
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS bad_share
+FROM per_order
+"""
+
+
+def x170_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag
+    (profile.weighted_median): integer-cents value histogram,
+    group-partitioned cumulative-weight walk, lower-median at
+    2*cum_w >= tot_w — halves never materialize."""
+    return profile.weighted_median(_t(spark, sf_dir, "lineitem"))
+
+
+X170_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+walked AS (
+  SELECT grp, cents, w,
+         CAST(SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS BIGINT)
+           AS cum_w
+  FROM cells
+),
+tot AS (
+  SELECT grp, CAST(SUM(w) AS BIGINT) AS tot_w,
+         CAST(SUM(n) AS BIGINT) AS n_lines
+  FROM cells GROUP BY 1
+),
+hit AS (
+  SELECT wk.grp, MIN(wk.cents) AS med_cents
+  FROM walked wk JOIN tot USING (grp)
+  WHERE 2 * wk.cum_w >= tot.tot_w
+  GROUP BY 1
+)
+SELECT t.grp AS l_returnflag, t.n_lines, t.tot_w,
+       round(h.med_cents / 100.0, 2) AS weighted_median
+FROM tot t JOIN hit h USING (grp)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7659,6 +7728,8 @@ EXTENSIONS = {
         X167_SQL,
     ),
     "x168_quality_outliers": (x168_quality_outliers, X168_SQL),
+    "x169_linenumber_audit": (x169_linenumber_audit, X169_SQL),
+    "x170_weighted_median": (x170_weighted_median, X170_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

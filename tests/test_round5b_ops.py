@@ -1817,3 +1817,31 @@ def test_quality_outliers_ranks_weird_doc(spark):
     out = quality_outliers(spark.createDataFrame(rows), top_k=3).collect()
     assert out[0].doc_id == 99
     assert out[0].outlier_score > out[1].outlier_score
+
+
+def test_linenumber_audit_planted_defects(spark):
+    """Order 1 is clean 1..3; order 2 has a duplicate line 2; order 3
+    skips line 2 (gap); order 4 starts at 2 (gap)."""
+    from shifts_etl_spark.operators.quality import linenumber_audit
+
+    rows = [Row(l_orderkey=1, l_linenumber=i) for i in (1, 2, 3)]
+    rows += [Row(l_orderkey=2, l_linenumber=i) for i in (1, 2, 2)]
+    rows += [Row(l_orderkey=3, l_linenumber=i) for i in (1, 3)]
+    rows += [Row(l_orderkey=4, l_linenumber=i) for i in (2, 3)]
+    out = linenumber_audit(spark.createDataFrame(rows)).collect()[0]
+    assert (out.n_orders, out.n_dup_lines, out.n_gapped) == (4, 1, 2)
+    assert out.bad_share == 0.75
+
+
+def test_weighted_median_vs_plain(spark):
+    """Prices 1 (weight 98) and 100, 100 (weight 1 each): plain median
+    is 100, weighted median is 1 — volume lives at the cheap end."""
+    from shifts_etl_spark.operators.profile import weighted_median
+
+    rows = [
+        Row(l_returnflag="A", l_extendedprice=1.0, l_quantity=98.0),
+        Row(l_returnflag="A", l_extendedprice=100.0, l_quantity=1.0),
+        Row(l_returnflag="A", l_extendedprice=100.0, l_quantity=1.0),
+    ]
+    out = weighted_median(spark.createDataFrame(rows)).collect()[0]
+    assert (out.n_lines, out.tot_w, out.weighted_median) == (3, 100, 1.0)

@@ -119,6 +119,7 @@ SINGLE_PARTITION_OK = {
     "x167_brand_type_chi2",  # grand total: one 1-row aggregate over
     # the bounded contingency cells
     "x168_quality_outliers",  # corpus moments: one 1-row aggregate
+    "x169_linenumber_audit",  # the audit IS a 1-row fold of per-order cells
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
