@@ -1309,3 +1309,69 @@ def retention_halflife(
             F.col("slope") < 0, F.round(F.lit(ln2) / -F.col("slope"), 4)
         ).alias("halflife_weeks"),
     )
+
+
+def decile_mobility(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """User value-decile mobility between the first and second half of
+    the observation window (split at the midpoint date): a 10x10-cell
+    transition matrix of (decile_then -> decile_now) with counts and
+    row shares — the churn/upsell mobility view behind "are whales
+    stable or rotating". Users active in both halves only.
+
+    Determinism: per-half user value folds in integer micros; decile
+    edges are two exact-percentile 1-row aggregates broadcast back;
+    banding compares micros against the edges with > (ties sink).
+
+    Scale shape: two user-keyed aggregates from one cell frame, two
+    broadcast edge rows, a <=100-cell rollup."""
+    bounds = events.agg(
+        F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1")
+    )
+    tagged = events.crossJoin(F.broadcast(bounds)).select(
+        F.col(user_col).alias("u"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("micro"),
+        (
+            F.unix_micros(F.col(ts_col))
+            <= (F.unix_micros(F.col("t0")) + F.unix_micros(F.col("t1"))) / 2
+        ).alias("first_half"),
+    )
+    per_user = tagged.groupBy("u").agg(
+        F.sum(F.when(F.col("first_half"), F.col("micro"))).alias("v1"),
+        F.sum(F.when(~F.col("first_half"), F.col("micro"))).alias("v2"),
+    ).where(F.col("v1").isNotNull() & F.col("v2").isNotNull())
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = per_user.agg(
+        F.percentile(F.col("v1").cast("double"), F.lit(qs)).alias("e1"),
+        F.percentile(F.col("v2").cast("double"), F.lit(qs)).alias("e2"),
+    )
+
+    def band(col, edges_col):
+        return 1 + F.aggregate(
+            edges_col,
+            F.lit(0),
+            lambda acc, e: acc + F.when(col.cast("double") > e, 1).otherwise(0),
+        )
+
+    banded = per_user.crossJoin(F.broadcast(edges)).select(
+        band(F.col("v1"), F.col("e1")).alias("decile_then"),
+        band(F.col("v2"), F.col("e2")).alias("decile_now"),
+    )
+    cells = banded.groupBy("decile_then", "decile_now").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rows = cells.groupBy("decile_then").agg(
+        F.sum("n_users").cast("long").alias("row_total")
+    )
+    return cells.join(F.broadcast(rows), "decile_then").select(
+        "decile_then",
+        "decile_now",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("row_total"), 6
+        ).alias("row_share"),
+    )

@@ -1579,3 +1579,42 @@ def quality_outliers(
         .orderBy(F.desc("outlier_score"), "doc_id")
         .limit(top_k)
     )
+
+
+def pii_cooccurrence(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """PII linkability audit: how many PII TYPES co-occur per document —
+    one email is contact info, but an email AND a long number in the
+    same doc is a linkable identity (re-identification risk grows with
+    joint presence, which per-type counts like x16's can't see). One
+    row per distinct type-count 0..3: docs, share, and per-type
+    presence counts within the band.
+
+    Scale shape: row-local regex presence flags -> a <=4-cell histogram
+    + broadcast 1-row total. Integer flags; shares at 6 dp."""
+    c = F.col(text_col)
+    flags = docs.select(
+        *[
+            (
+                F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))) > 0
+            ).cast("long").alias(f"has_{tag}")
+            for tag, pat in PII_PATTERNS.items()
+        ]
+    )
+    names = [f"has_{tag}" for tag in PII_PATTERNS]
+    n_types = sum(F.col(n) for n in names)
+    cells = flags.select(
+        n_types.alias("n_pii_types"), *names
+    ).groupBy("n_pii_types").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[F.sum(n).cast("long").alias(f"n_{n[4:]}") for n in names],
+    )
+    tot = cells.agg(F.sum("n_docs").cast("double").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "n_pii_types",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+        *[f"n_{n[4:]}" for n in names],
+    )

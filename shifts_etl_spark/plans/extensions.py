@@ -7546,6 +7546,93 @@ FROM tot t JOIN hit h USING (grp)
 """
 
 
+def x171_pii_cooccurrence(spark, sf_dir):
+    """PII linkability audit (textstats.pii_cooccurrence): row-local
+    presence flags for the x16 pattern family, <=4-cell type-count
+    histogram + broadcast total."""
+    return textstats.pii_cooccurrence(_t(spark, sf_dir, "documents"))
+
+
+X171_SQL = r"""
+WITH flags AS (
+  SELECT CASE WHEN regexp_matches(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+         THEN 1 ELSE 0 END AS has_email,
+         CASE WHEN regexp_matches(text, 'https?://[^\s]+')
+         THEN 1 ELSE 0 END AS has_url,
+         CASE WHEN regexp_matches(text, '[0-9]{7,}')
+         THEN 1 ELSE 0 END AS has_number_long
+  FROM documents
+),
+cells AS (
+  SELECT has_email + has_url + has_number_long AS n_pii_types,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(has_email) AS BIGINT) AS n_email,
+         CAST(SUM(has_url) AS BIGINT) AS n_url,
+         CAST(SUM(has_number_long) AS BIGINT) AS n_number_long
+  FROM flags GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM cells)
+SELECT n_pii_types, n_docs,
+       round(n_docs / total, 6) AS share,
+       n_email, n_url, n_number_long
+FROM cells CROSS JOIN tot
+"""
+
+
+def x172_decile_mobility(spark, sf_dir):
+    """User value-decile mobility between window halves
+    (funnel.decile_mobility): integer-micro per-half folds, two exact
+    decile-edge broadcasts, 10x10 transition cells with row shares."""
+    return funnel.decile_mobility(_t(spark, sf_dir, "events"))
+
+
+X172_SQL = """
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1 FROM events
+),
+tagged AS (
+  SELECT user_id AS u,
+         CAST(round(value * 1e6, 0) AS BIGINT) AS micro,
+         epoch_us(ts) <= (b.t0 + b.t1) / 2 AS first_half
+  FROM events CROSS JOIN bounds b
+),
+per_user AS (
+  SELECT u,
+         SUM(CASE WHEN first_half THEN micro END) AS v1,
+         SUM(CASE WHEN NOT first_half THEN micro END) AS v2
+  FROM tagged GROUP BY 1
+  HAVING SUM(CASE WHEN first_half THEN micro END) IS NOT NULL
+     AND SUM(CASE WHEN NOT first_half THEN micro END) IS NOT NULL
+),
+edges AS (
+  SELECT quantile_cont(CAST(v1 AS DOUBLE),
+           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e1,
+         quantile_cont(CAST(v2 AS DOUBLE),
+           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e2
+  FROM per_user
+),
+banded AS (
+  SELECT 1 + len(list_filter(e.e1, x -> CAST(p.v1 AS DOUBLE) > x))
+           AS decile_then,
+         1 + len(list_filter(e.e2, x -> CAST(p.v2 AS DOUBLE) > x))
+           AS decile_now
+  FROM per_user p CROSS JOIN edges e
+),
+cells AS (
+  SELECT decile_then, decile_now, CAST(count(*) AS BIGINT) AS n_users
+  FROM banded GROUP BY 1, 2
+),
+rt AS (
+  SELECT decile_then, CAST(SUM(n_users) AS BIGINT) AS row_total
+  FROM cells GROUP BY 1
+)
+SELECT c.decile_then, c.decile_now, c.n_users,
+       round(CAST(c.n_users AS DOUBLE) / r.row_total, 6) AS row_share
+FROM cells c JOIN rt r USING (decile_then)
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7730,6 +7817,8 @@ EXTENSIONS = {
     "x168_quality_outliers": (x168_quality_outliers, X168_SQL),
     "x169_linenumber_audit": (x169_linenumber_audit, X169_SQL),
     "x170_weighted_median": (x170_weighted_median, X170_SQL),
+    "x171_pii_cooccurrence": (x171_pii_cooccurrence, X171_SQL),
+    "x172_decile_mobility": (x172_decile_mobility, X172_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1845,3 +1845,44 @@ def test_weighted_median_vs_plain(spark):
     ]
     out = weighted_median(spark.createDataFrame(rows)).collect()[0]
     assert (out.n_lines, out.tot_w, out.weighted_median) == (3, 100, 1.0)
+
+
+def test_pii_cooccurrence_bands(spark):
+    """Doc 1 has email+url+long number (3 types); doc 2 email only;
+    doc 3 clean. Bands 0, 1, 3 each hold one doc."""
+    from shifts_etl_spark.operators.textstats import pii_cooccurrence
+
+    rows = [
+        _doc(1, "mail me at a.b@example.com or https://x.io id 12345678"),
+        _doc(2, "reach me at someone@example.org please"),
+        _doc(3, "nothing sensitive in here at all"),
+    ]
+    out = {r.n_pii_types: r for r in
+           pii_cooccurrence(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[3].n_docs == 1 and out[3].n_email == 1 and out[3].n_url == 1
+    assert out[1].n_email == 1 and out[1].n_url == 0
+    assert out[0].share == round(1 / 3, 6)
+
+
+def test_decile_mobility_stable_users(spark):
+    """Two users active in both halves with unchanged relative value ->
+    both stay on the diagonal with row_share 1; a first-half-only user
+    is excluded."""
+    from shifts_etl_spark.operators.funnel import decile_mobility
+
+    rows = []
+    k = 1
+    for u, v in ((1, 1.0), (2, 50.0)):
+        rows.append(Row(**{**_ev(k, u, "view",
+                               "2024-01-01T00:00:00").asDict(),
+                           "value": v})); k += 1
+        rows.append(Row(**{**_ev(k, u, "view",
+                               "2024-01-31T00:00:00").asDict(),
+                           "value": v})); k += 1
+    rows.append(Row(**{**_ev(k, 3, "view", "2024-01-02T00:00:00").asDict(),
+                       "value": 9.0}))
+    out = decile_mobility(spark.createDataFrame(rows)).collect()
+    assert all(r.decile_then == r.decile_now for r in out)
+    assert all(r.row_share == 1.0 for r in out)
+    assert sum(r.n_users for r in out) == 2

@@ -120,6 +120,9 @@ SINGLE_PARTITION_OK = {
     # the bounded contingency cells
     "x168_quality_outliers",  # corpus moments: one 1-row aggregate
     "x169_linenumber_audit",  # the audit IS a 1-row fold of per-order cells
+    "x171_pii_cooccurrence",  # band total: one 1-row aggregate over <=4 cells
+    "x172_decile_mobility",  # window bounds + two decile-edge rows:
+    # 1-row aggregates broadcast onto the per-user frame
     "x138_value_streaks",  # day-rank window over the calendar-bounded
     # above-mean daily cells (|days| rows), never events
     "x110_type_cooccurrence",  # user total: one 1-row aggregate onto
@@ -200,6 +203,9 @@ CROSS_JOIN_OK = {
     # frame and the 1-row token total
     "x167_brand_type_chi2",  # crossJoin with the broadcast 1-row grand total
     "x168_quality_outliers",  # crossJoin with the broadcast 1-row moments
+    "x171_pii_cooccurrence",  # crossJoin with the broadcast 1-row total
+    "x172_decile_mobility",  # crossJoins with the broadcast 1-row
+    # bounds / decile edges
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
 }
