@@ -1375,3 +1375,44 @@ def decile_mobility(
             F.col("n_users").cast("double") / F.col("row_total"), 6
         ).alias("row_share"),
     )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly new-vs-returning decomposition: per calendar week, active
+    users split into first-ever-seen-this-week (new) and returning —
+    the growth-accounting view that says whether activity is
+    acquisition or retention. Shares at 6 dp.
+
+    Scale shape: first-seen week is a per-user window min (ONE
+    user-keyed shuffle); weekly activity is a distinct (week, user)
+    cell frame; the rollup is |weeks| cells. All integer counts."""
+    w = Window.partitionBy(user_col)
+    weekly = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        F.date_trunc("week", F.min(ts_col).over(w))
+        .cast("date")
+        .alias("first_week"),
+    ).distinct()
+    return weekly.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        F.sum((F.col("week") == F.col("first_week")).cast("long"))
+        .cast("long")
+        .alias("new_users"),
+        (
+            F.count(F.lit(1))
+            - F.sum((F.col("week") == F.col("first_week")).cast("long"))
+        )
+        .cast("long")
+        .alias("returning_users"),
+        F.round(
+            F.sum((F.col("week") == F.col("first_week")).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("new_share"),
+    )

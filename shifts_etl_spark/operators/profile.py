@@ -1214,3 +1214,39 @@ def weighted_median(
             F.round(F.col("med_cents") / 100.0, 2).alias("weighted_median"),
         )
     )
+
+
+def single_source_risk(
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Supply-chain concentration audit: per brand, how many TRADED
+    parts depend on a single supplier (the classic single-source risk
+    screen), plus the mean suppliers-per-part depth. "Traded" = appears
+    in lineitem; supplier sets come from observed (part, supplier)
+    pairs.
+
+    Scale shape: lineitem collapses to distinct (part, supplier) pairs
+    (map-side combinable), then to per-part supplier counts; the brand
+    attachment is a partkey-keyed equi join; brand cells fold. All
+    integer counts."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    per_part = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )
+    with_brand = per_part.join(
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+        "l_partkey",
+    )
+    return with_brand.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum((F.col("n_suppliers") == 1).cast("long"))
+        .cast("long")
+        .alias("n_single_source"),
+        F.round(
+            F.sum((F.col("n_suppliers") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("single_source_share"),
+        F.round(F.avg("n_suppliers"), 4).alias("mean_suppliers_per_part"),
+    )

@@ -1618,3 +1618,48 @@ def pii_cooccurrence(
         F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
         *[f"n_{n[4:]}" for n in names],
     )
+
+
+def quality_by_length(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-vs-length profile: bin documents into token-count
+    DECILES (exact corpus percentile edges) and report each bin's
+    quality-score quartiles — the curve that shows whether a length
+    filter and a quality filter are secretly the same filter (strong
+    monotone trend) or independent signals (flat).
+
+    Scale shape: token counts and quality scores are row-local; the 9
+    decile edges are ONE 1-row exact-percentile aggregate broadcast
+    back; the rollup is 10 cells with exact-percentile quartiles of
+    the 2 dp-rounded score."""
+    c = F.col(text_col)
+    feats = docs.select(
+        token_count(c).cast("double").alias("n_tok"),
+        F.round(quality_score(c), 2).alias("q"),
+    )
+    edges = feats.agg(
+        F.percentile(
+            F.col("n_tok"), F.lit([i / 10.0 for i in range(1, 10)])
+        ).alias("e")
+    )
+    banded = feats.crossJoin(F.broadcast(edges)).select(
+        (
+            1
+            + F.aggregate(
+                F.col("e"),
+                F.lit(0),
+                lambda acc, x: acc + F.when(F.col("n_tok") > x, 1).otherwise(0),
+            )
+        ).alias("length_decile"),
+        "n_tok",
+        "q",
+    )
+    return banded.groupBy("length_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_tok"), 2).alias("mean_tokens"),
+        F.round(F.percentile("q", F.lit(0.25)), 4).alias("q25_quality"),
+        F.round(F.percentile("q", F.lit(0.5)), 4).alias("p50_quality"),
+        F.round(F.percentile("q", F.lit(0.75)), 4).alias("q75_quality"),
+    )

@@ -7633,6 +7633,112 @@ FROM cells c JOIN rt r USING (decile_then)
 """
 
 
+def x173_quality_by_length(spark, sf_dir):
+    """Quality-vs-length profile (textstats.quality_by_length): exact
+    token-count decile edges (1-row broadcast), per-bin quality-score
+    quartiles — is the length filter secretly the quality filter?"""
+    return textstats.quality_by_length(_t(spark, sf_dir, "documents"))
+
+
+X173_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+derived AS (
+  SELECT len(toks) AS n_tokens,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+           / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                  t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS swr,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digr
+  FROM base
+),
+feats AS (
+  SELECT CAST(n_tokens AS DOUBLE) AS n_tok,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 2) AS DOUBLE) AS q
+  FROM derived
+),
+edges AS (
+  SELECT quantile_cont(n_tok,
+           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+  FROM feats
+),
+banded AS (
+  SELECT 1 + len(list_filter(e.e, x -> f.n_tok > x)) AS length_decile,
+         f.n_tok, f.q
+  FROM feats f CROSS JOIN edges e
+)
+SELECT length_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_tok), 2) AS mean_tokens,
+       round(quantile_cont(q, 0.25), 4) AS q25_quality,
+       round(quantile_cont(q, 0.5), 4) AS p50_quality,
+       round(quantile_cont(q, 0.75), 4) AS q75_quality
+FROM banded GROUP BY 1
+"""
+
+
+def x174_single_source_risk(spark, sf_dir):
+    """Single-source supply risk per brand (profile.single_source_risk):
+    distinct (part, supplier) pairs -> per-part supplier depth ->
+    partkey-keyed brand attachment -> brand cells."""
+    return profile.single_source_risk(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+X174_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+per_part AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM pairs GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source,
+       round(CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS single_source_share,
+       round(avg(n_suppliers), 4) AS mean_suppliers_per_part
+FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+def x175_new_vs_returning(spark, sf_dir):
+    """Weekly new-vs-returning decomposition (funnel.new_vs_returning):
+    per-user first-seen week (one keyed window), distinct (week, user)
+    cells, |weeks|-cell rollup."""
+    return funnel.new_vs_returning(_t(spark, sf_dir, "events"))
+
+
+X175_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+              AS DATE) AS first_week
+  FROM events
+)
+SELECT week,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(count(*) - SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users,
+       round(CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS new_share
+FROM weekly GROUP BY 1
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7819,6 +7925,12 @@ EXTENSIONS = {
     "x170_weighted_median": (x170_weighted_median, X170_SQL),
     "x171_pii_cooccurrence": (x171_pii_cooccurrence, X171_SQL),
     "x172_decile_mobility": (x172_decile_mobility, X172_SQL),
+    "x173_quality_by_length": (x173_quality_by_length, X173_SQL),
+    "x174_single_source_risk": (
+        x174_single_source_risk,
+        X174_SQL,
+    ),
+    "x175_new_vs_returning": (x175_new_vs_returning, X175_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

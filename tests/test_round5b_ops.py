@@ -1886,3 +1886,56 @@ def test_decile_mobility_stable_users(spark):
     assert all(r.decile_then == r.decile_now for r in out)
     assert all(r.row_share == 1.0 for r in out)
     assert sum(r.n_users for r in out) == 2
+
+
+def test_quality_by_length_partitions(spark):
+    """Bins must partition the corpus and average token counts must be
+    nondecreasing in the length decile."""
+    from shifts_etl_spark.operators.textstats import quality_by_length
+
+    rows = [_doc(i, " ".join(["word"] * (5 + 7 * i))) for i in range(1, 21)]
+    out = sorted(quality_by_length(spark.createDataFrame(rows)).collect(),
+                 key=lambda r: r.length_decile)
+    assert sum(r.n_docs for r in out) == 20
+    means = [r.mean_tokens for r in out]
+    assert means == sorted(means)
+    assert all(1 <= r.length_decile <= 10 for r in out)
+
+
+def test_single_source_risk_hand(spark):
+    """Brand A: part 1 has 2 suppliers, part 2 has 1 -> single-source
+    share 0.5, mean depth 1.5; untraded part 3 is excluded."""
+    from shifts_etl_spark.operators.profile import single_source_risk
+
+    lines = [
+        Row(l_partkey=1, l_suppkey=10), Row(l_partkey=1, l_suppkey=11),
+        Row(l_partkey=1, l_suppkey=10),  # dup pair collapses
+        Row(l_partkey=2, l_suppkey=10),
+    ]
+    parts = [Row(p_partkey=i, p_brand="A") for i in (1, 2, 3)]
+    out = single_source_risk(
+        spark.createDataFrame(lines), spark.createDataFrame(parts)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_parts, r.n_single_source, r.single_source_share) == (
+        2, 1, 0.5)
+    assert r.mean_suppliers_per_part == 1.5
+
+
+def test_new_vs_returning_weeks(spark):
+    """User 1 active weeks 1 and 2; user 2 only week 2: week 1 = 1 new;
+    week 2 = 1 new (user 2) + 1 returning (user 1)."""
+    from shifts_etl_spark.operators.funnel import new_vs_returning
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "view", "2024-01-08T10:00:00"),
+        _ev(3, 2, "view", "2024-01-08T11:00:00"),
+    ]
+    out = {str(r.week): r for r in
+           new_vs_returning(spark.createDataFrame(rows)).collect()}
+    w1, w2 = out["2024-01-01"], out["2024-01-08"]
+    assert (w1.active_users, w1.new_users, w1.returning_users) == (1, 1, 0)
+    assert (w2.active_users, w2.new_users, w2.returning_users) == (2, 1, 1)
+    assert w2.new_share == 0.5

@@ -121,6 +121,8 @@ SINGLE_PARTITION_OK = {
     "x168_quality_outliers",  # corpus moments: one 1-row aggregate
     "x169_linenumber_audit",  # the audit IS a 1-row fold of per-order cells
     "x171_pii_cooccurrence",  # band total: one 1-row aggregate over <=4 cells
+    "x173_quality_by_length",  # the 9 decile edges: one 1-row
+    # exact-percentile aggregate broadcast back
     "x172_decile_mobility",  # window bounds + two decile-edge rows:
     # 1-row aggregates broadcast onto the per-user frame
     "x138_value_streaks",  # day-rank window over the calendar-bounded
@@ -204,6 +206,7 @@ CROSS_JOIN_OK = {
     "x167_brand_type_chi2",  # crossJoin with the broadcast 1-row grand total
     "x168_quality_outliers",  # crossJoin with the broadcast 1-row moments
     "x171_pii_cooccurrence",  # crossJoin with the broadcast 1-row total
+    "x173_quality_by_length",  # crossJoin with the broadcast 1-row edges
     "x172_decile_mobility",  # crossJoins with the broadcast 1-row
     # bounds / decile edges
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
