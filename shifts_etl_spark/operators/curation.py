@@ -611,3 +611,50 @@ def temperature_mixture(
         F.round(w, 6).alias("sample_weight"),
         F.round(w / F.col("p"), 6).alias("oversample_factor"),
     )
+
+
+def sample_representativeness(
+    docs: DataFrame,
+    pct: int = 10,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample-representativeness audit: draw the deterministic md5
+    ``pct``% sample (the x23/x24 bucket convention) and compare its
+    ``strat_col`` mix against the corpus — per category: corpus share,
+    sample share, the difference, and the chi-square contribution of
+    the sample count against its expectation. The QA every sampled
+    eval or debug slice should ship with.
+
+    Scale shape: one pass computes (category, in_sample) cells; shares
+    and expectations fold on the category frame with two broadcast
+    1-row totals. Integer counts; shares/contribs at 6 dp."""
+    hx = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(F.substring(hx, 2, 1))
+    ) % 100
+    cells = docs.select(
+        F.col(strat_col).alias("cat"),
+        (bucket < pct).cast("long").alias("in_s"),
+    ).groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum("in_s").cast("long").alias("n_sample"),
+    )
+    tot = cells.agg(
+        F.sum("n_corpus").cast("double").alias("tc"),
+        F.sum("n_sample").cast("double").alias("ts"),
+    )
+    cs = F.col("n_corpus") / F.col("tc")
+    ss = F.col("n_sample") / F.col("ts")
+    e = cs * F.col("ts")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("cat").alias(strat_col),
+        "n_corpus",
+        "n_sample",
+        F.round(cs, 6).alias("corpus_share"),
+        F.round(ss, 6).alias("sample_share"),
+        F.round(ss - cs, 6).alias("share_diff"),
+        F.round(
+            (F.col("n_sample") - e) * (F.col("n_sample") - e) / e, 6
+        ).alias("chi2_contrib"),
+    )

@@ -1663,3 +1663,60 @@ def quality_by_length(
         F.round(F.percentile("q", F.lit(0.5)), 4).alias("p50_quality"),
         F.round(F.percentile("q", F.lit(0.75)), 4).alias("q75_quality"),
     )
+
+
+def source_jsd(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair (add-1 smoothed over the union
+    vocabulary) — the distributional source-similarity matrix: x99
+    measures document overlap, this measures LANGUAGE overlap (two
+    crawls can share zero documents and still be distributionally
+    identical). One row per unordered pair: (source_a, source_b,
+    jsd_nats) in [0, ln 2].
+
+    Scale shape: one (source, word) count aggregate; the zero cells a
+    sparse join would miss materialize via vocab x sources (|V| x G
+    rows — G is small); the pair join is word-keyed; the fold is
+    G^2/2 cells. Terms where both sides are absent contribute exactly
+    0 and the dense fill preserves that identity."""
+    tok = docs.select(
+        F.col(source_col).alias("s"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("w"),
+    )
+    counts = tok.groupBy("s", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("w").distinct()
+    sources = counts.select("s").distinct()
+    v_tot = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    n_tot = counts.groupBy("s").agg(F.sum("c").cast("double").alias("n_s"))
+    dense = (
+        vocab.crossJoin(F.broadcast(sources))
+        .join(counts, ["s", "w"], "left")
+        .join(F.broadcast(n_tot), "s")
+        .crossJoin(F.broadcast(v_tot))
+        .select(
+            "s",
+            "w",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("n_s") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    m = (F.col("a.p") + F.col("b.p")) / 2.0
+    term = 0.5 * F.col("a.p") * F.log(F.col("a.p") / m) + 0.5 * F.col(
+        "b.p"
+    ) * F.log(F.col("b.p") / m)
+    return (
+        a.join(b, F.col("a.w") == F.col("b.w"))
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(
+            F.col("a.s").alias("source_a"), F.col("b.s").alias("source_b")
+        )
+        .agg(F.round(F.sum(term), 6).alias("jsd_nats"))
+    )

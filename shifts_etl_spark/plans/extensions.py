@@ -7739,6 +7739,76 @@ FROM weekly GROUP BY 1
 """
 
 
+def x176_source_jsd(spark, sf_dir):
+    """Pairwise source JSD (textstats.source_jsd): add-1 smoothed
+    unigram distributions over the union vocab, dense |V| x G fill,
+    word-keyed pair join, G^2/2-cell fold."""
+    return textstats.source_jsd(_t(spark, sf_dir, "documents"))
+
+
+X176_SQL = f"""
+WITH norm AS (SELECT source AS s, {_X67_NORM} AS toks FROM documents),
+counts AS (
+  SELECT s, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT s, unnest(toks) AS w FROM norm) GROUP BY 1, 2
+),
+vocab AS (SELECT DISTINCT w FROM counts),
+sources AS (SELECT DISTINCT s FROM counts),
+vt AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+nt AS (SELECT s, CAST(SUM(c) AS DOUBLE) AS n_s FROM counts GROUP BY 1),
+dense AS (
+  SELECT sr.s, vb.w,
+         (COALESCE(c.c, 0) + 1.0) / (nt.n_s + vt.v) AS p
+  FROM vocab vb
+  CROSS JOIN sources sr
+  LEFT JOIN counts c ON c.s = sr.s AND c.w = vb.w
+  JOIN nt ON nt.s = sr.s
+  CROSS JOIN vt
+)
+SELECT a.s AS source_a, b.s AS source_b,
+       round(SUM(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2.0))
+                 + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2.0))), 6)
+         AS jsd_nats
+FROM dense a JOIN dense b ON a.w = b.w AND a.s < b.s
+GROUP BY 1, 2
+"""
+
+
+def x177_sample_representativeness(spark, sf_dir):
+    """Deterministic-sample representativeness audit
+    (curation.sample_representativeness): md5 10% sample vs corpus
+    language mix — share diffs + chi-square contributions per
+    category."""
+    from ..operators.curation import sample_representativeness
+
+    return sample_representativeness(_t(spark, sf_dir, "documents"))
+
+
+X177_SQL = """
+WITH cells AS (
+  SELECT lang AS cat,
+         CAST(count(*) AS BIGINT) AS n_corpus,
+         CAST(SUM(CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                           + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 10
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_corpus) AS DOUBLE) AS tc,
+         CAST(SUM(n_sample) AS DOUBLE) AS ts
+  FROM cells
+)
+SELECT cat AS lang, n_corpus, n_sample,
+       round(n_corpus / tc, 6) AS corpus_share,
+       round(n_sample / ts, 6) AS sample_share,
+       round(n_sample / ts - n_corpus / tc, 6) AS share_diff,
+       round((n_sample - n_corpus / tc * ts)
+             * (n_sample - n_corpus / tc * ts)
+             / (n_corpus / tc * ts), 6) AS chi2_contrib
+FROM cells CROSS JOIN tot
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -7931,6 +8001,11 @@ EXTENSIONS = {
         X174_SQL,
     ),
     "x175_new_vs_returning": (x175_new_vs_returning, X175_SQL),
+    "x176_source_jsd": (x176_source_jsd, X176_SQL),
+    "x177_sample_representativeness": (
+        x177_sample_representativeness,
+        X177_SQL,
+    ),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

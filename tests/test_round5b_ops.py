@@ -1939,3 +1939,47 @@ def test_new_vs_returning_weeks(spark):
     assert (w1.active_users, w1.new_users, w1.returning_users) == (1, 1, 0)
     assert (w2.active_users, w2.new_users, w2.returning_users) == (2, 1, 1)
     assert w2.new_share == 0.5
+
+
+def test_source_jsd_identical_and_disjoint(spark):
+    """Sources a1/a2 share the identical distribution -> JSD ~ 0 (only
+    smoothing noise keeps it tiny); source z is disjoint -> much
+    larger, bounded by ln 2."""
+    from shifts_etl_spark.operators.textstats import source_jsd
+
+    rows = [
+        _doc(1, "the cat sat on the mat", source="a1"),
+        _doc(2, "the cat sat on the mat", source="a2"),
+        _doc(3, "zq zr zs zt zu zv", source="z"),
+    ]
+    out = {(r.source_a, r.source_b): r.jsd_nats for r in
+           source_jsd(spark.createDataFrame(rows)).collect()}
+    assert out[("a1", "a2")] == 0.0
+    # tiny corpus: add-1 smoothing flattens the distributions, so the
+    # disjoint pair lands well under ln 2 — just must be clearly > 0
+    assert 0.01 < out[("a1", "z")] <= math.log(2) + 1e-9
+    assert out[("a1", "z")] == out[("a2", "z")]
+
+
+def test_sample_representativeness_exact_shares(spark):
+    """The md5 sample is deterministic: recompute membership in Python
+    and the per-lang sample counts must match exactly; shares sum
+    to 1."""
+    from shifts_etl_spark.operators.curation import sample_representativeness
+    import hashlib
+
+    rows = [_doc(i, "text body here", lang="en" if i % 3 else "de")
+            for i in range(1, 61)]
+    df = spark.createDataFrame(rows)
+    out = {r.lang: r for r in sample_representativeness(df).collect()}
+
+    def in_sample(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return (ord(h[0]) * 256 + ord(h[1])) % 100 < 10
+
+    for lang in ("en", "de"):
+        ids = [i for i in range(1, 61)
+               if (("en" if i % 3 else "de") == lang)]
+        assert out[lang].n_corpus == len(ids)
+        assert out[lang].n_sample == sum(in_sample(i) for i in ids)
+    assert abs(sum(r.sample_share for r in out.values()) - 1.0) < 1e-6

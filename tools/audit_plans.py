@@ -123,6 +123,10 @@ SINGLE_PARTITION_OK = {
     "x171_pii_cooccurrence",  # band total: one 1-row aggregate over <=4 cells
     "x173_quality_by_length",  # the 9 decile edges: one 1-row
     # exact-percentile aggregate broadcast back
+    "x176_source_jsd",  # vocab size V: one 1-row aggregate; dense fill
+    # is vocab x G (G = #sources, bounded)
+    "x177_sample_representativeness",  # corpus/sample totals: one
+    # 1-row aggregate over the category cells
     "x172_decile_mobility",  # window bounds + two decile-edge rows:
     # 1-row aggregates broadcast onto the per-user frame
     "x138_value_streaks",  # day-rank window over the calendar-bounded
@@ -207,6 +211,10 @@ CROSS_JOIN_OK = {
     "x168_quality_outliers",  # crossJoin with the broadcast 1-row moments
     "x171_pii_cooccurrence",  # crossJoin with the broadcast 1-row total
     "x173_quality_by_length",  # crossJoin with the broadcast 1-row edges
+    "x176_source_jsd",  # crossJoins: vocab x broadcast G-row sources +
+    # the broadcast 1-row V total
+    "x177_sample_representativeness",  # crossJoin with the broadcast
+    # 1-row totals
     "x172_decile_mobility",  # crossJoins with the broadcast 1-row
     # bounds / decile edges
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
