@@ -1409,3 +1409,48 @@ def clean_eval_report(
             6,
         ).alias("kept_share"),
     )
+
+
+def dedup_worklist(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup triage worklist: the ``top_k`` near-duplicate clusters
+    ranked by WASTED tokens (cluster total minus the longest member —
+    what deleting the duplicates actually buys), with sizes and the
+    representative id. The prioritized to-do list a curation team works
+    through, distilled from x67's full component map.
+
+    Scale shape: clusters come from :func:`blocked_dedup_components`
+    (bounded blocking, label propagation); token counts are row-local;
+    the rollup is cluster-keyed; the ranking is TakeOrdered with id
+    tie-break."""
+    comp = blocked_dedup_components(docs, text_col, id_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(normalize_text(F.col(text_col)))).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    joined = comp.join(toks, "doc")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.max("n_tok").cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            (F.col("total_tokens") - F.col("kept_tokens")).alias(
+                "wasted_tokens"
+            ),
+        )
+        .orderBy(F.desc("wasted_tokens"), "cluster_id")
+        .limit(top_k)
+    )

@@ -1416,3 +1416,34 @@ def new_vs_returning(
             6,
         ).alias("new_share"),
     )
+
+
+def activity_heatmap(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekday x hour activity heatmap with deviation scoring: each of
+    the (up to) 168 cells reports its event count, share of total, and
+    the ratio to the uniform-cell expectation — the load-shape table
+    behind capacity planning and anomaly baselines (x116 z-scores
+    hours within a type; this is the weekly shape of everything).
+
+    Scale shape: one map-side-combinable 168-cell aggregate + a
+    broadcast 1-row total. Integer counts; shares/ratios at 6 dp."""
+    cells = events.groupBy(
+        F.dayofweek(ts_col).alias("weekday"),
+        F.hour(ts_col).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = cells.agg(
+        F.sum("n_events").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_cells"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("n_events") / (F.col("total") / F.col("n_cells")), 6
+        ).alias("load_ratio"),
+    )

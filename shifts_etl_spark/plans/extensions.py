@@ -7809,6 +7809,59 @@ FROM cells CROSS JOIN tot
 """
 
 
+def x178_dedup_worklist(spark, sf_dir):
+    """Dedup triage worklist (dedup.dedup_worklist): x67 components +
+    row-local token counts -> top-20 clusters by wasted tokens (total
+    minus longest member)."""
+    return dedup.dedup_worklist(_t(spark, sf_dir, "documents"))
+
+
+X178_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    """, comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT c.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(n.toks)) AS BIGINT) AS total_tokens,
+         CAST(MAX(len(n.toks)) AS BIGINT) AS kept_tokens
+  FROM comp c JOIN norm n ON n.doc_id = c.doc
+  GROUP BY 1
+)
+SELECT cluster_id, n_docs, total_tokens, kept_tokens,
+       total_tokens - kept_tokens AS wasted_tokens
+FROM sizes
+ORDER BY wasted_tokens DESC, cluster_id
+LIMIT 20""",
+)
+
+
+def x179_activity_heatmap(spark, sf_dir):
+    """Weekday x hour load heatmap (funnel.activity_heatmap): one
+    168-cell aggregate + broadcast total; shares and uniform-cell load
+    ratios."""
+    return funnel.activity_heatmap(_t(spark, sf_dir, "events"))
+
+
+X179_SQL = """
+WITH cells AS (
+  SELECT dayofweek(ts) + 1 AS weekday, hour(ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS n_cells
+  FROM cells
+)
+SELECT weekday, hour, n_events,
+       round(n_events / total, 6) AS share,
+       round(n_events / (total / n_cells), 6) AS load_ratio
+FROM cells CROSS JOIN tot
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -8006,6 +8059,8 @@ EXTENSIONS = {
         x177_sample_representativeness,
         X177_SQL,
     ),
+    "x178_dedup_worklist": (x178_dedup_worklist, X178_SQL),
+    "x179_activity_heatmap": (x179_activity_heatmap, X179_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -1983,3 +1983,47 @@ def test_sample_representativeness_exact_shares(spark):
         assert out[lang].n_corpus == len(ids)
         assert out[lang].n_sample == sum(in_sample(i) for i in ids)
     assert abs(sum(r.sample_share for r in out.values()) - 1.0) < 1e-6
+
+
+def test_dedup_worklist_ranks_by_waste(spark):
+    """Cluster {1,2,3} wastes two short copies; cluster {4,5} wastes
+    one; unrelated doc 6 never appears."""
+    from shifts_etl_spark.operators.dedup import dedup_worklist
+
+    a = ("the quick brown fox jumps over the lazy dog near the river "
+         "bank every sunny morning in june with seventeen friends")
+    b = ("completely different content about query planners and their "
+         "optimizers running tests on many machines every release")
+    rows = [
+        Row(doc_id=1, text=a + " one"),
+        Row(doc_id=2, text=a + " two"),
+        Row(doc_id=3, text=a + " three four five"),
+        Row(doc_id=4, text=b + " x"),
+        Row(doc_id=5, text=b + " y"),
+        Row(doc_id=6, text="tiny unrelated note"),
+    ]
+    out = dedup_worklist(spark.createDataFrame(rows)).collect()
+    assert [r.cluster_id for r in out] == [1, 4]
+    big = out[0]
+    assert big.n_docs == 3
+    assert big.wasted_tokens == big.total_tokens - big.kept_tokens
+    assert big.wasted_tokens > out[1].wasted_tokens
+
+
+def test_activity_heatmap_cells(spark):
+    """3 events in one (weekday, hour) cell and 1 in another: shares
+    3/4 and 1/4, load ratios 1.5 and 0.5 against the 2-cell uniform."""
+    from shifts_etl_spark.operators.funnel import activity_heatmap
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "view", "2024-01-01T10:20:00"),
+        _ev(3, 2, "view", "2024-01-01T10:40:00"),
+        _ev(4, 2, "view", "2024-01-02T05:00:00"),
+    ]
+    out = {(r.weekday, r.hour): r for r in
+           activity_heatmap(spark.createDataFrame(rows)).collect()}
+    hot = out[(2, 10)]  # Monday=2 in Spark dayofweek
+    assert (hot.n_events, hot.share, hot.load_ratio) == (3, 0.75, 1.5)
+    cold = out[(3, 5)]
+    assert (cold.n_events, cold.load_ratio) == (1, 0.5)

@@ -127,6 +127,8 @@ SINGLE_PARTITION_OK = {
     # is vocab x G (G = #sources, bounded)
     "x177_sample_representativeness",  # corpus/sample totals: one
     # 1-row aggregate over the category cells
+    "x179_activity_heatmap",  # grand total: one 1-row aggregate over
+    # <=168 cells
     "x172_decile_mobility",  # window bounds + two decile-edge rows:
     # 1-row aggregates broadcast onto the per-user frame
     "x138_value_streaks",  # day-rank window over the calendar-bounded
@@ -215,6 +217,7 @@ CROSS_JOIN_OK = {
     # the broadcast 1-row V total
     "x177_sample_representativeness",  # crossJoin with the broadcast
     # 1-row totals
+    "x179_activity_heatmap",  # crossJoin with the broadcast 1-row total
     "x172_decile_mobility",  # crossJoins with the broadcast 1-row
     # bounds / decile edges
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
