@@ -1447,3 +1447,225 @@ def activity_heatmap(
             F.col("n_events") / (F.col("total") / F.col("n_cells")), 6
         ).alias("load_ratio"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSUM change-point detection on the daily event-value series:
+    per observed day, the cumulative deviation of the daily mean from
+    the overall level plus the classic one-sided CUSUM statistics, with
+    the most-likely change day ranked first — the drift monitor that
+    catches a slow metric shift long before any single day trips a
+    z-score gate (x116/x142 flag spikes; this flags sustained drift).
+
+    The max(0, prev + dev) CUSUM recursion is not a plain window sum,
+    but it collapses to one: S+_t = P_t - min(0, min_{j<=t} P_j) and
+    S-_t = max(0, max_{j<=t} P_j) - P_t where P is the prefix sum of
+    deviations — so both sides ride ordinary cumulative-sum/min/max
+    windows.
+
+    Determinism: daily means come from exact integer-micro sums; every
+    float fold after that (the overall level and all prefix series) is
+    an ORDERED window over the |days| cell frame, so both engines add
+    the same doubles in the same day order — bit-identical, no
+    partial-aggregate merge-order wobble. Rounding is output-only.
+
+    Scale shape: events collapse to |days| integer cells in one
+    map-side-combinable aggregate; the windows run on the bounded cell
+    frame (a deliberate single-partition stage over days, never
+    events)."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("micro"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    full = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    upto = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = daily.select(
+        "day",
+        (F.col("micro").cast("double") / F.col("n") / 1e6).alias("day_mean"),
+    )
+    leveled = base.select(
+        "day",
+        "day_mean",
+        (
+            F.sum("day_mean").over(full) / F.count(F.lit(1)).over(full)
+        ).alias("level"),
+    )
+    prefixed = leveled.select(
+        "day",
+        "day_mean",
+        "level",
+        F.sum(F.col("day_mean") - F.col("level")).over(upto).alias("p"),
+    )
+    scored = prefixed.select(
+        "day",
+        "day_mean",
+        "level",
+        "p",
+        (F.col("p") - F.least(F.min("p").over(upto), F.lit(0.0))).alias("s_pos"),
+        (F.greatest(F.max("p").over(upto), F.lit(0.0)) - F.col("p")).alias("s_neg"),
+    )
+    ranked = scored.select(
+        "day",
+        F.round("day_mean", 6).alias("day_mean"),
+        F.round("level", 6).alias("level"),
+        F.round("p", 6).alias("cusum"),
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.greatest("s_pos", "s_neg"), 6).desc(), F.col("day")
+            )
+        )
+        .cast("long")
+        .alias("change_rank"),
+    )
+    return ranked.orderBy("day")
+
+
+def revenue_autocorrelation(
+    orders: DataFrame,
+    max_lag: int = 7,
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> DataFrame:
+    """Daily-revenue autocorrelation function at lags 1..``max_lag``:
+    Pearson r between the observed-day revenue series and its
+    lag-shifted self, pairing only days where BOTH endpoints were
+    observed — the time-series health check that tells a monitoring
+    pipeline whether yesterday predicts today (weekly shopping rhythm
+    shows up as a lag-7 spike; x136 tests the weekday margin, this
+    measures the serial dependence directly).
+
+    Determinism: days collapse to exact integer-cents cells; the pair
+    moments (sum x, sum y, sum xy, sum x^2, sum y^2) fold as ORDERED
+    full-frame windows per lag over the bounded pair frame, so both
+    engines add identical doubles in identical day order; r is closed
+    form off those sums, rounded at 6 dp, NULL when either side has
+    zero variance.
+
+    Scale shape: orders collapse to |days| cells once; the lag spine
+    (``max_lag`` literals) explodes over CELLS, never orders, and the
+    shifted join is cell-keyed — bounded at |days| x max_lag rows."""
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("day")).agg(
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).alias("rev_cents")
+    )
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(1, max_lag + 1)])
+    ).alias("lag")
+    cur = daily.select(lags, "day", F.col("rev_cents").alias("x"))
+    prev = daily.select(
+        F.col("day").alias("prev_day"), F.col("rev_cents").alias("y")
+    )
+    pairs = cur.join(
+        prev, F.expr("date_sub(day, lag) = prev_day"), "inner"
+    ).select(
+        "lag",
+        "day",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+    full = (
+        Window.partitionBy("lag")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    moments = pairs.select(
+        "lag",
+        "day",
+        F.count(F.lit(1)).over(full).cast("double").alias("np"),
+        F.sum("x").over(full).alias("sx"),
+        F.sum("y").over(full).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(full).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(full).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(full).alias("syy"),
+        F.row_number()
+        .over(Window.partitionBy("lag").orderBy("day"))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    varx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(varx * vary),
+            6,
+        ),
+    )
+    return moments.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("np").cast("long").alias("n_pairs"),
+        r.alias("pearson_r"),
+    ).orderBy("lag")
+
+
+def calendar_coverage(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Calendar completeness audit per event type: against the full
+    day spine between the corpus-wide first and last observed day,
+    report how many days each type was silent, its coverage share, and
+    the first/last silent day — the ingestion-gap monitor that catches
+    a feed that quietly stopped emitting one event class (x116 scores
+    hour volume; this catches whole missing days, including types that
+    were dark at the edges of the window).
+
+    Scale shape: events collapse to (type, day) cells in one
+    map-side-combinable aggregate; the day spine is one sequence()
+    over the broadcast 1-row min/max — |days| rows — crossed with the
+    |types| distinct list, so the anti-join runs on bounded cell
+    frames, never events. All-integer outputs plus one 6 dp share."""
+    obs = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    span = events.agg(
+        F.min(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", F.col(ts_col)).cast("date")).alias("d1"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = obs.select("event_type").distinct()
+    grid = types.crossJoin(spine)
+    missing = grid.join(obs, ["event_type", "day"], "left_anti")
+    miss = missing.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missing"),
+        F.min("day").alias("first_missing"),
+        F.max("day").alias("last_missing"),
+    )
+    per_type = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_observed")
+    )
+    return (
+        per_type.join(miss, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days_observed",
+            F.coalesce("n_missing", F.lit(0)).cast("long").alias("n_missing"),
+            F.round(
+                F.col("n_days_observed")
+                / (
+                    F.col("n_days_observed")
+                    + F.coalesce("n_missing", F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("coverage"),
+            "first_missing",
+            "last_missing",
+        )
+        .orderBy("event_type")
+    )

@@ -1250,3 +1250,62 @@ def single_source_risk(
         ).alias("single_source_share"),
         F.round(F.avg("n_suppliers"), 4).alias("mean_suppliers_per_part"),
     )
+
+
+def price_dispersion(
+    lineitem: DataFrame,
+    part: DataFrame,
+    top_k: int = 20,
+    min_lines: int = 5,
+    price_col: str = "l_extendedprice",
+    key_col: str = "l_partkey",
+) -> DataFrame:
+    """Per-part price-dispersion screen: the coefficient of variation
+    of a part's line prices, worst ``top_k`` parts first — the
+    pricing-integrity audit that surfaces SKUs whose charged prices are
+    all over the map (a data-entry or contract-leak signal; x137's
+    fences screen one global distribution, this ranks per-key spread).
+    Parts with fewer than ``min_lines`` lines are excluded (tiny
+    samples make noisy CVs).
+
+    Determinism: prices quantize to integer cents (outputs at 6 dp —
+    the x167 lesson: a 2 dp round put sqrt output on a half-boundary
+    and split the engines); n, sum and
+    sum-of-squares fold as EXACT integer sums (cents^2 per line is
+    ~1e12, safely inside BIGINT for any one part's group), so variance
+    and CV come closed-form off exact integers — engine-identical
+    before the 6 dp round. At 100 TB a single part's (sum)^2 could
+    near the BIGINT edge; the closed form casts to double only AFTER
+    the exact per-group fold, which is the documented trade.
+
+    Scale shape: one partkey-keyed integer aggregate (map-side
+    combinable), TakeOrdered top-k, then a broadcast-sized join to the
+    k part rows for labels — part never broadcasts in full."""
+    cells = lineitem.groupBy(F.col(key_col).alias("p_partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).alias("s"),
+        F.sum(
+            F.round(F.col(price_col) * 100).cast("long")
+            * F.round(F.col(price_col) * 100).cast("long")
+        ).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    var = (n * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")) / (n * n)
+    mean = F.col("s").cast("double") / n
+    scored = (
+        cells.where(F.col("n") >= min_lines)
+        .select(
+            "p_partkey",
+            "n",
+            F.round(mean / 100.0, 6).alias("mean_price"),
+            F.round(F.sqrt(var) / 100.0, 6).alias("sd_price"),
+            F.when(mean > 0, F.round(F.sqrt(var) / mean, 6)).alias("cv"),
+        )
+        .orderBy(F.desc("cv"), "p_partkey")
+        .limit(top_k)
+    )
+    return scored.join(
+        part.select("p_partkey", "p_brand", "p_type"), "p_partkey"
+    ).select(
+        "p_partkey", "p_brand", "p_type", "n", "mean_price", "sd_price", "cv"
+    ).orderBy(F.desc("cv"), "p_partkey")

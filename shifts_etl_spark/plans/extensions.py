@@ -7862,6 +7862,192 @@ FROM cells CROSS JOIN tot
 """
 
 
+def x180_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on the daily event-value series
+    (funnel.cusum_changepoint): one-sided CUSUMs via the prefix-sum /
+    running-extrema identity, every float fold an ordered window over
+    the bounded day-cell frame."""
+    return funnel.cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+X180_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS micro,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT day, CAST(micro AS DOUBLE) / n / 1e6 AS day_mean FROM daily
+),
+leveled AS (
+  SELECT day, day_mean,
+         SUM(day_mean) OVER wf / COUNT(*) OVER wf AS level
+  FROM base
+  WINDOW wf AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+prefixed AS (
+  SELECT day, day_mean, level,
+         SUM(day_mean - level) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS p
+  FROM leveled
+),
+scored AS (
+  SELECT day, day_mean, level, p,
+         p - least(MIN(p) OVER wu, 0.0) AS s_pos,
+         greatest(MAX(p) OVER wu, 0.0) - p AS s_neg
+  FROM prefixed
+  WINDOW wu AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+)
+SELECT day, round(day_mean, 6) AS day_mean, round(level, 6) AS level,
+       round(p, 6) AS cusum, round(s_pos, 6) AS s_pos,
+       round(s_neg, 6) AS s_neg,
+       CAST(ROW_NUMBER() OVER (ORDER BY round(greatest(s_pos, s_neg), 6)
+                               DESC, day) AS BIGINT) AS change_rank
+FROM scored
+ORDER BY day
+"""
+
+
+def x181_revenue_autocorrelation(spark, sf_dir):
+    """Daily-revenue autocorrelation at lags 1..7
+    (funnel.revenue_autocorrelation): Pearson r per lag from ordered
+    full-frame window moments over the integer-cents day cells."""
+    return funnel.revenue_autocorrelation(_t(spark, sf_dir, "orders"))
+
+
+X181_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag AS lag, d.day AS day,
+         CAST(d.rev_cents AS DOUBLE) AS x,
+         CAST(p.rev_cents AS DOUBLE) AS y
+  FROM daily d
+  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag) l
+  JOIN daily p ON p.day = d.day - CAST(l.lag AS INT)
+),
+moments AS (
+  SELECT lag, day,
+         CAST(COUNT(*) OVER wf AS DOUBLE) AS np,
+         SUM(x) OVER wf AS sx, SUM(y) OVER wf AS sy,
+         SUM(x * y) OVER wf AS sxy,
+         SUM(x * x) OVER wf AS sxx,
+         SUM(y * y) OVER wf AS syy,
+         ROW_NUMBER() OVER (PARTITION BY lag ORDER BY day) AS rn
+  FROM pairs
+  WINDOW wf AS (PARTITION BY lag ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT lag, CAST(np AS BIGINT) AS n_pairs,
+       CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+            THEN round((np * sxy - sx * sy)
+                       / sqrt((np * sxx - sx * sx) * (np * syy - sy * sy)), 6)
+            END AS pearson_r
+FROM moments WHERE rn = 1 ORDER BY lag
+"""
+
+
+
+def x182_calendar_coverage(spark, sf_dir):
+    """Calendar completeness audit per event type
+    (funnel.calendar_coverage): day-spine anti-join on bounded
+    (type, day) cell frames; silent-day counts + first/last gap."""
+    return funnel.calendar_coverage(_t(spark, sf_dir, "events"))
+
+
+X182_SQL = """
+WITH obs AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+         MAX(CAST(date_trunc('day', ts) AS DATE)) AS d1
+  FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+grid AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM obs) t CROSS JOIN spine s
+),
+missing AS (
+  SELECT g.event_type, g.day FROM grid g
+  WHERE NOT EXISTS (SELECT 1 FROM obs o
+                    WHERE o.event_type = g.event_type AND o.day = g.day)
+),
+miss AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_missing,
+         MIN(day) AS first_missing, MAX(day) AS last_missing
+  FROM missing GROUP BY 1
+),
+per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_observed
+  FROM obs GROUP BY 1
+)
+SELECT p.event_type, p.n_days_observed,
+       CAST(coalesce(m.n_missing, 0) AS BIGINT) AS n_missing,
+       round(p.n_days_observed
+             / CAST(p.n_days_observed + coalesce(m.n_missing, 0) AS DOUBLE),
+             6) AS coverage,
+       m.first_missing, m.last_missing
+FROM per_type p LEFT JOIN miss m USING (event_type)
+ORDER BY event_type
+"""
+
+
+def x183_price_dispersion(spark, sf_dir):
+    """Per-part price-dispersion screen (profile.price_dispersion):
+    worst-20 CV of line prices off exact integer-cents moments; part
+    joins only to the 20 survivors."""
+    return profile.price_dispersion(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+X183_SQL = """
+WITH cells AS (
+  SELECT l_partkey AS p_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS ss
+  FROM lineitem GROUP BY 1
+),
+scored AS (
+  SELECT p_partkey, n,
+         round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+           AS mean_price,
+         round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0, 6)
+           AS sd_price,
+         CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+              THEN round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                         / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+              END AS cv
+  FROM cells WHERE n >= 5
+  ORDER BY cv DESC, p_partkey LIMIT 20
+)
+SELECT s.p_partkey, p.p_brand, p.p_type, s.n, s.mean_price, s.sd_price, s.cv
+FROM scored s JOIN part p USING (p_partkey)
+ORDER BY s.cv DESC, s.p_partkey
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -8061,6 +8247,10 @@ EXTENSIONS = {
     ),
     "x178_dedup_worklist": (x178_dedup_worklist, X178_SQL),
     "x179_activity_heatmap": (x179_activity_heatmap, X179_SQL),
+    "x180_cusum_changepoint": (x180_cusum_changepoint, X180_SQL),
+    "x181_revenue_autocorrelation": (x181_revenue_autocorrelation, X181_SQL),
+    "x182_calendar_coverage": (x182_calendar_coverage, X182_SQL),
+    "x183_price_dispersion": (x183_price_dispersion, X183_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

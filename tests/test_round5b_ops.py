@@ -2027,3 +2027,132 @@ def test_activity_heatmap_cells(spark):
     assert (hot.n_events, hot.share, hot.load_ratio) == (3, 0.75, 1.5)
     cold = out[(3, 5)]
     assert (cold.n_events, cold.load_ratio) == (1, 0.5)
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """Daily means 1,1,1,5,5,5 (one event per day): level = 3, prefix
+    sums -2,-4,-6,-4,-2,0; s_pos climbs 0,0,0,2,4,6 and s_neg peaks at
+    6 on day 3 — change_rank 1 must land on day 3 (the last pre-shift
+    day, ties broken by earliest day)."""
+    from shifts_etl_spark.operators.funnel import cusum_changepoint
+    import datetime as dt
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, i + 1, 12, 0, 0),
+            user_id=1, event_type="view",
+            value=1.0 if i < 3 else 5.0, props="{}")
+        for i in range(6)
+    ]
+    out = {r.day.day: r for r in cusum_changepoint(
+        spark.createDataFrame(rows)).collect()}
+    assert [out[d].cusum for d in range(1, 7)] == [-2, -4, -6, -4, -2, 0]
+    assert [out[d].s_pos for d in range(1, 7)] == [0, 0, 0, 2, 4, 6]
+    assert [out[d].s_neg for d in range(1, 7)] == [2, 4, 6, 4, 2, 0]
+    assert out[3].change_rank == 1
+    assert all(out[d].level == 3.0 for d in range(1, 7))
+
+
+def test_cusum_changepoint_flat_series(spark):
+    """A flat series never accumulates: cusum, s_pos and s_neg are all
+    zero and the rank tiebreak is pure day order."""
+    from shifts_etl_spark.operators.funnel import cusum_changepoint
+    import datetime as dt
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, i + 1, 12, 0, 0),
+            user_id=1, event_type="view", value=2.5, props="{}")
+        for i in range(4)
+    ]
+    out = cusum_changepoint(spark.createDataFrame(rows)).collect()
+    assert [r.cusum for r in out] == [0.0, 0.0, 0.0, 0.0]
+    assert [r.s_pos for r in out] == [0.0, 0.0, 0.0, 0.0]
+    assert [r.s_neg for r in out] == [0.0, 0.0, 0.0, 0.0]
+    assert [r.change_rank for r in out] == [1, 2, 3, 4]
+
+
+def test_revenue_autocorrelation_alternating(spark):
+    """Revenue alternating 100/200 over 8 consecutive days: lag-1
+    pairs anti-correlate exactly (r = -1), lag-2 pairs correlate
+    exactly (r = +1), and pair counts are 7 and 6."""
+    from shifts_etl_spark.operators.funnel import revenue_autocorrelation
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=i, o_custkey=1, o_orderdate=dt.date(2024, 1, i + 1),
+            o_totalprice=100.0 if i % 2 == 0 else 200.0)
+        for i in range(8)
+    ]
+    out = {r.lag: r for r in revenue_autocorrelation(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1].n_pairs == 7 and out[1].pearson_r == -1.0
+    assert out[2].n_pairs == 6 and out[2].pearson_r == 1.0
+
+
+def test_revenue_autocorrelation_gaps_and_flat(spark):
+    """A missing calendar day only pairs both-observed endpoints:
+    with days 1, 2, 4 observed, lag 1 pairs only (2 <- 1), lag 2 only
+    (4 <- 2), lag 3 only (4 <- 1), and lags 4-7 vanish entirely;
+    constant revenue yields NULL r at every matched lag."""
+    from shifts_etl_spark.operators.funnel import revenue_autocorrelation
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=i, o_custkey=1, o_orderdate=dt.date(2024, 1, d),
+            o_totalprice=100.0)
+        for i, d in enumerate([1, 2, 4])
+    ]
+    out = {r.lag: r for r in revenue_autocorrelation(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1].n_pairs == 1  # (2 <- 1); day 4 has no day 3
+    assert out[2].n_pairs == 1  # (4 <- 2)
+    assert out[3].n_pairs == 1  # (4 <- 1)
+    assert sorted(out) == [1, 2, 3]  # lags 4-7 have no matched pair
+    assert all(out[k].pearson_r is None for k in out)
+
+
+def test_calendar_coverage_gap_detection(spark):
+    """Type A fires on days 1-3, type B only on day 2: the span is
+    days 1..3, so B must report 2 silent days bracketed at days 1 and
+    3 with coverage 1/3; A is fully covered with NULL gap edges."""
+    from shifts_etl_spark.operators.funnel import calendar_coverage
+    import datetime as dt
+
+    rows = [
+        _ev(1, 1, "A", "2024-01-01T10:00:00"),
+        _ev(2, 1, "A", "2024-01-02T10:00:00"),
+        _ev(3, 1, "A", "2024-01-03T10:00:00"),
+        _ev(4, 2, "B", "2024-01-02T11:00:00"),
+    ]
+    out = {r.event_type: r for r in calendar_coverage(
+        spark.createDataFrame(rows)).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n_days_observed, a.n_missing, a.coverage) == (3, 0, 1.0)
+    assert a.first_missing is None and a.last_missing is None
+    assert (b.n_days_observed, b.n_missing) == (1, 2)
+    assert b.coverage == round(1 / 3, 6)
+    assert b.first_missing == dt.date(2024, 1, 1)
+    assert b.last_missing == dt.date(2024, 1, 3)
+
+
+def test_price_dispersion_cv_ranking(spark):
+    """Part 1 sells at a constant 10.00 (cv 0); part 2's prices
+    10,10,10,10,20 give mean 12.00, sd 4.00, cv 1/3; part 3 has only
+    4 lines and is excluded by min_lines=5. Worst cv sorts first."""
+    from shifts_etl_spark.operators.profile import price_dispersion
+
+    li = [Row(l_orderkey=i, l_partkey=1, l_extendedprice=10.0)
+          for i in range(5)]
+    li += [Row(l_orderkey=10 + i, l_partkey=2,
+               l_extendedprice=10.0 if i < 4 else 20.0) for i in range(5)]
+    li += [Row(l_orderkey=20 + i, l_partkey=3, l_extendedprice=99.0)
+           for i in range(4)]
+    part = [Row(p_partkey=k, p_brand=f"B{k}", p_type=f"T{k}")
+            for k in (1, 2, 3)]
+    out = price_dispersion(
+        spark.createDataFrame(li), spark.createDataFrame(part)).collect()
+    assert [r.p_partkey for r in out] == [2, 1]
+    two, one = out[0], out[1]
+    assert (two.n, two.mean_price, two.sd_price) == (5, 12.0, 4.0)
+    assert two.cv == round(4.0 / 12.0, 6)
+    assert (one.n, one.mean_price, one.sd_price, one.cv) == (5, 10.0, 0.0, 0.0)
+    assert two.p_brand == "B2" and one.p_type == "T1"

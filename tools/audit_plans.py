@@ -146,6 +146,12 @@ SINGLE_PARTITION_OK = {
     # aggregate over the bounded candidate-pair diffs
     "x91_dsir_weights",  # target/corpus LM totals (nt, nc, V): two 1-row
     # aggregates (the y1 shape)
+    "x180_cusum_changepoint",  # ordered CUSUM windows over the
+    # calendar-bounded |days| daily cells, never events
+    "x181_revenue_autocorrelation",  # per-lag ordered moment windows
+    # over the |days| x 7 pair cells, never orders
+    "x182_calendar_coverage",  # day spine from the 1-row min/max span;
+    # the anti-join runs on (type, day) cells, never events
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -222,6 +228,8 @@ CROSS_JOIN_OK = {
     # bounds / decile edges
     "x78_ks_drift",  # crossJoin with the broadcast 1-row (n_a, n_b) totals
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
+    "x182_calendar_coverage",  # |types| x |days| spine grid — both
+    # sides bounded cell frames, never events
 }
 
 
