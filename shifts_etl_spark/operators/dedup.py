@@ -1454,3 +1454,58 @@ def dedup_worklist(
         .orderBy(F.desc("wasted_tokens"), "cluster_id")
         .limit(top_k)
     )
+
+
+def editdist_confirm_pairs(
+    docs: DataFrame,
+    max_edit: int = 20,
+    prefix_len: int = 160,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Edit-distance confirmation layer over the MinHash-LSH candidate
+    pairs: re-score each banded candidate with the TRUE Levenshtein
+    distance between the documents' normalized opening passages and
+    keep pairs within ``max_edit`` edits — the precision pass that
+    separates lightly-edited near-dups from shingle-coincidence false
+    positives (estimated Jaccard says "similar token sets"; edit
+    distance says "actually the same passage"). Emits both scores so
+    the x83-style calibration can compare them.
+
+    Scale shape: candidates come from the banded LSH chain (bounded
+    buckets, hot-bucket cap — never all-pairs); the confirm joins two
+    ``prefix_len``-char prefixes by id and runs one O(prefix_len^2)
+    JVM levenshtein per CANDIDATE pair. Integer distances, one exact
+    rational similarity at 6 dp."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, hash_fn=hash_fn)
+    pref = docs.select(
+        F.col(id_col).alias("_id"),
+        F.substring(normalize_text(F.col(text_col)), 1, prefix_len).alias("_p"),
+    )
+    joined = pairs.join(
+        pref.select(F.col("_id").alias("id_a"), F.col("_p").alias("p_a")),
+        "id_a",
+    ).join(
+        pref.select(F.col("_id").alias("id_b"), F.col("_p").alias("p_b")),
+        "id_b",
+    )
+    d = F.levenshtein("p_a", "p_b")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            d.cast("long").alias("edit_distance"),
+            F.round(
+                1.0
+                - d.cast("double")
+                / F.greatest(
+                    F.greatest(F.length("p_a"), F.length("p_b")), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("prefix_sim"),
+        )
+        .where(F.col("edit_distance") <= max_edit)
+        .orderBy("id_a", "id_b")
+    )

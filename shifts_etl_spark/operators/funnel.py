@@ -1669,3 +1669,75 @@ def calendar_coverage(
         )
         .orderBy("event_type")
     )
+
+
+def session_depth_profile(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Session depth distribution under power-of-2 depth buckets
+    (1, 2, 3-4, 5-8, ...): per bucket the session count, share, and
+    running cumulative share — with the bounce rate (depth-1 sessions)
+    falling out as the first row. x111 names WHAT paths sessions take
+    and x154 sweeps the timeout; this is the engagement-depth shape
+    product teams actually page on.
+
+    Determinism: sessionization compares whole truncated seconds (the
+    x111 convention); depths and bucket bounds are pure integers; the
+    only floats are the two 6 dp shares, and the cumulative share folds
+    on the ORDERED bounded bucket frame.
+
+    Scale shape: one keyed shuffle on user for the session window; the
+    per-session depth is a keyed count; buckets collapse to <= 64
+    cells; the 1-row total broadcasts back and the cumulative window
+    runs over the cell frame."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.when(gap > gap_minutes * 60, 1).otherwise(0).alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = marked.select(
+        "user_id", F.sum("is_new").over(w2).alias("session_no")
+    )
+    depths = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("depth")
+    )
+    # bucket lower bound: 1, 2, 3, 5, 9, ... (lo = 2^(k-1)+1 for k>=1)
+    exp = F.ceil(F.log2(F.col("depth"))).cast("long")
+    buckets = depths.select(
+        F.when(F.col("depth") <= 2, F.col("depth"))
+        .otherwise(F.pow(F.lit(2.0), (exp - 1).cast("double")).cast("long") + 1)
+        .alias("bucket_lo"),
+        F.when(F.col("depth") <= 2, F.col("depth"))
+        .otherwise(F.pow(F.lit(2.0), exp.cast("double")).cast("long"))
+        .alias("bucket_hi"),
+    )
+    cells = buckets.groupBy("bucket_lo", "bucket_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    tot = cells.agg(F.sum("n_sessions").cast("double").alias("total"))
+    cum = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_lo",
+            "bucket_hi",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sum("n_sessions").over(cum) / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -1309,3 +1309,141 @@ def price_dispersion(
     ).select(
         "p_partkey", "p_brand", "p_type", "n", "mean_price", "sd_price", "cv"
     ).orderBy(F.desc("cv"), "p_partkey")
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label-noise screen by neighbor agreement (the confident-learning
+    signal): block vectors into deterministic md5 buckets of their ids
+    (label-blind, unlike x6's label blocks), find each vector's
+    nearest in-bucket neighbor, and report per label how often the
+    neighbor carries the SAME label — a label whose members' neighbors
+    disagree is either mislabeled or not separable (x104 measures
+    separability from moments; this measures it from actual
+    neighborhoods).
+
+    Determinism: buckets are pure md5-hex arithmetic; cosines round at
+    6 dp with (cosine desc, neighbor id) NN tie-break; agreement is
+    integer counting, shares at 6 dp.
+
+    Scale shape: the pair scan is per-bucket (bounded blocks — at
+    100 TB size n_buckets ~ N/2k so blocks stay cache-sized, or swap
+    in the x8 LSH bands); labels rejoin by id; the rollup is
+    |labels|-cell."""
+    from .curation import _hex_uniform_int
+    from .dedup import embedding_nn_pairs
+
+    bucketed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        (
+            _hex_uniform_int(F.concat(F.col(id_col).cast("string"), F.lit("-knb")))
+            % n_buckets
+        ).alias("bkt"),
+    )
+    nn = embedding_nn_pairs(bucketed, block_col="bkt")
+    lab = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
+    )
+    nlab = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+    )
+    edges = nn.join(lab, "vec_id").join(nlab, "neighbor_id")
+    cells = edges.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("label") == F.col("n_label"), 1).otherwise(0)
+        ).cast("long").alias("n_agree"),
+        F.round(F.avg(F.when(F.col("is_near_dup"), 1.0).otherwise(0.0)), 6)
+        .alias("near_dup_share"),
+    )
+    return cells.select(
+        "label",
+        "n_vectors",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("n_vectors").cast("double"), 6)
+        .alias("agreement"),
+        "near_dup_share",
+    ).orderBy("label")
+
+
+def mannwhitney_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U test of the quality-score
+    distribution between two deterministic md5 halves of the corpus —
+    the nonparametric twin of x48's Welch t-test (quality scores live
+    on a discrete lattice, so rank methods fit where means mislead)
+    and the scalar companion to embedding_split_drift. A healthy
+    pipeline's halves give z ~ 0; |z| > 3 says the halves differ.
+
+    Determinism: scores land on the 11-point deci lattice as integers;
+    midranks are exact multiples of 0.5; every aggregate sums exactly
+    representable doubles (< 2^53), so U, the tie correction, and z
+    are engine-exact before the 6 dp round. At 100 TB the closed-form
+    n*(n+1) products run in doubles (documented precision trade).
+
+    Scale shape: the corpus collapses to <= 11 (score) cells in one
+    map-side-combinable aggregate; midranks ride an ordered window on
+    the cell frame; the test statistic is one 1-row fold."""
+    from .textstats import quality_score
+
+    hx = F.md5(F.col(id_col).cast("string"))
+    bucket = F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(
+        F.substring(hx, 2, 1)
+    )
+    scored = docs.select(
+        F.round(quality_score(F.col(text_col)) * 10).cast("long").alias("s10"),
+        F.when(bucket % 100 < 50, 1).otherwise(0).alias("in_a"),
+    )
+    cells = scored.groupBy("s10").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("long").alias("n_b"),
+    )
+    from pyspark.sql import Window
+
+    before = Window.orderBy("s10").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = F.col("n_a") + F.col("n_b")
+    ranked = cells.select(
+        "s10",
+        "n_a",
+        "n_b",
+        (
+            F.coalesce(F.sum(t).over(before), F.lit(0)).cast("double")
+            + (t.cast("double") + 1.0) / 2.0
+        ).alias("midrank"),
+        t.cast("double").alias("t"),
+    )
+    agg = ranked.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum(F.col("n_a") * F.col("midrank")).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("ra") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sigma2 = (
+        na * nb / 12.0 * ((n + 1.0) - F.col("tie") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (na * nb - u_a).alias("u_b"),
+        F.when(sigma2 > 0, F.round((u_a - mu) / F.sqrt(sigma2), 6)).alias(
+            "z_score"
+        ),
+    )

@@ -8048,6 +8048,224 @@ ORDER BY s.cv DESC, s.p_partkey
 
 
 
+def x184_session_depth(spark, sf_dir):
+    """Session depth distribution + bounce rate
+    (funnel.session_depth_profile): power-of-2 depth buckets over
+    30-min-gap sessions; bounded cells, 1-row total broadcast."""
+    return funnel.session_depth_profile(_t(spark, sf_dir, "events"))
+
+
+X184_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM ordered
+),
+depths AS (
+  SELECT CAST(count(*) AS BIGINT) AS depth
+  FROM sess GROUP BY user_id, session_no
+),
+buckets AS (
+  SELECT CASE WHEN depth <= 2 THEN depth
+              ELSE CAST(pow(2.0, ceil(log2(depth)) - 1) AS BIGINT) + 1
+         END AS bucket_lo,
+         CASE WHEN depth <= 2 THEN depth
+              ELSE CAST(pow(2.0, ceil(log2(depth))) AS BIGINT)
+         END AS bucket_hi
+  FROM depths
+),
+cells AS (
+  SELECT bucket_lo, bucket_hi, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM buckets GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_sessions) AS DOUBLE) AS total FROM cells)
+SELECT bucket_lo, bucket_hi, n_sessions,
+       round(n_sessions / total, 6) AS share,
+       round(SUM(n_sessions) OVER (ORDER BY bucket_lo ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) / total, 6) AS cum_share
+FROM cells CROSS JOIN tot
+ORDER BY bucket_lo
+"""
+
+
+def x185_knn_label_agreement(spark, sf_dir):
+    """Label-noise screen by neighbor agreement
+    (profile.knn_label_agreement): label-blind md5-bucket NN graph,
+    per-label same-label share — the confident-learning signal."""
+    return profile.knn_label_agreement(_t(spark, sf_dir, "embeddings"))
+
+
+X185_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM bucketed
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b
+    ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.neighbor_id = nb.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+),
+nn AS (
+  SELECT vec_id, neighbor_id, cosine >= 0.9 AS is_near_dup
+  FROM ranked WHERE rn = 1
+),
+edges AS (
+  SELECT la.label AS label, lb.label AS n_label, n.is_near_dup
+  FROM nn n
+  JOIN embeddings la ON n.vec_id = la.vec_id
+  JOIN embeddings lb ON n.neighbor_id = lb.vec_id
+),
+cells AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CASE WHEN label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree,
+         round(avg(CASE WHEN is_near_dup THEN 1.0 ELSE 0.0 END), 6)
+           AS near_dup_share
+  FROM edges GROUP BY 1
+)
+SELECT label, n_vectors, n_agree,
+       round(n_agree / CAST(n_vectors AS DOUBLE), 6) AS agreement,
+       near_dup_share
+FROM cells
+ORDER BY label
+"""
+
+
+
+def x186_mannwhitney_quality(spark, sf_dir):
+    """Exact tie-corrected Mann-Whitney U of quality between md5
+    halves (profile.mannwhitney_quality): <= 11 lattice cells, ordered
+    midrank window, one 1-row closed-form fold."""
+    return profile.mannwhitney_quality(_t(spark, sf_dir, "documents"))
+
+
+_X186_NA = "CAST(n_a AS DOUBLE)"
+_X186_NB = "CAST(n_b AS DOUBLE)"
+_X186_UA = f"ra - {_X186_NA} * ({_X186_NA} + 1.0) / 2.0"
+_X186_S2 = (
+    f"{_X186_NA} * {_X186_NB} / 12.0 * (({_X186_NA} + {_X186_NB} + 1.0) "
+    f"- tie / (({_X186_NA} + {_X186_NB}) * ({_X186_NA} + {_X186_NB} - 1.0)))"
+)
+
+X186_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) AS score
+  FROM base
+),
+scored AS (
+  SELECT CAST(round(score * 10) AS BIGINT) AS s10,
+         CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                    + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 50
+              THEN 1 ELSE 0 END AS in_a
+  FROM q
+),
+cells AS (
+  SELECT s10, CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(count(*) - SUM(in_a) AS BIGINT) AS n_b
+  FROM scored GROUP BY 1
+),
+ranked AS (
+  SELECT s10, n_a, n_b,
+         CAST(coalesce(SUM(n_a + n_b) OVER (ORDER BY s10 ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           + (CAST(n_a + n_b AS DOUBLE) + 1.0) / 2.0 AS midrank,
+         CAST(n_a + n_b AS DOUBLE) AS t
+  FROM cells
+),
+agg AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS n_a, CAST(SUM(n_b) AS BIGINT) AS n_b,
+         SUM(n_a * midrank) AS ra,
+         SUM(t * t * t - t) AS tie
+  FROM ranked
+)
+SELECT n_a, n_b,
+       {_X186_UA} AS u_a,
+       {_X186_NA} * {_X186_NB} - ({_X186_UA}) AS u_b,
+       CASE WHEN {_X186_S2} > 0
+            THEN round((({_X186_UA}) - {_X186_NA} * {_X186_NB} / 2.0)
+                       / sqrt({_X186_S2}), 6)
+            END AS z_score
+FROM agg
+"""
+
+
+def x187_editdist_confirm(spark, sf_dir):
+    """Edit-distance confirmation of the x3 LSH candidates
+    (dedup.editdist_confirm_pairs): true Levenshtein over normalized
+    160-char opening passages, <= 20 edits kept — the precision layer
+    separating near-dups from shingle coincidences."""
+    return dedup.editdist_confirm_pairs(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
+_X187_PREF = (
+    r"substring(trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), 1, 160)"
+)
+
+X187_SQL = f"""
+WITH cand AS ({X3_SQL}),
+pref AS (
+  SELECT doc_id, {_X187_PREF} AS p FROM documents
+)
+SELECT c.id_a, c.id_b, c.est_jaccard,
+       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_distance,
+       round(1.0 - CAST(levenshtein(pa.p, pb.p) AS DOUBLE)
+             / CAST(greatest(greatest(length(pa.p), length(pb.p)), 1)
+                    AS DOUBLE), 6) AS prefix_sim
+FROM cand c
+JOIN pref pa ON c.id_a = pa.doc_id
+JOIN pref pb ON c.id_b = pb.doc_id
+WHERE levenshtein(pa.p, pb.p) <= 20
+ORDER BY c.id_a, c.id_b
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -8251,6 +8469,10 @@ EXTENSIONS = {
     "x181_revenue_autocorrelation": (x181_revenue_autocorrelation, X181_SQL),
     "x182_calendar_coverage": (x182_calendar_coverage, X182_SQL),
     "x183_price_dispersion": (x183_price_dispersion, X183_SQL),
+    "x184_session_depth": (x184_session_depth, X184_SQL),
+    "x185_knn_label_agreement": (x185_knn_label_agreement, X185_SQL),
+    "x186_mannwhitney_quality": (x186_mannwhitney_quality, X186_SQL),
+    "x187_editdist_confirm": (x187_editdist_confirm, X187_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

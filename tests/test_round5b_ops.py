@@ -2156,3 +2156,146 @@ def test_price_dispersion_cv_ranking(spark):
     assert two.cv == round(4.0 / 12.0, 6)
     assert (one.n, one.mean_price, one.sd_price, one.cv) == (5, 10.0, 0.0, 0.0)
     assert two.p_brand == "B2" and one.p_type == "T1"
+
+
+def test_session_depth_buckets_and_boundary(spark):
+    """User 1: a 3-event burst then a lone event 100 min later; user 2:
+    two events 5 min apart; user 3: two events EXACTLY 30 min apart
+    (gap == 1800 s stays in-session). Buckets: depth-1 x1, depth-2 x2,
+    depth-3..4 x1; shares quarter/half/quarter with cum 0.25/0.75/1."""
+    from shifts_etl_spark.operators.funnel import session_depth_profile
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "view", "2024-01-01T10:10:00"),
+        _ev(3, 1, "view", "2024-01-01T10:20:00"),
+        _ev(4, 1, "view", "2024-01-01T12:00:00"),
+        _ev(5, 2, "view", "2024-01-01T10:00:00"),
+        _ev(6, 2, "view", "2024-01-01T10:05:00"),
+        _ev(7, 3, "view", "2024-01-01T10:00:00"),
+        _ev(8, 3, "view", "2024-01-01T10:30:00"),
+    ]
+    out = session_depth_profile(spark.createDataFrame(rows)).collect()
+    assert [(r.bucket_lo, r.bucket_hi, r.n_sessions) for r in out] == [
+        (1, 1, 1), (2, 2, 2), (3, 4, 1)]
+    assert [r.share for r in out] == [0.25, 0.5, 0.25]
+    assert [r.cum_share for r in out] == [0.25, 0.75, 1.0]
+
+
+def test_knn_label_agreement_planted_noise(spark):
+    """One block (n_buckets=1): two aligned label-0 vectors choose each
+    other (agreement 1.0, near-dup at cos ~0.99995); the orthogonal
+    label-1 vector's neighbor is label 0 (agreement 0, no near-dup)."""
+    from shifts_etl_spark.operators.profile import knn_label_agreement
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 0.01], label=0),
+        Row(vec_id=3, embedding=[0.0, 1.0], label=1),
+    ]
+    out = {r.label: r for r in knn_label_agreement(
+        spark.createDataFrame(rows), n_buckets=1).collect()}
+    assert (out[0].n_vectors, out[0].n_agree, out[0].agreement) == (2, 2, 1.0)
+    assert out[0].near_dup_share == 1.0
+    assert (out[1].n_vectors, out[1].n_agree, out[1].agreement) == (1, 0, 0.0)
+    assert out[1].near_dup_share == 0.0
+
+
+def test_mannwhitney_quality_matches_replica(spark):
+    """30 docs at two quality levels (score 0.1 vs 1.0): the Spark U,
+    tie correction, and z must equal a from-scratch Python replica of
+    the tie-corrected Mann-Whitney computed over the same md5-half
+    assignment."""
+    from shifts_etl_spark.operators.profile import mannwhitney_quality
+    import hashlib
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    rows = [Row(doc_id=i, text=good if i % 3 else "x") for i in range(1, 31)]
+    out = mannwhitney_quality(spark.createDataFrame(rows)).collect()[0]
+
+    def half(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return (ord(h[0]) * 256 + ord(h[1])) % 100 < 50
+
+    def score(text):
+        toks = text.split()
+        s = 0.0
+        s += 0.4 if 10 <= len(toks) <= 10000 else 0.0
+        mtl = sum(len(t) for t in toks) / max(len(toks), 1)
+        s += 0.3 if 3.0 <= mtl <= 10.0 else 0.0
+        sw = sum(t.lower() in ("the", "a", "an", "and", "or", "of", "to",
+                               "in", "is", "it", "that", "for", "on",
+                               "with", "as", "at", "by", "this") for t in
+                 toks) / max(len(toks), 1)
+        s += 0.2 if sw >= 0.01 else 0.0
+        dig = sum(c.isdigit() for c in text) / max(len(text), 1)
+        s += 0.1 if dig <= 0.2 else 0.0
+        return round(s * 10)
+
+    samples = [(score(good if i % 3 else "x"), half(i)) for i in range(1, 31)]
+    vals = sorted({v for v, _ in samples})
+    ranks, cum = {}, 0
+    tie = 0.0
+    for v in vals:
+        t = sum(1 for s, _ in samples if s == v)
+        ranks[v] = cum + (t + 1) / 2.0
+        tie += t ** 3 - t
+        cum += t
+    na = sum(1 for _, a in samples if a)
+    nb = len(samples) - na
+    ra = sum(ranks[v] for v, a in samples if a)
+    ua = ra - na * (na + 1) / 2.0
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert out.u_a == ua and out.u_b == na * nb - ua
+    n = na + nb
+    s2 = na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    import math
+    assert out.z_score == round((ua - na * nb / 2.0) / math.sqrt(s2), 6)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_confirm_planted_neardup(spark):
+    """Doc 2 is doc 1 with its final word changed: the LSH candidate
+    pair must survive the confirm with edit_distance equal to the true
+    Levenshtein of the normalized 160-char prefixes; the unrelated doc
+    3 never pairs. A >20-edit candidate would be dropped (checked via
+    the operator's max_edit knob)."""
+    from shifts_etl_spark.operators.dedup import editdist_confirm_pairs
+    import re
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven")
+    d1 = base + " eight"
+    d2 = base + " nine"
+    d3 = "completely different content about sailing ships and "
+    d3 += "harbors with nothing shared at all " * 2
+    rows = [Row(doc_id=1, text=d1), Row(doc_id=2, text=d2),
+            Row(doc_id=3, text=d3)]
+    out = editdist_confirm_pairs(
+        spark.createDataFrame(rows), hash_fn="md5").collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+    def norm(t):
+        return re.sub(r"\s+", " ",
+                      re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()[:160]
+
+    expected = _lev(norm(d1), norm(d2))
+    assert out[0].edit_distance == expected
+    mx = max(len(norm(d1)), len(norm(d2)))
+    assert out[0].prefix_sim == round(1.0 - expected / mx, 6)
+    strict = editdist_confirm_pairs(
+        spark.createDataFrame(rows), max_edit=expected - 1,
+        hash_fn="md5").collect()
+    assert strict == []

@@ -152,6 +152,10 @@ SINGLE_PARTITION_OK = {
     # over the |days| x 7 pair cells, never orders
     "x182_calendar_coverage",  # day spine from the 1-row min/max span;
     # the anti-join runs on (type, day) cells, never events
+    "x184_session_depth",  # cumulative-share window over <= 64
+    # depth-bucket cells + 1-row total, never events
+    "x186_mannwhitney_quality",  # midrank window over <= 11 lattice
+    # cells + the 1-row closed-form U/z fold
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -230,6 +234,8 @@ CROSS_JOIN_OK = {
     "x91_dsir_weights",  # crossJoins with the broadcast 1-row LM totals
     "x182_calendar_coverage",  # |types| x |days| spine grid — both
     # sides bounded cell frames, never events
+    "x184_session_depth",  # crossJoin with the broadcast 1-row session
+    # total onto the depth-bucket cells
 }
 
 
