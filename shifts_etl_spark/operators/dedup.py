@@ -1509,3 +1509,46 @@ def editdist_confirm_pairs(
         .where(F.col("edit_distance") <= max_edit)
         .orderBy("id_a", "id_b")
     )
+
+
+def dup_cluster_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate cluster-size distribution: how many confirmed
+    x67 components exist at each size, with cluster- and doc-mass
+    shares — the shape report that tells a dedup rollout whether
+    duplication is a long tail of pairs or a few mega-clusters (x178
+    ranks the worst clusters; this is the whole distribution those
+    worst cases sit in).
+
+    Scale shape: everything rides blocked_dedup_components (bounded
+    rare-shingle blocking + label propagation); sizes are one keyed
+    count, the histogram lands on max-cluster-size cells, and the
+    1-row total broadcasts back. All integers + two 6 dp shares."""
+    comp = blocked_dedup_components(docs, text_col, id_col)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    hist = sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum("n_clusters").cast("double").alias("tc"),
+        F.sum(F.col("csize") * F.col("n_clusters")).cast("double").alias("td"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "csize",
+            "n_clusters",
+            (F.col("csize") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.round(F.col("n_clusters") / F.col("tc"), 6).alias(
+                "cluster_share"
+            ),
+            F.round(F.col("csize") * F.col("n_clusters") / F.col("td"), 6)
+            .alias("doc_share"),
+        )
+        .orderBy("csize")
+    )

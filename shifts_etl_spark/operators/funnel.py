@@ -1741,3 +1741,59 @@ def session_depth_profile(
         )
         .orderBy("bucket_lo")
     )
+
+
+def activity_powerlaw(
+    events: DataFrame,
+    xmin: int = 2,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Power-law fit of the user-activity distribution: the continuous
+    MLE alpha_hat = 1 + n / sum(ln(x_i / (xmin - 0.5))) (Clauset-
+    Shalizi-Newman's discrete approximation) over per-user event
+    counts at least ``xmin`` — the one-number heavy-tail summary
+    behind capacity planning and bot screens (x119's HHI says how
+    concentrated; alpha says how the tail DECAYS).
+
+    Determinism: per-user counts collapse to the integer activity
+    histogram first; the single float fold (sum of c_x * ln(...))
+    runs as an ordered full-frame window over the bounded cell frame,
+    so both engines add identical doubles in identical x order.
+
+    Scale shape: one user-keyed count, one histogram aggregate
+    (max-activity cells), windows on the cell frame only."""
+    per_user = events.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    hist = per_user.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    full = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tail_c = F.when(F.col("x") >= xmin, F.col("c")).otherwise(F.lit(0))
+    tail_ln = F.when(
+        F.col("x") >= xmin,
+        F.col("c").cast("double")
+        * F.log(F.col("x").cast("double") / (xmin - 0.5)),
+    ).otherwise(F.lit(0.0))
+    scored = hist.select(
+        "x",
+        F.sum("c").over(full).cast("long").alias("n_users"),
+        F.sum(tail_c).over(full).cast("long").alias("n_tail"),
+        F.max("x").over(full).alias("max_activity"),
+        F.sum(tail_ln).over(full).alias("ln_sum"),
+        F.row_number().over(Window.orderBy("x")).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return scored.select(
+        F.lit(xmin).cast("long").alias("xmin"),
+        "n_users",
+        "n_tail",
+        "max_activity",
+        F.when(
+            F.col("ln_sum") > 0,
+            F.round(
+                1.0 + F.col("n_tail").cast("double") / F.col("ln_sum"), 6
+            ),
+        ).alias("alpha"),
+    )

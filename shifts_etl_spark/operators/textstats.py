@@ -1720,3 +1720,55 @@ def source_jsd(
         )
         .agg(F.round(F.sum(term), 6).alias("jsd_nats"))
     )
+
+
+def vocab_estimate(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Unseen-vocabulary estimation per source: Good-Turing sample
+    coverage (1 - singletons/tokens) and the bias-corrected Chao1
+    richness estimate V + n1(n1-1)/(2(n2+1)) — x115 reports the
+    vocabulary we SAW; this estimates how much vocabulary the source
+    still hides, the coverage planning number for tokenizer training
+    and corpus-growth decisions.
+
+    Determinism: everything derives from exact integer frequency
+    spectra (n1 = types seen once, n2 = twice); the two estimates are
+    closed-form rationals rounded at 6 dp.
+
+    Scale shape: one explode feeds the (source, token) count cells
+    (map-side combinable, vocab-sized shuffle — text never shuffles);
+    the frequency spectrum and estimates are a G-row rollup."""
+    cells = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    agg = cells.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    chao1 = F.col("n_types").cast("double") + n1 * (n1 - 1.0) / (
+        2.0 * (n2 + 1.0)
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        F.round(1.0 - n1 / F.col("n_tokens").cast("double"), 6).alias(
+            "gt_coverage"
+        ),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(chao1 - F.col("n_types").cast("double"), 6).alias(
+            "est_unseen"
+        ),
+    ).orderBy("source")

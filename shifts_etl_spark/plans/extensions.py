@@ -8266,6 +8266,119 @@ ORDER BY c.id_a, c.id_b
 
 
 
+def x188_vocab_estimate(spark, sf_dir):
+    """Unseen-vocabulary estimation per source
+    (textstats.vocab_estimate): Good-Turing coverage + bias-corrected
+    Chao1 off the exact integer frequency spectrum."""
+    return textstats.vocab_estimate(_t(spark, sf_dir, "documents"))
+
+
+X188_SQL = r"""
+WITH base AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+flat AS (SELECT source, unnest(toks) AS token FROM base),
+cells AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM flat GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM cells GROUP BY 1
+)
+SELECT source, n_tokens, n_types, n1, n2,
+       round(1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS gt_coverage,
+       round(CAST(n_types AS DOUBLE)
+             + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+               / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)), 6) AS chao1,
+       round(CAST(n_types AS DOUBLE)
+             + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+               / (2.0 * (CAST(n2 AS DOUBLE) + 1.0))
+             - CAST(n_types AS DOUBLE), 6) AS est_unseen
+FROM agg
+ORDER BY source
+"""
+
+
+def x189_activity_powerlaw(spark, sf_dir):
+    """Power-law MLE over user activity (funnel.activity_powerlaw):
+    Clauset-style alpha off the bounded activity histogram; the one
+    float fold is an ordered full-frame window."""
+    return funnel.activity_powerlaw(_t(spark, sf_dir, "events"))
+
+
+X189_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1
+),
+hist AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM per_user GROUP BY 1
+),
+scored AS (
+  SELECT x,
+         CAST(SUM(c) OVER wf AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN x >= 2 THEN c ELSE 0 END) OVER wf AS BIGINT)
+           AS n_tail,
+         MAX(x) OVER wf AS max_activity,
+         SUM(CASE WHEN x >= 2
+                  THEN CAST(c AS DOUBLE) * ln(CAST(x AS DOUBLE) / 1.5)
+                  ELSE 0.0 END) OVER wf AS ln_sum,
+         ROW_NUMBER() OVER (ORDER BY x) AS rn
+  FROM hist
+  WINDOW wf AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(2 AS BIGINT) AS xmin, n_users, n_tail, max_activity,
+       CASE WHEN ln_sum > 0
+            THEN round(1.0 + CAST(n_tail AS DOUBLE) / ln_sum, 6)
+            END AS alpha
+FROM scored WHERE rn = 1
+"""
+
+
+def x190_dup_cluster_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution (dedup.dup_cluster_histogram):
+    the x67 components rolled to a size histogram with cluster- and
+    doc-mass shares."""
+    return dedup.dup_cluster_histogram(_t(spark, sf_dir, "documents"))
+
+
+X190_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    """, comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+  FROM comp GROUP BY 1
+),
+hist AS (
+  SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_clusters) AS DOUBLE) AS tc,
+         CAST(SUM(csize * n_clusters) AS DOUBLE) AS td
+  FROM hist
+)
+SELECT csize, n_clusters,
+       CAST(csize * n_clusters AS BIGINT) AS n_docs,
+       round(n_clusters / tc, 6) AS cluster_share,
+       round(csize * n_clusters / td, 6) AS doc_share
+FROM hist CROSS JOIN tot
+ORDER BY csize""",
+)
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -8473,6 +8586,9 @@ EXTENSIONS = {
     "x185_knn_label_agreement": (x185_knn_label_agreement, X185_SQL),
     "x186_mannwhitney_quality": (x186_mannwhitney_quality, X186_SQL),
     "x187_editdist_confirm": (x187_editdist_confirm, X187_SQL),
+    "x188_vocab_estimate": (x188_vocab_estimate, X188_SQL),
+    "x189_activity_powerlaw": (x189_activity_powerlaw, X189_SQL),
+    "x190_dup_cluster_histogram": (x190_dup_cluster_histogram, X190_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

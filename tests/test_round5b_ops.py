@@ -2299,3 +2299,53 @@ def test_editdist_confirm_planted_neardup(spark):
         spark.createDataFrame(rows), max_edit=expected - 1,
         hash_fn="md5").collect()
     assert strict == []
+
+
+def test_vocab_estimate_hand_spectrum(spark):
+    """Tokens 'a a b c': spectrum n1=2, n2=1 gives Good-Turing
+    coverage 0.5 and bias-corrected Chao1 = 3 + 2*1/(2*2) = 3.5."""
+    from shifts_etl_spark.operators.textstats import vocab_estimate
+
+    out = vocab_estimate(spark.createDataFrame(
+        [Row(doc_id=1, text="a a b c", source="s")])).collect()[0]
+    assert (out.n_tokens, out.n_types, out.n1, out.n2) == (4, 3, 2, 1)
+    assert out.gt_coverage == 0.5
+    assert out.chao1 == 3.5 and out.est_unseen == 0.5
+
+
+def test_activity_powerlaw_hand_mle(spark):
+    """Users with 1, 2 and 4 events at xmin=2: the below-threshold
+    user counts toward n_users only; alpha matches the hand MLE
+    1 + 2 / (ln(2/1.5) + ln(4/1.5))."""
+    from shifts_etl_spark.operators.funnel import activity_powerlaw
+
+    rows = [_ev(1, 1, "view", "2024-01-01T10:00:00")]
+    rows += [_ev(10 + i, 2, "view", f"2024-01-01T11:0{i}:00")
+             for i in range(2)]
+    rows += [_ev(20 + i, 3, "view", f"2024-01-01T12:0{i}:00")
+             for i in range(4)]
+    out = activity_powerlaw(spark.createDataFrame(rows)).collect()[0]
+    assert (out.xmin, out.n_users, out.n_tail, out.max_activity) == (
+        2, 3, 2, 4)
+    ln_sum = math.log(2 / 1.5) + math.log(4 / 1.5)
+    assert out.alpha == round(1.0 + 2.0 / ln_sum, 6)
+
+
+def test_dup_cluster_histogram_planted(spark):
+    """Three copies of one passage, two of another, one unique doc:
+    the histogram must show one 3-cluster and one 2-cluster (the
+    unique doc never enters a component), with doc mass 3/5 and 2/5."""
+    from shifts_etl_spark.operators.dedup import dup_cluster_histogram
+
+    p1 = "red green blue yellow purple orange cyan magenta lime teal"
+    p2 = "north south east west up down left right forward backward"
+    uniq = "lonely words that repeat nowhere else in this tiny corpus"
+    rows = [Row(doc_id=i, text=p1) for i in (1, 2, 3)]
+    rows += [Row(doc_id=i, text=p2) for i in (4, 5)]
+    rows += [Row(doc_id=6, text=uniq)]
+    out = {r.csize: r for r in dup_cluster_histogram(
+        spark.createDataFrame(rows)).collect()}
+    assert (out[2].n_clusters, out[2].n_docs) == (1, 2)
+    assert (out[3].n_clusters, out[3].n_docs) == (1, 3)
+    assert out[2].cluster_share == 0.5 and out[3].cluster_share == 0.5
+    assert out[2].doc_share == 0.4 and out[3].doc_share == 0.6

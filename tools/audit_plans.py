@@ -156,6 +156,10 @@ SINGLE_PARTITION_OK = {
     # depth-bucket cells + 1-row total, never events
     "x186_mannwhitney_quality",  # midrank window over <= 11 lattice
     # cells + the 1-row closed-form U/z fold
+    "x189_activity_powerlaw",  # ordered MLE fold over the bounded
+    # activity-histogram cells + its 1-row result
+    "x190_dup_cluster_histogram",  # 1-row total over the
+    # max-cluster-size histogram cells
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -236,6 +240,8 @@ CROSS_JOIN_OK = {
     # sides bounded cell frames, never events
     "x184_session_depth",  # crossJoin with the broadcast 1-row session
     # total onto the depth-bucket cells
+    "x190_dup_cluster_histogram",  # crossJoin with the broadcast 1-row
+    # cluster/doc totals onto the size-histogram cells
 }
 
 
