@@ -1797,3 +1797,188 @@ def activity_powerlaw(
             ),
         ).alias("alpha"),
     )
+
+
+def theilsen_trend(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise day-to-day slopes plus the median-residual intercept —
+    the outlier-proof companion to x149's OLS line (one promo spike
+    drags a least-squares slope; the median slope shrugs it off).
+
+    Determinism: revenue quantizes to integer cents and the day index
+    is an exact integer, so every pairwise slope is an exact rational
+    in a double; the medians interpolate identically in both engines
+    (the x126 quantile convention). Output rounds at 6 dp.
+
+    Scale shape: orders collapse to |days| integer cells ONCE; the
+    pairwise self-join is |days|^2/2 over CELLS (bounded by the
+    calendar, not the data — 1 year is ~66k pairs at any corpus
+    size); medians are exact percentile aggregates on those pairs."""
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("day")).agg(
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).alias("cents")
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    cells = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("day", "d0").cast("long").alias("t"), "cents"
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope")
+    )
+    fit = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("slope_c"),
+    )
+    resid = cells.crossJoin(F.broadcast(fit)).select(
+        "n_pairs",
+        "slope_c",
+        (F.col("cents").cast("double") - F.col("slope_c") * F.col("t"))
+        .alias("r"),
+    )
+    out = resid.groupBy("n_pairs", "slope_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.percentile(F.col("r"), F.lit(0.5)).alias("icept_c"),
+    )
+    return out.select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("slope_c") / 100.0, 6).alias("slope_per_day"),
+        F.round(F.col("icept_c") / 100.0, 6).alias("intercept"),
+    )
+
+
+def forecast_backtest(
+    orders: DataFrame,
+    season: int = 7,
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> DataFrame:
+    """Forecast-accuracy backtest of the two zero-parameter baselines
+    every revenue forecast must beat: the naive carry-forward
+    (yesterday's revenue) and the seasonal naive (the value one
+    ``season`` ago), scored by MAE and their ratio (MASE with the
+    naive as the scale) — the q46-forecast QA gate: if a model can't
+    beat lag-7, it ships nothing.
+
+    Determinism: all errors are absolute differences of integer-cents
+    day cells summed exactly; the three ratios are closed-form off
+    exact longs, rounded at 6 dp.
+
+    Scale shape: orders collapse to |days| cells once; both baselines
+    are cell-keyed calendar self-joins; the scorecard is one 1-row
+    fold."""
+    daily = orders.groupBy(F.col(date_col).cast("date").alias("day")).agg(
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).alias("cents")
+    )
+    prev = daily.select(F.col("day").alias("pday"), F.col("cents").alias("pc"))
+
+    def _pairs(lag):
+        return (
+            daily.join(prev, F.expr(f"date_sub(day, {lag}) = pday"))
+            .select(F.abs(F.col("cents") - F.col("pc")).alias("e"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("e").cast("long").alias("s"),
+            )
+        )
+    nv = _pairs(1).select(
+        F.col("n").alias("n_naive"), F.col("s").alias("s_naive")
+    )
+    sn = _pairs(season).select(
+        F.col("n").alias("n_seasonal"), F.col("s").alias("s_seasonal")
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    mae_n = F.col("s_naive").cast("double") / F.col("n_naive") / 100.0
+    mae_s = F.col("s_seasonal").cast("double") / F.col("n_seasonal") / 100.0
+    return (
+        tot.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(sn))
+        .select(
+            "n_days",
+            "n_naive",
+            "n_seasonal",
+            F.round(mae_n, 6).alias("mae_naive"),
+            F.round(mae_s, 6).alias("mae_seasonal"),
+            F.when(F.col("s_naive") > 0, F.round(mae_s / mae_n, 6)).alias(
+                "mase_seasonal"
+            ),
+        )
+    )
+
+
+def weekly_mix_psi(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Population-stability drift over time: per ISO week, the PSI of
+    that week's event-type mix against the all-time mix under add-1
+    smoothing (zero cells included via the full week x type grid) —
+    x77 compares two populations at one time; this is the same
+    statistic as a TIME SERIES, the dashboard that catches a feed
+    whose composition is quietly rotating.
+
+    Determinism: all probabilities are exact integer rationals under
+    add-1 smoothing; the per-week PSI folds as an ordered window over
+    the type cells of each week, so both engines add identical doubles
+    in identical type order. 6 dp output.
+
+    Scale shape: events collapse to (week, type) cells once; the grid
+    is |weeks| x |types| (both bounded frames); totals broadcast."""
+    cells = events.groupBy(
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        F.col(type_col).alias("etype"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    weeks = cells.groupBy("week").agg(
+        F.sum("n").cast("long").alias("n_week")
+    )
+    types = cells.groupBy("etype").agg(
+        F.sum("n").cast("long").alias("n_type")
+    )
+    grand = cells.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.countDistinct("etype").cast("long").alias("n_types"),
+    )
+    grid = weeks.crossJoin(types).crossJoin(F.broadcast(grand))
+    filled = grid.join(cells, ["week", "etype"], "left").select(
+        "week",
+        "etype",
+        "n_week",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_wt"),
+        "n_type",
+        "n_all",
+        "n_types",
+    )
+    p = (F.col("n_wt").cast("double") + 1.0) / (
+        F.col("n_week").cast("double") + F.col("n_types")
+    )
+    q = (F.col("n_type").cast("double") + 1.0) / (
+        F.col("n_all").cast("double") + F.col("n_types")
+    )
+    termed = filled.select(
+        "week",
+        "n_week",
+        "etype",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    wk = Window.partitionBy("week").orderBy("etype").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = termed.select(
+        "week",
+        F.col("n_week").alias("n_events"),
+        F.sum("term").over(wk).alias("psi"),
+        F.row_number()
+        .over(Window.partitionBy("week").orderBy("etype"))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return scored.select(
+        "week", "n_events", F.round("psi", 6).alias("psi")
+    ).orderBy("week")

@@ -8379,6 +8379,144 @@ ORDER BY csize""",
 
 
 
+_X19X_DAILY = """
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+"""
+
+
+def x191_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust revenue trend (funnel.theilsen_trend): median
+    pairwise slope + median-residual intercept over calendar-bounded
+    day cells — the outlier-proof companion to x149's OLS."""
+    return funnel.theilsen_trend(_t(spark, sf_dir, "orders"))
+
+
+X191_SQL = f"""
+WITH daily AS ({_X19X_DAILY}),
+t0 AS (SELECT MIN(day) AS d0 FROM daily),
+cells AS (
+  SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t, cents
+  FROM daily CROSS JOIN t0
+),
+slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+    AS slope
+  FROM cells a JOIN cells b ON a.t < b.t
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope_c
+  FROM slopes
+),
+resid AS (
+  SELECT f.n_pairs, f.slope_c,
+         CAST(c.cents AS DOUBLE) - f.slope_c * c.t AS r
+  FROM cells c CROSS JOIN fit f
+),
+out AS (
+  SELECT n_pairs, slope_c,
+         CAST(count(*) AS BIGINT) AS n_days,
+         quantile_cont(r, 0.5) AS icept_c
+  FROM resid GROUP BY 1, 2
+)
+SELECT n_days, n_pairs,
+       round(slope_c / 100.0, 6) AS slope_per_day,
+       round(icept_c / 100.0, 6) AS intercept
+FROM out
+"""
+
+
+def x192_forecast_backtest(spark, sf_dir):
+    """Naive / seasonal-naive forecast backtest with MASE
+    (funnel.forecast_backtest): the q46 QA gate off exact integer-cents
+    absolute errors on day cells."""
+    return funnel.forecast_backtest(_t(spark, sf_dir, "orders"))
+
+
+X192_SQL = f"""
+WITH daily AS ({_X19X_DAILY}),
+nv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_naive,
+         CAST(SUM(abs(d.cents - p.cents)) AS BIGINT) AS s_naive
+  FROM daily d JOIN daily p ON p.day = d.day - 1
+),
+sn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_seasonal,
+         CAST(SUM(abs(d.cents - p.cents)) AS BIGINT) AS s_seasonal
+  FROM daily d JOIN daily p ON p.day = d.day - 7
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_naive, n_seasonal,
+       round(CAST(s_naive AS DOUBLE) / n_naive / 100.0, 6) AS mae_naive,
+       round(CAST(s_seasonal AS DOUBLE) / n_seasonal / 100.0, 6)
+         AS mae_seasonal,
+       CASE WHEN s_naive > 0
+            THEN round((CAST(s_seasonal AS DOUBLE) / n_seasonal / 100.0)
+                       / (CAST(s_naive AS DOUBLE) / n_naive / 100.0), 6)
+            END AS mase_seasonal
+FROM tot CROSS JOIN nv CROSS JOIN sn
+"""
+
+
+def x193_weekly_mix_psi(spark, sf_dir):
+    """Weekly event-mix PSI against the all-time mix
+    (funnel.weekly_mix_psi): x77's statistic as a time series; add-1
+    smoothing over the full week x type grid."""
+    return funnel.weekly_mix_psi(_t(spark, sf_dir, "events"))
+
+
+X193_SQL = """
+WITH cells AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         event_type AS etype, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+weeks AS (SELECT week, CAST(SUM(n) AS BIGINT) AS n_week
+          FROM cells GROUP BY 1),
+types AS (SELECT etype, CAST(SUM(n) AS BIGINT) AS n_type
+          FROM cells GROUP BY 1),
+grand AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+                 CAST(count(DISTINCT etype) AS BIGINT) AS n_types
+          FROM cells),
+grid AS (
+  SELECT w.week, w.n_week, t.etype, t.n_type, g.n_all, g.n_types
+  FROM weeks w CROSS JOIN types t CROSS JOIN grand g
+),
+filled AS (
+  SELECT g.week, g.etype, g.n_week,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n_wt,
+         g.n_type, g.n_all, g.n_types
+  FROM grid g LEFT JOIN cells c
+    ON c.week = g.week AND c.etype = g.etype
+),
+termed AS (
+  SELECT week, n_week, etype,
+         ((CAST(n_wt AS DOUBLE) + 1.0)
+            / (CAST(n_week AS DOUBLE) + n_types)
+          - (CAST(n_type AS DOUBLE) + 1.0)
+            / (CAST(n_all AS DOUBLE) + n_types))
+         * ln(((CAST(n_wt AS DOUBLE) + 1.0)
+               / (CAST(n_week AS DOUBLE) + n_types))
+              / ((CAST(n_type AS DOUBLE) + 1.0)
+                 / (CAST(n_all AS DOUBLE) + n_types))) AS term
+  FROM filled
+),
+scored AS (
+  SELECT week, n_week,
+         SUM(term) OVER (PARTITION BY week ORDER BY etype ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS psi,
+         ROW_NUMBER() OVER (PARTITION BY week ORDER BY etype) AS rn
+  FROM termed
+)
+SELECT week, n_week AS n_events, round(psi, 6) AS psi
+FROM scored WHERE rn = 1 ORDER BY week
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -8589,6 +8727,9 @@ EXTENSIONS = {
     "x188_vocab_estimate": (x188_vocab_estimate, X188_SQL),
     "x189_activity_powerlaw": (x189_activity_powerlaw, X189_SQL),
     "x190_dup_cluster_histogram": (x190_dup_cluster_histogram, X190_SQL),
+    "x191_theilsen_trend": (x191_theilsen_trend, X191_SQL),
+    "x192_forecast_backtest": (x192_forecast_backtest, X192_SQL),
+    "x193_weekly_mix_psi": (x193_weekly_mix_psi, X193_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

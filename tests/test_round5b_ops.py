@@ -2349,3 +2349,57 @@ def test_dup_cluster_histogram_planted(spark):
     assert (out[3].n_clusters, out[3].n_docs) == (1, 3)
     assert out[2].cluster_share == 0.5 and out[3].cluster_share == 0.5
     assert out[2].doc_share == 0.4 and out[3].doc_share == 0.6
+
+
+def test_theilsen_trend_outlier_proof(spark):
+    """Four days on an exact $10/day line plus a $1000 final-day
+    spike: 6 of 10 pairwise slopes are exactly 10, so the median
+    slope stays 10.0 and the median residual stays $10 — the spike
+    that would drag an OLS fit is ignored entirely."""
+    from shifts_etl_spark.operators.funnel import theilsen_trend
+    import datetime as dt
+
+    vals = [10.0, 20.0, 30.0, 40.0, 1000.0]
+    rows = [Row(o_orderkey=i, o_orderdate=dt.date(2024, 1, i + 1),
+                o_totalprice=v) for i, v in enumerate(vals)]
+    out = theilsen_trend(spark.createDataFrame(rows)).collect()[0]
+    assert (out.n_days, out.n_pairs) == (5, 10)
+    assert out.slope_per_day == 10.0
+    assert out.intercept == 10.0
+
+
+def test_forecast_backtest_periodic(spark):
+    """Perfectly period-2 revenue over 8 days: the naive carry-forward
+    errs by $100 every day while the season=2 baseline is exact, so
+    MASE is 0."""
+    from shifts_etl_spark.operators.funnel import forecast_backtest
+    import datetime as dt
+
+    rows = [Row(o_orderkey=i, o_orderdate=dt.date(2024, 1, i + 1),
+                o_totalprice=100.0 if i % 2 == 0 else 200.0)
+            for i in range(8)]
+    out = forecast_backtest(
+        spark.createDataFrame(rows), season=2).collect()[0]
+    assert (out.n_days, out.n_naive, out.n_seasonal) == (8, 7, 6)
+    assert out.mae_naive == 100.0
+    assert out.mae_seasonal == 0.0
+    assert out.mase_seasonal == 0.0
+
+
+def test_weekly_mix_psi_hand_value(spark):
+    """Two weeks with mirrored 3:1 / 1:3 type mixes against a 50/50
+    overall: each week's add-1-smoothed PSI is exactly (1/6) ln 2."""
+    from shifts_etl_spark.operators.funnel import weekly_mix_psi
+
+    rows = []
+    eid = 0
+    for day, mix in ((1, ("A", "A", "A", "B")), (8, ("A", "B", "B", "B"))):
+        for t in mix:
+            eid += 1
+            rows.append(_ev(eid, 1, t, f"2024-01-0{day}T10:0{eid % 6}:00")
+                        if day < 8 else
+                        _ev(eid, 1, t, f"2024-01-08T10:0{eid % 6}:00"))
+    out = weekly_mix_psi(spark.createDataFrame(rows)).collect()
+    assert [r.n_events for r in out] == [4, 4]
+    expected = round((1 / 6) * math.log(2), 6)
+    assert [r.psi for r in out] == [expected, expected]

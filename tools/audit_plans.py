@@ -160,6 +160,11 @@ SINGLE_PARTITION_OK = {
     # activity-histogram cells + its 1-row result
     "x190_dup_cluster_histogram",  # 1-row total over the
     # max-cluster-size histogram cells
+    "x191_theilsen_trend",  # exact-percentile folds over the
+    # calendar-bounded |days|^2/2 slope pairs; 1-row fit
+    "x192_forecast_backtest",  # three 1-row error folds over day cells
+    "x193_weekly_mix_psi",  # per-week ordered PSI fold over the
+    # |weeks| x |types| grid + 1-row grand totals
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -242,6 +247,11 @@ CROSS_JOIN_OK = {
     # total onto the depth-bucket cells
     "x190_dup_cluster_histogram",  # crossJoin with the broadcast 1-row
     # cluster/doc totals onto the size-histogram cells
+    "x191_theilsen_trend",  # t < t pair join over calendar-bounded day
+    # cells (never orders) + broadcast 1-row min-date/fit frames
+    "x192_forecast_backtest",  # crossJoins of the three 1-row scorecards
+    "x193_weekly_mix_psi",  # |weeks| x |types| grid — both bounded cell
+    # frames — + the broadcast 1-row grand totals
 }
 
 
