@@ -1982,3 +1982,162 @@ def weekly_mix_psi(
     return scored.select(
         "week", "n_events", F.round("psi", 6).alias("psi")
     ).orderBy("week")
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    cust_col: str = "o_custkey",
+    price_col: str = "o_totalprice",
+    max_offset: int = 12,
+) -> DataFrame:
+    """Weekly-cohort LTV curves: for each acquisition cohort (ISO week
+    of a customer's first order) and week offset, the active-customer
+    count, period revenue, cumulative revenue, and cumulative revenue
+    PER COHORT MEMBER — x107 tracks who comes back; this tracks what
+    they're worth, the payback-period table growth teams steer by.
+
+    Determinism: revenue folds as exact integer cents; the cumulative
+    walk is an ordered window along each cohort's offset cells; the
+    per-member division happens after the exact fold, at 6 dp.
+
+    Scale shape: one per-customer window min for the cohort week; the
+    rollup lands on (cohort, offset) cells (weeks^2-bounded); cohort
+    sizes come from the offset-0 cells, broadcast-joined back."""
+    w = Window.partitionBy("custkey")
+    based = orders.select(
+        F.col(cust_col).alias("custkey"),
+        F.date_trunc("week", F.col(date_col)).cast("date").alias("wk"),
+        F.round(F.col(price_col) * 100).cast("long").alias("cents"),
+    ).withColumn("cohort", F.min("wk").over(w))
+    cells = (
+        based.select(
+            "cohort",
+            ((F.datediff("wk", "cohort") / 7).cast("long")).alias("offset"),
+            "custkey",
+            "cents",
+        )
+        .where(F.col("offset") <= max_offset)
+        .groupBy("cohort", "offset")
+        .agg(
+            F.countDistinct("custkey").cast("long").alias("n_active"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+    sizes = cells.where(F.col("offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    cum = Window.partitionBy("cohort").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("rev_cents").over(cum) / 100.0, 2).alias(
+                "cum_revenue"
+            ),
+            F.round(
+                F.sum("rev_cents").over(cum)
+                / F.col("cohort_size").cast("double")
+                / 100.0,
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "offset")
+    )
+
+
+def basket_diversity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Per-segment purchase-diversity profile: each customer's brand
+    entropy (how spread their lineitems are across brands), rolled up
+    per market segment with mean, median, and the single-brand share —
+    the loyalty-vs-variety lens x109's RFM can't see (two customers
+    with identical spend can be a one-brand loyalist and a brand
+    grazer).
+
+    Determinism: per-customer entropy folds as an ordered window over
+    that customer's brand cells, then QUANTIZES to integer micro-nats
+    before any cross-customer aggregation (the x124 lesson: averaging
+    raw doubles across partitions is merge-order roulette); segment
+    means/medians run on exact longs.
+
+    Scale shape: brand attachment is partkey-keyed (part never
+    broadcasts in full at 100 TB), customer attachment custkey-keyed;
+    cells are (customer, brand); every rollup is keyed and
+    map-side-combinable."""
+    cust_lines = lineitem.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").alias("p_partkey"),
+    ).join(
+        orders.select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("custkey"),
+        ),
+        "okey",
+    ).join(part.select("p_partkey", "p_brand"), "p_partkey")
+    cells = cust_lines.groupBy("custkey", "p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wcust = Window.partitionBy("custkey").orderBy("p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = cells.select(
+        "custkey",
+        "p_brand",
+        "n",
+        F.sum("n").over(wcust).cast("double").alias("ncust"),
+    )
+    p = F.col("n").cast("double") / F.col("ncust")
+    folded = with_tot.select(
+        "custkey",
+        F.sum(-p * F.log(p)).over(wcust).alias("h"),
+        F.count(F.lit(1)).over(wcust).cast("long").alias("n_brands"),
+        F.row_number()
+        .over(Window.partitionBy("custkey").orderBy("p_brand"))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    quant = folded.select(
+        "custkey",
+        F.round(F.col("h") * 1e6).cast("long").alias("h_micro"),
+        "n_brands",
+    )
+    seg = quant.join(
+        customer.select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        ),
+        "custkey",
+    )
+    return (
+        seg.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("h_micro").cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("mean_entropy"),
+            F.round(
+                F.percentile(F.col("h_micro").cast("double"), F.lit(0.5))
+                / 1e6,
+                6,
+            ).alias("p50_entropy"),
+            F.round(
+                F.sum(F.when(F.col("n_brands") == 1, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("single_brand_share"),
+        )
+        .orderBy("segment")
+    )

@@ -9,7 +9,7 @@ scan, so profiling a 100 TB table costs one read.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType
 
 
@@ -1446,4 +1446,95 @@ def mannwhitney_quality(
         F.when(sigma2 > 0, F.round((u_a - mu) / F.sqrt(sigma2), 6)).alias(
             "z_score"
         ),
+    )
+
+
+def abc_classification(
+    lineitem: DataFrame,
+    part: DataFrame,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+    price_col: str = "l_extendedprice",
+    key_col: str = "l_partkey",
+) -> DataFrame:
+    """ABC inventory classification of parts by revenue contribution:
+    class A = the head that carries the first ``a_share`` of revenue,
+    B = up to ``b_share``, C = the long tail, NONE = catalog parts
+    that never sold — the Pareto cut every assortment review starts
+    from (x165 measures the inequality; this names the classes).
+
+    Determinism: classification happens on revenue-VALUE blocks (the
+    x163 tie convention): all parts with the same integer-cents
+    revenue share one block, blocks walk in exact (revenue desc)
+    order, and a block's class comes from the cumulative share BEFORE
+    it — so ties can never straddle a class boundary
+    nondeterministically.
+
+    Scale shape: one partkey-keyed integer aggregate; the block walk
+    is an ordered window over |distinct revenue values| cells; the
+    never-sold side is one anti-join against the part dimension."""
+    per_part = lineitem.groupBy(F.col(key_col).alias("p_partkey")).agg(
+        F.sum(F.round(F.col(price_col) * 100).cast("long")).alias("rev")
+    )
+    blocks = per_part.groupBy("rev").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    before = Window.orderBy(F.desc("rev")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = blocks.agg(
+        F.sum(F.col("rev") * F.col("n_parts")).cast("double").alias("trev")
+    )
+    classed = (
+        blocks.crossJoin(F.broadcast(tot))
+        .select(
+            "rev",
+            "n_parts",
+            (
+                F.coalesce(
+                    F.sum(F.col("rev") * F.col("n_parts")).over(before),
+                    F.lit(0),
+                ).cast("double")
+                / F.col("trev")
+            ).alias("cum_before"),
+        )
+        .select(
+            "rev",
+            "n_parts",
+            F.when(F.col("cum_before") < a_share, "A")
+            .when(F.col("cum_before") < b_share, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    sold = classed.groupBy("abc_class").agg(
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.sum(F.col("rev") * F.col("n_parts")).cast("long").alias("rev_cents"),
+    )
+    never = (
+        part.join(per_part, "p_partkey", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .select(
+            F.lit("NONE").alias("abc_class"),
+            "n_parts",
+            F.lit(0).cast("long").alias("rev_cents"),
+        )
+    )
+    both = sold.unionByName(never)
+    tot2 = both.agg(
+        F.sum("rev_cents").cast("double").alias("t"),
+        F.sum("n_parts").cast("double").alias("tp"),
+    )
+    return (
+        both.crossJoin(F.broadcast(tot2))
+        .select(
+            "abc_class",
+            "n_parts",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("rev_cents") / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(F.col("n_parts") / F.col("tp"), 6).alias("part_share"),
+        )
+        .orderBy("abc_class")
     )

@@ -8517,6 +8517,169 @@ FROM scored WHERE rn = 1 ORDER BY week
 
 
 
+def x194_cohort_ltv(spark, sf_dir):
+    """Weekly-cohort LTV curves (funnel.cohort_ltv): per (cohort,
+    offset) active counts, exact-cents revenue, cumulative revenue and
+    cumulative LTV per cohort member."""
+    return funnel.cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+X194_SQL = """
+WITH based AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         MIN(CAST(date_trunc('week', o_orderdate) AS DATE))
+           OVER (PARTITION BY o_custkey) AS cohort
+  FROM orders
+),
+cells AS (
+  SELECT cohort,
+         CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS "offset",
+         CAST(count(DISTINCT custkey) AS BIGINT) AS n_active,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM based
+  WHERE CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) <= 12
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort, n_active AS cohort_size FROM cells WHERE "offset" = 0
+),
+cum AS (
+  SELECT c.cohort, c."offset", c.n_active, s.cohort_size, c.rev_cents,
+         SUM(c.rev_cents) OVER (PARTITION BY c.cohort ORDER BY c."offset"
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM cells c JOIN sizes s USING (cohort)
+)
+SELECT cohort, "offset", n_active, cohort_size,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round(cum_cents / 100.0, 2) AS cum_revenue,
+       round(cum_cents / CAST(cohort_size AS DOUBLE) / 100.0, 6)
+         AS cum_ltv_per_user
+FROM cum
+ORDER BY cohort, "offset"
+"""
+
+
+def x195_abc_classification(spark, sf_dir):
+    """ABC inventory classification (profile.abc_classification):
+    revenue-value block walk with the x163 tie convention + a NONE
+    class from the part-dimension anti-join."""
+    return profile.abc_classification(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+X195_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY 1
+),
+blocks AS (
+  SELECT rev, CAST(count(*) AS BIGINT) AS n_parts FROM per_part GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(rev * n_parts) AS DOUBLE) AS trev FROM blocks),
+classed AS (
+  SELECT rev, n_parts,
+         CASE WHEN CAST(coalesce(SUM(rev * n_parts) OVER wb, 0) AS DOUBLE)
+                   / trev < 0.8 THEN 'A'
+              WHEN CAST(coalesce(SUM(rev * n_parts) OVER wb, 0) AS DOUBLE)
+                   / trev < 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM blocks CROSS JOIN tot
+  WINDOW wb AS (ORDER BY rev DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+),
+sold AS (
+  SELECT abc_class, CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+         CAST(SUM(rev * n_parts) AS BIGINT) AS rev_cents
+  FROM classed GROUP BY 1
+),
+never AS (
+  SELECT 'NONE' AS abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(0 AS BIGINT) AS rev_cents
+  FROM part p
+  WHERE NOT EXISTS (SELECT 1 FROM per_part pp
+                    WHERE pp.p_partkey = p.p_partkey)
+),
+unioned AS (SELECT * FROM sold UNION ALL SELECT * FROM never),
+tot2 AS (
+  SELECT CAST(SUM(rev_cents) AS DOUBLE) AS t,
+         CAST(SUM(n_parts) AS DOUBLE) AS tp
+  FROM unioned
+)
+SELECT abc_class, n_parts,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round(rev_cents / t, 6) AS revenue_share,
+       round(n_parts / tp, 6) AS part_share
+FROM unioned CROSS JOIN tot2
+ORDER BY abc_class
+"""
+
+
+def x196_basket_diversity(spark, sf_dir):
+    """Per-segment brand-entropy profile (funnel.basket_diversity):
+    per-customer ordered entropy folds quantized to micro-nats before
+    the segment rollup."""
+    return funnel.basket_diversity(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+X196_SQL = """
+WITH cust_lines AS (
+  SELECT o.o_custkey AS custkey, p.p_brand
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+cells AS (
+  SELECT custkey, p_brand, CAST(count(*) AS BIGINT) AS n
+  FROM cust_lines GROUP BY 1, 2
+),
+with_tot AS (
+  SELECT custkey, p_brand, n,
+         CAST(SUM(n) OVER wc AS DOUBLE) AS ncust
+  FROM cells
+  WINDOW wc AS (PARTITION BY custkey ORDER BY p_brand ROWS BETWEEN
+                UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+folded AS (
+  SELECT custkey,
+         SUM(-(CAST(n AS DOUBLE) / ncust) * ln(CAST(n AS DOUBLE) / ncust))
+           OVER wc AS h,
+         CAST(COUNT(*) OVER wc AS BIGINT) AS n_brands,
+         ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY p_brand) AS rn
+  FROM with_tot
+  WINDOW wc AS (PARTITION BY custkey ORDER BY p_brand ROWS BETWEEN
+                UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+quant AS (
+  SELECT custkey, CAST(round(h * 1e6) AS BIGINT) AS h_micro, n_brands
+  FROM folded WHERE rn = 1
+),
+seg AS (
+  SELECT q.h_micro, q.n_brands, c.c_mktsegment
+  FROM quant q JOIN customer c ON q.custkey = c.c_custkey
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(h_micro) AS DOUBLE) / count(*) / 1e6, 6)
+         AS mean_entropy,
+       round(quantile_cont(CAST(h_micro AS DOUBLE), 0.5) / 1e6, 6)
+         AS p50_entropy,
+       round(CAST(SUM(CASE WHEN n_brands = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS single_brand_share
+FROM seg GROUP BY 1 ORDER BY 1
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -8730,6 +8893,9 @@ EXTENSIONS = {
     "x191_theilsen_trend": (x191_theilsen_trend, X191_SQL),
     "x192_forecast_backtest": (x192_forecast_backtest, X192_SQL),
     "x193_weekly_mix_psi": (x193_weekly_mix_psi, X193_SQL),
+    "x194_cohort_ltv": (x194_cohort_ltv, X194_SQL),
+    "x195_abc_classification": (x195_abc_classification, X195_SQL),
+    "x196_basket_diversity": (x196_basket_diversity, X196_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -2403,3 +2403,75 @@ def test_weekly_mix_psi_hand_value(spark):
     assert [r.n_events for r in out] == [4, 4]
     expected = round((1 / 6) * math.log(2), 6)
     assert [r.psi for r in out] == [expected, expected]
+
+
+def test_cohort_ltv_hand_curve(spark):
+    """Cohort of week 2024-01-01 = customers 1 and 2 ($350 at offset
+    0); customer 1 returns in week 3 for $25: cum revenue 375 and cum
+    LTV per member 187.5 at offset 2."""
+    from shifts_etl_spark.operators.funnel import cohort_ltv
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=1, o_custkey=1, o_orderdate=dt.date(2024, 1, 1),
+            o_totalprice=100.0),
+        Row(o_orderkey=2, o_custkey=1, o_orderdate=dt.date(2024, 1, 3),
+            o_totalprice=50.0),
+        Row(o_orderkey=3, o_custkey=2, o_orderdate=dt.date(2024, 1, 2),
+            o_totalprice=200.0),
+        Row(o_orderkey=4, o_custkey=1, o_orderdate=dt.date(2024, 1, 15),
+            o_totalprice=25.0),
+    ]
+    out = {r.offset: r for r in cohort_ltv(
+        spark.createDataFrame(rows)).collect()}
+    assert (out[0].n_active, out[0].cohort_size) == (2, 2)
+    assert out[0].revenue == 350.0 and out[0].cum_ltv_per_user == 175.0
+    assert (out[2].n_active, out[2].revenue) == (1, 25.0)
+    assert out[2].cum_revenue == 375.0
+    assert out[2].cum_ltv_per_user == 187.5
+
+
+def test_abc_classification_pareto_cut(spark):
+    """Revenues 80/15/5 with one never-sold part: the 80%-block is A,
+    15% lands in B (cum-before exactly 0.8), 5% in C (cum-before
+    exactly 0.95 — boundary blocks fall to the lower class), and the
+    anti-join yields the NONE row."""
+    from shifts_etl_spark.operators.profile import abc_classification
+
+    li = [Row(l_orderkey=1, l_partkey=1, l_extendedprice=80.0),
+          Row(l_orderkey=2, l_partkey=2, l_extendedprice=15.0),
+          Row(l_orderkey=3, l_partkey=3, l_extendedprice=5.0)]
+    part = [Row(p_partkey=k) for k in (1, 2, 3, 4)]
+    out = {r.abc_class: r for r in abc_classification(
+        spark.createDataFrame(li), spark.createDataFrame(part)).collect()}
+    assert (out["A"].n_parts, out["A"].revenue, out["A"].revenue_share) == (
+        1, 80.0, 0.8)
+    assert (out["B"].n_parts, out["B"].revenue_share) == (1, 0.15)
+    assert (out["C"].n_parts, out["C"].revenue_share) == (1, 0.05)
+    assert (out["NONE"].n_parts, out["NONE"].revenue) == (1, 0.0)
+    assert out["NONE"].part_share == 0.25
+
+
+def test_basket_diversity_entropy_pins(spark):
+    """Customer 1 splits 2+2 across two brands (entropy ln 2);
+    customer 2 is a single-brand loyalist (entropy 0, flagged in the
+    single-brand share)."""
+    from shifts_etl_spark.operators.funnel import basket_diversity
+
+    li = [Row(l_orderkey=1, l_partkey=1), Row(l_orderkey=1, l_partkey=1),
+          Row(l_orderkey=1, l_partkey=2), Row(l_orderkey=1, l_partkey=2),
+          Row(l_orderkey=2, l_partkey=1), Row(l_orderkey=2, l_partkey=1),
+          Row(l_orderkey=2, l_partkey=1)]
+    orders = [Row(o_orderkey=1, o_custkey=1), Row(o_orderkey=2, o_custkey=2)]
+    part = [Row(p_partkey=1, p_brand="B1"), Row(p_partkey=2, p_brand="B2")]
+    cust = [Row(c_custkey=1, c_mktsegment="S1"),
+            Row(c_custkey=2, c_mktsegment="S2")]
+    out = {r.segment: r for r in basket_diversity(
+        spark.createDataFrame(li), spark.createDataFrame(orders),
+        spark.createDataFrame(part), spark.createDataFrame(cust)).collect()}
+    ln2 = round(round(math.log(2) * 1e6) / 1e6, 6)
+    assert (out["S1"].n_customers, out["S1"].mean_entropy,
+            out["S1"].p50_entropy, out["S1"].single_brand_share) == (
+        1, ln2, ln2, 0.0)
+    assert (out["S2"].mean_entropy, out["S2"].single_brand_share) == (
+        0.0, 1.0)

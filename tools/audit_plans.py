@@ -165,6 +165,8 @@ SINGLE_PARTITION_OK = {
     "x192_forecast_backtest",  # three 1-row error folds over day cells
     "x193_weekly_mix_psi",  # per-week ordered PSI fold over the
     # |weeks| x |types| grid + 1-row grand totals
+    "x195_abc_classification",  # revenue-value block walk over
+    # |distinct revenue| cells (the x163 shape) + 1-row totals
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -252,6 +254,8 @@ CROSS_JOIN_OK = {
     "x192_forecast_backtest",  # crossJoins of the three 1-row scorecards
     "x193_weekly_mix_psi",  # |weeks| x |types| grid — both bounded cell
     # frames — + the broadcast 1-row grand totals
+    "x195_abc_classification",  # crossJoins with the broadcast 1-row
+    # revenue/part totals onto the class cells
 }
 
 
