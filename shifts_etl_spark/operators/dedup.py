@@ -1552,3 +1552,72 @@ def dup_cluster_histogram(
         )
         .orderBy("csize")
     )
+
+
+def dedup_threshold_roc(
+    docs: DataFrame,
+    truth_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Operating-point sweep for the MinHash near-dup detector: over
+    the LSH candidate set, score estimated Jaccard against the EXACT
+    3-shingle Jaccard ground truth (positive at ``truth_threshold``)
+    at decision thresholds 0.1..0.9 — precision/recall/FPR per
+    threshold, the table you read before committing a dedup cutoff
+    (x83 calibrates the estimator's bias; this prices each cutoff in
+    actual keep/drop errors).
+
+    Caveat by construction: recall here is WITHIN the candidate set —
+    pairs the bands never surfaced are invisible (that generation
+    recall is x3's banding guarantee, tested separately).
+
+    Scale shape: candidates are band-bounded (never all-pairs); the
+    exact confirm is one shingle-set join per candidate; the sweep
+    explodes 9 threshold literals over the candidate frame and folds
+    to 9 rows map-side."""
+    cands = minhash_lsh_pairs(docs, text_col, id_col, hash_fn=hash_fn)
+    exact = ngram_jaccard_pairs(docs, cands, text_col, id_col)
+    scored = cands.join(exact, ["id_a", "id_b"]).select(
+        "est_jaccard",
+        (F.col("jaccard") >= truth_threshold).alias("is_pos"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    ).alias("threshold")
+    swept = scored.select(th, "est_jaccard", "is_pos")
+    cells = swept.groupBy("threshold").agg(
+        F.sum(
+            F.when(F.col("is_pos") & (F.col("est_jaccard") >= F.col("threshold")), 1)
+            .otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum(
+            F.when(~F.col("is_pos") & (F.col("est_jaccard") >= F.col("threshold")), 1)
+            .otherwise(0)
+        ).cast("long").alias("fp"),
+        F.sum(
+            F.when(F.col("is_pos") & (F.col("est_jaccard") < F.col("threshold")), 1)
+            .otherwise(0)
+        ).cast("long").alias("fn"),
+        F.sum(
+            F.when(~F.col("is_pos") & (F.col("est_jaccard") < F.col("threshold")), 1)
+            .otherwise(0)
+        ).cast("long").alias("tn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6),
+    )
+    fpr = F.when(
+        F.col("fp") + F.col("tn") > 0,
+        F.round(F.col("fp") / (F.col("fp") + F.col("tn")).cast("double"), 6),
+    )
+    return cells.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"), fpr.alias("fpr"),
+    ).orderBy("threshold")

@@ -1538,3 +1538,109 @@ def abc_classification(
         )
         .orderBy("abc_class")
     )
+
+
+def supplier_spc(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """Supplier lead-time control chart (the XmR / individuals chart of
+    statistical process control): per supplier, the mean ship latency,
+    the mean moving range of consecutive shipments, the derived upper
+    control limit mean + 2.66 x mMR, and how many shipments breach it
+    — worst ``top_k`` suppliers by breach share. x126 profiles the
+    latency DISTRIBUTION; control limits ask the process question: is
+    this supplier's variation routine or out of control?
+
+    Determinism: latencies are exact integer days; moving ranges are
+    integer |diffs| off one (supplier)-keyed lag window ordered by
+    (orderdate, orderkey, linenumber); means are exact rationals and
+    the single breach comparison rounds both sides at 6 dp first;
+    tied (orderdate, orderkey, lineno) rows order by lag_days so
+    duplicate feed lines cannot reorder the range walk.
+
+    Scale shape: one orderkey-keyed join for dates, one supplier-keyed
+    lag window, one supplier-cell rollup; TakeOrdered top-k; supplier
+    names join only to the k survivors."""
+    lat = lineitem.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_shipdate").cast("date").alias("ship"),
+    ).join(
+        orders.select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        ),
+        "okey",
+    ).select(
+        "suppkey",
+        "okey",
+        "lineno",
+        "odate",
+        F.datediff("ship", "odate").cast("long").alias("lag_days"),
+    )
+    # (okey, lineno) is NOT unique in the synthetic feed (x169's dup
+    # audit exists precisely because of that) — lag_days as the final
+    # key makes tied rows value-identical, so the moving range is
+    # order-invariant.
+    w = Window.partitionBy("suppkey").orderBy(
+        "odate", "okey", "lineno", "lag_days"
+    )
+    mr = lat.select(
+        "suppkey",
+        "lag_days",
+        F.abs(F.col("lag_days") - F.lag("lag_days").over(w)).alias("mrange"),
+    )
+    cells = mr.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipments"),
+        F.sum("lag_days").cast("long").alias("s_lag"),
+        F.count("mrange").cast("long").alias("n_mr"),
+        F.sum("mrange").cast("long").alias("s_mr"),
+    )
+    mean_lag = F.col("s_lag").cast("double") / F.col("n_shipments")
+    mean_mr = F.col("s_mr").cast("double") / F.col("n_mr")
+    ucl = F.round(mean_lag + 2.66 * mean_mr, 6)
+    limits = cells.where(F.col("n_mr") >= 1).select(
+        "suppkey",
+        "n_shipments",
+        F.round(mean_lag, 6).alias("mean_lag"),
+        F.round(mean_mr, 6).alias("mean_mrange"),
+        ucl.alias("ucl"),
+    )
+    breaches = (
+        lat.join(F.broadcast(limits.select("suppkey", "ucl")), "suppkey")
+        .where(F.col("lag_days").cast("double") > F.col("ucl"))
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_breaches"))
+    )
+    ranked = (
+        limits.join(breaches, "suppkey", "left")
+        .select(
+            "suppkey",
+            "n_shipments",
+            "mean_lag",
+            "mean_mrange",
+            "ucl",
+            F.coalesce("n_breaches", F.lit(0)).cast("long").alias("n_breaches"),
+        )
+        .withColumn(
+            "breach_share",
+            F.round(
+                F.col("n_breaches") / F.col("n_shipments").cast("double"), 6
+            ),
+        )
+        .orderBy(F.desc("breach_share"), "suppkey")
+        .limit(top_k)
+    )
+    return ranked.join(
+        supplier.select(
+            F.col("s_suppkey").alias("suppkey"), F.col("s_name")
+        ),
+        "suppkey",
+    ).select(
+        "suppkey", "s_name", "n_shipments", "mean_lag", "mean_mrange",
+        "ucl", "n_breaches", "breach_share",
+    ).orderBy(F.desc("breach_share"), "suppkey")

@@ -15,7 +15,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language stopword lists for the heuristic language scorer.
 STOPWORDS = {
@@ -1772,3 +1772,59 @@ def vocab_estimate(
             "est_unseen"
         ),
     ).orderBy("source")
+
+
+def novelty_position(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Lead-bias audit: where inside documents new vocabulary is
+    introduced. Each (doc, type) pair is credited to the position
+    decile of the type's FIRST occurrence; uniform-ish mass says
+    ideas keep arriving, a front-loaded profile says documents are
+    summaries-plus-padding (truncation at x152's window costs little),
+    a flat-then-spike tail flags appended boilerplate.
+
+    Determinism: positions, deciles and counts are pure integers; the
+    two shares fold over the 10-cell frame with a broadcast 1-row
+    total and an ordered cumulative window.
+
+    Scale shape: one posexplode feeds a (doc, token) min-position
+    aggregate (map-side combinable, vocab-sized per doc); deciles
+    collapse to 10 cells."""
+    toked = docs.select(
+        F.col("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n"),
+    ).where(F.col("n") > 0)
+    firsts = toked.groupBy("doc_id", "token").agg(
+        F.min("pos").cast("long").alias("off"),
+        F.min("n").cast("long").alias("n"),
+    )
+    binned = firsts.select(
+        F.least(
+            F.floor(F.col("off") * 10 / F.col("n")), F.lit(9)
+        ).cast("long").alias("decile")
+    )
+    cells = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types_introduced")
+    )
+    tot = cells.agg(
+        F.sum("n_types_introduced").cast("double").alias("total")
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_types_introduced",
+            F.round(F.col("n_types_introduced") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum("n_types_introduced").over(cum) / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -8680,6 +8680,175 @@ FROM seg GROUP BY 1 ORDER BY 1
 
 
 
+def x197_dedup_threshold_roc(spark, sf_dir):
+    """MinHash cutoff operating points (dedup.dedup_threshold_roc):
+    precision/recall/FPR at thresholds 0.1..0.9 against exact
+    3-shingle Jaccard truth over the banded candidate set."""
+    return dedup.dedup_threshold_roc(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
+X197_SQL = rf"""
+WITH cand AS ({X3_SQL}),
+norm2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM norm2
+),
+labeled AS (
+  SELECT c.est_jaccard,
+         round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+               THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))
+               ELSE 0 END, 6) >= 0.5 AS is_pos
+  FROM cand c
+  JOIN sh2 a ON c.id_a = a.doc_id
+  JOIN sh2 b ON c.id_b = b.doc_id
+),
+swept AS (
+  SELECT t.threshold, e.est_jaccard, e.is_pos
+  FROM labeled e CROSS JOIN
+       (SELECT unnest(generate_series(1, 9)) / 10.0 AS threshold) t
+),
+cells AS (
+  SELECT threshold,
+         CAST(SUM(CASE WHEN is_pos AND est_jaccard >= threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT is_pos AND est_jaccard >= threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN is_pos AND est_jaccard < threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN NOT is_pos AND est_jaccard < threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM swept GROUP BY 1
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN round(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN round(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+       CASE WHEN fp + tn > 0
+            THEN round(fp / CAST(fp + tn AS DOUBLE), 6) END AS fpr
+FROM cells
+ORDER BY threshold
+"""
+
+
+def x198_supplier_spc(spark, sf_dir):
+    """Supplier lead-time XmR control chart (profile.supplier_spc):
+    mean + 2.66 x mean-moving-range control limit, worst-20 by breach
+    share."""
+    return profile.supplier_spc(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+X198_SQL = """
+WITH lat AS (
+  SELECT l.l_suppkey AS suppkey, l.l_orderkey AS okey,
+         l.l_linenumber AS lineno, CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+mr AS (
+  SELECT suppkey, lag_days,
+         abs(lag_days - lag(lag_days) OVER (PARTITION BY suppkey
+             ORDER BY odate, okey, lineno, lag_days)) AS mrange
+  FROM lat
+),
+cells AS (
+  SELECT suppkey, CAST(count(*) AS BIGINT) AS n_shipments,
+         CAST(SUM(lag_days) AS BIGINT) AS s_lag,
+         CAST(count(mrange) AS BIGINT) AS n_mr,
+         CAST(SUM(mrange) AS BIGINT) AS s_mr
+  FROM mr GROUP BY 1
+),
+limits AS (
+  SELECT suppkey, n_shipments,
+         round(CAST(s_lag AS DOUBLE) / n_shipments, 6) AS mean_lag,
+         round(CAST(s_mr AS DOUBLE) / n_mr, 6) AS mean_mrange,
+         round(CAST(s_lag AS DOUBLE) / n_shipments
+               + 2.66 * (CAST(s_mr AS DOUBLE) / n_mr), 6) AS ucl
+  FROM cells WHERE n_mr >= 1
+),
+breaches AS (
+  SELECT l.suppkey, CAST(count(*) AS BIGINT) AS n_breaches
+  FROM lat l JOIN limits li ON l.suppkey = li.suppkey
+  WHERE CAST(l.lag_days AS DOUBLE) > li.ucl
+  GROUP BY 1
+),
+ranked AS (
+  SELECT li.suppkey, li.n_shipments, li.mean_lag, li.mean_mrange, li.ucl,
+         CAST(coalesce(b.n_breaches, 0) AS BIGINT) AS n_breaches,
+         round(coalesce(b.n_breaches, 0)
+               / CAST(li.n_shipments AS DOUBLE), 6) AS breach_share
+  FROM limits li LEFT JOIN breaches b USING (suppkey)
+  ORDER BY breach_share DESC, suppkey LIMIT 20
+)
+SELECT r.suppkey, s.s_name, r.n_shipments, r.mean_lag, r.mean_mrange,
+       r.ucl, r.n_breaches, r.breach_share
+FROM ranked r JOIN supplier s ON r.suppkey = s.s_suppkey
+ORDER BY r.breach_share DESC, r.suppkey
+"""
+
+
+def x199_novelty_position(spark, sf_dir):
+    """Lead-bias audit (textstats.novelty_position): first-occurrence
+    position deciles of each (doc, type) pair; 10 cells + cumulative
+    share."""
+    return textstats.novelty_position(_t(spark, sf_dir, "documents"))
+
+
+X199_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+toked AS (
+  SELECT doc_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos1,
+         len(toks) AS n
+  FROM toks WHERE len(toks) > 0
+),
+firsts AS (
+  SELECT doc_id, token,
+         CAST(MIN(pos1) AS BIGINT) - 1 AS "off",
+         CAST(MIN(n) AS BIGINT) AS n
+  FROM toked GROUP BY 1, 2
+),
+binned AS (
+  SELECT CAST(least(floor(("off" * 10) / n), 9) AS BIGINT) AS decile
+  FROM firsts
+),
+cells AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_types_introduced
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_types_introduced) AS DOUBLE) AS total FROM cells)
+SELECT decile, n_types_introduced,
+       round(n_types_introduced / total, 6) AS share,
+       round(SUM(n_types_introduced) OVER (ORDER BY decile ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) / total, 6) AS cum_share
+FROM cells CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -8896,6 +9065,9 @@ EXTENSIONS = {
     "x194_cohort_ltv": (x194_cohort_ltv, X194_SQL),
     "x195_abc_classification": (x195_abc_classification, X195_SQL),
     "x196_basket_diversity": (x196_basket_diversity, X196_SQL),
+    "x197_dedup_threshold_roc": (x197_dedup_threshold_roc, X197_SQL),
+    "x198_supplier_spc": (x198_supplier_spc, X198_SQL),
+    "x199_novelty_position": (x199_novelty_position, X199_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -2475,3 +2475,79 @@ def test_basket_diversity_entropy_pins(spark):
         1, ln2, ln2, 0.0)
     assert (out["S2"].mean_entropy, out["S2"].single_brand_share) == (
         0.0, 1.0)
+
+
+def test_dedup_threshold_roc_identical_pair(spark):
+    """Two identical docs are the only candidate pair (est = exact =
+    1.0, positive): every threshold row reports tp=1 with no
+    fp/fn/tn, so precision = recall = 1 and fpr is NULL; the
+    unrelated third doc never generates a candidate."""
+    from shifts_etl_spark.operators.dedup import dedup_threshold_roc
+
+    twin = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi")
+    rows = [Row(doc_id=1, text=twin), Row(doc_id=2, text=twin),
+            Row(doc_id=3, text="totally different words about other "
+                               "topics entirely unrelated here today")]
+    out = dedup_threshold_roc(
+        spark.createDataFrame(rows), hash_fn="md5").collect()
+    assert [r.threshold for r in out] == [round(i / 10, 1)
+                                          for i in range(1, 10)]
+    for r in out:
+        assert (r.tp, r.fp, r.fn, r.tn) == (1, 0, 0, 0)
+        assert r.precision == 1.0 and r.recall == 1.0 and r.fpr is None
+
+
+def test_supplier_spc_breach_detection(spark):
+    """Supplier 1 ships steadily at 10 days then blows out to 60: the
+    XmR limit is 18.33 + 2.66*10 = 44.93, so exactly the blowout
+    breaches. Supplier 2 never varies (UCL equals its mean, no
+    breach)."""
+    from shifts_etl_spark.operators.profile import supplier_spc
+    import datetime as dt
+
+    li, orders = [], []
+    lags1 = [10, 10, 10, 10, 10, 60]
+    for i, lag in enumerate(lags1):
+        od = dt.date(2024, 1, 1 + i)
+        orders.append(Row(o_orderkey=i + 1, o_orderdate=od))
+        li.append(Row(l_orderkey=i + 1, l_suppkey=1, l_linenumber=1,
+                      l_shipdate=od + dt.timedelta(days=lag)))
+    for i in range(3):
+        od = dt.date(2024, 2, 1 + i)
+        orders.append(Row(o_orderkey=100 + i, o_orderdate=od))
+        li.append(Row(l_orderkey=100 + i, l_suppkey=2, l_linenumber=1,
+                      l_shipdate=od + dt.timedelta(days=10)))
+    supp = [Row(s_suppkey=1, s_name="S1"), Row(s_suppkey=2, s_name="S2")]
+    out = {r.suppkey: r for r in supplier_spc(
+        spark.createDataFrame(li), spark.createDataFrame(orders),
+        spark.createDataFrame(supp)).collect()}
+    s1 = out[1]
+    assert s1.n_shipments == 6
+    assert s1.mean_lag == round(110 / 6, 6)
+    assert s1.mean_mrange == 10.0
+    assert s1.ucl == round(110 / 6 + 26.6, 6)
+    assert (s1.n_breaches, s1.breach_share) == (1, round(1 / 6, 6))
+    s2 = out[2]
+    assert (s2.mean_mrange, s2.n_breaches) == (0.0, 0)
+    assert s2.ucl == 10.0
+
+
+def test_novelty_position_uniform_and_front(spark):
+    """A 10-distinct-token doc spreads one type per decile; an
+    all-same-token doc adds its single type to decile 0 — shares and
+    the cumulative walk follow exactly."""
+    from shifts_etl_spark.operators.textstats import novelty_position
+
+    rows = [Row(doc_id=1, text="a b c d e f g h i j", lang="en",
+                source="s", n_chars=19),
+            Row(doc_id=2, text="z z z z z", lang="en", source="s",
+                n_chars=9)]
+    out = {r.decile: r for r in novelty_position(
+        spark.createDataFrame(rows)).collect()}
+    assert out[0].n_types_introduced == 2
+    for d in range(1, 10):
+        assert out[d].n_types_introduced == 1
+    assert out[0].share == round(2 / 11, 6)
+    assert out[9].cum_share == 1.0
+    assert out[4].cum_share == round(6 / 11, 6)

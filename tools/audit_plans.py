@@ -167,6 +167,8 @@ SINGLE_PARTITION_OK = {
     # |weeks| x |types| grid + 1-row grand totals
     "x195_abc_classification",  # revenue-value block walk over
     # |distinct revenue| cells (the x163 shape) + 1-row totals
+    "x199_novelty_position",  # cumulative-share window over 10 decile
+    # cells + 1-row total
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -256,6 +258,8 @@ CROSS_JOIN_OK = {
     # frames — + the broadcast 1-row grand totals
     "x195_abc_classification",  # crossJoins with the broadcast 1-row
     # revenue/part totals onto the class cells
+    "x199_novelty_position",  # crossJoin with the broadcast 1-row total
+    # onto the 10 decile cells
 }
 
 
