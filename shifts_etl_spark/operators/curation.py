@@ -658,3 +658,67 @@ def sample_representativeness(
             (F.col("n_sample") - e) * (F.col("n_sample") - e) / e, 6
         ).alias("chi2_contrib"),
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    budget: int = 1000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: stratum h gets
+    budget ∝ N_h * sigma_h (its size times its quality-score standard
+    deviation) — the variance-minimizing design for estimating mean
+    quality from a fixed labeling budget. x50/x71 allocate by token
+    share (coverage); this allocates by INFORMATION: a big uniform
+    stratum needs fewer labels than a small noisy one. Zero-variance
+    strata get zero by design (one label would do).
+
+    Determinism: quality scores live on the 11-point deci lattice, so
+    per-stratum variance comes from exact integer moments; weights are
+    engine-identical closed forms and the integer split is the x50
+    largest-remainder walk (frac desc, source asc) over G rows.
+
+    Scale shape: one map-side-combinable integer aggregate per source;
+    everything after runs on the G-row frame."""
+    from .textstats import quality_score
+
+    s10 = F.round(quality_score(F.col(text_col)) * 10).cast("long")
+    g = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(s10).cast("long").alias("s"),
+        F.sum(s10 * s10).cast("long").alias("ss"),
+    )
+    n = F.col("n_docs").cast("double")
+    var10 = (n * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")) / (n * n)
+    sigma = F.sqrt(var10) / 10.0
+    weighted = g.select(
+        "source", "n_docs", (n * sigma).alias("w"), sigma.alias("sigma")
+    )
+    wsum = weighted.agg(F.sum("w").alias("ws"))
+    p = F.col("w") / F.col("ws")
+    scored = weighted.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "sigma",
+        p.alias("p"),
+        F.floor(p * budget).alias("base"),
+        (p * budget - F.floor(p * budget)).alias("frac"),
+    )
+    short = F.lit(budget) - F.sum("base").over(Window.partitionBy())
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("frac"), "source"))
+        .alias("fr"),
+        short.alias("short"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        F.round("sigma", 6).alias("sigma"),
+        F.round("p", 6).alias("p"),
+        (F.col("base") + F.when(F.col("fr") <= F.col("short"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_docs"),
+    ).orderBy("source")

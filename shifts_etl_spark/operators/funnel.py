@@ -2141,3 +2141,148 @@ def basket_diversity(
         )
         .orderBy("segment")
     )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Entropy rate of the event stream's first-order Markov chain:
+    sum over states of P(state) x H(next | state), against the ln(T)
+    ceiling, with predictability = 1 - rate/ln(T) — x128 prints the
+    whole transition matrix; this is its one-number compression: how
+    forecastable is the next user action?
+
+    The empirical source-state marginal (transitions FROM each state
+    over all transitions) weights the rows, so the statistic is the
+    plug-in entropy rate of the observed chain.
+
+    Determinism: all probabilities are exact integer rationals off the
+    |types|^2 transition cells; both entropy folds are ordered windows
+    (per-state over next types, then global over states). 6 dp.
+
+    Scale shape: one keyed lag window on user; everything after runs
+    on type-bounded cell frames."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.select(
+            F.lag(type_col).over(w).alias("a"),
+            F.col(type_col).alias("b"),
+        )
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    wrow = Window.partitionBy("a").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = trans.select(
+        "a", "b", "n_ab",
+        F.sum("n_ab").over(wrow).cast("double").alias("n_a"),
+    )
+    pc = F.col("n_ab").cast("double") / F.col("n_a")
+    rows = with_tot.select(
+        "a",
+        "n_a",
+        F.sum(-pc * F.log(pc)).over(wrow).alias("h_row"),
+        F.row_number().over(Window.partitionBy("a").orderBy("b")).alias("rn"),
+    ).where(F.col("rn") == 1)
+    wall = Window.orderBy("a").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    folded = rows.select(
+        "a",
+        F.sum("n_a").over(wall).alias("n_all"),
+        F.sum(F.col("n_a") * F.col("h_row")).over(wall).alias("hsum"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_states"),
+        F.row_number().over(Window.orderBy("a")).alias("rn2"),
+    ).where(F.col("rn2") == 1)
+    rate = F.col("hsum") / F.col("n_all")
+    max_h = F.log(F.col("n_states").cast("double"))
+    return folded.select(
+        F.col("n_all").cast("long").alias("n_transitions"),
+        "n_states",
+        F.round(rate, 6).alias("entropy_rate"),
+        F.round(max_h, 6).alias("max_entropy"),
+        F.when(F.col("n_states") > 1, F.round(1.0 - rate / max_h, 6))
+        .alias("predictability"),
+    )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Peak concurrent sessions — the sweep-line maximum of
+    simultaneously-open user sessions (30-min-gap sessionization,
+    CLOSED intervals: a session opening at the exact instant another
+    closes counts as overlap, so ties process +1 before -1 and the
+    peak is the conservative capacity number).
+
+    x179 bins load by wall-clock hour; this answers the sizing
+    question those bins blur: how many sessions were open AT ONCE at
+    the worst moment.
+
+    Determinism: boundary deltas collapse by (instant, sign) first, so
+    the sweep key (2 x epoch-micros + sign) is unique and the prefix
+    walk is a pure integer fold in one global order.
+
+    Scale shape: sessionization is one keyed window; boundaries are 2
+    rows per session collapsed to distinct instants; the global prefix
+    rides scalable_running_sum (equi-depth buckets, ONE data exchange,
+    no single-partition stage); the peak is a 1-row max joined back to
+    find its first instant."""
+    from .windows import scalable_running_sum
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.when(gap > gap_minutes * 60, 1).otherwise(0).alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = marked.select(
+        "user_id", "ts", F.sum("is_new").over(w2).alias("session_no")
+    ).groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    starts = sess.select(F.col("t0").alias("t"), F.lit(1).alias("sign"))
+    ends = sess.select(F.col("t1").alias("t"), F.lit(-1).alias("sign"))
+    bounds = (
+        starts.unionByName(ends)
+        .groupBy("t", "sign")
+        .agg(F.sum("sign").cast("long").alias("delta"))
+        .select(
+            "t",
+            "delta",
+            (
+                F.unix_micros("t") * 2
+                + F.when(F.col("sign") == -1, 1).otherwise(0)
+            ).alias("okey"),
+        )
+    )
+    running = scalable_running_sum(bounds, "okey", "delta", "conc")
+    n_sess = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    peak = running.agg(F.max("conc").cast("long").alias("peak_concurrency"))
+    first = (
+        running.join(
+            F.broadcast(peak),
+            F.col("conc") == F.col("peak_concurrency"),
+        )
+        .agg(F.min("t").alias("first_peak_ts"))
+    )
+    return (
+        n_sess.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(first))
+        .select("n_sessions", "peak_concurrency", "first_peak_ts")
+    )

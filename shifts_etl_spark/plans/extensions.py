@@ -8849,6 +8849,174 @@ ORDER BY decile
 
 
 
+def x200_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal labeling-budget allocation per source
+    (curation.neyman_allocation): N_h x sigma_h weights off exact
+    lattice moments + the x50 largest-remainder split."""
+    return curation.neyman_allocation(_t(spark, sf_dir, "documents"))
+
+
+X200_SQL = rf"""
+WITH base AS (
+  SELECT source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT source,
+         (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) AS score
+  FROM base
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(s10) AS BIGINT) AS s, CAST(SUM(s10 * s10) AS BIGINT) AS ss
+  FROM (SELECT source, CAST(round(score * 10) AS BIGINT) AS s10 FROM q)
+  GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_docs,
+         sqrt((CAST(n_docs AS DOUBLE) * CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) / 10.0
+           AS sigma,
+         CAST(n_docs AS DOUBLE)
+         * (sqrt((CAST(n_docs AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) / 10.0)
+           AS w
+  FROM st
+),
+wsum AS (SELECT SUM(w) AS ws FROM weighted),
+scored AS (
+  SELECT source, n_docs, sigma, w / ws AS p,
+         CAST(floor((w / ws) * 1000) AS BIGINT) AS base,
+         (w / ws) * 1000 - floor((w / ws) * 1000) AS frac
+  FROM weighted CROSS JOIN wsum
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS fr,
+         1000 - SUM(base) OVER () AS short
+  FROM scored
+)
+SELECT source, n_docs, round(sigma, 6) AS sigma, round(p, 6) AS p,
+       CAST(base + CASE WHEN fr <= short THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_docs
+FROM ranked
+ORDER BY source
+"""
+
+
+def x201_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the event Markov chain
+    (funnel.markov_entropy_rate): x128's matrix compressed to one
+    predictability number; ordered entropy folds on type cells."""
+    return funnel.markov_entropy_rate(_t(spark, sf_dir, "events"))
+
+
+X201_SQL = """
+WITH trans AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS a,
+           event_type AS b
+    FROM events
+  ) WHERE a IS NOT NULL GROUP BY 1, 2
+),
+with_tot AS (
+  SELECT a, b, n_ab, CAST(SUM(n_ab) OVER wr AS DOUBLE) AS n_a
+  FROM trans
+  WINDOW wr AS (PARTITION BY a ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND UNBOUNDED FOLLOWING)
+),
+rows_h AS (
+  SELECT a, n_a,
+         SUM(-(CAST(n_ab AS DOUBLE) / n_a)
+             * ln(CAST(n_ab AS DOUBLE) / n_a)) OVER wr AS h_row,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rn
+  FROM with_tot
+  WINDOW wr AS (PARTITION BY a ORDER BY b ROWS BETWEEN UNBOUNDED
+                PRECEDING AND UNBOUNDED FOLLOWING)
+),
+folded AS (
+  SELECT a, SUM(n_a) OVER wa AS n_all,
+         SUM(n_a * h_row) OVER wa AS hsum,
+         CAST(COUNT(*) OVER wa AS BIGINT) AS n_states,
+         ROW_NUMBER() OVER (ORDER BY a) AS rn2
+  FROM rows_h WHERE rn = 1
+  WINDOW wa AS (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND
+                UNBOUNDED FOLLOWING)
+)
+SELECT CAST(n_all AS BIGINT) AS n_transitions, n_states,
+       round(hsum / n_all, 6) AS entropy_rate,
+       round(ln(CAST(n_states AS DOUBLE)), 6) AS max_entropy,
+       CASE WHEN n_states > 1
+            THEN round(1.0 - (hsum / n_all)
+                       / ln(CAST(n_states AS DOUBLE)), 6)
+            END AS predictability
+FROM folded WHERE rn2 = 1
+"""
+
+
+def x202_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions (funnel.peak_concurrency): sweep-line
+    max of open 30-min-gap sessions on the scalable prefix sum;
+    closed-interval tie rule."""
+    return funnel.peak_concurrency(_t(spark, sf_dir, "events"))
+
+
+X202_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+sessn AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, session_no, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM sessn GROUP BY 1, 2
+),
+bounds AS (
+  SELECT t, CAST(SUM(sign) AS BIGINT) AS delta,
+         epoch_us(t) * 2 + CASE WHEN sign = -1 THEN 1 ELSE 0 END AS okey
+  FROM (
+    SELECT t0 AS t, 1 AS sign FROM sess
+    UNION ALL
+    SELECT t1 AS t, -1 AS sign FROM sess
+  ) GROUP BY t, sign
+),
+running AS (
+  SELECT t, SUM(delta) OVER (ORDER BY okey ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS conc
+  FROM bounds
+),
+peak AS (SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency FROM running),
+firstp AS (
+  SELECT MIN(t) AS first_peak_ts
+  FROM running JOIN peak ON conc = peak_concurrency
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess)
+SELECT n_sessions, peak_concurrency, first_peak_ts
+FROM ns CROSS JOIN peak CROSS JOIN firstp
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -9068,6 +9236,9 @@ EXTENSIONS = {
     "x197_dedup_threshold_roc": (x197_dedup_threshold_roc, X197_SQL),
     "x198_supplier_spc": (x198_supplier_spc, X198_SQL),
     "x199_novelty_position": (x199_novelty_position, X199_SQL),
+    "x200_neyman_allocation": (x200_neyman_allocation, X200_SQL),
+    "x201_markov_entropy_rate": (x201_markov_entropy_rate, X201_SQL),
+    "x202_peak_concurrency": (x202_peak_concurrency, X202_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

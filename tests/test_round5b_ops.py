@@ -2551,3 +2551,65 @@ def test_novelty_position_uniform_and_front(spark):
     assert out[0].share == round(2 / 11, 6)
     assert out[9].cum_share == 1.0
     assert out[4].cum_share == round(6 / 11, 6)
+
+
+def test_neyman_allocation_zero_variance_stratum(spark):
+    """A noisy source (scores alternating 1.0/0.1, sigma 0.45) against
+    a constant source (sigma 0): Neyman gives the whole budget to the
+    noisy stratum and the allocations still sum to the budget."""
+    from shifts_etl_spark.operators.curation import neyman_allocation
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    rows = [Row(doc_id=i, source="noisy", text=good if i % 2 else "x")
+            for i in range(4)]
+    rows += [Row(doc_id=10 + i, source="uniform", text=good)
+             for i in range(4)]
+    out = {r.source: r for r in neyman_allocation(
+        spark.createDataFrame(rows)).collect()}
+    assert out["noisy"].sigma == 0.45
+    assert out["uniform"].sigma == 0.0
+    assert out["uniform"].alloc_docs == 0
+    assert out["noisy"].alloc_docs == 1000
+    assert out["noisy"].p == 1.0
+
+
+def test_markov_entropy_rate_hand_chain(spark):
+    """User 1 alternates A/B (deterministic rows); user 2 adds A->A,
+    A->A, A->B: the plug-in rate is 5/7 of H(3/5, 2/5) and
+    predictability follows against the ln 2 ceiling."""
+    from shifts_etl_spark.operators.funnel import markov_entropy_rate
+
+    rows = [_ev(i + 1, 1, t, f"2024-01-01T10:0{i}:00")
+            for i, t in enumerate("ABABA")]
+    rows += [_ev(10 + i, 2, t, f"2024-01-01T11:0{i}:00")
+             for i, t in enumerate("AAAB")]
+    out = markov_entropy_rate(spark.createDataFrame(rows)).collect()[0]
+    assert (out.n_transitions, out.n_states) == (7, 2)
+    h_a = -(3 / 5) * math.log(3 / 5) - (2 / 5) * math.log(2 / 5)
+    rate = 5 * h_a / 7
+    assert out.entropy_rate == round(rate, 6)
+    assert out.max_entropy == round(math.log(2), 6)
+    assert out.predictability == round(1 - rate / math.log(2), 6)
+
+
+def test_peak_concurrency_closed_interval_tie(spark):
+    """Sessions 10:00-10:10, 10:05-10:20, 10:10-10:15 and a
+    zero-length 11:00 session: at 10:10 the opening session counts
+    BEFORE the closing one (closed intervals), so the peak is 3 and
+    first occurs at 10:10."""
+    from shifts_etl_spark.operators.funnel import peak_concurrency
+    import datetime as dt
+
+    rows = [
+        _ev(1, 1, "v", "2024-01-01T10:00:00"),
+        _ev(2, 1, "v", "2024-01-01T10:10:00"),
+        _ev(3, 2, "v", "2024-01-01T10:05:00"),
+        _ev(4, 2, "v", "2024-01-01T10:20:00"),
+        _ev(5, 3, "v", "2024-01-01T10:10:00"),
+        _ev(6, 3, "v", "2024-01-01T10:15:00"),
+        _ev(7, 4, "v", "2024-01-01T11:00:00"),
+    ]
+    out = peak_concurrency(spark.createDataFrame(rows)).collect()[0]
+    assert (out.n_sessions, out.peak_concurrency) == (4, 3)
+    assert out.first_peak_ts == dt.datetime(2024, 1, 1, 10, 10, 0)

@@ -169,6 +169,12 @@ SINGLE_PARTITION_OK = {
     # |distinct revenue| cells (the x163 shape) + 1-row totals
     "x199_novelty_position",  # cumulative-share window over 10 decile
     # cells + 1-row total
+    "x200_neyman_allocation",  # x50 largest-remainder window over G
+    # source rows + 1-row weight total
+    "x201_markov_entropy_rate",  # ordered entropy folds over
+    # type-bounded cells + the 1-row rate fold
+    "x202_peak_concurrency",  # 1-row peak/first/count folds; the data
+    # prefix rides scalable_running_sum (no data-sized single stage)
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -260,6 +266,9 @@ CROSS_JOIN_OK = {
     # revenue/part totals onto the class cells
     "x199_novelty_position",  # crossJoin with the broadcast 1-row total
     # onto the 10 decile cells
+    "x200_neyman_allocation",  # crossJoin with the broadcast 1-row
+    # weight sum onto the G-row stratum frame
+    "x202_peak_concurrency",  # crossJoins of the three 1-row summaries
 }
 
 
