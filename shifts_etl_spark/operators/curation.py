@@ -722,3 +722,72 @@ def neyman_allocation(
         .cast("long")
         .alias("alloc_docs"),
     ).orderBy("source")
+
+
+def stratified_estimate(
+    docs: DataFrame,
+    budget: int = 1000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Design-based stratified estimator for mean corpus quality under
+    the x200 Neyman allocation: the stratified mean sum(W_h ybar_h),
+    its standard error sqrt(sum(W_h^2 sigma_h^2 / n_h)) at the
+    allocated sample sizes, and the 95% interval — the "what precision
+    does this labeling budget buy" answer that closes the x200 loop.
+    Zero-allocation strata (sigma = 0) contribute no variance by
+    construction.
+
+    Determinism: stratum means/variances come from exact lattice
+    moments; the two G-term folds run as ordered windows over the
+    stratum frame. 6 dp outputs.
+
+    Scale shape: one integer aggregate per source, then G-row math."""
+    from .textstats import quality_score
+
+    alloc = neyman_allocation(docs, budget, group_col, text_col)
+    s10 = F.round(quality_score(F.col(text_col)) * 10).cast("long")
+    g = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(s10).cast("long").alias("s"),
+        F.sum(s10 * s10).cast("long").alias("ss"),
+    )
+    joined = g.join(alloc.select("source", "alloc_docs"), "source")
+    tot = joined.agg(F.sum("n_h").cast("double").alias("n_total"))
+    n = F.col("n_h").cast("double")
+    mean_h = F.col("s").cast("double") / n / 10.0
+    var_h = (
+        (n * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (n * n)
+        / 100.0
+    )
+    w_h = n / F.col("n_total")
+    termed = joined.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        "alloc_docs",
+        F.col("n_total"),
+        (w_h * mean_h).alias("mean_term"),
+        F.when(
+            F.col("alloc_docs") > 0,
+            w_h * w_h * var_h / F.col("alloc_docs").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("var_term"),
+    )
+    full = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    folded = termed.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.sum("alloc_docs").over(full).cast("long").alias("n_sampled"),
+        F.sum("mean_term").over(full).alias("est"),
+        F.sqrt(F.sum("var_term").over(full)).alias("se"),
+        F.row_number().over(Window.orderBy("source")).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return folded.select(
+        "n_total",
+        "n_sampled",
+        F.round("est", 6).alias("est_mean_quality"),
+        F.round("se", 6).alias("se"),
+        F.round(F.col("est") - 1.96 * F.col("se"), 6).alias("ci95_lo"),
+        F.round(F.col("est") + 1.96 * F.col("se"), 6).alias("ci95_hi"),
+    )

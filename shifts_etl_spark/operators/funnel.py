@@ -2286,3 +2286,97 @@ def peak_concurrency(
         .crossJoin(F.broadcast(first))
         .select("n_sessions", "peak_concurrency", "first_peak_ts")
     )
+
+
+def km_survival(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    cust_col: str = "o_custkey",
+    max_days: int = 365,
+) -> DataFrame:
+    """Kaplan-Meier survival of the customer reorder process: each
+    consecutive-order gap is a complete "reorder" event, the stretch
+    from a customer's LAST order to the corpus anchor date is a
+    right-censored duration, and the KM product-limit estimator gives
+    S(t) = P(no reorder within t days) — x161 flags who looks churned
+    today; this is the curve that DEFINES churn horizons honestly
+    (naive "mean gap" math ignores the censored tails and
+    underestimates survival).
+
+    Determinism: durations are exact integer days; at-risk and event
+    counts are integers on |distinct durations| cells; the product
+    limit folds as exp(cumulative ln) over the ORDERED duration frame.
+    6 dp survival.
+
+    Scale shape: one customer-keyed lag window, one 1-row anchor
+    broadcast, then everything on duration cells (bounded by
+    ``max_days``)."""
+    base = orders.select(
+        F.col(cust_col).alias("custkey"),
+        F.col(date_col).cast("date").alias("day"),
+    )
+    gaps = base.select(
+        "custkey",
+        "day",
+        F.datediff("day", F.lag("day").over(Window.partitionBy("custkey").orderBy("day"))).alias("gap"),
+        F.row_number()
+        .over(Window.partitionBy("custkey").orderBy(F.desc("day")))
+        .alias("rdesc"),
+    )
+    events = gaps.where(F.col("gap").isNotNull()).select(
+        F.col("gap").cast("long").alias("t"), F.lit(1).alias("is_event")
+    )
+    anchor = base.agg(F.max("day").alias("anchor"))
+    censored = (
+        gaps.where(F.col("rdesc") == 1)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("anchor", "day").cast("long").alias("t"),
+            F.lit(0).alias("is_event"),
+        )
+    )
+    durs = events.unionByName(censored).where(F.col("t") <= max_days)
+    cells = durs.groupBy("t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("c"),
+    )
+    upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = cells.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n0"))
+    risky = cells.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(upto), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the last duration cell can absorb everyone at risk (d == n_risk):
+    # its factor is exactly 0, so survival pins to 0 from there instead
+    # of feeding ln(0)
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            1.0 - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    zero_seen = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(cum)
+    surv = risky.where(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        "d",
+        F.when(zero_seen == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum(ln_term).over(cum)))
+        .alias("s"),
+    )
+    return surv.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("t_days")

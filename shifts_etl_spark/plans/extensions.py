@@ -9017,6 +9017,138 @@ FROM ns CROSS JOIN peak CROSS JOIN firstp
 
 
 
+def x203_stratified_estimate(spark, sf_dir):
+    """Design-based stratified mean-quality estimator under the x200
+    Neyman allocation (curation.stratified_estimate): estimate, SE,
+    and 95% interval off exact lattice moments."""
+    return curation.stratified_estimate(_t(spark, sf_dir, "documents"))
+
+
+X203_SQL = rf"""
+WITH alloc AS ({X200_SQL}),
+qb AS (
+  SELECT source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qq AS (
+  SELECT source,
+         (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) AS score
+  FROM qb
+),
+qst AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         CAST(SUM(s10) AS BIGINT) AS s, CAST(SUM(s10 * s10) AS BIGINT) AS ss
+  FROM (SELECT source, CAST(round(score * 10) AS BIGINT) AS s10 FROM qq)
+  GROUP BY 1
+),
+joined AS (
+  SELECT q.source, q.n_h, q.s, q.ss, a.alloc_docs
+  FROM qst q JOIN alloc a USING (source)
+),
+tot AS (SELECT CAST(SUM(n_h) AS DOUBLE) AS n_total FROM joined),
+termed AS (
+  SELECT source, alloc_docs, n_total,
+         (CAST(n_h AS DOUBLE) / n_total)
+           * (CAST(s AS DOUBLE) / CAST(n_h AS DOUBLE) / 10.0) AS mean_term,
+         CASE WHEN alloc_docs > 0
+              THEN (CAST(n_h AS DOUBLE) / n_total)
+                   * (CAST(n_h AS DOUBLE) / n_total)
+                   * ((CAST(n_h AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE)) / 100.0)
+                   / CAST(alloc_docs AS DOUBLE)
+              ELSE 0.0 END AS var_term
+  FROM joined CROSS JOIN tot
+),
+folded AS (
+  SELECT CAST(n_total AS BIGINT) AS n_total,
+         CAST(SUM(alloc_docs) OVER wf AS BIGINT) AS n_sampled,
+         SUM(mean_term) OVER wf AS est,
+         sqrt(SUM(var_term) OVER wf) AS se,
+         ROW_NUMBER() OVER (ORDER BY source) AS rn
+  FROM termed
+  WINDOW wf AS (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND
+                UNBOUNDED FOLLOWING)
+)
+SELECT n_total, n_sampled,
+       round(est, 6) AS est_mean_quality,
+       round(se, 6) AS se,
+       round(est - 1.96 * se, 6) AS ci95_lo,
+       round(est + 1.96 * se, 6) AS ci95_hi
+FROM folded WHERE rn = 1
+"""
+
+
+def x204_km_survival(spark, sf_dir):
+    """Kaplan-Meier reorder survival (funnel.km_survival): censored
+    product-limit curve over integer-day gap cells."""
+    return funnel.km_survival(_t(spark, sf_dir, "orders"))
+
+
+X204_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+),
+gaps AS (
+  SELECT custkey, day,
+         date_diff('day', lag(day) OVER (PARTITION BY custkey
+                                         ORDER BY day), day) AS gap,
+         ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY day DESC) AS rdesc
+  FROM base
+),
+events AS (
+  SELECT CAST(gap AS BIGINT) AS t, 1 AS is_event
+  FROM gaps WHERE gap IS NOT NULL
+),
+anchor AS (SELECT MAX(day) AS anchor FROM base),
+censored AS (
+  SELECT CAST(date_diff('day', day, anchor) AS BIGINT) AS t, 0 AS is_event
+  FROM gaps CROSS JOIN anchor WHERE rdesc = 1
+),
+durs AS (
+  SELECT * FROM (
+    SELECT * FROM events UNION ALL SELECT * FROM censored
+  ) WHERE t <= 365
+),
+cells AS (
+  SELECT t, CAST(SUM(is_event) AS BIGINT) AS d,
+         CAST(SUM(1 - is_event) AS BIGINT) AS c
+  FROM durs GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM cells),
+risky AS (
+  SELECT t, d, c,
+         CAST(n0 - coalesce(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM cells CROSS JOIN tot
+),
+surv AS (
+  SELECT t, n_risk, d,
+         CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER wc = 1 THEN 0.0
+              ELSE exp(SUM(CASE WHEN d < n_risk
+                           THEN ln(1.0 - CAST(d AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE))
+                           ELSE 0.0 END) OVER wc)
+         END AS s
+  FROM risky WHERE d > 0
+  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW)
+)
+SELECT t AS t_days, n_risk, d AS n_events, round(s, 6) AS survival
+FROM surv ORDER BY t_days
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -9239,6 +9371,8 @@ EXTENSIONS = {
     "x200_neyman_allocation": (x200_neyman_allocation, X200_SQL),
     "x201_markov_entropy_rate": (x201_markov_entropy_rate, X201_SQL),
     "x202_peak_concurrency": (x202_peak_concurrency, X202_SQL),
+    "x203_stratified_estimate": (x203_stratified_estimate, X203_SQL),
+    "x204_km_survival": (x204_km_survival, X204_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

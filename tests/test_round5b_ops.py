@@ -2613,3 +2613,48 @@ def test_peak_concurrency_closed_interval_tie(spark):
     out = peak_concurrency(spark.createDataFrame(rows)).collect()[0]
     assert (out.n_sessions, out.peak_concurrency) == (4, 3)
     assert out.first_peak_ts == dt.datetime(2024, 1, 1, 10, 10, 0)
+
+
+def test_stratified_estimate_hand_se(spark):
+    """Noisy stratum (mean 0.55, var 0.2025, all 1000 labels) +
+    constant stratum (mean 1.0, var 0): stratified mean 0.775 and
+    SE = sqrt(0.25 * 0.2025 / 1000)."""
+    from shifts_etl_spark.operators.curation import stratified_estimate
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    rows = [Row(doc_id=i, source="noisy", text=good if i % 2 else "x")
+            for i in range(4)]
+    rows += [Row(doc_id=10 + i, source="uniform", text=good)
+             for i in range(4)]
+    out = stratified_estimate(spark.createDataFrame(rows)).collect()[0]
+    assert (out.n_total, out.n_sampled) == (8, 1000)
+    assert out.est_mean_quality == 0.775
+    se = math.sqrt(0.25 * 0.2025 / 1000)
+    assert out.se == round(se, 6)
+    assert out.ci95_lo == round(0.775 - 1.96 * se, 6)
+    assert out.ci95_hi == round(0.775 + 1.96 * se, 6)
+
+
+def test_km_survival_censoring_counts(spark):
+    """Three customers: reorder gaps 10 and 20 days plus censored
+    tails (10, 0, 20 days): S(10) = 3/4 with 4 at risk (the
+    censored-at-10 customer still counts), S(20) = 0.375 with 2 at
+    risk — the naive mean-gap would see only the two events."""
+    from shifts_etl_spark.operators.funnel import km_survival
+    import datetime as dt
+
+    rows = [
+        Row(o_orderkey=1, o_custkey=1, o_orderdate=dt.date(2024, 1, 1)),
+        Row(o_orderkey=2, o_custkey=1, o_orderdate=dt.date(2024, 1, 11)),
+        Row(o_orderkey=3, o_custkey=2, o_orderdate=dt.date(2024, 1, 1)),
+        Row(o_orderkey=4, o_custkey=2, o_orderdate=dt.date(2024, 1, 21)),
+        Row(o_orderkey=5, o_custkey=3, o_orderdate=dt.date(2024, 1, 1)),
+    ]
+    out = {r.t_days: r for r in km_survival(
+        spark.createDataFrame(rows)).collect()}
+    assert sorted(out) == [10, 20]
+    assert (out[10].n_risk, out[10].n_events, out[10].survival) == (
+        4, 1, 0.75)
+    assert (out[20].n_risk, out[20].n_events, out[20].survival) == (
+        2, 1, 0.375)

@@ -175,6 +175,10 @@ SINGLE_PARTITION_OK = {
     # type-bounded cells + the 1-row rate fold
     "x202_peak_concurrency",  # 1-row peak/first/count folds; the data
     # prefix rides scalable_running_sum (no data-sized single stage)
+    "x203_stratified_estimate",  # x200's G-row walk + two ordered
+    # G-term folds and the 1-row estimate
+    "x204_km_survival",  # product-limit walk over |distinct duration|
+    # cells + the 1-row anchor/total
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -269,6 +273,10 @@ CROSS_JOIN_OK = {
     "x200_neyman_allocation",  # crossJoin with the broadcast 1-row
     # weight sum onto the G-row stratum frame
     "x202_peak_concurrency",  # crossJoins of the three 1-row summaries
+    "x203_stratified_estimate",  # crossJoins with the broadcast 1-row
+    # weight/total frames onto the G-row stratum frame
+    "x204_km_survival",  # crossJoins with the broadcast 1-row
+    # anchor/total onto the duration cells
 }
 
 
