@@ -791,3 +791,80 @@ def stratified_estimate(
         F.round(F.col("est") - 1.96 * F.col("se"), 6).alias("ci95_lo"),
         F.round(F.col("est") + 1.96 * F.col("se"), 6).alias("ci95_hi"),
     )
+
+
+def eb_quality_shrinkage(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source quality means (normal
+    method-of-moments): small noisy sources get pulled toward the
+    grand mean, big sources keep their own signal — the estimator a
+    mixing pipeline should rank sources BY instead of raw means, which
+    overreact to small samples. Prior strength k = pooled within-source
+    variance over the between-source variance of means (both
+    method-of-moments, documented convention); zero between-variance
+    shrinks fully to the grand mean.
+
+    Determinism: all moments come from exact lattice integers; the two
+    G-term folds are ordered windows; shrinkage is closed-form. 6 dp.
+
+    Scale shape: one integer aggregate per source, then G-row math."""
+    from .textstats import quality_score
+
+    s10 = F.round(quality_score(F.col(text_col)) * 10).cast("long")
+    g = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(s10).cast("long").alias("s"),
+        F.sum(s10 * s10).cast("long").alias("ss"),
+    )
+    tots = g.agg(
+        F.sum("n_h").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+    )
+    n = F.col("n_h").cast("double")
+    mean_h = F.col("s").cast("double") / n / 10.0
+    grand = F.col("s_tot").cast("double") / F.col("n_tot").cast("double") / 10.0
+    nvar_h = (
+        (n * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / n
+        / 100.0
+    )
+    based = g.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "n_h",
+        mean_h.alias("mean_h"),
+        grand.alias("grand"),
+        nvar_h.alias("nvar_h"),
+        (n * (mean_h - grand) * (mean_h - grand)).alias("nbet_h"),
+        F.col("n_tot").cast("double").alias("n_tot_d"),
+    )
+    full = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    folded = based.select(
+        "source",
+        "n_h",
+        "mean_h",
+        "grand",
+        (F.sum("nvar_h").over(full) / F.col("n_tot_d")).alias("var_w"),
+        (F.sum("nbet_h").over(full) / F.col("n_tot_d")).alias("var_b"),
+    )
+    k = F.col("var_w") / F.col("var_b")
+    n_d = F.col("n_h").cast("double")
+    shrunk = F.when(
+        F.col("var_b") > 0,
+        (n_d * F.col("mean_h") + k * F.col("grand")) / (n_d + k),
+    ).otherwise(F.col("grand"))
+    weight = F.when(
+        F.col("var_b") > 0, n_d / (n_d + k)
+    ).otherwise(F.lit(0.0))
+    return folded.select(
+        "source",
+        "n_h",
+        F.round("mean_h", 6).alias("raw_mean"),
+        F.round(shrunk, 6).alias("shrunk_mean"),
+        F.round(weight, 6).alias("own_weight"),
+        F.round("grand", 6).alias("grand_mean"),
+    ).orderBy("source")

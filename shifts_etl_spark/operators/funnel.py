@@ -2380,3 +2380,128 @@ def km_survival(
         F.col("d").alias("n_events"),
         F.round("s", 6).alias("survival"),
     ).orderBy("t_days")
+
+
+def path_trigrams(
+    events: DataFrame,
+    top_k: int = 20,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Frequent 3-step behavior motifs: every consecutive
+    (a -> b -> c) triple INSIDE a 30-min session, counted and ranked —
+    x111 counts whole session paths (which fragment across long
+    sessions); sliding trigrams find the recurring sub-journeys those
+    paths share, the event-stream analog of x65's text trigrams.
+
+    Scale shape: one keyed session window; two lags on the same
+    ordered partition (one shuffle); triples collapse to |types|^3
+    cells map-side; TakeOrdered top-k; share against the broadcast
+    1-row triple total."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("etype"),
+        F.when(gap > gap_minutes * 60, 1).otherwise(0).alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = marked.select(
+        "user_id", "ts", "event_id", "etype",
+        F.sum("is_new").over(w2).alias("session_no"),
+    )
+    w3 = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts", "event_id"
+    )
+    triples = sess.select(
+        F.lag("etype", 2).over(w3).alias("t1"),
+        F.lag("etype", 1).over(w3).alias("t2"),
+        F.col("etype").alias("t3"),
+    ).where(F.col("t1").isNotNull())
+    cells = triples.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    tot = cells.agg(F.sum("n_occurrences").cast("double").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("motif"),
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_occurrences"), "motif")
+        .limit(top_k)
+    )
+
+
+def stickiness(
+    events: DataFrame,
+    short_days: int = 7,
+    long_days: int = 28,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """DAU/WAU/MAU stickiness per day: daily actives, trailing 7- and
+    28-day actives (EXACT, via the x153 cell fan-out — never a
+    re-scan of raw events), and the dau/mau + wau/mau ratios — the
+    habit-formation dashboard number. Days earlier than ``long_days``
+    after the first observed day are emitted too (their windows are
+    simply shorter), matching the live-dashboard convention.
+
+    All integer counts; two 6 dp ratios."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cells = (
+        events.select(F.col(user_col).alias("u"), day.alias("day"))
+        .groupBy("u", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    maxd = cells.agg(F.max("day").alias("max_day"))
+
+    def _fan(window_days, name):
+        return (
+            cells.select(
+                "u",
+                F.explode(
+                    F.sequence(
+                        F.col("day"),
+                        F.date_add(F.col("day"), window_days - 1),
+                    )
+                ).alias("day2"),
+            )
+            .crossJoin(F.broadcast(maxd))
+            .where(F.col("day2") <= F.col("max_day"))
+            .groupBy("day2")
+            .agg(F.count_distinct("u").cast("long").alias(name))
+            .withColumnRenamed("day2", "day")
+        )
+
+    dau = cells.groupBy("day").agg(
+        F.count_distinct("u").cast("long").alias("dau")
+    )
+    wau = _fan(short_days, "wau")
+    mau = _fan(long_days, "mau")
+    return (
+        dau.join(wau, "day").join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias(
+                "dau_mau"
+            ),
+            F.round(F.col("wau") / F.col("mau").cast("double"), 6).alias(
+                "wau_mau"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -9149,6 +9149,163 @@ FROM surv ORDER BY t_days
 
 
 
+def x205_path_trigrams(spark, sf_dir):
+    """Frequent 3-step session motifs (funnel.path_trigrams): sliding
+    in-session trigrams, top-20 with shares."""
+    return funnel.path_trigrams(_t(spark, sf_dir, "events"))
+
+
+X205_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM ordered
+),
+triples AS (
+  SELECT lag(event_type, 2) OVER w3 AS t1,
+         lag(event_type, 1) OVER w3 AS t2,
+         event_type AS t3
+  FROM sess
+  WINDOW w3 AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+),
+cells AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM triples WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(SUM(n_occurrences) AS DOUBLE) AS total FROM cells)
+SELECT t1 || '>' || t2 || '>' || t3 AS motif, n_occurrences,
+       round(n_occurrences / total, 6) AS share
+FROM cells CROSS JOIN tot
+ORDER BY n_occurrences DESC, motif
+LIMIT 20
+"""
+
+
+def x206_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-source quality means
+    (curation.eb_quality_shrinkage): normal method-of-moments prior,
+    exact lattice moments."""
+    return curation.eb_quality_shrinkage(_t(spark, sf_dir, "documents"))
+
+
+X206_SQL = rf"""
+WITH qb AS (
+  SELECT source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qq AS (
+  SELECT source,
+         (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) AS score
+  FROM qb
+),
+qst AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         CAST(SUM(s10) AS BIGINT) AS s, CAST(SUM(s10 * s10) AS BIGINT) AS ss
+  FROM (SELECT source, CAST(round(score * 10) AS BIGINT) AS s10 FROM qq)
+  GROUP BY 1
+),
+tots AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n_tot, CAST(SUM(s) AS BIGINT) AS s_tot
+  FROM qst
+),
+based AS (
+  SELECT source, n_h,
+         CAST(s AS DOUBLE) / CAST(n_h AS DOUBLE) / 10.0 AS mean_h,
+         CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) / 10.0 AS grand,
+         (CAST(n_h AS DOUBLE) * CAST(ss AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / CAST(n_h AS DOUBLE) / 100.0 AS nvar_h,
+         CAST(n_h AS DOUBLE)
+           * (CAST(s AS DOUBLE) / CAST(n_h AS DOUBLE) / 10.0
+              - CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) / 10.0)
+           * (CAST(s AS DOUBLE) / CAST(n_h AS DOUBLE) / 10.0
+              - CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) / 10.0)
+           AS nbet_h,
+         CAST(n_tot AS DOUBLE) AS n_tot_d
+  FROM qst CROSS JOIN tots
+),
+folded AS (
+  SELECT source, n_h, mean_h, grand,
+         SUM(nvar_h) OVER wf / n_tot_d AS var_w,
+         SUM(nbet_h) OVER wf / n_tot_d AS var_b
+  FROM based
+  WINDOW wf AS (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND
+                UNBOUNDED FOLLOWING)
+)
+SELECT source, n_h,
+       round(mean_h, 6) AS raw_mean,
+       round(CASE WHEN var_b > 0
+                  THEN (CAST(n_h AS DOUBLE) * mean_h
+                        + (var_w / var_b) * grand)
+                       / (CAST(n_h AS DOUBLE) + var_w / var_b)
+                  ELSE grand END, 6) AS shrunk_mean,
+       round(CASE WHEN var_b > 0
+                  THEN CAST(n_h AS DOUBLE)
+                       / (CAST(n_h AS DOUBLE) + var_w / var_b)
+                  ELSE 0.0 END, 6) AS own_weight,
+       round(grand, 6) AS grand_mean
+FROM folded
+ORDER BY source
+"""
+
+
+def x207_stickiness(spark, sf_dir):
+    """DAU/WAU/MAU stickiness ratios per day (funnel.stickiness):
+    exact rolling distincts via the x153 cell fan-out."""
+    return funnel.stickiness(_t(spark, sf_dir, "events"))
+
+
+X207_SQL = """
+WITH cells AS (
+  SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events GROUP BY 1, 2
+),
+maxd AS (SELECT MAX(day) AS max_day FROM cells),
+dau AS (
+  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+  FROM cells GROUP BY 1
+),
+wau AS (
+  SELECT day2 AS day, CAST(count(DISTINCT u) AS BIGINT) AS wau
+  FROM (
+    SELECT u, CAST(unnest(generate_series(day, day + 6,
+                                          INTERVAL 1 DAY)) AS DATE) AS day2
+    FROM cells
+  ) CROSS JOIN maxd WHERE day2 <= max_day GROUP BY 1
+),
+mau AS (
+  SELECT day2 AS day, CAST(count(DISTINCT u) AS BIGINT) AS mau
+  FROM (
+    SELECT u, CAST(unnest(generate_series(day, day + 27,
+                                          INTERVAL 1 DAY)) AS DATE) AS day2
+    FROM cells
+  ) CROSS JOIN maxd WHERE day2 <= max_day GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau, m.mau,
+       round(d.dau / CAST(m.mau AS DOUBLE), 6) AS dau_mau,
+       round(w.wau / CAST(m.mau AS DOUBLE), 6) AS wau_mau
+FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+ORDER BY d.day
+"""
+
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -9373,6 +9530,9 @@ EXTENSIONS = {
     "x202_peak_concurrency": (x202_peak_concurrency, X202_SQL),
     "x203_stratified_estimate": (x203_stratified_estimate, X203_SQL),
     "x204_km_survival": (x204_km_survival, X204_SQL),
+    "x205_path_trigrams": (x205_path_trigrams, X205_SQL),
+    "x206_eb_shrinkage": (x206_eb_shrinkage, X206_SQL),
+    "x207_stickiness": (x207_stickiness, X207_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -2658,3 +2658,60 @@ def test_km_survival_censoring_counts(spark):
         4, 1, 0.75)
     assert (out[20].n_risk, out[20].n_events, out[20].survival) == (
         2, 1, 0.375)
+
+
+def test_path_trigrams_session_bounded(spark):
+    """User 1's A-B-C-D burst yields ABC and BCD; a session break
+    before E contributes nothing; user 2 adds another ABC — counts
+    2 and 1 with shares 2/3 and 1/3."""
+    from shifts_etl_spark.operators.funnel import path_trigrams
+
+    rows = [_ev(i + 1, 1, t, f"2024-01-01T10:0{i}:00")
+            for i, t in enumerate("ABCD")]
+    rows.append(_ev(9, 1, "E", "2024-01-01T14:00:00"))
+    rows += [_ev(20 + i, 2, t, f"2024-01-01T11:0{i}:00")
+             for i, t in enumerate("ABC")]
+    out = path_trigrams(spark.createDataFrame(rows)).collect()
+    assert [(r.motif, r.n_occurrences) for r in out] == [
+        ("A>B>C", 2), ("B>C>D", 1)]
+    assert out[0].share == round(2 / 3, 6)
+    assert out[1].share == round(1 / 3, 6)
+
+
+def test_eb_shrinkage_hand_moments(spark):
+    """Big noisy source (n=4, mean 0.55) and a one-doc perfect source
+    (mean 1.0): method-of-moments k = 5, so the singleton shrinks to
+    0.7 with own-weight 1/6 and the big source to 0.6 with 4/9."""
+    from shifts_etl_spark.operators.curation import eb_quality_shrinkage
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    rows = [Row(doc_id=i, source="big", text=good if i % 2 else "x")
+            for i in range(4)]
+    rows += [Row(doc_id=10, source="small", text=good)]
+    out = {r.source: r for r in eb_quality_shrinkage(
+        spark.createDataFrame(rows)).collect()}
+    assert out["small"].raw_mean == 1.0
+    assert out["small"].shrunk_mean == 0.7
+    assert out["small"].own_weight == round(1 / 6, 6)
+    assert out["big"].raw_mean == 0.55
+    assert out["big"].shrunk_mean == 0.6
+    assert out["big"].own_weight == round(4 / 9, 6)
+    assert out["big"].grand_mean == 0.64
+
+
+def test_stickiness_trailing_windows(spark):
+    """u1 active day 1 only, u2 active days 1 and 8: day 8 has DAU 1
+    and WAU 1 but MAU 2 (u1's day-1 visit is still inside the 28-day
+    window), so dau/mau = wau/mau = 0.5."""
+    from shifts_etl_spark.operators.funnel import stickiness
+
+    rows = [_ev(1, 1, "v", "2024-01-01T10:00:00"),
+            _ev(2, 2, "v", "2024-01-01T11:00:00"),
+            _ev(3, 2, "v", "2024-01-08T11:00:00")]
+    out = {r.day.day: r for r in stickiness(
+        spark.createDataFrame(rows)).collect()}
+    assert (out[1].dau, out[1].wau, out[1].mau) == (2, 2, 2)
+    assert out[1].dau_mau == 1.0
+    assert (out[8].dau, out[8].wau, out[8].mau) == (1, 1, 2)
+    assert out[8].dau_mau == 0.5 and out[8].wau_mau == 0.5

@@ -179,6 +179,8 @@ SINGLE_PARTITION_OK = {
     # G-term folds and the 1-row estimate
     "x204_km_survival",  # product-limit walk over |distinct duration|
     # cells + the 1-row anchor/total
+    "x205_path_trigrams",  # 1-row triple total onto |types|^3 cells
+    "x206_eb_shrinkage",  # two ordered G-term folds + 1-row totals
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -277,6 +279,10 @@ CROSS_JOIN_OK = {
     # weight/total frames onto the G-row stratum frame
     "x204_km_survival",  # crossJoins with the broadcast 1-row
     # anchor/total onto the duration cells
+    "x205_path_trigrams",  # crossJoin with the broadcast 1-row total
+    "x206_eb_shrinkage",  # crossJoin with the broadcast 1-row totals
+    "x207_stickiness",  # crossJoins with the broadcast 1-row max-day
+    # clamp (the x153 shape)
 }
 
 
