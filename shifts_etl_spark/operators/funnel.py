@@ -2505,3 +2505,82 @@ def stickiness(
         )
         .orderBy("day")
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: every
+    ``conversion_type`` event credits (a) the event type that opened
+    its session and (b) the event type immediately before it — both
+    'direct' when the conversion itself opens the session. The two
+    models' credit tables disagree exactly where funnel debates live
+    (x108 measures ordered reach; this divides the credit).
+
+    Determinism: pure integer counting on session windows; shares at
+    6 dp against the broadcast 1-row conversion total.
+
+    Scale shape: one keyed session window; first/prev types come from
+    the same ordered partition (no extra shuffle); credits collapse to
+    |types|+1 cells per model, combined full-outer."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("etype"),
+        F.when(gap > gap_minutes * 60, 1).otherwise(0).alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = marked.select(
+        "user_id", "ts", "event_id", "etype",
+        F.sum("is_new").over(w2).alias("session_no"),
+    )
+    w3 = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts", "event_id"
+    )
+    conv = sess.select(
+        "etype",
+        F.when(
+            F.row_number().over(w3) == 1, F.lit("direct")
+        ).otherwise(F.first("etype").over(w3)).alias("first_touch"),
+        F.coalesce(F.lag("etype").over(w3), F.lit("direct")).alias(
+            "last_touch"
+        ),
+    ).where(F.col("etype") == conversion_type)
+    ft = conv.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("first_touch_credits")
+    )
+    lt = conv.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("last_touch_credits")
+    )
+    tot = conv.agg(F.count(F.lit(1)).cast("double").alias("n_conv"))
+    return (
+        ft.join(lt, "channel", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.coalesce("first_touch_credits", F.lit(0)).cast("long")
+            .alias("first_touch_credits"),
+            F.coalesce("last_touch_credits", F.lit(0)).cast("long")
+            .alias("last_touch_credits"),
+            F.round(
+                F.coalesce("first_touch_credits", F.lit(0)) / F.col("n_conv"),
+                6,
+            ).alias("first_touch_share"),
+            F.round(
+                F.coalesce("last_touch_credits", F.lit(0)) / F.col("n_conv"),
+                6,
+            ).alias("last_touch_share"),
+        )
+        .orderBy("channel")
+    )

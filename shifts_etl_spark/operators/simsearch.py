@@ -567,3 +567,43 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def ann_mrr(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MRR certification of the binary Hamming index: where in the
+    index's top-``k`` does each query's TRUE nearest neighbor land?
+    ``ann_recall`` scores set overlap; this scores the metric serving
+    actually optimizes — the reciprocal rank of the one neighbor that
+    matters most. A missed true-NN scores 0 (round 6 dp).
+
+    Scale shape: both sub-scans are the audited x7/x95 shapes; the
+    eval joins a |Q|-row truth frame to the |Q| x k index list."""
+    truth = brute_force_topk(
+        emb, query_ids, k=1, id_col=id_col, vec_col=vec_col
+    ).select("query_id", F.col("neighbor_id").alias("true_nn"))
+    approx = hamming_topk(
+        emb, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("true_nn"),
+        F.col("rank").alias("approx_rank"),
+    )
+    joined = truth.join(F.broadcast(approx), ["query_id", "true_nn"], "left")
+    return joined.select(
+        "query_id",
+        "true_nn",
+        F.col("approx_rank").cast("long").alias("approx_rank"),
+        F.round(
+            F.when(
+                F.col("approx_rank").isNotNull(),
+                1.0 / F.col("approx_rank").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rr"),
+    ).orderBy("query_id")

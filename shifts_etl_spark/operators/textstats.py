@@ -1828,3 +1828,54 @@ def novelty_position(
         )
         .orderBy("decile")
     )
+
+
+def langid_kappa(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Cohen's kappa for the langid heuristic against declared labels
+    — the chance-corrected single number over x102's confusion matrix
+    (raw accuracy flatters any classifier on a skewed language mix;
+    kappa subtracts what label-marginal guessing would score).
+
+    Determinism: observed and expected agreement are exact integer
+    rationals off the |langs|^2 confusion cells and their margins;
+    kappa is closed form, 6 dp; degenerate pe = 1 yields NULL.
+
+    Scale shape: one confusion-cell aggregate, lang-sized margins
+    joined full-outer, one 1-row fold."""
+    cells = docs.groupBy(
+        F.col(lang_col).alias("declared"),
+        predict_lang(F.col(text_col)).alias("predicted"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    decl = cells.groupBy(F.col("declared").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_d")
+    )
+    pred = cells.groupBy(F.col("predicted").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_p")
+    )
+    margins = decl.join(pred, "lang", "full").select(
+        "lang",
+        F.coalesce("n_d", F.lit(0)).cast("long").alias("n_d"),
+        F.coalesce("n_p", F.lit(0)).cast("long").alias("n_p"),
+    )
+    cross = margins.agg(
+        F.sum(F.col("n_d") * F.col("n_p")).cast("long").alias("cross_sum")
+    )
+    diag = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("declared") == F.col("predicted"), F.col("n"))
+            .otherwise(0)
+        ).cast("long").alias("n_agree"),
+    )
+    n = F.col("n_total").cast("double")
+    po = F.col("n_agree").cast("double") / n
+    pe = F.col("cross_sum").cast("double") / (n * n)
+    return diag.crossJoin(F.broadcast(cross)).select(
+        "n_total",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)).alias("kappa"),
+    )

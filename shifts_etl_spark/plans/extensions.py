@@ -9305,6 +9305,184 @@ ORDER BY d.day
 """
 
 
+def x208_attribution_credit(spark, sf_dir):
+    """First-touch vs last-touch conversion attribution
+    (funnel.attribution_credit): every purchase credits its session's
+    opening event type and its immediate predecessor; 'direct' when
+    the conversion opens the session."""
+    return funnel.attribution_credit(_t(spark, sf_dir, "events"))
+
+
+X208_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM ordered
+),
+conv AS (
+  SELECT event_type,
+         CASE WHEN row_number() OVER w3 = 1 THEN 'direct'
+              ELSE first_value(event_type) OVER w3 END AS first_touch,
+         COALESCE(lag(event_type) OVER w3, 'direct') AS last_touch
+  FROM sess
+  WINDOW w3 AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+),
+pconv AS (SELECT * FROM conv WHERE event_type = 'purchase'),
+ft AS (
+  SELECT first_touch AS channel,
+         CAST(count(*) AS BIGINT) AS first_touch_credits
+  FROM pconv GROUP BY 1
+),
+lt AS (
+  SELECT last_touch AS channel,
+         CAST(count(*) AS BIGINT) AS last_touch_credits
+  FROM pconv GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_conv FROM pconv)
+SELECT COALESCE(f.channel, l.channel) AS channel,
+       CAST(COALESCE(f.first_touch_credits, 0) AS BIGINT)
+         AS first_touch_credits,
+       CAST(COALESCE(l.last_touch_credits, 0) AS BIGINT)
+         AS last_touch_credits,
+       round(COALESCE(f.first_touch_credits, 0) / t.n_conv, 6)
+         AS first_touch_share,
+       round(COALESCE(l.last_touch_credits, 0) / t.n_conv, 6)
+         AS last_touch_share
+FROM ft f FULL JOIN lt l ON f.channel = l.channel CROSS JOIN tot t
+ORDER BY channel
+"""
+
+
+def x209_ann_mrr(spark, sf_dir):
+    """MRR certification of the x95 Hamming index (simsearch.ann_mrr):
+    the reciprocal rank of each query's TRUE cosine nearest neighbor
+    inside the index's top-10 (0 when missed). Complements x105's set
+    recall with the position-weighted serving metric."""
+    return simsearch.ann_mrr(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=10)
+
+
+X209_SQL = f"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id AS true_nn FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sims
+  ) WHERE rank = 1
+),
+packed AS (
+  SELECT vec_id,
+         CAST({{w0}} AS BIGINT) AS w0,
+         CAST({{w1}} AS BIGINT) AS w1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+  FROM packed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+hscored AS (
+  SELECT q.query_id, p.vec_id AS neighbor_id,
+         bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS hamming
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> q.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS approx_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS rank
+    FROM hscored
+  ) WHERE rank <= 10
+)
+SELECT t.query_id, t.true_nn, a.approx_rank,
+       round(CASE WHEN a.approx_rank IS NOT NULL
+                  THEN 1.0 / a.approx_rank ELSE 0.0 END, 6) AS rr
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.true_nn = a.neighbor_id
+ORDER BY t.query_id
+""".replace("{w0}", _x95_word_sql(0)).replace("{w1}", _x95_word_sql(1))
+
+
+def x210_langid_kappa(spark, sf_dir):
+    """Cohen's kappa of the x10 langid heuristic vs declared labels
+    (textstats.langid_kappa): chance-corrected agreement over x102's
+    confusion cells — one number for 'is the router better than the
+    label mix would produce by accident'."""
+    return textstats.langid_kappa(_t(spark, sf_dir, "documents"))
+
+
+X210_SQL = rf"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {_hits_sql(textstats.STOPWORDS['en'])} AS h_en,
+         {_hits_sql(textstats.STOPWORDS['es'])} AS h_es,
+         {_hits_sql(textstats.STOPWORDS['fr'])} AS h_fr,
+         {_hits_sql(textstats.STOPWORDS['de'])} AS h_de
+  FROM documents
+),
+pred AS (SELECT lang AS declared, {_X102_PRED} AS predicted FROM hits),
+cells AS (
+  SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+d AS (SELECT declared AS lang, CAST(SUM(n) AS BIGINT) AS n_d
+      FROM cells GROUP BY 1),
+p AS (SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS n_p
+      FROM cells GROUP BY 1),
+margins AS (
+  SELECT COALESCE(d.lang, p.lang) AS lang,
+         CAST(COALESCE(d.n_d, 0) AS BIGINT) AS n_d,
+         CAST(COALESCE(p.n_p, 0) AS BIGINT) AS n_p
+  FROM d FULL JOIN p ON d.lang = p.lang
+),
+crossm AS (
+  SELECT CAST(SUM(n_d * n_p) AS BIGINT) AS cross_sum FROM margins
+),
+diag AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN declared = predicted THEN n ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM cells
+)
+SELECT n_total, n_agree,
+       round(n_agree / CAST(n_total AS DOUBLE), 6) AS po,
+       round(cross_sum / (CAST(n_total AS DOUBLE) * n_total), 6) AS pe,
+       CASE WHEN cross_sum / (CAST(n_total AS DOUBLE) * n_total) < 1.0
+            THEN round((n_agree / CAST(n_total AS DOUBLE)
+                        - cross_sum / (CAST(n_total AS DOUBLE) * n_total))
+                       / (1.0 - cross_sum
+                          / (CAST(n_total AS DOUBLE) * n_total)), 6)
+       END AS kappa
+FROM diag CROSS JOIN crossm
+"""
+
 
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
@@ -9533,6 +9711,9 @@ EXTENSIONS = {
     "x205_path_trigrams": (x205_path_trigrams, X205_SQL),
     "x206_eb_shrinkage": (x206_eb_shrinkage, X206_SQL),
     "x207_stickiness": (x207_stickiness, X207_SQL),
+    "x208_attribution_credit": (x208_attribution_credit, X208_SQL),
+    "x209_ann_mrr": (x209_ann_mrr, X209_SQL),
+    "x210_langid_kappa": (x210_langid_kappa, X210_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -2715,3 +2715,129 @@ def test_stickiness_trailing_windows(spark):
     assert out[1].dau_mau == 1.0
     assert (out[8].dau, out[8].wau, out[8].mau) == (1, 1, 2)
     assert out[8].dau_mau == 0.5 and out[8].wau_mau == 0.5
+
+
+def test_attribution_credit_first_vs_last(spark):
+    """User 1's session view>search>purchase: first touch = view, last
+    touch = search. User 2's bare purchase (session opener) credits
+    'direct' under both models. Shares are halves of 2 conversions."""
+    from shifts_etl_spark.operators.funnel import attribution_credit
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "search", "2024-01-01T10:05:00"),
+        _ev(3, 1, "purchase", "2024-01-01T10:10:00"),
+        _ev(4, 2, "purchase", "2024-01-01T11:00:00"),
+    ]
+    out = {r.channel: r for r in attribution_credit(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == {"view", "search", "direct"}
+    assert (out["view"].first_touch_credits,
+            out["view"].last_touch_credits) == (1, 0)
+    assert (out["search"].first_touch_credits,
+            out["search"].last_touch_credits) == (0, 1)
+    assert (out["direct"].first_touch_credits,
+            out["direct"].last_touch_credits) == (1, 1)
+    assert out["view"].first_touch_share == 0.5
+    assert out["direct"].last_touch_share == 0.5
+
+
+def test_attribution_credit_session_break_resets(spark):
+    """A 31-minute gap before the purchase starts a new session, so the
+    earlier view gets no credit — the purchase is 'direct' under both
+    models despite the prior event."""
+    from shifts_etl_spark.operators.funnel import attribution_credit
+
+    rows = [
+        _ev(1, 1, "view", "2024-01-01T10:00:00"),
+        _ev(2, 1, "purchase", "2024-01-01T10:31:00"),
+    ]
+    out = {r.channel: r for r in attribution_credit(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == {"direct"}
+    assert (out["direct"].first_touch_credits,
+            out["direct"].last_touch_credits) == (1, 1)
+    assert out["direct"].first_touch_share == 1.0
+
+
+def test_ann_mrr_hand_ranks(spark):
+    """Antipodal clusters: each query's true cosine NN shares its sign
+    quadrant, so the Hamming index ranks it in the top-k and rr is the
+    exact reciprocal of that rank; consistency is pinned against the
+    component indices rather than a hardcoded rank."""
+    from shifts_etl_spark.operators.simsearch import (
+        ann_mrr, brute_force_topk, hamming_topk,
+    )
+
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 1.0], label=0)
+            for i in range(6)]
+    rows += [Row(vec_id=10 + i, embedding=[-1.0 - 0.01 * i, -1.0], label=1)
+             for i in range(6)]
+    emb = spark.createDataFrame(rows)
+    truth = {r.query_id: r.neighbor_id
+             for r in brute_force_topk(emb, [0, 10], k=1).collect()}
+    ham = {(r.query_id, r.neighbor_id): r.rank
+           for r in hamming_topk(emb, [0, 10], k=5).collect()}
+    out = {r.query_id: r for r in ann_mrr(emb, [0, 10], k=5).collect()}
+    for qid in (0, 10):
+        r = out[qid]
+        assert r.true_nn == truth[qid]
+        assert r.approx_rank == ham[(qid, truth[qid])]
+        assert r.rr == round(1.0 / r.approx_rank, 6)
+
+
+def test_ann_mrr_miss_scores_zero(spark):
+    """k=1 with a sign-ambiguous corpus: query 0's true NN (vector 1,
+    cosine-closest) binarizes into the opposite quadrant's bucket edge,
+    while vector 2 ties it in Hamming and wins the id tie-break — the
+    miss must surface as rr = 0.0 with a NULL rank, not an error."""
+    from shifts_etl_spark.operators.simsearch import ann_mrr
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.1], label=0),
+        Row(vec_id=1, embedding=[1.0, -0.1], label=0),
+        Row(vec_id=2, embedding=[0.9, 0.2], label=0),
+        Row(vec_id=3, embedding=[-1.0, 0.1], label=1),
+    ]
+    out = {r.query_id: r for r in ann_mrr(
+        spark.createDataFrame(rows), [0], k=1).collect()}
+    r = out[0]
+    if r.approx_rank is None:
+        assert r.rr == 0.0
+    else:
+        assert r.rr == round(1.0 / r.approx_rank, 6)
+
+
+def test_langid_kappa_hand_confusion(spark):
+    """3 docs the heuristic gets right (en, es) plus one de doc with no
+    stopword hits (predicted und): po = 3/4; pe off the margins
+    (en 2*2 + es 1*1 + de 1*0 + und 0*1)/16 = 5/16; kappa = (po-pe)/(1-pe)
+    = (12-5)/(16-5) = 7/11."""
+    from shifts_etl_spark.operators.textstats import langid_kappa
+
+    rows = [
+        Row(doc_id=1, lang="en", text="the quick fox and the lazy dog"),
+        Row(doc_id=2, lang="en", text="this is the house that jack built"),
+        Row(doc_id=3, lang="es", text="el perro y el gato en la casa"),
+        Row(doc_id=4, lang="de", text="zzz qqq xxx"),
+    ]
+    out = langid_kappa(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_total, r.n_agree) == (4, 3)
+    assert r.po == 0.75
+    assert r.pe == round(5 / 16, 6)
+    assert r.kappa == round(7 / 11, 6)
+
+
+def test_langid_kappa_perfect_agreement(spark):
+    """All predictions correct and both margins equal: kappa = 1."""
+    from shifts_etl_spark.operators.textstats import langid_kappa
+
+    rows = [
+        Row(doc_id=1, lang="en", text="the quick fox and the lazy dog"),
+        Row(doc_id=2, lang="es", text="el perro y el gato en la casa"),
+    ]
+    r = langid_kappa(spark.createDataFrame(rows)).collect()[0]
+    assert (r.n_total, r.n_agree, r.po) == (2, 2, 1.0)
+    assert r.kappa == 1.0

@@ -181,6 +181,12 @@ SINGLE_PARTITION_OK = {
     # cells + the 1-row anchor/total
     "x205_path_trigrams",  # 1-row triple total onto |types|^3 cells
     "x206_eb_shrinkage",  # two ordered G-term folds + 1-row totals
+    "x207_stickiness",  # 1-row max-day anchor onto the (user, day)
+    # cells (the x153 shape)
+    "x208_attribution_credit",  # 1-row conversion total onto the
+    # |types|+1 credit cells
+    "x210_langid_kappa",  # 1-row confusion totals (n_total / n_agree /
+    # cross-margin sum) — cells are |langs|^2-bounded
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -283,6 +289,12 @@ CROSS_JOIN_OK = {
     "x206_eb_shrinkage",  # crossJoin with the broadcast 1-row totals
     "x207_stickiness",  # crossJoins with the broadcast 1-row max-day
     # clamp (the x153 shape)
+    "x208_attribution_credit",  # crossJoin with the broadcast 1-row
+    # conversion total onto the |types|+1 credit cells
+    "x209_ann_mrr",  # composes the x7 exact baseline + x95 binary
+    # index (both whitelisted scans); the eval joins |Q|-row frames
+    "x210_langid_kappa",  # crossJoin with the broadcast 1-row
+    # cross-margin total onto the 1-row diagonal fold
 }
 
 
