@@ -2584,3 +2584,79 @@ def attribution_credit(
         )
         .orderBy("channel")
     )
+
+
+def aa_calibration(
+    events: DataFrame,
+    z_crit: float = 1.96,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """A/A experiment-harness calibration: split users into two arms by
+    the deterministic md5 bucket (the x24 split convention, mod 2) and
+    two-sample z-test four per-user metrics (event count, error count,
+    active days, value in cents). On a correct harness every metric is
+    balanced; a skewed z flags broken assignment hashing or a metric
+    pipeline that leaks the split key — the audit teams run BEFORE
+    trusting any real A/B readout.
+
+    Determinism: all four metrics are integer-exact per user (value is
+    summed in cents), so arm sums are order-independent; z is closed
+    form off those sums. Zero pooled SE → NULL z, balanced = equal
+    means.
+
+    Scale shape: one per-user aggregate (shuffle on user), a 4-metric
+    melt, and a 1-row-per-metric conditional fold — never events."""
+    h = F.md5(F.col(user_col).cast("string"))
+    arm_bit = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 2
+    per_user = (
+        events.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("m_events"),
+            F.sum(
+                F.when(F.col(type_col) == "error", 1).otherwise(0)
+            ).cast("double").alias("m_errors"),
+            F.countDistinct(F.date_trunc("day", F.col(ts_col)))
+            .cast("double").alias("m_days"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("double").alias("m_cents"),
+        )
+        .select(
+            F.when(arm_bit == 0, F.lit("a")).otherwise(F.lit("b")).alias("arm"),
+            F.explode(
+                F.create_map(
+                    F.lit("events_per_user"), F.col("m_events"),
+                    F.lit("errors_per_user"), F.col("m_errors"),
+                    F.lit("active_days_per_user"), F.col("m_days"),
+                    F.lit("value_cents_per_user"), F.col("m_cents"),
+                )
+            ).alias("metric", "v"),
+        )
+    )
+    folded = per_user.groupBy("metric").agg(
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "a", F.col("v")).otherwise(0.0)).alias("s_a"),
+        F.sum(F.when(F.col("arm") == "b", F.col("v")).otherwise(0.0)).alias("s_b"),
+        F.sum(F.when(F.col("arm") == "a", F.col("v") * F.col("v")).otherwise(0.0)).alias("ss_a"),
+        F.sum(F.when(F.col("arm") == "b", F.col("v") * F.col("v")).otherwise(0.0)).alias("ss_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a, mean_b = F.col("s_a") / na, F.col("s_b") / nb
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / na) / (na - 1)
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / nb) / (nb - 1)
+    se = F.sqrt(var_a / na + var_b / nb)
+    z = (mean_a - mean_b) / se
+    return folded.select(
+        "metric",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.when(se > 0, F.round(z, 6)).alias("z"),
+        F.when(se > 0, F.abs(z) < z_crit).otherwise(mean_a == mean_b).alias("balanced"),
+    ).orderBy("metric")

@@ -607,3 +607,78 @@ def ann_mrr(
             6,
         ).alias("rr"),
     ).orderBy("query_id")
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): fuse the dense exact-cosine top-k (x7 baseline) with a
+    lexical token-Jaccard top-k; each list contributes 1/(c + rank) and
+    the fused rank orders the sum — the standard way a RAG pipeline
+    combines a dense index with BM25-ish sparse retrieval without score
+    normalization. A doc missing from one list contributes 0 from it.
+
+    Scale shape: both retrievers are the x7 broadcast-query scan
+    contract (|Q| broadcast rows against one linear corpus pass, no
+    corpus self-join); the fusion full-outer-joins two |Q| x k rank
+    lists. Ranks are ties-broken by doc id in both retrievers, so the
+    fused order is deterministic."""
+    from .dedup import jaccard
+    from .textstats import normalize_text, tokens
+
+    dense = brute_force_topk(
+        emb, query_ids, k=k, id_col=vec_id_col, vec_col=vec_col
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias(id_col),
+        F.col("rank").alias("dense_rank"),
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.array_distinct(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    q = tok.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("tok").alias("qtok")
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("jac").desc(), F.col(id_col)
+    )
+    lex = (
+        tok.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, jaccard(F.col("qtok"), F.col("tok")).alias("jac"))
+        .where(F.col("jac") > 0)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .where(F.col("lex_rank") <= k)
+        .select("query_id", id_col, "lex_rank")
+    )
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col("dense_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col(id_col)
+    )
+    return (
+        dense.join(lex, ["query_id", id_col], "full")
+        .withColumn("_score", score)
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "dense_rank",
+            "lex_rank",
+            F.round(F.col("_score"), 6).alias("rrf_score"),
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

@@ -1330,8 +1330,11 @@ def heaps_law(
         F.sum("n_new").over(w).cast("long").alias("cum_types"),
     ).where(F.col("cum_tokens") > 0)
     fit = pts.agg(
-        F.round(
-            F.regr_slope(F.log("cum_types"), F.log("cum_tokens")), 6
+        (
+            F.round(
+                F.regr_slope(F.log("cum_types"), F.log("cum_tokens")), 6
+            )
+            + F.lit(0.0)  # normalize -0.0 (saturated-vocab fits)
         ).alias("beta"),
         F.round(
             F.exp(

@@ -6968,7 +6968,7 @@ pts AS (
 ),
 kept AS (SELECT * FROM pts WHERE cum_tokens > 0),
 fit AS (
-  SELECT round(regr_slope(ln(cum_types), ln(cum_tokens)), 6) AS beta,
+  SELECT round(regr_slope(ln(cum_types), ln(cum_tokens)), 6) + 0.0 AS beta,
          round(exp(regr_intercept(ln(cum_types), ln(cum_tokens))), 4)
            AS heaps_k
   FROM kept
@@ -9484,6 +9484,145 @@ FROM diag CROSS JOIN crossm
 """
 
 
+def x211_aa_calibration(spark, sf_dir):
+    """A/A experiment-harness calibration (funnel.aa_calibration):
+    md5-bucket users into two arms and two-sample z-test four
+    integer-exact per-user metrics — every metric must come back
+    balanced before any real A/B readout is trusted."""
+    return funnel.aa_calibration(_t(spark, sf_dir, "events"))
+
+
+X211_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS m_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS m_errors,
+         CAST(count(DISTINCT date_trunc('day', ts)) AS DOUBLE) AS m_days,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS m_cents
+  FROM events GROUP BY 1
+),
+armed AS (
+  SELECT CASE WHEN (ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 256
+                    + ascii(substring(md5(CAST(user_id AS VARCHAR)), 2, 1)))
+                   % 2 = 0
+              THEN 'a' ELSE 'b' END AS arm,
+         m_events, m_errors, m_days, m_cents
+  FROM pu
+),
+melt AS (
+  SELECT arm, 'events_per_user' AS metric, m_events AS v FROM armed
+  UNION ALL SELECT arm, 'errors_per_user', m_errors FROM armed
+  UNION ALL SELECT arm, 'active_days_per_user', m_days FROM armed
+  UNION ALL SELECT arm, 'value_cents_per_user', m_cents FROM armed
+),
+folded AS (
+  SELECT metric,
+         CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN arm = 'a' THEN v ELSE 0.0 END) AS s_a,
+         SUM(CASE WHEN arm = 'b' THEN v ELSE 0.0 END) AS s_b,
+         SUM(CASE WHEN arm = 'a' THEN v * v ELSE 0.0 END) AS ss_a,
+         SUM(CASE WHEN arm = 'b' THEN v * v ELSE 0.0 END) AS ss_b
+  FROM melt GROUP BY 1
+),
+m AS (
+  SELECT metric, n_a, n_b,
+         s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+         sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+              + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b) AS se
+  FROM folded
+)
+SELECT metric, n_a, n_b,
+       round(mean_a, 6) AS mean_a,
+       round(mean_b, 6) AS mean_b,
+       CASE WHEN se > 0 THEN round((mean_a - mean_b) / se, 6) END AS z,
+       CASE WHEN se > 0 THEN abs((mean_a - mean_b) / se) < 1.96
+            ELSE mean_a = mean_b END AS balanced
+FROM m
+ORDER BY metric
+"""
+
+
+def y5_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
+    of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
+    top-10 — each list contributes 1/(60 + rank); a doc missing from
+    one list contributes 0 from it. Both retrievers are the broadcast
+    |Q|-query linear-scan contract; the fusion joins |Q| x k lists."""
+    return simsearch.rrf_fusion(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=10,
+    )
+
+
+Y5_SQL = rf"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.doc_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.doc_id = nc.vec_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS dense_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rank
+    FROM sims
+  ) WHERE rank <= 10
+),
+tok AS (SELECT doc_id, list_distinct({_X67_NORM}) AS tok FROM documents),
+q AS (SELECT doc_id AS query_id, tok AS qtok
+      FROM tok WHERE doc_id IN (0, 1, 2, 3, 4)),
+jac AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(len(list_intersect(t.tok, q.qtok)) AS DOUBLE)
+           / len(list_distinct(list_concat(t.tok, q.qtok))) AS jac
+  FROM tok t CROSS JOIN q WHERE t.doc_id <> q.query_id
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS lex_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY jac DESC, doc_id) AS rank
+    FROM jac WHERE jac > 0
+  ) WHERE rank <= 10
+),
+fused AS (
+  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         d.dense_rank, l.lex_rank,
+         COALESCE(1.0 / (60 + d.dense_rank), 0.0)
+           + COALESCE(1.0 / (60 + l.lex_rank), 0.0) AS score
+  FROM dense d
+  FULL JOIN lex l ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, dense_rank, lex_rank,
+       round(score, 6) AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -9566,6 +9705,7 @@ EXTENSIONS = {
     "y2_hard_negatives": (y2_hard_negatives, Y2_SQL),
     "y3_embedding_covariance": (y3_embedding_covariance, Y3_SQL),
     "y4_split_ngram_contamination": (y4_split_ngram_contamination, Y4_SQL),
+    "y5_rrf_fusion": (y5_rrf_fusion, Y5_SQL),
     "x78_ks_drift": (x78_ks_drift, X78_SQL),
     "x79_containment_dupes": (x79_containment_dupes, X79_SQL),
     "x80_snapshot_diff": (x80_snapshot_diff, X80_SQL),
@@ -9714,6 +9854,7 @@ EXTENSIONS = {
     "x208_attribution_credit": (x208_attribution_credit, X208_SQL),
     "x209_ann_mrr": (x209_ann_mrr, X209_SQL),
     "x210_langid_kappa": (x210_langid_kappa, X210_SQL),
+    "x211_aa_calibration": (x211_aa_calibration, X211_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

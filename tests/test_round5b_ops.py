@@ -2841,3 +2841,129 @@ def test_langid_kappa_perfect_agreement(spark):
     r = langid_kappa(spark.createDataFrame(rows)).collect()[0]
     assert (r.n_total, r.n_agree, r.po) == (2, 2, 1.0)
     assert r.kappa == 1.0
+
+
+def test_rrf_fusion_hand_ranks(spark):
+    """Doc 1 is both the dense top-1 and the lexical top-1 for query 0,
+    so it fuses first with score 2/61; a dense-only doc scores
+    1/(60+rank) with a NULL lex rank."""
+    from shifts_etl_spark.operators.simsearch import rrf_fusion
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="alpha beta gamma delta"),
+        Row(doc_id=1, text="alpha beta gamma epsilon"),
+        Row(doc_id=2, text="alpha beta zeta eta"),
+        Row(doc_id=3, text="theta iota kappa mu"),
+    ])
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[1.0, 0.1], label=0),
+        Row(vec_id=2, embedding=[0.9, 0.3], label=0),
+        Row(vec_id=3, embedding=[-1.0, 0.5], label=1),
+    ])
+    out = [r for r in rrf_fusion(docs, emb, [0], k=3).collect()]
+    by_doc = {r.doc_id: r for r in out}
+    # dense order for q0: 1 (cos~.995), 2 (~.949), 3 (negative);
+    # lexical order: 1 (jac 3/5), 2 (2/6), 3 (0 -> absent)
+    assert by_doc[1].fused_rank == 1
+    assert (by_doc[1].dense_rank, by_doc[1].lex_rank) == (1, 1)
+    assert by_doc[1].rrf_score == round(2 / 61, 6)
+    assert by_doc[2].fused_rank == 2
+    assert by_doc[2].rrf_score == round(1 / 62 + 1 / 62, 6)
+    assert by_doc[3].lex_rank is None  # no shared tokens
+    assert by_doc[3].rrf_score == round(1 / 63, 6)
+
+
+def test_rrf_fusion_lex_only_member(spark):
+    """A doc outside the dense top-k but lexically identical to the
+    query still enters the fused list through the lexical leg alone."""
+    from shifts_etl_spark.operators.simsearch import rrf_fusion
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same words here") for i in range(4)]
+    )
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[1.0, 0.2], label=0),
+        Row(vec_id=2, embedding=[0.8, 0.4], label=0),
+        Row(vec_id=3, embedding=[-1.0, 0.0], label=1),
+    ])
+    out = rrf_fusion(docs, emb, [0], k=2).collect()
+    # dense top-2 = {1, 2}; lexical top-2 (all jac 1.0, id tie-break)
+    # = {1, 2} as well -> doc 3 appears in neither; fused list is 2 rows
+    assert {r.doc_id for r in out} == {1, 2}
+    assert [r.fused_rank for r in sorted(out, key=lambda r: r.fused_rank)] == [1, 2]
+
+
+def test_aa_calibration_balanced_and_metrics(spark):
+    """Hand corpus where both arms see identical per-user metric
+    distributions: every metric must come back balanced with z = 0 (or
+    NULL when the pooled SE is 0), and the arm assignment must follow
+    the md5 convention."""
+    import hashlib
+
+    from shifts_etl_spark.operators.funnel import aa_calibration
+
+    def arm(uid):
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        return "a" if (ord(h[0]) * 256 + ord(h[1])) % 2 == 0 else "b"
+
+    # pick 2 users per arm deterministically
+    a_users = [u for u in range(100) if arm(u) == "a"][:2]
+    b_users = [u for u in range(100) if arm(u) == "b"][:2]
+    rows = []
+    eid = 0
+    for users in (a_users, b_users):
+        for j, u in enumerate(users):
+            # user j gets j+1 events of value 2.0, one of them an error
+            for i in range(j + 1):
+                eid += 1
+                rows.append(_ev(eid, u, "error" if i == 0 else "view",
+                                f"2024-01-0{i + 1}T10:00:00"))
+    df = spark.createDataFrame([
+        Row(event_id=r.event_id, ts=r.ts, user_id=r.user_id,
+            event_type=r.event_type, value=2.0, props="{}")
+        for r in rows
+    ])
+    out = {r.metric: r for r in aa_calibration(df).collect()}
+    assert set(out) == {"events_per_user", "errors_per_user",
+                        "active_days_per_user", "value_cents_per_user"}
+    for m, r in out.items():
+        assert (r.n_a, r.n_b) == (2, 2)
+        assert r.mean_a == r.mean_b
+        assert r.balanced is True
+        if m == "errors_per_user":
+            assert r.z is None  # everyone has exactly 1 error -> SE 0
+        else:
+            assert r.z == 0.0
+    assert out["events_per_user"].mean_a == 1.5
+    assert out["value_cents_per_user"].mean_a == 300.0
+
+
+def test_aa_calibration_detects_imbalance(spark):
+    """A metric that leaks the split key (arm-a users get 10x the
+    events) must produce a large |z| and balanced = False."""
+    import hashlib
+
+    from shifts_etl_spark.operators.funnel import aa_calibration
+
+    def arm(uid):
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        return "a" if (ord(h[0]) * 256 + ord(h[1])) % 2 == 0 else "b"
+
+    a_users = [u for u in range(200) if arm(u) == "a"][:5]
+    b_users = [u for u in range(200) if arm(u) == "b"][:5]
+    rows, eid = [], 0
+    for u in a_users:
+        for i in range(20 + u % 3):
+            eid += 1
+            rows.append(_ev(eid, u, "view", "2024-01-01T10:00:00"))
+    for u in b_users:
+        for i in range(2 + u % 3):
+            eid += 1
+            rows.append(_ev(eid, u, "view", "2024-01-01T10:00:00"))
+    out = {r.metric: r for r in aa_calibration(
+        spark.createDataFrame(rows)).collect()}
+    r = out["events_per_user"]
+    assert r.balanced is False
+    assert abs(r.z) > 1.96

@@ -295,6 +295,8 @@ CROSS_JOIN_OK = {
     # index (both whitelisted scans); the eval joins |Q|-row frames
     "x210_langid_kappa",  # crossJoin with the broadcast 1-row
     # cross-margin total onto the 1-row diagonal fold
+    "y5_rrf_fusion",  # both retrievers are the x7 broadcast-query
+    # linear-scan contract (|Q| rows x corpus); fusion joins |Q| x k
 }
 
 
