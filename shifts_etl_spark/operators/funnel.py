@@ -2660,3 +2660,57 @@ def aa_calibration(
         F.when(se > 0, F.round(z, 6)).alias("z"),
         F.when(se > 0, F.abs(z) < z_crit).otherwise(mean_a == mean_b).alias("balanced"),
     ).orderBy("metric")
+
+
+def markov_prediction(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-1 next-event prediction accuracy of the x128 transition
+    matrix used as a predictor: per previous type, the argmax next
+    type (ties → lexicographic min) and the share of observed
+    transitions it gets right — the decision-metric companion to
+    x201's entropy rate (how USABLE the sequence structure is, not
+    just how much of it exists).
+
+    Scale shape: one keyed lag window → |types|^2 transition cells;
+    the argmax and accuracy derive from the cells alone."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cells = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type")
+    )
+    best = (
+        cells.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "prev_type",
+            F.col("next_type").alias("predicted"),
+            F.col("n").alias("n_correct"),
+        )
+    )
+    totals = cells.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("n_transitions")
+    )
+    return (
+        totals.join(best, "prev_type")
+        .select(
+            "prev_type",
+            "predicted",
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_transitions").cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )

@@ -1882,3 +1882,60 @@ def langid_kappa(
         F.round(pe, 6).alias("pe"),
         F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)).alias("kappa"),
     )
+
+
+def spearman_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Spearman rank correlation between document length and the x18
+    quality score, per source — the monotone-association audit behind
+    'are we just selecting for long documents?'. Ties get average
+    ranks (the correct general Spearman = Pearson on midranks).
+
+    Determinism: ranks are doubled (2·midrank = 2·min_rank + tie_count
+    − 1) so every rank value and every moment sum is an exact integer
+    in a double; rho is closed form off six such sums — no
+    order-dependent float accumulation. The quality score ranks on its
+    exact 0–10 lattice.
+
+    Scale shape: two rank windows keyed by source (one shuffle), then
+    a per-source 6-sum fold; nothing leaves the source partition until
+    the G-row result."""
+    s10 = F.round(quality_score(F.col(text_col)) * 10).cast("long")
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(len_col).cast("long").alias("x"),
+        s10.alias("y"),
+    )
+    wx = Window.partitionBy("source").orderBy("x")
+    wy = Window.partitionBy("source").orderBy("y")
+    cx = Window.partitionBy("source", "x")
+    cy = Window.partitionBy("source", "y")
+    ranked = base.select(
+        "source",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
+        .cast("double").alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
+        .cast("double").alias("ry"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+        .alias("spearman_rho"),
+    ).orderBy("source")

@@ -9544,6 +9544,94 @@ ORDER BY metric
 """
 
 
+def x212_spearman_quality(spark, sf_dir):
+    """Length-vs-quality Spearman rho per source
+    (textstats.spearman_quality): Pearson on doubled midranks, exact
+    integer moment sums — 'are we selecting for long documents?'."""
+    return textstats.spearman_quality(_t(spark, sf_dir, "documents"))
+
+
+X212_SQL = rf"""
+WITH qb AS (
+  SELECT source, n_chars, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qq AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(round((CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) * 10)
+          AS BIGINT) AS y
+  FROM qb
+),
+ranked AS (
+  SELECT source,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY x)
+              + count(*) OVER (PARTITION BY source, x) - 1 AS DOUBLE) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY y)
+              + count(*) OVER (PARTITION BY source, y) - 1 AS DOUBLE) AS ry
+  FROM qq
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT source, n_docs,
+       CASE WHEN n_docs * sxx - sx * sx > 0 AND n_docs * syy - sy * sy > 0
+            THEN round((n_docs * sxy - sx * sy)
+                       / sqrt((n_docs * sxx - sx * sx)
+                              * (n_docs * syy - sy * sy)), 6)
+       END AS spearman_rho
+FROM agg
+ORDER BY source
+"""
+
+
+def x213_markov_prediction(spark, sf_dir):
+    """Next-event top-1 prediction accuracy (funnel.markov_prediction):
+    the x128 transition argmax as a predictor, scored on the observed
+    transitions — x201's entropy rate turned into a decision metric."""
+    return funnel.markov_prediction(_t(spark, sf_dir, "events"))
+
+
+X213_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+cells AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+best AS (
+  SELECT prev_type, next_type AS predicted, n AS n_correct FROM (
+    SELECT prev_type, next_type, n,
+           row_number() OVER (PARTITION BY prev_type
+                              ORDER BY n DESC, next_type) AS rn
+    FROM cells
+  ) WHERE rn = 1
+),
+totals AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_transitions
+  FROM cells GROUP BY 1
+)
+SELECT t.prev_type, b.predicted, t.n_transitions, b.n_correct,
+       round(b.n_correct / CAST(t.n_transitions AS DOUBLE), 6) AS accuracy
+FROM totals t JOIN best b USING (prev_type)
+ORDER BY t.prev_type
+"""
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -9855,6 +9943,8 @@ EXTENSIONS = {
     "x209_ann_mrr": (x209_ann_mrr, X209_SQL),
     "x210_langid_kappa": (x210_langid_kappa, X210_SQL),
     "x211_aa_calibration": (x211_aa_calibration, X211_SQL),
+    "x212_spearman_quality": (x212_spearman_quality, X212_SQL),
+    "x213_markov_prediction": (x213_markov_prediction, X213_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

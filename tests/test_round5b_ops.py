@@ -2967,3 +2967,81 @@ def test_aa_calibration_detects_imbalance(spark):
     r = out["events_per_user"]
     assert r.balanced is False
     assert abs(r.z) > 1.96
+
+
+def test_spearman_quality_hand_rho(spark):
+    """Source 'up': lengths 1..4 and quality strictly increasing with
+    length (longer docs have more tokens and more stopwords) -> rho = 1.
+    Source 'flat': all quality scores tie -> zero rank variance -> NULL."""
+    from shifts_etl_spark.operators.textstats import spearman_quality
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    up = [Row(doc_id=i, source="up",
+              text=("x " * (5 * (4 - i))) if i < 2 else good,
+              n_chars=10 * (i + 1)) for i in range(4)]
+    flat = [Row(doc_id=10 + i, source="flat", text=good, n_chars=50 + i)
+            for i in range(3)]
+    out = {r.source: r for r in spearman_quality(
+        spark.createDataFrame(up + flat)).collect()}
+    assert out["flat"].spearman_rho is None  # y has zero variance
+    assert out["up"].n_docs == 4
+    # docs 0,1 tie at quality 0.5 (y=5) and docs 2,3 at 1.0 (y=10);
+    # lengths strictly increase. Doubled midranks: x = (2,4,6,8),
+    # y = (3,3,7,7). Integer sums: sx=20 sy=20 sxx=120 syy=116 sxy=116
+    # cov = 4*116-400 = 64; vx = 4*120-400 = 80; vy = 4*116-400 = 64
+    # rho = 64/sqrt(80*64) = 2/sqrt(5)
+    assert out["up"].spearman_rho == round(64 / (80 * 64) ** 0.5, 6)
+
+
+def test_spearman_quality_perfect_inverse(spark):
+    """Quality strictly decreasing in length -> rho = -1."""
+    from shifts_etl_spark.operators.textstats import spearman_quality
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    rows = [Row(doc_id=0, source="s", text=good, n_chars=10),
+            Row(doc_id=1, source="s", text=good + " extra words here we go",
+                n_chars=20),
+            Row(doc_id=2, source="s", text="x", n_chars=30)]
+    # doc 0 scores 1.0, doc 1 scores 1.0... make them distinct:
+    rows = [Row(doc_id=0, source="s", text=good, n_chars=10),
+            Row(doc_id=1, source="s", text="a b c d e f g h i j k l",
+                n_chars=20),
+            Row(doc_id=2, source="s", text="1 2", n_chars=30)]
+    out = spearman_quality(spark.createDataFrame(rows)).collect()[0]
+    assert out.spearman_rho == -1.0
+
+
+def test_markov_prediction_argmax_and_accuracy(spark):
+    """User histories A->B, A->B, A->C: prev A predicts B (2 of 3
+    right); B and C never precede anything except via the chain —
+    here each user emits A then one next event only, so cells are
+    exactly the A->{B,B,C} transitions."""
+    from shifts_etl_spark.operators.funnel import markov_prediction
+
+    rows = []
+    for u, nxt in enumerate(["B", "B", "C"]):
+        rows.append(_ev(2 * u + 1, u, "A", "2024-01-01T10:00:00"))
+        rows.append(_ev(2 * u + 2, u, nxt, "2024-01-01T10:01:00"))
+    out = {r.prev_type: r for r in markov_prediction(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == {"A"}
+    r = out["A"]
+    assert (r.predicted, r.n_transitions, r.n_correct) == ("B", 3, 2)
+    assert r.accuracy == round(2 / 3, 6)
+
+
+def test_markov_prediction_tie_breaks_lexicographic(spark):
+    """A->B and A->C equally often: the argmax tie goes to the
+    lexicographically smaller next type."""
+    from shifts_etl_spark.operators.funnel import markov_prediction
+
+    rows = []
+    for u, nxt in enumerate(["C", "B"]):
+        rows.append(_ev(2 * u + 1, u, "A", "2024-01-01T10:00:00"))
+        rows.append(_ev(2 * u + 2, u, nxt, "2024-01-01T10:01:00"))
+    out = {r.prev_type: r for r in markov_prediction(
+        spark.createDataFrame(rows)).collect()}
+    assert out["A"].predicted == "B"
+    assert out["A"].accuracy == 0.5
