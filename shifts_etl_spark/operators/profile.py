@@ -1644,3 +1644,131 @@ def supplier_spc(
         "suppkey", "s_name", "n_shipments", "mean_lag", "mean_mrange",
         "ucl", "n_breaches", "breach_share",
     ).orderBy(F.desc("breach_share"), "suppkey")
+
+
+def knn_classifier_report(
+    emb: DataFrame,
+    k: int = 5,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leave-one-out k-NN majority-vote classifier report card:
+    block vectors into the x185 label-blind md5 buckets, vote each
+    vector's label from its top-``k`` in-bucket cosine neighbors
+    (majority, ties → count desc then label asc), and report per true
+    label the support / prediction count / hits and precision-recall-
+    F1, plus the macro-F1 — the embedding-quality eval (can the space
+    actually separate the classes?) that x185's 1-NN agreement only
+    hints at.
+
+    Determinism: cosines round at 6 dp with (cosine desc, neighbor id)
+    rank tie-break; votes and confusion cells are integer counts;
+    metrics are closed form off the cells.
+
+    Scale shape: the pair scan is per-bucket (bounded blocks, the x185
+    contract — at 100 TB swap buckets for x8 LSH bands); everything
+    downstream of the votes is |labels|^2 cells."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_from_norms, l2_norm
+    from .curation import _hex_uniform_int
+
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        (
+            _hex_uniform_int(
+                F.concat(F.col(id_col).cast("string"), F.lit("-knb"))
+            )
+            % n_buckets
+        ).alias("blk"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    l, r = e.alias("l"), e.alias("r")
+    sim = cosine_from_norms(
+        F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")
+    )
+    pairs = l.join(
+        r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.vid") != F.col("r.vid"))
+    ).select(
+        F.col("l.vid").alias("vec_id"),
+        F.col("r.vid").alias("neighbor_id"),
+        F.round(sim, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "neighbor_id")
+    )
+    nlab = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    vc = votes.join(nlab, "neighbor_id").groupBy("vec_id", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("n_label")
+    )
+    pred = (
+        vc.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("n_label").alias("predicted"))
+    )
+    truth = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("declared")
+    )
+    cells = pred.join(truth, "vec_id").groupBy("declared", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    d = cells.groupBy(F.col("declared").alias("label")).agg(
+        F.sum("n").cast("long").alias("support")
+    )
+    p = cells.groupBy(F.col("predicted").alias("label")).agg(
+        F.sum("n").cast("long").alias("predicted_count")
+    )
+    c = (
+        cells.where(F.col("declared") == F.col("predicted"))
+        .groupBy(F.col("declared").alias("label"))
+        .agg(F.sum("n").cast("long").alias("n_correct"))
+    )
+    base = (
+        d.join(p, "label", "full")
+        .join(c, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("predicted_count", F.lit(0)).cast("long")
+            .alias("predicted_count"),
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+        )
+    )
+    pr = F.when(
+        F.col("predicted_count") > 0,
+        F.col("n_correct") / F.col("predicted_count").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rc = F.when(
+        F.col("support") > 0,
+        F.col("n_correct") / F.col("support").cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(pr + rc > 0, 2.0 * pr * rc / (pr + rc)).otherwise(F.lit(0.0))
+    scored = base.select(
+        "label", "support", "predicted_count", "n_correct",
+        F.round(pr, 6).alias("precision"),
+        F.round(rc, 6).alias("recall"),
+        f1.alias("_f1"),
+    )
+    macro = scored.agg(F.round(F.avg("_f1"), 6).alias("macro_f1"))
+    return (
+        scored.crossJoin(F.broadcast(macro))
+        .select(
+            "label", "support", "predicted_count", "n_correct",
+            "precision", "recall",
+            F.round(F.col("_f1"), 6).alias("f1"),
+            "macro_f1",
+        )
+        .orderBy("label")
+    )

@@ -9711,6 +9711,105 @@ ORDER BY query_id, fused_rank
 """
 
 
+def y6_knn_classifier(spark, sf_dir):
+    """Leave-one-out 5-NN majority-vote label eval
+    (profile.knn_classifier_report): per-label precision/recall/F1 and
+    macro-F1 over the x185 label-blind md5 buckets — the
+    embedding-separability report card."""
+    return profile.knn_classifier_report(_t(spark, sf_dir, "embeddings"))
+
+
+Y6_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM bucketed
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b
+    ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.neighbor_id = nb.vec_id
+),
+votes AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+),
+vc AS (
+  SELECT v.vec_id, lb.label AS n_label, count(*) AS c
+  FROM votes v JOIN embeddings lb ON v.neighbor_id = lb.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT vec_id, n_label AS predicted FROM (
+    SELECT vec_id, n_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, n_label) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT la.label AS declared, p.predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred p JOIN embeddings la ON p.vec_id = la.vec_id
+  GROUP BY 1, 2
+),
+d AS (SELECT declared AS label, CAST(SUM(n) AS BIGINT) AS support
+      FROM cells GROUP BY 1),
+p AS (SELECT predicted AS label, CAST(SUM(n) AS BIGINT) AS predicted_count
+      FROM cells GROUP BY 1),
+c AS (SELECT declared AS label, CAST(SUM(n) AS BIGINT) AS n_correct
+      FROM cells WHERE declared = predicted GROUP BY 1),
+base AS (
+  SELECT COALESCE(d.label, p.label) AS label,
+         CAST(COALESCE(d.support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(p.predicted_count, 0) AS BIGINT) AS predicted_count,
+         CAST(COALESCE(c.n_correct, 0) AS BIGINT) AS n_correct
+  FROM d FULL JOIN p ON d.label = p.label
+  LEFT JOIN c ON COALESCE(d.label, p.label) = c.label
+),
+m AS (
+  SELECT label, support, predicted_count, n_correct,
+         CASE WHEN predicted_count > 0
+              THEN n_correct / CAST(predicted_count AS DOUBLE)
+              ELSE 0.0 END AS pr,
+         CASE WHEN support > 0
+              THEN n_correct / CAST(support AS DOUBLE) ELSE 0.0 END AS rc
+  FROM base
+),
+f AS (
+  SELECT label, support, predicted_count, n_correct, pr, rc,
+         CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc)
+              ELSE 0.0 END AS f1_raw
+  FROM m
+),
+macro AS (SELECT round(avg(f1_raw), 6) AS macro_f1 FROM f)
+SELECT label, support, predicted_count, n_correct,
+       round(pr, 6) AS "precision",
+       round(rc, 6) AS recall,
+       round(f1_raw, 6) AS f1,
+       macro_f1
+FROM f CROSS JOIN macro
+ORDER BY label
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -9794,6 +9893,7 @@ EXTENSIONS = {
     "y3_embedding_covariance": (y3_embedding_covariance, Y3_SQL),
     "y4_split_ngram_contamination": (y4_split_ngram_contamination, Y4_SQL),
     "y5_rrf_fusion": (y5_rrf_fusion, Y5_SQL),
+    "y6_knn_classifier": (y6_knn_classifier, Y6_SQL),
     "x78_ks_drift": (x78_ks_drift, X78_SQL),
     "x79_containment_dupes": (x79_containment_dupes, X79_SQL),
     "x80_snapshot_diff": (x80_snapshot_diff, X80_SQL),

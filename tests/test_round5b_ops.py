@@ -3045,3 +3045,46 @@ def test_markov_prediction_tie_breaks_lexicographic(spark):
         spark.createDataFrame(rows)).collect()}
     assert out["A"].predicted == "B"
     assert out["A"].accuracy == 0.5
+
+
+def test_knn_classifier_separable_clusters(spark):
+    """Two tight antipodal clusters in one md5 bucket universe
+    (n_buckets=1 so blocking is a no-op): 3-NN majority vote classifies
+    every vector correctly -> per-label F1 = 1 and macro_f1 = 1."""
+    from shifts_etl_spark.operators.profile import knn_classifier_report
+
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 1.0], label=0)
+            for i in range(5)]
+    rows += [Row(vec_id=10 + i, embedding=[-1.0 - 0.01 * i, -1.0], label=1)
+             for i in range(5)]
+    out = {r.label: r for r in knn_classifier_report(
+        spark.createDataFrame(rows), k=3, n_buckets=1).collect()}
+    for lbl in (0, 1):
+        r = out[lbl]
+        assert (r.support, r.predicted_count, r.n_correct) == (5, 5, 5)
+        assert (r.precision, r.recall, r.f1) == (1.0, 1.0, 1.0)
+        assert r.macro_f1 == 1.0
+
+
+def test_knn_classifier_minority_overwhelmed(spark):
+    """One label-1 vector inside a label-0 cloud: its 3 neighbors are
+    all label 0, so label 1 is never predicted -> recall 0, precision 0
+    (no predictions), f1 0; label 0 keeps perfect recall but imperfect
+    precision; macro_f1 is the plain average of the two f1 values."""
+    from shifts_etl_spark.operators.profile import knn_classifier_report
+
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 1.0], label=0)
+            for i in range(5)]
+    rows.append(Row(vec_id=9, embedding=[1.0, 1.01], label=1))
+    out = {r.label: r for r in knn_classifier_report(
+        spark.createDataFrame(rows), k=3, n_buckets=1).collect()}
+    r1 = out[1]
+    assert (r1.support, r1.predicted_count, r1.n_correct) == (1, 0, 0)
+    assert (r1.precision, r1.recall, r1.f1) == (0.0, 0.0, 0.0)
+    r0 = out[0]
+    assert (r0.support, r0.predicted_count, r0.n_correct) == (5, 6, 5)
+    assert r0.recall == 1.0
+    assert r0.precision == round(5 / 6, 6)
+    f0 = 2 * (5 / 6) * 1.0 / (5 / 6 + 1.0)
+    assert r0.f1 == round(f0, 6)
+    assert r0.macro_f1 == round((f0 + 0.0) / 2, 6)

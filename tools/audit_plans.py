@@ -187,6 +187,8 @@ SINGLE_PARTITION_OK = {
     # |types|+1 credit cells
     "x210_langid_kappa",  # 1-row confusion totals (n_total / n_agree /
     # cross-margin sum) — cells are |langs|^2-bounded
+    "y6_knn_classifier",  # 1-row macro-F1 fold over the |labels|-row
+    # metric frame
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -297,6 +299,8 @@ CROSS_JOIN_OK = {
     # cross-margin total onto the 1-row diagonal fold
     "y5_rrf_fusion",  # both retrievers are the x7 broadcast-query
     # linear-scan contract (|Q| rows x corpus); fusion joins |Q| x k
+    "y6_knn_classifier",  # crossJoin with the broadcast 1-row macro-F1
+    # onto the |labels|-row metric frame
 }
 
 
