@@ -2714,3 +2714,51 @@ def markov_prediction(
         )
         .orderBy("prev_type")
     )
+
+
+def bot_regularity(
+    events: DataFrame,
+    min_gaps: int = 5,
+    cv_threshold: float = 0.1,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bot/automation screen by inter-event regularity: a human's
+    gaps between events are bursty (coefficient of variation near or
+    above 1); a scheduler fires on a clock (CV near 0). Per user with
+    at least ``min_gaps`` gaps: mean gap, CV (sample sd / mean), and
+    the bot_like flag (CV <= threshold, or an all-zero-gap replay) —
+    the traffic-hygiene filter run before user events are trusted as
+    training signal.
+
+    Determinism: gaps are integer seconds; n / sum / sum-of-squares
+    are exact integers in doubles, CV is closed form off them (IEEE
+    sqrt is correctly rounded, so 6-dp rounding is stable).
+
+    Scale shape: one keyed lag window, one per-user 3-sum fold —
+    events never leave their user partition."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = (
+        F.unix_timestamp(F.col(ts_col))
+        - F.unix_timestamp(F.lag(ts_col).over(w))
+    ).cast("double")
+    gaps = events.select(
+        F.col(user_col).alias("user_id"), gap.alias("g")
+    ).where(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ss"),
+    ).where(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s") / n
+    var = (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    cv = F.sqrt(var) / mean
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.when(mean > 0, F.round(cv, 6)).alias("cv"),
+        ((mean == 0) | ((mean > 0) & (cv <= cv_threshold))).alias("bot_like"),
+    ).orderBy("user_id")

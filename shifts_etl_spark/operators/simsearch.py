@@ -682,3 +682,139 @@ def rrf_fusion(
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+def ivf_probe_sweep(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_stride: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-vs-cost tuning curve for the x13 IVF index: for each
+    n_probe setting, per query, the candidate count actually scanned
+    and the recall@k against the exact x7 baseline — the artifact an
+    ANN operator reads to pick n_probe before serving (more probes buy
+    recall linearly in scan cost; the sweep shows where it saturates).
+
+    One scoring pass serves every probe setting: candidates carry the
+    rank of the FIRST query cell that admitted them (first_probe), so
+    probe p's candidate set is the first_probe <= p slice — the sweep
+    never re-scores pairs.
+
+    Scale shape: the x13 contract (broadcast centroid scoring, cell
+    equi-join, id-only dedup shuffle) plus a 4-literal probe explode
+    over the |Q|-bounded candidate lists."""
+    from .dedup import _fan_out
+
+    cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+    max_probe = max(probes)
+
+    corpus = (
+        _fan_out(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            )
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "cent_id",
+            cosine_similarity(F.col("cv"), F.col("cent_v")).alias("cent_sim"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cent_sim"), -F.col("cent_id"))
+            ).alias("cent_id")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    qcells = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cent_id",
+            cosine_similarity(F.col("qv"), F.col("cent_v")).alias("cent_sim"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= max_probe)
+        .select("query_id", "cent_id", "cell_rank")
+    )
+    cand = (
+        qcells.join(corpus, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cell_rank").alias("first_probe"))
+    )
+    qv = F.broadcast(
+        emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "first_probe",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+            .alias("cosine"),
+        )
+    )
+    pdf = emb.sparkSession.createDataFrame(
+        [(p,) for p in probes], schema="n_probe int"
+    )
+    sweep = scored.crossJoin(F.broadcast(pdf)).where(
+        F.col("first_probe") <= F.col("n_probe")
+    )
+    counts = sweep.groupBy("n_probe", "query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    wr = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        sweep.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= k)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(
+        emb, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    hits = (
+        truth.crossJoin(F.broadcast(pdf))
+        .join(approx, ["n_probe", "query_id", "neighbor_id"], "left_semi")
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_exact = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        counts.join(n_exact, "query_id")
+        .join(hits, ["n_probe", "query_id"], "left")
+        .select(
+            "n_probe",
+            "query_id",
+            "n_candidates",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("n_probe", "query_id")
+    )

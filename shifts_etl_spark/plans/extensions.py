@@ -9632,6 +9632,166 @@ ORDER BY t.prev_type
 """
 
 
+def x214_bot_regularity(spark, sf_dir):
+    """Bot/automation screen (funnel.bot_regularity): per user with
+    >= 5 inter-event gaps, mean gap and coefficient of variation —
+    clockwork traffic (CV <= 0.1, or all-zero-gap replays) is flagged
+    before user events are trusted as training signal."""
+    return funnel.bot_regularity(_t(spark, sf_dir, "events"))
+
+
+X214_SQL = """
+WITH ordered AS (
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS g
+  FROM events
+),
+gaps AS (
+  SELECT user_id, CAST(g AS DOUBLE) AS g FROM ordered WHERE g IS NOT NULL
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         SUM(g) AS s, SUM(g * g) AS ss
+  FROM gaps GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT user_id, n_gaps,
+       round(s / n_gaps, 6) AS mean_gap_s,
+       CASE WHEN s > 0
+            THEN round(sqrt((ss - s * s / n_gaps) / (n_gaps - 1))
+                       / (s / n_gaps), 6)
+       END AS cv,
+       (s = 0) OR (s > 0
+                   AND sqrt((ss - s * s / n_gaps) / (n_gaps - 1))
+                       / (s / n_gaps) <= 0.1) AS bot_like
+FROM agg
+ORDER BY user_id
+"""
+
+
+def x215_ivf_probe_sweep(spark, sf_dir):
+    """IVF n_probe tuning curve (simsearch.ivf_probe_sweep): per probe
+    setting in {1,2,4,8} and per query, candidates scanned and
+    recall@5 vs the x7 exact baseline — one scoring pass serves every
+    setting via the first-admitting-cell rank."""
+    return simsearch.ivf_probe_sweep(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5
+    )
+
+
+X215_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+cdots AS (
+  SELECT a.vec_id, ce.vec_id AS cent_id, SUM(a.v * ce.v) AS dot
+  FROM elem a JOIN elem ce ON a.i = ce.i
+  WHERE ce.vec_id % 16 = 0
+  GROUP BY 1, 2
+),
+csims AS (
+  SELECT d.vec_id, d.cent_id, d.dot / (na.nrm * nc.nrm) AS sim
+  FROM cdots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nc ON d.cent_id = nc.vec_id
+),
+corpus_cell AS (
+  SELECT vec_id AS neighbor_id, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM csims)
+  WHERE rn = 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, cent_id, rn AS cell_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM csims WHERE vec_id IN (0, 1, 2, 3, 4))
+  WHERE rn <= 8
+),
+cand AS (
+  SELECT query_id, neighbor_id, MIN(cell_rank) AS first_probe
+  FROM query_cells JOIN corpus_cell USING (cent_id)
+  WHERE query_id <> neighbor_id
+  GROUP BY 1, 2
+),
+pdots AS (
+  SELECT p.query_id, p.neighbor_id, p.first_probe, SUM(q.v * c.v) AS dot
+  FROM cand p
+  JOIN elem q ON q.vec_id = p.query_id
+  JOIN elem c ON c.vec_id = p.neighbor_id AND c.i = q.i
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.first_probe,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pdots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+probes AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+sweep AS (
+  SELECT * FROM scored CROSS JOIN probes WHERE first_probe <= n_probe
+),
+counts AS (
+  SELECT n_probe, query_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM sweep GROUP BY 1, 2
+),
+approx AS (
+  SELECT n_probe, query_id, neighbor_id FROM (
+    SELECT n_probe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sweep
+  ) WHERE rn <= 5
+),
+tdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+tsims AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM tdots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM tsims
+  ) WHERE rank <= 5
+),
+nexact AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM truth GROUP BY 1
+),
+hits AS (
+  SELECT pr.n_probe, t.query_id,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM truth t
+  CROSS JOIN probes pr
+  LEFT JOIN approx a ON a.n_probe = pr.n_probe
+                    AND a.query_id = t.query_id
+                    AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT c.n_probe, c.query_id, c.n_candidates, e.n_exact, h.n_hits,
+       round(h.n_hits / CAST(e.n_exact AS DOUBLE), 6) AS recall
+FROM counts c
+JOIN nexact e USING (query_id)
+JOIN hits h ON h.n_probe = c.n_probe AND h.query_id = c.query_id
+ORDER BY c.n_probe, c.query_id
+"""
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10045,6 +10205,8 @@ EXTENSIONS = {
     "x211_aa_calibration": (x211_aa_calibration, X211_SQL),
     "x212_spearman_quality": (x212_spearman_quality, X212_SQL),
     "x213_markov_prediction": (x213_markov_prediction, X213_SQL),
+    "x214_bot_regularity": (x214_bot_regularity, X214_SQL),
+    "x215_ivf_probe_sweep": (x215_ivf_probe_sweep, X215_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -3088,3 +3088,85 @@ def test_knn_classifier_minority_overwhelmed(spark):
     f0 = 2 * (5 / 6) * 1.0 / (5 / 6 + 1.0)
     assert r0.f1 == round(f0, 6)
     assert r0.macro_f1 == round((f0 + 0.0) / 2, 6)
+
+
+def test_bot_regularity_clockwork_vs_bursty(spark):
+    """User 1 fires exactly every 60 s (CV 0) -> bot_like; user 2's
+    gaps are 10/600/5/3000/60 s (CV >> 0.1) -> human; user 3 has only
+    3 gaps -> below min_gaps, no row."""
+    import datetime as dt
+
+    from shifts_etl_spark.operators.funnel import bot_regularity
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    for i in range(6):
+        rows.append(Row(event_id=i + 1, ts=t0 + dt.timedelta(seconds=60 * i),
+                        user_id=1, event_type="v", value=1.0, props="{}"))
+    gaps = [10, 600, 5, 3000, 60]
+    t = t0
+    rows.append(Row(event_id=100, ts=t, user_id=2, event_type="v",
+                    value=1.0, props="{}"))
+    for j, g in enumerate(gaps):
+        t = t + dt.timedelta(seconds=g)
+        rows.append(Row(event_id=101 + j, ts=t, user_id=2, event_type="v",
+                        value=1.0, props="{}"))
+    for i in range(4):
+        rows.append(Row(event_id=200 + i, ts=t0 + dt.timedelta(seconds=7 * i),
+                        user_id=3, event_type="v", value=1.0, props="{}"))
+    out = {r.user_id: r for r in bot_regularity(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_gaps, out[1].mean_gap_s, out[1].cv) == (5, 60.0, 0.0)
+    assert out[1].bot_like is True
+    r2 = out[2]
+    n, s = 5, sum(gaps)
+    ss = sum(g * g for g in gaps)
+    mean = s / n
+    cv = ((ss - s * s / n) / (n - 1)) ** 0.5 / mean
+    assert (r2.n_gaps, r2.mean_gap_s) == (5, round(mean, 6))
+    assert r2.cv == round(cv, 6)
+    assert r2.bot_like is False
+
+
+def test_bot_regularity_zero_gap_replay(spark):
+    """Six events at the identical timestamp: mean gap 0, CV NULL,
+    bot_like True (replay traffic)."""
+    import datetime as dt
+
+    from shifts_etl_spark.operators.funnel import bot_regularity
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [Row(event_id=i, ts=t0, user_id=7, event_type="v",
+                value=1.0, props="{}") for i in range(6)]
+    out = bot_regularity(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.mean_gap_s, r.cv, r.bot_like) == (0.0, None, True)
+
+
+def test_ivf_probe_sweep_monotone_recall(spark):
+    """Recall and candidate counts are monotone non-decreasing in
+    n_probe, and at n_probe = #centroids the sweep recovers the exact
+    top-k (recall 1) because every cell is probed."""
+    from shifts_etl_spark.operators.simsearch import ivf_probe_sweep
+
+    # 32 vectors on a ring -> ids 0 and 16 are the stride-16 centroids
+    import math
+    rows = [Row(vec_id=i,
+                embedding=[math.cos(2 * math.pi * i / 32),
+                           math.sin(2 * math.pi * i / 32)],
+                label=i % 2) for i in range(32)]
+    emb = spark.createDataFrame(rows)
+    out = ivf_probe_sweep(emb, [0, 5], k=3, centroid_stride=16,
+                          probes=(1, 2)).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.query_id, {})[r.n_probe] = r
+    for qid, d in per.items():
+        assert d[1].n_candidates <= d[2].n_candidates
+        assert d[1].n_hits <= d[2].n_hits
+        # with both cells probed the candidate set is the whole corpus
+        # minus self, so the approx top-k IS the exact top-k
+        assert d[2].recall == 1.0
+        assert d[2].n_exact == 3

@@ -301,6 +301,8 @@ CROSS_JOIN_OK = {
     # linear-scan contract (|Q| rows x corpus); fusion joins |Q| x k
     "y6_knn_classifier",  # crossJoin with the broadcast 1-row macro-F1
     # onto the |labels|-row metric frame
+    "x215_ivf_probe_sweep",  # the x13 broadcast-centroid scan plus the
+    # 4-literal probe grid onto |Q|-bounded candidate lists
 }
 
 
