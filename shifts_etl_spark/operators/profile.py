@@ -1772,3 +1772,93 @@ def knn_classifier_report(
         )
         .orderBy("label")
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap weights
+# (exact double literals of e^-1 * cumulative 1/k! sums, capped at 5)
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicas: int = 50,
+    alpha: float = 0.05,
+    metric: str = "mean",
+    scale: int = 100,
+) -> DataFrame:
+    """One-pass Poisson bootstrap CI for a mean — the bootstrap that
+    actually scales: instead of resampling rows (impossible without
+    materializing B copies of the data in one place), every row draws
+    a Poisson(1) replica weight from the md5 of (id, replica), so all
+    B replica sums accumulate in a single grouped aggregate. The
+    classic trick for CIs over sharded data (Chamandy et al., 'Teaching
+    Statistics at Google Scale').
+
+    Determinism: weights come from exact md5-hex uniforms against
+    fixed CDF literals; values are summed in integer ``scale``-ths
+    (cents), so every replica mean is a ratio of exact integers; the
+    percentile CI interpolates two of B such rationals.
+
+    Scale shape: a B-literal explode (rows x B stays one scan), ONE
+    (replica)-keyed aggregate with map-side combine, a B-row percentile
+    fold, and a 1-row point estimate."""
+    from .curation import _hex_uniform_int
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.round(F.col(value_col) * scale).cast("long").alias("_cents"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum("_cents") / F.count(F.lit(1)).cast("double") / scale
+        ).alias("_pt"),
+    )
+    rep = base.select(
+        "_id",
+        "_cents",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, n_replicas + 1)])
+        ).alias("b"),
+    )
+    u = _hex_uniform_int(
+        F.concat(F.col("_id"), F.lit("-"), F.col("b").cast("string"))
+    ) / F.lit(16777216.0)
+    w = F.lit(5)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", "_cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("long") * F.col("_cents")).alias("_swc"),
+            F.sum(F.col("w").cast("long")).alias("_sw"),
+        )
+        .where(F.col("_sw") > 0)
+        .select(
+            "b",
+            (F.col("_swc") / F.col("_sw").cast("double") / scale).alias("m"),
+        )
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.percentile(
+            "m", F.array(F.lit(alpha / 2), F.lit(1 - alpha / 2))
+        ).alias("_q"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.lit(metric).alias("metric"),
+        "n_rows",
+        "n_replicas",
+        F.round(F.col("_pt"), 6).alias("point_estimate"),
+        F.round(F.col("_q")[0], 6).alias("ci_lo"),
+        F.round(F.col("_q")[1], 6).alias("ci_hi"),
+    )

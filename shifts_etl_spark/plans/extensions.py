@@ -9792,6 +9792,67 @@ ORDER BY c.n_probe, c.query_id
 """
 
 
+def x216_poisson_bootstrap(spark, sf_dir):
+    """One-pass Poisson-bootstrap CI for mean order value
+    (profile.poisson_bootstrap_mean): every row draws a deterministic
+    md5-derived Poisson(1) weight per replica, so all 50 replica sums
+    accumulate in ONE grouped aggregate — the bootstrap that works on
+    sharded data (Chamandy et al., Google)."""
+    return profile.poisson_bootstrap_mean(
+        _t(spark, sf_dir, "orders"),
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        metric="mean_order_value",
+    )
+
+
+X216_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         SUM(cents) / CAST(count(*) AS DOUBLE) / 100 AS pt
+  FROM base
+),
+rep AS (
+  SELECT id, cents, unnest(generate_series(1, 50)) AS b FROM base
+),
+uu AS (
+  SELECT b, cents,
+         ({_X73_U("md5(id || '-' || CAST(b AS VARCHAR))")}) / 16777216.0 AS u
+  FROM rep
+),
+ww AS (
+  SELECT b, cents,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              ELSE 5 END AS w
+  FROM uu
+),
+means AS (
+  SELECT b, SUM(w * cents) / CAST(SUM(w) AS DOUBLE) / 100 AS m
+  FROM ww GROUP BY 1 HAVING SUM(w) > 0
+),
+ci AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+         quantile_cont(m, 0.025) AS lo,
+         quantile_cont(m, 0.975) AS hi
+  FROM means
+)
+SELECT 'mean_order_value' AS metric, p.n_rows, c.n_replicas,
+       round(p.pt, 6) AS point_estimate,
+       round(c.lo, 6) AS ci_lo,
+       round(c.hi, 6) AS ci_hi
+FROM point p CROSS JOIN ci c
+"""
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10207,6 +10268,7 @@ EXTENSIONS = {
     "x213_markov_prediction": (x213_markov_prediction, X213_SQL),
     "x214_bot_regularity": (x214_bot_regularity, X214_SQL),
     "x215_ivf_probe_sweep": (x215_ivf_probe_sweep, X215_SQL),
+    "x216_poisson_bootstrap": (x216_poisson_bootstrap, X216_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

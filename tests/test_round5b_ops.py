@@ -3170,3 +3170,34 @@ def test_ivf_probe_sweep_monotone_recall(spark):
         # minus self, so the approx top-k IS the exact top-k
         assert d[2].recall == 1.0
         assert d[2].n_exact == 3
+
+
+def test_poisson_bootstrap_brackets_point(spark):
+    """200 rows with values 1..200 (mean 100.5): the CI must bracket
+    the point estimate, be reasonably tight (sd of the mean is ~4), and
+    the replica count must be the full 50 (Poisson weights over 200
+    rows never zero out a replica)."""
+    from shifts_etl_spark.operators.profile import poisson_bootstrap_mean
+
+    rows = [Row(rid=i, val=float(i)) for i in range(1, 201)]
+    out = poisson_bootstrap_mean(
+        spark.createDataFrame(rows), value_col="val", id_col="rid",
+        metric="mean_val").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.metric, r.n_rows, r.n_replicas) == ("mean_val", 200, 50)
+    assert r.point_estimate == 100.5
+    assert r.ci_lo < 100.5 < r.ci_hi
+    assert 100.5 - r.ci_lo < 20 and r.ci_hi - 100.5 < 20
+
+
+def test_poisson_bootstrap_degenerate_constant(spark):
+    """All values identical: every replica mean equals the point
+    estimate, so the CI collapses onto it exactly."""
+    from shifts_etl_spark.operators.profile import poisson_bootstrap_mean
+
+    rows = [Row(rid=i, val=7.25) for i in range(60)]
+    r = poisson_bootstrap_mean(
+        spark.createDataFrame(rows), value_col="val", id_col="rid").collect()[0]
+    assert r.point_estimate == 7.25
+    assert (r.ci_lo, r.ci_hi) == (7.25, 7.25)

@@ -189,6 +189,8 @@ SINGLE_PARTITION_OK = {
     # cross-margin sum) — cells are |langs|^2-bounded
     "y6_knn_classifier",  # 1-row macro-F1 fold over the |labels|-row
     # metric frame
+    "x216_poisson_bootstrap",  # 1-row point estimate + B-row (B=50)
+    # percentile fold — the replica aggregate itself is keyed on b
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -303,6 +305,8 @@ CROSS_JOIN_OK = {
     # onto the |labels|-row metric frame
     "x215_ivf_probe_sweep",  # the x13 broadcast-centroid scan plus the
     # 4-literal probe grid onto |Q|-bounded candidate lists
+    "x216_poisson_bootstrap",  # crossJoin of the 1-row point estimate
+    # with the broadcast 1-row CI fold
 }
 
 
