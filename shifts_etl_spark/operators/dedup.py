@@ -1621,3 +1621,52 @@ def dedup_threshold_roc(
         "threshold", "tp", "fp", "fn", "tn",
         prec.alias("precision"), rec.alias("recall"), fpr.alias("fpr"),
     ).orderBy("threshold")
+
+
+def dup_flow_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    min_df: int = 2,
+    max_df: int = 5,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Cross-source duplicate flow matrix ('who is scraping whom'):
+    the x67 confirmed near-dup pairs rolled up by unordered source
+    pair — within-source cells are internal duplication, off-diagonal
+    cells are syndication/mirroring between feeds, the signal for
+    dropping a source whose content is a copy of another.
+
+    Scale shape: the x67 contract end-to-end (rare-shingle blocking
+    bounds candidates at C(max_df,2) per shingle; text never moves);
+    the rollup is a |sources|^2-cell aggregate plus a broadcast 1-row
+    pair total."""
+    cands = rare_shingle_pairs(docs, text_col, id_col, shingle_n, min_df, max_df)
+    conf = ngram_jaccard_pairs(docs, cands, text_col, id_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+    src = docs.select(F.col(id_col), F.col(source_col).alias("_src"))
+    flows = (
+        conf.join(src.withColumnsRenamed({id_col: "id_a", "_src": "sa"}), "id_a")
+        .join(src.withColumnsRenamed({id_col: "id_b", "_src": "sb"}), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = flows.agg(F.sum("n_pairs").cast("double").alias("n_total"))
+    return (
+        flows.crossJoin(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+            F.round(F.col("n_pairs") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy("source_a", "source_b")
+    )

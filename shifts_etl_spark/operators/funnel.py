@@ -2762,3 +2762,53 @@ def bot_regularity(
         F.when(mean > 0, F.round(cv, 6)).alias("cv"),
         ((mean == 0) | ((mean > 0) & (cv <= cv_threshold))).alias("bot_like"),
     ).orderBy("user_id")
+
+
+def ab_power_curve(
+    events: DataFrame,
+    ns: tuple[int, ...] = (1000, 10000, 100000, 1000000),
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """A/B test power planning off observed metric variance: for each
+    candidate per-arm sample size, the minimum detectable effect (MDE,
+    80% power / 5% two-sided alpha) on mean per-user value —
+    MDE = (z_{a/2} + z_b) * sqrt(2 * var / n). The sizing artifact a
+    team reads BEFORE launching the experiment x211 calibrates.
+
+    Determinism: per-user values sum in integer cents, so the corpus
+    moments are exact; the curve is closed form off one 1-row fold
+    against literal z constants (1.96 / 0.8416).
+
+    Scale shape: one per-user aggregate, one 1-row moment fold, a
+    4-literal grid explode."""
+    z_total = 2.8015852181129683  # z_{0.025} + z_{0.2}
+    per_user = events.groupBy(user_col).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    grid = mom.select(
+        "n_users",
+        "s",
+        "ss",
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n_per_arm"),
+    )
+    nu = F.col("n_users").cast("double")
+    mean = F.col("s") / nu / 100.0
+    # s*s in double (long*long would wrap at ~3e9 total cents)
+    var = (
+        F.col("ss") - F.col("s") * F.col("s").cast("double") / nu
+    ) / (nu - 1) / 10000.0
+    mde = F.lit(z_total) * F.sqrt(2.0 * var / F.col("n_per_arm"))
+    return grid.select(
+        "n_per_arm",
+        "n_users",
+        F.round(mean, 6).alias("metric_mean"),
+        F.round(F.sqrt(var), 6).alias("metric_sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(mean > 0, F.round(mde / mean, 6)).alias("mde_rel"),
+    ).orderBy("n_per_arm")

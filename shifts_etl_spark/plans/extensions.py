@@ -9853,6 +9853,105 @@ FROM point p CROSS JOIN ci c
 """
 
 
+def x217_dup_flow_matrix(spark, sf_dir):
+    """Cross-source duplicate flow matrix (dedup.dup_flow_matrix):
+    x67's confirmed near-dup pairs rolled up by unordered source pair
+    — off-diagonal cells are syndication/mirroring between feeds."""
+    return dedup.dup_flow_matrix(_t(spark, sf_dir, "documents"))
+
+
+# X67's blocked-candidates + Jaccard-confirm prefix, rolled up by source
+# pair instead of closed into components.
+X217_SQL = rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+conf AS (
+  SELECT ia, ib
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3
+),
+flows AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM conf
+  JOIN documents da ON da.doc_id = ia
+  JOIN documents db ON db.doc_id = ib
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_pairs) AS DOUBLE) AS n_total FROM flows)
+SELECT source_a, source_b, n_pairs,
+       source_a <> source_b AS cross_source,
+       round(n_pairs / n_total, 6) AS share
+FROM flows CROSS JOIN tot
+ORDER BY source_a, source_b
+"""
+
+
+def x218_ab_power_curve(spark, sf_dir):
+    """A/B sizing curve (funnel.ab_power_curve): minimum detectable
+    effect on mean per-user value at 80% power / 5% alpha for per-arm
+    sizes {1k, 10k, 100k, 1M} — the planning artifact x211's A/A
+    harness calibrates."""
+    return funnel.ab_power_curve(_t(spark, sf_dir, "events"))
+
+
+X218_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM pu
+),
+grid AS (
+  SELECT n_users, s, ss,
+         unnest([1000, 10000, 100000, 1000000]) AS n_per_arm
+  FROM mom
+),
+m AS (
+  SELECT n_per_arm, n_users,
+         s / CAST(n_users AS DOUBLE) / 100.0 AS mean,
+         (ss - s * CAST(s AS DOUBLE) / n_users)
+           / (CAST(n_users AS DOUBLE) - 1) / 10000.0 AS var
+  FROM grid
+)
+SELECT n_per_arm, n_users,
+       round(mean, 6) AS metric_mean,
+       round(sqrt(var), 6) AS metric_sd,
+       round(2.8015852181129683 * sqrt(2.0 * var / n_per_arm), 6) AS mde_abs,
+       CASE WHEN mean > 0
+            THEN round(2.8015852181129683 * sqrt(2.0 * var / n_per_arm)
+                       / mean, 6)
+       END AS mde_rel
+FROM m
+ORDER BY n_per_arm
+"""
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10269,6 +10368,8 @@ EXTENSIONS = {
     "x214_bot_regularity": (x214_bot_regularity, X214_SQL),
     "x215_ivf_probe_sweep": (x215_ivf_probe_sweep, X215_SQL),
     "x216_poisson_bootstrap": (x216_poisson_bootstrap, X216_SQL),
+    "x217_dup_flow_matrix": (x217_dup_flow_matrix, X217_SQL),
+    "x218_ab_power_curve": (x218_ab_power_curve, X218_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

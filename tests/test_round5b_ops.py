@@ -3201,3 +3201,57 @@ def test_poisson_bootstrap_degenerate_constant(spark):
         spark.createDataFrame(rows), value_col="val", id_col="rid").collect()[0]
     assert r.point_estimate == 7.25
     assert (r.ci_lo, r.ci_hi) == (7.25, 7.25)
+
+
+def test_dup_flow_matrix_cross_source_pair(spark):
+    """A syndicated near-dup pair spanning sources A and B plus an
+    internal A duplicate pair: two cells — (A,A) internal and (A,B)
+    cross-source — each with share 0.5."""
+    from shifts_etl_spark.operators.dedup import dup_flow_matrix
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank at dawn every single day")
+    rows = [
+        Row(doc_id=1, source="A", text=base, lang="en", n_chars=len(base)),
+        Row(doc_id=2, source="B", text=base + " extra", lang="en",
+            n_chars=len(base) + 6),
+        Row(doc_id=3, source="A", text=base.replace("dawn", "dusk"),
+            lang="en", n_chars=len(base)),
+        Row(doc_id=4, source="C", text="completely different words "
+            "about spark plans and shuffle exchanges in the engine",
+            lang="en", n_chars=80),
+    ]
+    out = {(r.source_a, r.source_b): r for r in dup_flow_matrix(
+        spark.createDataFrame(rows)).collect()}
+    assert ("A", "B") in out and ("A", "A") in out
+    assert out[("A", "B")].cross_source is True
+    assert out[("A", "A")].cross_source is False
+    total = sum(r.n_pairs for r in out.values())
+    for r in out.values():
+        assert r.share == round(r.n_pairs / total, 6)
+
+
+def test_ab_power_curve_closed_form(spark):
+    """Four users with per-user values 1/2/3/4 (mean 2.5, sample var
+    5/3): MDE at n=1000 equals the closed form, and MDE shrinks by
+    sqrt(10) per grid decade."""
+    from shifts_etl_spark.operators.funnel import ab_power_curve
+
+    rows = []
+    for u in range(4):
+        rows.append(_ev(u + 1, u, "v", "2024-01-01T10:00:00"))
+    df = spark.createDataFrame([
+        Row(event_id=r.event_id, ts=r.ts, user_id=r.user_id,
+            event_type=r.event_type, value=float(r.user_id + 1), props="{}")
+        for r in rows
+    ])
+    out = {r.n_per_arm: r for r in ab_power_curve(
+        df, ns=(1000, 10000)).collect()}
+    var = 5 / 3
+    z = 2.8015852181129683
+    r = out[1000]
+    assert (r.n_users, r.metric_mean) == (4, 2.5)
+    assert r.metric_sd == round(var ** 0.5, 6)
+    assert r.mde_abs == round(z * (2 * var / 1000) ** 0.5, 6)
+    assert r.mde_rel == round(z * (2 * var / 1000) ** 0.5 / 2.5, 6)
+    assert out[10000].mde_abs == round(z * (2 * var / 10000) ** 0.5, 6)

@@ -191,6 +191,8 @@ SINGLE_PARTITION_OK = {
     # metric frame
     "x216_poisson_bootstrap",  # 1-row point estimate + B-row (B=50)
     # percentile fold — the replica aggregate itself is keyed on b
+    "x217_dup_flow_matrix",  # 1-row pair total onto |sources|^2 cells
+    "x218_ab_power_curve",  # one 1-row moment fold + 4-literal grid
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -307,6 +309,8 @@ CROSS_JOIN_OK = {
     # 4-literal probe grid onto |Q|-bounded candidate lists
     "x216_poisson_bootstrap",  # crossJoin of the 1-row point estimate
     # with the broadcast 1-row CI fold
+    "x217_dup_flow_matrix",  # crossJoin with the broadcast 1-row pair
+    # total onto the |sources|^2 cells
 }
 
 
