@@ -868,3 +868,69 @@ def eb_quality_shrinkage(
         F.round(weight, 6).alias("own_weight"),
         F.round("grand", 6).alias("grand_mean"),
     ).orderBy("source")
+
+
+def greedy_coverage_select(
+    docs: DataFrame,
+    k: int = 10,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy maximum-coverage data selection (the facility-location
+    coreset greedy, 1-1/e-optimal): pick ``k`` documents one at a
+    time, each maximizing the count of corpus 3-shingles not yet
+    covered by earlier picks — the diversity-first subset a curation
+    pipeline seeds few-shot pools or dedup canaries from. Ties break
+    to the smaller doc id.
+
+    Determinism: pure distinct-shingle counting with id tie-breaks.
+
+    Scale shape: k rounds, each ONE grouped count over the remaining
+    (doc, shingle) pairs plus a 1-row argmax collect; the covered set
+    is subtracted incrementally (only the last pick's shingles
+    anti-join each round, and the pair frame shrinks monotonically).
+    localCheckpoint truncates the k-join lineage. Driver holds k rows
+    and one scalar — never data."""
+    from .dedup import shingle_rows
+
+    pairs = (
+        shingle_rows(docs, text_col, id_col, shingle_n)
+        .distinct()
+        .persist()
+    )
+    total = pairs.select("s").distinct().count()
+    remaining = pairs
+    rows, cum = [], 0
+    for rank in range(1, k + 1):
+        best = (
+            remaining.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("doc"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        doc_id, gain = best[0].doc, best[0].n
+        cum += gain
+        rows.append((rank, doc_id, gain, cum))
+        newly = remaining.where(F.col("doc") == doc_id).select("s")
+        remaining = (
+            remaining.join(newly, "s", "left_anti")
+            .where(F.col("doc") != doc_id)
+            .localCheckpoint(eager=False)
+        )
+    spark = docs.sparkSession
+    out = spark.createDataFrame(
+        rows, schema="rank int, doc_id long, marginal_gain long, cumulative_coverage long"
+    )
+    return out.select(
+        "rank",
+        "doc_id",
+        "marginal_gain",
+        "cumulative_coverage",
+        F.round(
+            F.col("cumulative_coverage") / F.lit(float(total)), 6
+        ).alias("coverage_frac"),
+    ).orderBy("rank")

@@ -9952,6 +9952,77 @@ ORDER BY n_per_arm
 """
 
 
+def x219_greedy_coverage(spark, sf_dir):
+    """Greedy max-coverage subset selection
+    (curation.greedy_coverage_select): 10 picks, each maximizing
+    newly-covered distinct 3-shingles — the facility-location coreset
+    greedy (1-1/e-optimal), hash-verified against a 10-step chained
+    CTE replay of the argmax recursion."""
+    return curation.greedy_coverage_select(_t(spark, sf_dir, "documents"))
+
+
+def _x219_step(i: int) -> str:
+    # every step CTE is MATERIALIZED: each references the previous
+    # level twice, so inlining would duplicate the tree ~2^k times
+    return f""",
+gain{i} AS MATERIALIZED (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM flat f
+  LEFT JOIN cov{i - 1} c ON c.s = f.s
+  WHERE c.s IS NULL
+    AND f.doc_id NOT IN (SELECT doc_id FROM picks{i - 1})
+  GROUP BY 1
+),
+pick{i} AS MATERIALIZED (
+  SELECT {i} AS rank, doc_id, n FROM gain{i} ORDER BY n DESC, doc_id LIMIT 1
+),
+picks{i} AS MATERIALIZED (
+  SELECT doc_id FROM picks{i - 1} UNION ALL SELECT doc_id FROM pick{i}
+),
+cov{i} AS MATERIALIZED (
+  SELECT s FROM cov{i - 1}
+  UNION
+  SELECT f.s FROM flat f JOIN pick{i} USING (doc_id)
+)"""
+
+
+X219_SQL = (
+    rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+total AS (SELECT CAST(count(*) AS BIGINT) AS t
+          FROM (SELECT DISTINCT s FROM flat)),
+picks0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false),
+cov0 AS (SELECT CAST(NULL AS VARCHAR) AS s WHERE false)"""
+    + "".join(_x219_step(i) for i in range(1, 11))
+    + """,
+all_picks AS (
+"""
+    + "\n  UNION ALL\n".join(f"  SELECT * FROM pick{i}" for i in range(1, 11))
+    + """
+)
+SELECT rank, doc_id, n AS marginal_gain,
+       CAST(SUM(n) OVER (ORDER BY rank) AS BIGINT) AS cumulative_coverage,
+       round(CAST(SUM(n) OVER (ORDER BY rank) AS BIGINT)
+             / CAST(t AS DOUBLE), 6) AS coverage_frac
+FROM all_picks CROSS JOIN total
+ORDER BY rank
+"""
+)
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10370,6 +10441,7 @@ EXTENSIONS = {
     "x216_poisson_bootstrap": (x216_poisson_bootstrap, X216_SQL),
     "x217_dup_flow_matrix": (x217_dup_flow_matrix, X217_SQL),
     "x218_ab_power_curve": (x218_ab_power_curve, X218_SQL),
+    "x219_greedy_coverage": (x219_greedy_coverage, X219_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -3255,3 +3255,41 @@ def test_ab_power_curve_closed_form(spark):
     assert r.mde_abs == round(z * (2 * var / 1000) ** 0.5, 6)
     assert r.mde_rel == round(z * (2 * var / 1000) ** 0.5 / 2.5, 6)
     assert out[10000].mde_abs == round(z * (2 * var / 10000) ** 0.5, 6)
+
+
+def test_greedy_coverage_hand_selection(spark):
+    """Docs engineered so greedy picks doc 1 (5 shingles), then doc 3
+    (3 new shingles beat doc 2's leftover 1): the classic case where
+    greedy order differs from individual coverage order. Doc 2 (subset
+    of doc 1 plus one new gram) lands third with gain 1."""
+    from shifts_etl_spark.operators.curation import greedy_coverage_select
+
+    # trigram shingles over 7-token docs -> 5 shingles per doc
+    d1 = "a b c d e f g"          # shingles: abc bcd cde def efg
+    d2 = "a b c d e f q"          # 4 shared with d1 + efq -> gain 1 after d1
+    d3 = "p q r s t"              # pqr qrs rst -> 3 fresh shingles
+    rows = [
+        Row(doc_id=1, source="s", text=d1, lang="en", n_chars=len(d1)),
+        Row(doc_id=2, source="s", text=d2, lang="en", n_chars=len(d2)),
+        Row(doc_id=3, source="s", text=d3, lang="en", n_chars=len(d3)),
+    ]
+    out = greedy_coverage_select(
+        spark.createDataFrame(rows), k=3).collect()
+    assert [(r.rank, r.doc_id, r.marginal_gain) for r in out] == [
+        (1, 1, 5), (2, 3, 3), (3, 2, 1)]
+    assert out[-1].cumulative_coverage == 9
+    assert out[-1].coverage_frac == 1.0
+
+
+def test_greedy_coverage_stops_when_exhausted(spark):
+    """Two identical docs: after the first pick the second has zero
+    uncovered shingles, so the greedy stops early (1 row, full
+    coverage)."""
+    from shifts_etl_spark.operators.curation import greedy_coverage_select
+
+    t = "a b c d e"
+    rows = [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+            for i in (1, 2)]
+    out = greedy_coverage_select(spark.createDataFrame(rows), k=3).collect()
+    assert [(r.rank, r.doc_id) for r in out] == [(1, 1)]
+    assert out[0].coverage_frac == 1.0
