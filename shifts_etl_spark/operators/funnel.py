@@ -2812,3 +2812,64 @@ def ab_power_curve(
         F.round(mde, 6).alias("mde_abs"),
         F.when(mean > 0, F.round(mde / mean, 6)).alias("mde_rel"),
     ).orderBy("n_per_arm")
+
+
+def mix_rate_decomposition(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    seg_col: str = "o_orderpriority",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Two-period mix-vs-rate decomposition of average order value
+    (the Oaxaca/price-volume bridge): split the observed date span at
+    its midpoint, then attribute the change in the overall mean to
+    (a) MIX — segments gaining or losing share at their old rates —
+    and (b) RATE — segments repricing at their new shares:
+    delta = sum (sh2-sh1)*r1 + sum sh2*(r2-r1), which telescopes
+    exactly to mean2 - mean1. The 'why did the metric move' artifact.
+
+    Determinism: counts and integer-cents sums are exact; shares and
+    rates are rationals; contributions round at 6 dp.
+
+    Scale shape: one 1-row date-span fold broadcast into a segmented
+    aggregate; everything downstream is |segments| cells."""
+    span = orders.agg(
+        F.min(F.col(date_col).cast("date")).alias("d0"),
+        F.max(F.col(date_col).cast("date")).alias("d1"),
+    ).select(
+        "d0",
+        F.date_add(
+            F.col("d0"), (F.datediff("d1", "d0") / 2).cast("int")
+        ).alias("mid"),
+    )
+    seg = orders.crossJoin(F.broadcast(span)).select(
+        F.col(seg_col).alias("segment"),
+        F.when(F.col(date_col).cast("date") <= F.col("mid"), 1)
+        .otherwise(2).alias("period"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    cells = seg.groupBy("segment").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("period") == 2, F.col("cents")).otherwise(0)).alias("s2"),
+    )
+    tot = cells.agg(
+        F.sum("n1").cast("double").alias("t1"),
+        F.sum("n2").cast("double").alias("t2"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    sh1, sh2 = F.col("n1") / F.col("t1"), F.col("n2") / F.col("t2")
+    r1 = F.when(F.col("n1") > 0, F.col("s1") / F.col("n1").cast("double") / 100.0).otherwise(F.lit(0.0))
+    r2 = F.when(F.col("n2") > 0, F.col("s2") / F.col("n2").cast("double") / 100.0).otherwise(F.lit(0.0))
+    return j.select(
+        "segment",
+        "n1",
+        "n2",
+        F.round(sh1, 6).alias("share_1"),
+        F.round(sh2, 6).alias("share_2"),
+        F.round(r1, 6).alias("rate_1"),
+        F.round(r2, 6).alias("rate_2"),
+        F.round((sh2 - sh1) * r1, 6).alias("mix_contrib"),
+        F.round(sh2 * (r2 - r1), 6).alias("rate_contrib"),
+    ).orderBy("segment")

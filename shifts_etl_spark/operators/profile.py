@@ -1646,30 +1646,16 @@ def supplier_spc(
     ).orderBy(F.desc("breach_share"), "suppkey")
 
 
-def knn_classifier_report(
+def _knn_votes(
     emb: DataFrame,
-    k: int = 5,
-    n_buckets: int = 16,
+    k: int,
+    n_buckets: int,
     id_col: str = "vec_id",
-    label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Leave-one-out k-NN majority-vote classifier report card:
-    block vectors into the x185 label-blind md5 buckets, vote each
-    vector's label from its top-``k`` in-bucket cosine neighbors
-    (majority, ties → count desc then label asc), and report per true
-    label the support / prediction count / hits and precision-recall-
-    F1, plus the macro-F1 — the embedding-quality eval (can the space
-    actually separate the classes?) that x185's 1-NN agreement only
-    hints at.
-
-    Determinism: cosines round at 6 dp with (cosine desc, neighbor id)
-    rank tie-break; votes and confusion cells are integer counts;
-    metrics are closed form off the cells.
-
-    Scale shape: the pair scan is per-bucket (bounded blocks, the x185
-    contract — at 100 TB swap buckets for x8 LSH bands); everything
-    downstream of the votes is |labels|^2 cells."""
+    """(vec_id, neighbor_id) top-``k`` in-bucket cosine vote edges over
+    the x185 label-blind md5 buckets — the shared candidate stage of
+    the kNN classifier (y6) and retrieval-exposure (x220) evals."""
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_from_norms, l2_norm
@@ -1699,11 +1685,38 @@ def knn_classifier_report(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    votes = (
+    return (
         pairs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("vec_id", "neighbor_id")
     )
+
+
+def knn_classifier_report(
+    emb: DataFrame,
+    k: int = 5,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leave-one-out k-NN majority-vote classifier report card:
+    block vectors into the x185 label-blind md5 buckets, vote each
+    vector's label from its top-``k`` in-bucket cosine neighbors
+    (majority, ties → count desc then label asc), and report per true
+    label the support / prediction count / hits and precision-recall-
+    F1, plus the macro-F1 — the embedding-quality eval (can the space
+    actually separate the classes?) that x185's 1-NN agreement only
+    hints at.
+
+    Determinism: cosines round at 6 dp with (cosine desc, neighbor id)
+    rank tie-break; votes and confusion cells are integer counts;
+    metrics are closed form off the cells.
+
+    Scale shape: the pair scan is per-bucket (bounded blocks, the x185
+    contract — at 100 TB swap buckets for x8 LSH bands); everything
+    downstream of the votes is |labels|^2 cells."""
+    votes = _knn_votes(emb, k, n_buckets, id_col, vec_col)
     nlab = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
     )
@@ -1862,3 +1875,51 @@ def poisson_bootstrap_mean(
         F.round(F.col("_q")[0], 6).alias("ci_lo"),
         F.round(F.col("_q")[1], 6).alias("ci_hi"),
     )
+
+
+def retrieval_exposure(
+    emb: DataFrame,
+    k: int = 5,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieval exposure fairness: per label, the share of top-``k``
+    neighbor-list appearances (exposure) vs the label's corpus base
+    rate, and their ratio (lift) — a retrieval tier that
+    systematically over-exposes one class starves the others of
+    downstream traffic regardless of per-query relevance. Runs on the
+    y6 vote edges.
+
+    Scale shape: the x185 bucketed vote scan, then |labels|-cell
+    aggregates against two broadcast 1-row totals."""
+    votes = _knn_votes(emb, k, n_buckets, id_col, vec_col)
+    nlab = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("label")
+    )
+    expo = votes.join(nlab, "neighbor_id").groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_appearances")
+    )
+    base = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot_v = base.agg(F.sum("n_vectors").cast("double").alias("nv"))
+    tot_a = expo.agg(F.sum("n_appearances").cast("double").alias("na"))
+    joined = (
+        base.join(expo, "label", "left")
+        .crossJoin(F.broadcast(tot_v))
+        .crossJoin(F.broadcast(tot_a))
+    )
+    n_app = F.coalesce("n_appearances", F.lit(0)).cast("long")
+    base_share = F.col("n_vectors") / F.col("nv")
+    expo_share = n_app / F.col("na")
+    return joined.select(
+        "label",
+        "n_vectors",
+        n_app.alias("n_appearances"),
+        F.round(base_share, 6).alias("base_share"),
+        F.round(expo_share, 6).alias("exposure_share"),
+        F.when(base_share > 0, F.round(expo_share / base_share, 6))
+        .alias("exposure_lift"),
+    ).orderBy("label")

@@ -10023,6 +10023,130 @@ ORDER BY rank
 )
 
 
+def x220_retrieval_exposure(spark, sf_dir):
+    """Retrieval exposure fairness (profile.retrieval_exposure): per
+    label, top-k appearance share vs corpus base rate and their lift,
+    over the y6 vote edges — the class-starvation audit for a serving
+    tier."""
+    return profile.retrieval_exposure(_t(spark, sf_dir, "embeddings"))
+
+
+X220_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM bucketed
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b
+    ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.neighbor_id = nb.vec_id
+),
+votes AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+),
+expo AS (
+  SELECT lb.label, CAST(count(*) AS BIGINT) AS n_appearances
+  FROM votes v JOIN embeddings lb ON v.neighbor_id = lb.vec_id
+  GROUP BY 1
+),
+base AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM embeddings GROUP BY 1
+),
+tv AS (SELECT CAST(SUM(n_vectors) AS DOUBLE) AS nv FROM base),
+ta AS (SELECT CAST(SUM(n_appearances) AS DOUBLE) AS na FROM expo)
+SELECT b.label, b.n_vectors,
+       CAST(COALESCE(e.n_appearances, 0) AS BIGINT) AS n_appearances,
+       round(b.n_vectors / nv, 6) AS base_share,
+       round(COALESCE(e.n_appearances, 0) / na, 6) AS exposure_share,
+       CASE WHEN b.n_vectors / nv > 0
+            THEN round((COALESCE(e.n_appearances, 0) / na)
+                       / (b.n_vectors / nv), 6)
+       END AS exposure_lift
+FROM base b LEFT JOIN expo e USING (label)
+CROSS JOIN tv CROSS JOIN ta
+ORDER BY label
+"""
+
+
+def x221_mix_rate_decomposition(spark, sf_dir):
+    """Two-period mix-vs-rate bridge (funnel.mix_rate_decomposition):
+    the change in mean order value split into share-shift and
+    repricing contributions per priority segment — the 'why did the
+    metric move' artifact; the two columns telescope to mean2-mean1."""
+    return funnel.mix_rate_decomposition(_t(spark, sf_dir, "orders"))
+
+
+X221_SQL = """
+WITH span AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+         MAX(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+mids AS (
+  SELECT d0 + CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER) AS mid
+  FROM span
+),
+seg AS (
+  SELECT o_orderpriority AS segment,
+         CASE WHEN CAST(o_orderdate AS DATE) <= mid THEN 1 ELSE 2 END
+           AS period,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN mids
+),
+cells AS (
+  SELECT segment,
+         CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN period = 2 THEN cents ELSE 0 END) AS BIGINT) AS s2
+  FROM seg GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n1) AS DOUBLE) AS t1, CAST(SUM(n2) AS DOUBLE) AS t2
+  FROM cells
+),
+m AS (
+  SELECT segment, n1, n2,
+         n1 / t1 AS sh1, n2 / t2 AS sh2,
+         CASE WHEN n1 > 0 THEN s1 / CAST(n1 AS DOUBLE) / 100.0
+              ELSE 0.0 END AS r1,
+         CASE WHEN n2 > 0 THEN s2 / CAST(n2 AS DOUBLE) / 100.0
+              ELSE 0.0 END AS r2
+  FROM cells CROSS JOIN tot
+)
+SELECT segment, n1, n2,
+       round(sh1, 6) AS share_1,
+       round(sh2, 6) AS share_2,
+       round(r1, 6) AS rate_1,
+       round(r2, 6) AS rate_2,
+       round((sh2 - sh1) * r1, 6) AS mix_contrib,
+       round(sh2 * (r2 - r1), 6) AS rate_contrib
+FROM m
+ORDER BY segment
+"""
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10442,6 +10566,11 @@ EXTENSIONS = {
     "x217_dup_flow_matrix": (x217_dup_flow_matrix, X217_SQL),
     "x218_ab_power_curve": (x218_ab_power_curve, X218_SQL),
     "x219_greedy_coverage": (x219_greedy_coverage, X219_SQL),
+    "x220_retrieval_exposure": (x220_retrieval_exposure, X220_SQL),
+    "x221_mix_rate_decomposition": (
+        x221_mix_rate_decomposition,
+        X221_SQL,
+    ),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -3293,3 +3293,58 @@ def test_greedy_coverage_stops_when_exhausted(spark):
     out = greedy_coverage_select(spark.createDataFrame(rows), k=3).collect()
     assert [(r.rank, r.doc_id) for r in out] == [(1, 1)]
     assert out[0].coverage_frac == 1.0
+
+
+def test_retrieval_exposure_hub_label(spark):
+    """Label 1's single vector sits at the center of label 0's cloud
+    (a hub): with k=2 votes it appears in every vote list, so its
+    exposure share far exceeds its 1/6 base rate (lift > 1) and label
+    0 is under-exposed (lift < 1). Exposure shares sum to 1."""
+    from shifts_etl_spark.operators.profile import retrieval_exposure
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=1),    # the hub
+        Row(vec_id=1, embedding=[1.0, 0.05], label=0),
+        Row(vec_id=2, embedding=[1.0, -0.05], label=0),
+        Row(vec_id=3, embedding=[0.9, 0.02], label=0),
+        Row(vec_id=4, embedding=[-1.0, 0.1], label=0),
+        Row(vec_id=5, embedding=[-1.0, -0.1], label=0),
+    ]
+    out = {r.label: r for r in retrieval_exposure(
+        spark.createDataFrame(rows), k=2, n_buckets=1).collect()}
+    assert out[1].n_vectors == 1
+    assert out[1].base_share == round(1 / 6, 6)
+    assert out[1].exposure_lift > 1.0
+    assert out[0].exposure_lift < 1.0
+    assert round(out[0].exposure_share + out[1].exposure_share, 6) == 1.0
+
+
+def test_mix_rate_decomposition_telescopes(spark):
+    """Two segments across two halves of a 10-day span: the mix and
+    rate contributions must sum exactly to mean2 - mean1 (the bridge
+    identity), with hand-checkable shares and rates."""
+    import datetime as dt
+
+    from shifts_etl_spark.operators.funnel import mix_rate_decomposition
+
+    d = lambda day: dt.date(2024, 1, day)
+    rows = [
+        # period 1 (days 1-6): A 2 orders @ 10, B 2 orders @ 20
+        Row(o_orderkey=1, o_orderdate=d(1), o_orderpriority="A", o_totalprice=10.0),
+        Row(o_orderkey=2, o_orderdate=d(2), o_orderpriority="A", o_totalprice=10.0),
+        Row(o_orderkey=3, o_orderdate=d(3), o_orderpriority="B", o_totalprice=20.0),
+        Row(o_orderkey=4, o_orderdate=d(4), o_orderpriority="B", o_totalprice=20.0),
+        # period 2 (days 7-11): A 1 order @ 14, B 3 orders @ 22
+        Row(o_orderkey=5, o_orderdate=d(8), o_orderpriority="A", o_totalprice=14.0),
+        Row(o_orderkey=6, o_orderdate=d(9), o_orderpriority="B", o_totalprice=22.0),
+        Row(o_orderkey=7, o_orderdate=d(10), o_orderpriority="B", o_totalprice=22.0),
+        Row(o_orderkey=8, o_orderdate=d(11), o_orderpriority="B", o_totalprice=22.0),
+    ]
+    out = {r.segment: r for r in mix_rate_decomposition(
+        spark.createDataFrame(rows)).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.share_1, a.share_2, a.rate_1, a.rate_2) == (0.5, 0.25, 10.0, 14.0)
+    assert (b.share_1, b.share_2, b.rate_1, b.rate_2) == (0.5, 0.75, 20.0, 22.0)
+    mean1, mean2 = (2 * 10 + 2 * 20) / 4, (14 + 3 * 22) / 4
+    bridge = a.mix_contrib + a.rate_contrib + b.mix_contrib + b.rate_contrib
+    assert round(bridge, 5) == round(mean2 - mean1, 5)

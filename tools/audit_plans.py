@@ -193,6 +193,9 @@ SINGLE_PARTITION_OK = {
     # percentile fold — the replica aggregate itself is keyed on b
     "x217_dup_flow_matrix",  # 1-row pair total onto |sources|^2 cells
     "x218_ab_power_curve",  # one 1-row moment fold + 4-literal grid
+    "x220_retrieval_exposure",  # two 1-row totals onto |labels| cells
+    "x221_mix_rate_decomposition",  # 1-row date span + 1-row period
+    # totals onto |segments| cells
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -311,6 +314,10 @@ CROSS_JOIN_OK = {
     # with the broadcast 1-row CI fold
     "x217_dup_flow_matrix",  # crossJoin with the broadcast 1-row pair
     # total onto the |sources|^2 cells
+    "x220_retrieval_exposure",  # crossJoins with the two broadcast
+    # 1-row totals onto the |labels| cells
+    "x221_mix_rate_decomposition",  # crossJoins with the broadcast
+    # 1-row date-span / period totals
 }
 
 
