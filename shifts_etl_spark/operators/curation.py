@@ -934,3 +934,72 @@ def greedy_coverage_select(
             F.col("cumulative_coverage") / F.lit(float(total)), 6
         ).alias("coverage_frac"),
     ).orderBy("rank")
+
+
+def quantile_normalize_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Quantile normalization of per-source quality scores onto the
+    pooled distribution (the batch-effect correction from expression
+    arrays, applied to corpus mixing): each source's score lattice
+    cell maps to the smallest pooled score whose pooled CDF covers the
+    cell's within-source midpoint CDF — after mapping, every source's
+    score distribution matches the corpus, so a threshold means the
+    same thing everywhere (a lenient source can no longer flood the
+    keep set).
+
+    Determinism: scores live on the 0-10 lattice; the midpoint CDF is
+    the ratio of exact integers ((2*cum - n) / (2*n_source)); IEEE
+    division makes equal rationals identical doubles on any engine,
+    so the >= lookup is stable.
+
+    Scale shape: one (source, cell) aggregate, two window folds on the
+    |sources| x 11 cell frame, an 11-row broadcast lookup join."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    s10 = F.round(quality_score(F.col(text_col)) * 10).cast("long")
+    cells = docs.groupBy(
+        F.col(source_col).alias("source"), s10.alias("s10")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wsrc = Window.partitionBy("source").orderBy("s10").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("source")
+    scored = cells.select(
+        "source",
+        "s10",
+        "n",
+        (
+            (2 * F.sum("n").over(wsrc) - F.col("n")).cast("double")
+            / (2 * F.sum("n").over(wall)).cast("double")
+        ).alias("p_mid"),
+    )
+    pooled_cells = cells.groupBy("s10").agg(F.sum("n").cast("long").alias("pn"))
+    wp = Window.orderBy("s10").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    pooled = pooled_cells.select(
+        F.col("s10").alias("ps10"),
+        (
+            F.sum("pn").over(wp).cast("double")
+            / F.sum("pn").over(wt).cast("double")
+        ).alias("pooled_cdf"),
+    )
+    mapped = (
+        scored.join(
+            F.broadcast(pooled), F.col("pooled_cdf") >= F.col("p_mid")
+        )
+        .groupBy("source", "s10", "n", "p_mid")
+        .agg(F.min("ps10").alias("mapped_s10"))
+    )
+    return mapped.select(
+        "source",
+        "s10",
+        "n",
+        F.round(F.col("p_mid"), 6).alias("p_mid"),
+        "mapped_s10",
+        F.round(F.col("mapped_s10") / 10.0, 6).alias("mapped_quality"),
+    ).orderBy("source", "s10")

@@ -1670,3 +1670,66 @@ def dup_flow_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def source_originality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    min_df: int = 2,
+    max_df: int = 5,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Per-source originality accounting: how much of each source is
+    copied content? Near-dup components (x67 chain) elect their best
+    copy (the x84 rule); every NON-canonical member is a redundant
+    copy charged against its source. originality = 1 - copies/docs —
+    the per-feed score that decides which source gets dropped when two
+    mirror each other (the source-level rollup of x217's pair flows).
+
+    Scale shape: the df-bounded blocking chain, the per-cluster argmax
+    window (clusters are small by construction), then a |sources|-cell
+    rollup against the per-source doc counts."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    comps = blocked_dedup_components(
+        docs, text_col, id_col, shingle_n, min_df, max_df, threshold
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc"),
+        F.round(quality_score(F.col(text_col)), 4).alias("q"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc"))
+    flags = (
+        comps.join(scored, "doc")
+        .select("doc", F.row_number().over(w).alias("rn"))
+        .join(
+            docs.select(F.col(id_col).alias("doc"), F.col(source_col).alias("source")),
+            "doc",
+        )
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_clusters"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_canonical"),
+    )
+    src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    joined = src.join(agg, "source", "left")
+    n_in = F.coalesce("n_in_clusters", F.lit(0)).cast("long")
+    n_can = F.coalesce("n_canonical", F.lit(0)).cast("long")
+    return joined.select(
+        "source",
+        "n_docs",
+        n_in.alias("n_in_clusters"),
+        n_can.alias("n_canonical"),
+        (n_in - n_can).alias("n_copies"),
+        F.round(
+            1.0 - (n_in - n_can) / F.col("n_docs").cast("double"), 6
+        ).alias("originality"),
+    ).orderBy("source")

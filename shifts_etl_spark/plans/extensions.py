@@ -10147,6 +10147,139 @@ ORDER BY segment
 """
 
 
+def x222_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of per-source quality scores onto the
+    pooled distribution (curation.quantile_normalize_quality) — the
+    batch-effect correction that makes one keep-threshold mean the
+    same thing for every source."""
+    return curation.quantile_normalize_quality(_t(spark, sf_dir, "documents"))
+
+
+X222_SQL = rf"""
+WITH qb AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks,
+         text
+  FROM documents
+),
+qq AS (
+  SELECT source,
+         CAST(round((CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) * 10)
+          AS BIGINT) AS s10
+  FROM qb
+),
+cells AS (
+  SELECT source, s10, CAST(count(*) AS BIGINT) AS n
+  FROM qq GROUP BY 1, 2
+),
+scored AS (
+  SELECT source, s10, n,
+         CAST(2 * SUM(n) OVER (PARTITION BY source ORDER BY s10
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS DOUBLE)
+           / CAST(2 * SUM(n) OVER (PARTITION BY source) AS DOUBLE) AS p_mid
+  FROM cells
+),
+pooled_cells AS (
+  SELECT s10, CAST(SUM(n) AS BIGINT) AS pn FROM cells GROUP BY 1
+),
+pooled AS (
+  SELECT s10 AS ps10,
+         CAST(SUM(pn) OVER (ORDER BY s10
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(pn) OVER () AS DOUBLE) AS pooled_cdf
+  FROM pooled_cells
+),
+mapped AS (
+  SELECT s.source, s.s10, s.n, s.p_mid, MIN(p.ps10) AS mapped_s10
+  FROM scored s JOIN pooled p ON p.pooled_cdf >= s.p_mid
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source, s10, n,
+       round(p_mid, 6) AS p_mid,
+       mapped_s10,
+       round(mapped_s10 / 10.0, 6) AS mapped_quality
+FROM mapped
+ORDER BY source, s10
+"""
+
+
+def x223_source_originality(spark, sf_dir):
+    """Per-source originality accounting (dedup.source_originality):
+    non-canonical near-dup members are copies charged to their source;
+    originality = 1 - copies/docs — the source-level rollup of x217's
+    pair flows."""
+    return dedup.source_originality(_t(spark, sf_dir, "documents"))
+
+
+# X67's components chain + the X84 quality argmax, rolled up per source.
+X223_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    rf""", comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+qual AS (
+  SELECT doc_id,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+  )
+),
+flags AS (
+  SELECT d2.source,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qual.q DESC, c.doc) AS rn
+  FROM comp c
+  JOIN qual ON qual.doc_id = c.doc
+  JOIN documents d2 ON d2.doc_id = c.doc
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_in_clusters,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical
+  FROM flags GROUP BY 1
+),
+src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT s.source, s.n_docs,
+       CAST(COALESCE(a.n_in_clusters, 0) AS BIGINT) AS n_in_clusters,
+       CAST(COALESCE(a.n_canonical, 0) AS BIGINT) AS n_canonical,
+       CAST(COALESCE(a.n_in_clusters, 0) - COALESCE(a.n_canonical, 0)
+            AS BIGINT) AS n_copies,
+       round(1.0 - (COALESCE(a.n_in_clusters, 0)
+                    - COALESCE(a.n_canonical, 0))
+             / CAST(s.n_docs AS DOUBLE), 6) AS originality
+FROM src s LEFT JOIN agg a USING (source)
+ORDER BY s.source""",
+)
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10571,6 +10704,8 @@ EXTENSIONS = {
         x221_mix_rate_decomposition,
         X221_SQL,
     ),
+    "x222_quantile_normalize": (x222_quantile_normalize, X222_SQL),
+    "x223_source_originality": (x223_source_originality, X223_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

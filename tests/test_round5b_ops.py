@@ -3348,3 +3348,63 @@ def test_mix_rate_decomposition_telescopes(spark):
     mean1, mean2 = (2 * 10 + 2 * 20) / 4, (14 + 3 * 22) / 4
     bridge = a.mix_contrib + a.rate_contrib + b.mix_contrib + b.rate_contrib
     assert round(bridge, 5) == round(mean2 - mean1, 5)
+
+
+def test_quantile_normalize_hand_mapping(spark):
+    """Lenient source L (scores 5,5,10,10) vs strict source S (3,3,5,5)
+    pool to cells {3: 2, 5: 4, 10: 2} with CDF .25/.75/1: L's 5-cell
+    midpoint (p=.25) maps DOWN to pooled 3 and its 10-cell (p=.75) to
+    pooled 5; S's own cells map onto themselves. After mapping both
+    sources share the pooled lattice."""
+    from shifts_etl_spark.operators.curation import quantile_normalize_quality
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    mid = "x " * 20  # 0.5: length ok, digits ok, no stopwords, mtl 1
+    bad = "12345 67890 13579"  # 0.3: digit-heavy + short, but mtl in range
+    rows = [Row(doc_id=1, source="L", text=mid),
+            Row(doc_id=2, source="L", text=mid),
+            Row(doc_id=3, source="L", text=good),
+            Row(doc_id=4, source="L", text=good),
+            Row(doc_id=5, source="S", text=bad),
+            Row(doc_id=6, source="S", text=bad),
+            Row(doc_id=7, source="S", text=mid),
+            Row(doc_id=8, source="S", text=mid)]
+    out = {(r.source, r.s10): r for r in quantile_normalize_quality(
+        spark.createDataFrame(rows)).collect()}
+    assert out[("L", 5)].mapped_s10 == 3   # p_mid .25 <= pooled cdf(3) = .25
+    assert out[("L", 10)].mapped_s10 == 5  # p_mid .75 <= pooled cdf(5) = .75
+    assert out[("S", 3)].mapped_s10 == 3
+    assert out[("S", 5)].mapped_s10 == 5
+    assert out[("L", 5)].p_mid == 0.25
+    assert out[("L", 10)].p_mid == 0.75
+
+
+def test_source_originality_charges_copies(spark):
+    """Source A holds the canonical (higher-quality) copy of a near-dup
+    pair whose twin lives in B: B is charged the copy (originality
+    3/4), A stays at 1; source C (untouched) stays at 1."""
+    from shifts_etl_spark.operators.dedup import source_originality
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank at dawn every single day")
+    rows = [
+        Row(doc_id=1, source="A", text=base, lang="en", n_chars=len(base)),
+        Row(doc_id=2, source="B", text=base.replace("dawn", "dusk") + " 999",
+            lang="en", n_chars=len(base)),
+        Row(doc_id=3, source="B", text="unrelated words entirely about "
+            "spark shuffle exchanges and the catalyst optimizer plans",
+            lang="en", n_chars=90),
+        Row(doc_id=4, source="B", text="another unrelated document with "
+            "its own private vocabulary tokens", lang="en", n_chars=70),
+        Row(doc_id=5, source="B", text="yet another standalone text "
+            "carrying fresh words only", lang="en", n_chars=55),
+        Row(doc_id=6, source="C", text="completely separate content here",
+            lang="en", n_chars=30),
+    ]
+    out = {r.source: r for r in source_originality(
+        spark.createDataFrame(rows)).collect()}
+    assert out["A"].n_copies == 0 and out["A"].originality == 1.0
+    assert out["B"].n_copies == 1
+    assert out["B"].originality == 0.75
+    assert out["C"].originality == 1.0

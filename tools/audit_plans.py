@@ -196,6 +196,8 @@ SINGLE_PARTITION_OK = {
     "x220_retrieval_exposure",  # two 1-row totals onto |labels| cells
     "x221_mix_rate_decomposition",  # 1-row date span + 1-row period
     # totals onto |segments| cells
+    "x222_quantile_normalize",  # pooled-CDF fold over the 11-point
+    # lattice (sanctioned tiny window, the x186 shape)
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -318,6 +320,8 @@ CROSS_JOIN_OK = {
     # 1-row totals onto the |labels| cells
     "x221_mix_rate_decomposition",  # crossJoins with the broadcast
     # 1-row date-span / period totals
+    "x222_quantile_normalize",  # range lookup of |sources| x 11 cells
+    # against the broadcast 11-row pooled-CDF lattice
 }
 
 
