@@ -1003,3 +1003,73 @@ def quantile_normalize_quality(
         "mapped_s10",
         F.round(F.col("mapped_s10") / 10.0, 6).alias("mapped_quality"),
     ).orderBy("source", "s10")
+
+
+def negative_collision_budget(
+    docs: DataFrame,
+    emb: DataFrame,
+    batch_sizes: tuple[int, ...] = (64, 256, 1024),
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """In-batch negative collision planner for contrastive training:
+    with random batches of size B, every anchor treats the other B-1
+    items as negatives — but a same-label item or a near-duplicate of
+    the anchor is a FALSE negative that actively pushes apart things
+    that belong together. Closed form off the corpus: P(same label) =
+    sum p_l^2, P(near-dup) = 2*|confirmed x67 pairs| / (N*(N-1));
+    expected false negatives per anchor = (B-1) * P. The artifact that
+    decides whether in-batch negatives are safe at a given B or hard
+    negatives (y2) must be mined instead.
+
+    Scale shape: one |labels|-cell aggregate, the x67 pair chain's
+    1-row count, a |batch_sizes|-literal grid — all against broadcast
+    1-row totals."""
+    from .dedup import ngram_jaccard_pairs, rare_shingle_pairs
+
+    labels = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("nl")
+    )
+    # sum p_l^2 as an exact integer ratio (sum nl^2 / N^2) — summing
+    # double ratios would be merge-order-sensitive
+    p2 = labels.agg(
+        F.sum("nl").cast("long").alias("n"),
+        F.sum(F.col("nl") * F.col("nl")).cast("long").alias("sum_nl2"),
+    ).select(
+        "n",
+        (
+            F.col("sum_nl2").cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("sum_p2"),
+    )
+    cands = rare_shingle_pairs(docs, id_col=id_col)
+    conf = ngram_jaccard_pairs(docs, cands, id_col=id_col).where(
+        F.col("jaccard") >= 0.3
+    )
+    ndup = conf.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    base = p2.crossJoin(F.broadcast(ndup)).select(
+        "n",
+        "sum_p2",
+        (
+            2.0 * F.col("n_pairs")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("p_dup"),
+    )
+    grid = base.select(
+        "n",
+        "sum_p2",
+        "p_dup",
+        F.explode(
+            F.array(*[F.lit(b) for b in batch_sizes])
+        ).alias("batch_size"),
+    )
+    bm1 = (F.col("batch_size") - 1).cast("double")
+    return grid.select(
+        "batch_size",
+        F.col("n").alias("n_corpus"),
+        F.round(F.col("sum_p2"), 6).alias("p_same_label"),
+        F.round(F.col("p_dup"), 6).alias("p_near_dup"),
+        F.round(bm1 * F.col("sum_p2"), 6).alias("exp_label_collisions"),
+        F.round(bm1 * F.col("p_dup"), 6).alias("exp_dup_collisions"),
+    ).orderBy("batch_size")

@@ -10458,6 +10458,74 @@ ORDER BY label
 """
 
 
+def y7_negative_collision(spark, sf_dir):
+    """In-batch negative collision planner
+    (curation.negative_collision_budget): expected same-label and
+    near-duplicate false negatives per anchor at batch sizes
+    {64, 256, 1024} — closed form off the label distribution and the
+    x67 confirmed-pair count."""
+    return curation.negative_collision_budget(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+Y7_SQL = rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+conf AS (
+  SELECT ia, ib
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3
+),
+ndup AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM conf),
+lab AS (SELECT label, CAST(count(*) AS BIGINT) AS nl
+        FROM embeddings GROUP BY 1),
+p2 AS (
+  SELECT CAST(SUM(nl) AS BIGINT) AS n,
+         CAST(SUM(nl * nl) AS BIGINT) AS sum_nl2
+  FROM lab
+),
+base AS (
+  SELECT n,
+         sum_nl2 / (CAST(n AS DOUBLE) * n) AS sum_p2,
+         2.0 * n_pairs / (CAST(n AS DOUBLE) * (n - 1)) AS p_dup
+  FROM p2 CROSS JOIN ndup
+),
+grid AS (
+  SELECT n, sum_p2, p_dup, unnest([64, 256, 1024]) AS batch_size
+  FROM base
+)
+SELECT batch_size, n AS n_corpus,
+       round(sum_p2, 6) AS p_same_label,
+       round(p_dup, 6) AS p_near_dup,
+       round(CAST(batch_size - 1 AS DOUBLE) * sum_p2, 6)
+         AS exp_label_collisions,
+       round(CAST(batch_size - 1 AS DOUBLE) * p_dup, 6)
+         AS exp_dup_collisions
+FROM grid
+ORDER BY batch_size
+"""
+
+
 EXTENSIONS = {
     "x1_dedup_exact": (x1_dedup_exact, X1_SQL),
     "x2_dedup_exact_normalized": (x2_dedup_exact_normalized, X2_SQL),
@@ -10542,6 +10610,7 @@ EXTENSIONS = {
     "y4_split_ngram_contamination": (y4_split_ngram_contamination, Y4_SQL),
     "y5_rrf_fusion": (y5_rrf_fusion, Y5_SQL),
     "y6_knn_classifier": (y6_knn_classifier, Y6_SQL),
+    "y7_negative_collision": (y7_negative_collision, Y7_SQL),
     "x78_ks_drift": (x78_ks_drift, X78_SQL),
     "x79_containment_dupes": (x79_containment_dupes, X79_SQL),
     "x80_snapshot_diff": (x80_snapshot_diff, X80_SQL),

@@ -3408,3 +3408,35 @@ def test_source_originality_charges_copies(spark):
     assert out["B"].n_copies == 1
     assert out["B"].originality == 0.75
     assert out["C"].originality == 1.0
+
+
+def test_negative_collision_closed_form(spark):
+    """4 vectors with labels 0,0,1,1 (sum p^2 = 1/2) and one confirmed
+    near-dup pair among 4 docs (p_dup = 2*1/(4*3) = 1/6): expected
+    collisions at B are exactly (B-1) times each rate."""
+    from shifts_etl_spark.operators.curation import negative_collision_budget
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank at dawn every single day")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, source="s", text=base, lang="en", n_chars=1),
+        Row(doc_id=2, source="s", text=base.replace("dawn", "dusk"),
+            lang="en", n_chars=1),
+        Row(doc_id=3, source="s", text="fully distinct words about spark "
+            "plans and exchanges nothing shared", lang="en", n_chars=1),
+        Row(doc_id=4, source="s", text="another standalone text with its "
+            "own private tokens only", lang="en", n_chars=1),
+    ])
+    emb = spark.createDataFrame([
+        Row(vec_id=i, embedding=[1.0, float(i)], label=i // 2)
+        for i in range(4)
+    ])
+    out = {r.batch_size: r for r in negative_collision_budget(
+        docs, emb, batch_sizes=(4, 64)).collect()}
+    r = out[4]
+    assert r.n_corpus == 4
+    assert r.p_same_label == 0.5
+    assert r.p_near_dup == round(1 / 6, 6)
+    assert r.exp_label_collisions == 1.5
+    assert r.exp_dup_collisions == 0.5
+    assert out[64].exp_label_collisions == 31.5

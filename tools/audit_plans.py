@@ -198,6 +198,8 @@ SINGLE_PARTITION_OK = {
     # totals onto |segments| cells
     "x222_quantile_normalize",  # pooled-CDF fold over the 11-point
     # lattice (sanctioned tiny window, the x186 shape)
+    "y7_negative_collision",  # two 1-row folds (label moments, x67
+    # pair count) + a 3-literal batch grid
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -322,6 +324,8 @@ CROSS_JOIN_OK = {
     # 1-row date-span / period totals
     "x222_quantile_normalize",  # range lookup of |sources| x 11 cells
     # against the broadcast 11-row pooled-CDF lattice
+    "y7_negative_collision",  # crossJoin of the two broadcast 1-row
+    # folds (label moments x pair count)
 }
 
 
