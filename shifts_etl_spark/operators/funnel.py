@@ -2873,3 +2873,90 @@ def mix_rate_decomposition(
         F.round((sh2 - sh1) * r1, 6).alias("mix_contrib"),
         F.round(sh2 * (r2 - r1), 6).alias("rate_contrib"),
     ).orderBy("segment")
+
+
+def absorption_conversion(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    n_iterations: int = 25,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Eventual-conversion probability by state (absorbing Markov
+    chain): model each session as a chain over event types with two
+    absorbing states — ``conversion_type`` (value 1) and session END
+    (value 0) — and solve a = P·a by ``n_iterations`` Jacobi sweeps.
+    a(t) answers 'a user currently at t: how likely do they convert
+    before the session dies?' — the forward-looking funnel number
+    x108's ordered reach can't give.
+
+    Determinism: the transition matrix is (|types|+1)^2 integer-count
+    cells, collected to the driver (bounded by construction, the
+    kmeans-centroid precedent); the Jacobi sums run in sorted
+    next-state order so the oracle's ordered list_aggregate folds the
+    identical IEEE sequence.
+
+    Scale shape: one keyed session-lag window over events, one
+    |types|^2-cell aggregate, then driver-side iteration on the tiny
+    matrix; the result is a |types|-row literal frame."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("t"),
+        F.when(gap > gap_minutes * 60, 1).otherwise(0).alias("is_new"),
+    )
+    w2 = Window.partitionBy("u").orderBy("ts", "eid")
+    sess = marked.select(
+        "t", F.sum("is_new").over(w2).alias("sn"), "u", "ts", "eid"
+    )
+    w3 = Window.partitionBy("u", "sn").orderBy("ts", "eid")
+    pairs = sess.select(
+        F.col("t").alias("a"),
+        F.coalesce(F.lead("t").over(w3), F.lit("__END__")).alias("b"),
+    ).where(F.col("a") != conversion_type)
+    cells = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    # driver-side Jacobi on the bounded (|types|+1)^2 matrix
+    from collections import defaultdict
+
+    out_tot: dict = defaultdict(int)
+    for r in cells:
+        out_tot[r.a] += r.n
+    trans = defaultdict(list)  # a -> [(b, p)] sorted by b
+    for r in sorted(cells, key=lambda r: (r.a, r.b)):
+        trans[r.a].append((r.b, r.n / out_tot[r.a]))
+    states = sorted(trans)
+    a_val = {s: 0.0 for s in states}
+    a_val[conversion_type] = 1.0
+    a_val["__END__"] = 0.0
+    for _ in range(n_iterations):
+        new = {}
+        for s in states:
+            acc = 0.0
+            for b, p in trans[s]:  # sorted by b: ordered IEEE fold
+                acc += p * a_val.get(b, 0.0)
+            new[s] = acc
+        a_val.update(new)
+    # full-precision values: the ordered IEEE folds are bit-identical
+    # across engines, while Python round() (banker's) and SQL round()
+    # (half-away) could disagree at an exact 6-dp boundary
+    rows = [(s, out_tot[s], a_val[s]) for s in states] + [
+        (conversion_type, 0, 1.0)
+    ]
+    return (
+        events.sparkSession.createDataFrame(
+            rows, schema="state string, n_out_transitions long, p_convert double"
+        )
+        .orderBy("state")
+    )

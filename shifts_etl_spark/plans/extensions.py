@@ -10280,6 +10280,76 @@ ORDER BY s.source""",
 )
 
 
+def x224_absorption_conversion(spark, sf_dir):
+    """Eventual-conversion probability by state
+    (funnel.absorption_conversion): absorbing-Markov-chain solve
+    (purchase = 1, session END = 0) by 25 Jacobi sweeps on the
+    session transition matrix — 'a user currently at t: how likely do
+    they convert before the session dies?'."""
+    return funnel.absorption_conversion(_t(spark, sf_dir, "events"))
+
+
+def _x224_step(i: int) -> str:
+    return f""",
+a{i} AS MATERIALIZED (
+  SELECT t.a AS state,
+         list_aggregate(list(t.p * av.val ORDER BY t.b), 'sum') AS val
+  FROM trans t JOIN a{i - 1} av ON av.state = t.b
+  GROUP BY 1
+  UNION ALL SELECT 'purchase', 1.0
+  UNION ALL SELECT '__END__', 0.0
+)"""
+
+
+X224_SQL = (
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sn
+  FROM ordered
+),
+pairs AS (
+  SELECT event_type AS a,
+         COALESCE(lead(event_type) OVER (PARTITION BY user_id, sn
+                                         ORDER BY ts, event_id),
+                  '__END__') AS b
+  FROM sess
+),
+cells AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE a <> 'purchase' GROUP BY 1, 2
+),
+trans AS MATERIALIZED (
+  SELECT a, b,
+         n / CAST(SUM(n) OVER (PARTITION BY a) AS DOUBLE) AS p,
+         CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS out_tot
+  FROM cells
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT a AS state, 0.0 AS val FROM trans
+  UNION ALL SELECT 'purchase', 1.0
+  UNION ALL SELECT '__END__', 0.0
+)"""
+    + "".join(_x224_step(i) for i in range(1, 26))
+    + """
+SELECT f.state, f.out_tot AS n_out_transitions, a25.val AS p_convert
+FROM (SELECT DISTINCT a AS state, out_tot FROM trans) f
+JOIN a25 ON a25.state = f.state
+UNION ALL
+SELECT 'purchase', CAST(0 AS BIGINT), 1.0
+ORDER BY state
+"""
+)
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10775,6 +10845,10 @@ EXTENSIONS = {
     ),
     "x222_quantile_normalize": (x222_quantile_normalize, X222_SQL),
     "x223_source_originality": (x223_source_originality, X223_SQL),
+    "x224_absorption_conversion": (
+        x224_absorption_conversion,
+        X224_SQL,
+    ),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

@@ -3440,3 +3440,43 @@ def test_negative_collision_closed_form(spark):
     assert r.exp_label_collisions == 1.5
     assert r.exp_dup_collisions == 0.5
     assert out[64].exp_label_collisions == 31.5
+
+
+def test_absorption_conversion_hand_chain(spark):
+    """Deterministic chains: from 'view' half the sessions go straight
+    to purchase and half die (P(view->purchase)=P(view->END)=1/2), so
+    a(view) = 0.5 exactly; 'click' always leads to view, so a(click) =
+    a(view) = 0.5; purchase itself reports 1.0."""
+    from shifts_etl_spark.operators.funnel import absorption_conversion
+
+    rows, eid = [], 0
+    def sess(u, types, hour):
+        nonlocal eid
+        for i, t in enumerate(types):
+            eid += 1
+            rows.append(_ev(eid, u, t, f"2024-01-01T{hour:02d}:{i:02d}:00"))
+    sess(1, ["view", "purchase"], 8)
+    sess(2, ["view"], 9)            # dies at END
+    sess(3, ["click", "view", "purchase"], 10)
+    sess(4, ["click", "view"], 11)  # dies
+    out = {r.state: r for r in absorption_conversion(
+        spark.createDataFrame(rows)).collect()}
+    assert out["purchase"].p_convert == 1.0
+    assert out["view"].p_convert == 0.5
+    assert out["click"].p_convert == 0.5
+    assert out["view"].n_out_transitions == 4
+    assert out["click"].n_out_transitions == 2
+
+
+def test_absorption_conversion_no_conversions(spark):
+    """No purchases anywhere: every transient state solves to 0."""
+    from shifts_etl_spark.operators.funnel import absorption_conversion
+
+    rows = [_ev(1, 1, "view", "2024-01-01T10:00:00"),
+            _ev(2, 1, "click", "2024-01-01T10:01:00"),
+            _ev(3, 2, "click", "2024-01-01T11:00:00")]
+    out = {r.state: r for r in absorption_conversion(
+        spark.createDataFrame(rows)).collect()}
+    assert out["view"].p_convert == 0.0
+    assert out["click"].p_convert == 0.0
+    assert out["purchase"].p_convert == 1.0  # by definition
