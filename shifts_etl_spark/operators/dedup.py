@@ -1733,3 +1733,113 @@ def source_originality(
             1.0 - (n_in - n_can) / F.col("n_docs").cast("double"), 6
         ).alias("originality"),
     ).orderBy("source")
+
+
+# (bands, rows_per_band) configurations of the 64-hash MinHash family
+LSH_PARAM_GRID = ((32, 2), (16, 4), (8, 8))
+
+
+def lsh_capture_prob(s: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard = s) = 1 - (1 - s^rows)^bands for the
+    banded MinHash scheme, computed by repeated squaring (rows and
+    bands are powers of two) so any IEEE engine reproduces the exact
+    double."""
+    x = s
+    k = 1
+    while k < rows:
+        x = x * x
+        k *= 2
+    y = 1.0 - x
+    k = 1
+    while k < bands:
+        y = y * y
+        k *= 2
+    return 1.0 - y
+
+
+def lsh_parameter_plan(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH band/row planner against the OBSERVED pair-similarity mass:
+    for each (bands, rows) split of the 64-hash MinHash budget, the
+    expected true pairs captured (Jaccard >= threshold) and false
+    candidates admitted (below threshold), weighting the banded
+    S-curve by the corpus's actual candidate-pair similarity histogram
+    — the artifact that picks x3's configuration BEFORE the 100 TB
+    run, from a cheap deterministic sample. (x83 calibrates the chosen
+    config after the fact; this chooses it.)
+
+    Determinism: the S-curve values are Python-computed literals
+    (repeated squaring), the histogram is integer counts, and the
+    mass folds run as ordered windows over the <= 20 bins.
+
+    Scale shape: the rare-shingle pair scan (df-bounded), a 20-cell
+    histogram, a 60-row literal lookup join, ordered cell folds."""
+    from pyspark.sql import Window
+
+    cands = rare_shingle_pairs(docs, text_col, id_col, shingle_n)
+    sims = ngram_jaccard_pairs(docs, cands, text_col, id_col, shingle_n)
+    bins = sims.select(
+        F.least(F.floor(F.col("jaccard") * 20), F.lit(19))
+        .cast("int").alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lut_rows = []
+    for b, r in LSH_PARAM_GRID:
+        for bn in range(20):
+            mid = (bn + 0.5) / 20.0
+            lut_rows.append(
+                (b, r, bn, mid >= threshold, lsh_capture_prob(mid, b, r))
+            )
+    lut = docs.sparkSession.createDataFrame(
+        lut_rows,
+        schema="bands int, rows_per_band int, bin int, is_true boolean, p double",
+    )
+    joined = bins.join(F.broadcast(lut), "bin")
+    wf = (
+        Window.partitionBy("bands", "rows_per_band")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    tp = F.when(F.col("is_true"), F.col("n") * F.col("p")).otherwise(0.0)
+    fp = F.when(~F.col("is_true"), F.col("n") * F.col("p")).otherwise(0.0)
+    tmass = F.when(F.col("is_true"), F.col("n")).otherwise(F.lit(0))
+    fmass = F.when(~F.col("is_true"), F.col("n")).otherwise(F.lit(0))
+    folded = joined.select(
+        "bands",
+        "rows_per_band",
+        F.row_number().over(
+            Window.partitionBy("bands", "rows_per_band").orderBy("bin")
+        ).alias("rn"),
+        F.sum(tp).over(wf).alias("exp_true_captured"),
+        F.sum(fp).over(wf).alias("exp_false_captured"),
+        F.sum(tmass).over(wf).cast("long").alias("n_true_pairs"),
+        F.sum(fmass).over(wf).cast("long").alias("n_false_pairs"),
+    ).where(F.col("rn") == 1)
+    return folded.select(
+        "bands",
+        "rows_per_band",
+        "n_true_pairs",
+        "n_false_pairs",
+        F.round(F.col("exp_true_captured"), 6).alias("exp_true_captured"),
+        F.round(F.col("exp_false_captured"), 6).alias("exp_false_captured"),
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.round(
+                F.col("exp_true_captured")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ),
+        ).alias("recall_proxy"),
+        F.when(
+            F.col("n_false_pairs") > 0,
+            F.round(
+                F.col("exp_false_captured")
+                / F.col("n_false_pairs").cast("double"),
+                6,
+            ),
+        ).alias("fp_capture_rate"),
+    ).orderBy("bands")

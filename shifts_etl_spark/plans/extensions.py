@@ -10350,6 +10350,93 @@ ORDER BY state
 )
 
 
+def x225_lsh_parameter_plan(spark, sf_dir):
+    """LSH band/row planner (dedup.lsh_parameter_plan): expected true
+    pairs captured vs false candidates admitted for each (bands, rows)
+    split of the 64-hash budget, weighting the banded S-curve by the
+    observed candidate-pair Jaccard histogram — picks x3's
+    configuration before the big run; x83 calibrates it after."""
+    return dedup.lsh_parameter_plan(_t(spark, sf_dir, "documents"))
+
+
+def _x225_lut_sql() -> str:
+    rows = []
+    for b, r in dedup.LSH_PARAM_GRID:
+        for bn in range(20):
+            mid = (bn + 0.5) / 20.0
+            p = dedup.lsh_capture_prob(mid, b, r)
+            rows.append(
+                f"({b}, {r}, {bn}, {str(mid >= 0.3).upper()}, {p!r})"
+            )
+    return ",\n    ".join(rows)
+
+
+X225_SQL = rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+sims AS (
+  SELECT round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+),
+bins AS (
+  SELECT CAST(least(floor(jaccard * 20), 19) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sims GROUP BY 1
+),
+lut(bands, rows_per_band, bin, is_true, p) AS (
+  VALUES
+    {_x225_lut_sql()}
+),
+folded AS (
+  SELECT bands, rows_per_band,
+         row_number() OVER (PARTITION BY bands, rows_per_band
+                            ORDER BY bin) AS rn,
+         SUM(CASE WHEN is_true THEN n * p ELSE 0.0 END) OVER wf AS exp_tp,
+         SUM(CASE WHEN NOT is_true THEN n * p ELSE 0.0 END) OVER wf AS exp_fp,
+         CAST(SUM(CASE WHEN is_true THEN n ELSE 0 END) OVER wf AS BIGINT)
+           AS n_true,
+         CAST(SUM(CASE WHEN NOT is_true THEN n ELSE 0 END) OVER wf
+              AS BIGINT) AS n_false
+  FROM bins JOIN lut USING (bin)
+  WINDOW wf AS (PARTITION BY bands, rows_per_band ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT bands, rows_per_band,
+       n_true AS n_true_pairs,
+       n_false AS n_false_pairs,
+       round(exp_tp, 6) AS exp_true_captured,
+       round(exp_fp, 6) AS exp_false_captured,
+       CASE WHEN n_true > 0
+            THEN round(exp_tp / CAST(n_true AS DOUBLE), 6) END
+         AS recall_proxy,
+       CASE WHEN n_false > 0
+            THEN round(exp_fp / CAST(n_false AS DOUBLE), 6) END
+         AS fp_capture_rate
+FROM folded
+WHERE rn = 1
+ORDER BY bands
+"""
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10849,6 +10936,7 @@ EXTENSIONS = {
         x224_absorption_conversion,
         X224_SQL,
     ),
+    "x225_lsh_parameter_plan": (x225_lsh_parameter_plan, X225_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

