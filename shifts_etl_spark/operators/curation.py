@@ -1073,3 +1073,128 @@ def negative_collision_budget(
         F.round(bm1 * F.col("sum_p2"), 6).alias("exp_label_collisions"),
         F.round(bm1 * F.col("p_dup"), 6).alias("exp_dup_collisions"),
     ).orderBy("batch_size")
+
+
+def grouped_kfold_audit(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-aware k-fold assignment + the audit that shows why it
+    matters: folds are md5 buckets of the GROUP key (a doc's x67
+    near-dup cluster id, or its own id when unclustered), so a
+    duplicate can never see its twin across a fold boundary. The
+    report carries, per fold, the doc/group counts and shares, plus
+    two corpus-wide columns: clusters that would span folds under
+    NAIVE per-doc hashing (the leakage a grouped split prevents) and
+    under the grouped split (0 by construction, computed not assumed).
+
+    Scale shape: the x67 component chain, one md5 expression, two
+    |folds|-cell rollups and two 1-row span counts."""
+    from .dedup import blocked_dedup_components
+
+    comps = blocked_dedup_components(docs, text_col, id_col)
+    base = docs.select(F.col(id_col).alias("doc")).join(
+        comps, "doc", "left"
+    ).select(
+        "doc",
+        F.coalesce("cluster_id", F.col("doc")).alias("group_key"),
+    )
+
+    def fold_of(c, salt):
+        h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+        return (
+            F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+        ) % k
+
+    assigned = base.select(
+        "doc",
+        "group_key",
+        fold_of(F.col("group_key"), "-fold").alias("fold"),
+        fold_of(F.col("doc"), "-fold").alias("naive_fold"),
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("group_key").cast("long").alias("n_groups"),
+    )
+    tot = per_fold.agg(F.sum("n_docs").cast("double").alias("nt"))
+    span_naive = (
+        assigned.where(F.col("group_key") != F.col("doc"))
+        .groupBy("group_key")
+        .agg(F.countDistinct("naive_fold").alias("nf"))
+        .agg(
+            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_span_naive")
+        )
+    )
+    span_grouped = (
+        assigned.where(F.col("group_key") != F.col("doc"))
+        .groupBy("group_key")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(
+            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_span_grouped")
+        )
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(span_naive))
+        .crossJoin(F.broadcast(span_grouped))
+        .select(
+            "fold",
+            "n_docs",
+            "n_groups",
+            F.round(F.col("n_docs") / F.col("nt"), 6).alias("doc_share"),
+            F.coalesce("n_span_naive", F.lit(0)).cast("long")
+            .alias("n_span_naive"),
+            F.coalesce("n_span_grouped", F.lit(0)).cast("long")
+            .alias("n_span_grouped"),
+        )
+        .orderBy("fold")
+    )
+
+
+def loso_quality_attribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Leave-one-source-out quality attribution (Shapley-lite data
+    valuation): for each source, the corpus mean quality WITHOUT it —
+    a positive delta says the corpus improves when the source is
+    dropped. Closed form off per-source integer lattice sums; the
+    cheap first pass before anything as expensive as influence
+    functions.
+
+    Scale shape: one |sources|-cell aggregate against a broadcast
+    1-row corpus total."""
+    from .textstats import quality_score
+
+    s10 = F.round(quality_score(F.col(text_col)) * 10).cast("long")
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(s10).cast("long").alias("s_sum"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("nt"),
+        F.sum("s_sum").cast("long").alias("st"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    full_mean = F.col("st") / F.col("nt").cast("double") / 10.0
+    loso_mean = F.when(
+        F.col("nt") > F.col("n_docs"),
+        (F.col("st") - F.col("s_sum"))
+        / (F.col("nt") - F.col("n_docs")).cast("double")
+        / 10.0,
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("s_sum") / F.col("n_docs").cast("double") / 10.0, 6
+        ).alias("mean_quality"),
+        F.round(full_mean, 6).alias("corpus_mean"),
+        F.round(loso_mean, 6).alias("loso_mean"),
+        F.round(loso_mean - full_mean, 6).alias("drop_gain"),
+    ).orderBy("source")

@@ -10437,6 +10437,117 @@ ORDER BY bands
 """
 
 
+def x226_grouped_kfold(spark, sf_dir):
+    """Cluster-aware k-fold audit (curation.grouped_kfold_audit):
+    folds hash the x67 GROUP key so near-dup twins never straddle a
+    fold; the report shows the naive per-doc hashing would have split
+    n_span_naive clusters (the leakage prevented)."""
+    return curation.grouped_kfold_audit(_t(spark, sf_dir, "documents"))
+
+
+def _x226_fold(col: str) -> str:
+    h = f"md5(CAST({col} AS VARCHAR) || '-fold')"
+    return (
+        f"(ascii(substring({h}, 1, 1)) * 256"
+        f" + ascii(substring({h}, 2, 1))) % 5"
+    )
+
+
+X226_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    rf""", comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+base AS (
+  SELECT d.doc_id AS doc,
+         COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+),
+assigned AS (
+  SELECT doc, group_key,
+         {_x226_fold("group_key")} AS fold,
+         {_x226_fold("doc")} AS naive_fold
+  FROM base
+),
+per_fold AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups
+  FROM assigned GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS nt FROM per_fold),
+span_naive AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_span_naive
+  FROM (SELECT group_key, count(DISTINCT naive_fold) AS nf
+        FROM assigned WHERE group_key <> doc GROUP BY 1)
+),
+span_grouped AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_span_grouped
+  FROM (SELECT group_key, count(DISTINCT fold) AS nf
+        FROM assigned WHERE group_key <> doc GROUP BY 1)
+)
+SELECT fold, n_docs, n_groups,
+       round(n_docs / nt, 6) AS doc_share,
+       n_span_naive, n_span_grouped
+FROM per_fold CROSS JOIN tot
+CROSS JOIN span_naive CROSS JOIN span_grouped
+ORDER BY fold""",
+)
+
+
+def x227_loso_quality(spark, sf_dir):
+    """Leave-one-source-out quality attribution
+    (curation.loso_quality_attribution): corpus mean quality without
+    each source; positive drop_gain = the corpus improves when the
+    source is dropped (Shapley-lite data valuation)."""
+    return curation.loso_quality_attribution(_t(spark, sf_dir, "documents"))
+
+
+X227_SQL = rf"""
+WITH qb AS (
+  SELECT source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qq AS (
+  SELECT source,
+         CAST(round((CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                      / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                               t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.01 THEN 0.2 ELSE 0.0 END
+          + CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END) * 10)
+          AS BIGINT) AS s10
+  FROM qb
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(s10) AS BIGINT) AS s_sum
+  FROM qq GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+         CAST(SUM(s_sum) AS BIGINT) AS st
+  FROM per
+)
+SELECT source, n_docs,
+       round(s_sum / CAST(n_docs AS DOUBLE) / 10.0, 6) AS mean_quality,
+       round(st / CAST(nt AS DOUBLE) / 10.0, 6) AS corpus_mean,
+       CASE WHEN nt > n_docs
+            THEN round((st - s_sum) / CAST(nt - n_docs AS DOUBLE) / 10.0, 6)
+       END AS loso_mean,
+       CASE WHEN nt > n_docs
+            THEN round((st - s_sum) / CAST(nt - n_docs AS DOUBLE) / 10.0
+                       - st / CAST(nt AS DOUBLE) / 10.0, 6)
+       END AS drop_gain
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+
 def y5_rrf_fusion(spark, sf_dir):
     """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
     of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
@@ -10937,6 +11048,8 @@ EXTENSIONS = {
         X224_SQL,
     ),
     "x225_lsh_parameter_plan": (x225_lsh_parameter_plan, X225_SQL),
+    "x226_grouped_kfold": (x226_grouped_kfold, X226_SQL),
+    "x227_loso_quality": (x227_loso_quality, X227_SQL),
     "x154_session_timeout_sweep": (
         x154_session_timeout_sweep,
         X154_SQL,

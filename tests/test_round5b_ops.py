@@ -3529,3 +3529,45 @@ def test_lsh_parameter_plan_weights_histogram(spark):
     # steeper configs admit fewer false candidates
     assert (out[(8, 8)].fp_capture_rate or 0.0) <= (
         out[(32, 2)].fp_capture_rate or 1.0)
+
+
+def test_grouped_kfold_keeps_clusters_whole(spark):
+    """A planted near-dup cluster: the grouped split never spans it
+    across folds (n_span_grouped 0), shares sum to 1, and every doc
+    of the cluster shares its cluster's fold."""
+    from shifts_etl_spark.operators.curation import grouped_kfold_audit
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank at dawn every single day")
+    rows = [Row(doc_id=i, source="s",
+                text=base.replace("dawn", w), lang="en", n_chars=1)
+            for i, w in enumerate(["dawn", "dusk", "noon"], start=1)]
+    rows += [Row(doc_id=100 + i, source="s",
+                 text=f"standalone document number {i} with its own "
+                      f"private words token{i} alpha{i} beta{i}",
+                 lang="en", n_chars=1) for i in range(7)]
+    out = grouped_kfold_audit(spark.createDataFrame(rows), k=5).collect()
+    assert all(r.n_span_grouped == 0 for r in out)
+    assert round(sum(r.doc_share for r in out), 5) == 1.0
+    assert sum(r.n_docs for r in out) == 10
+
+
+def test_loso_quality_flags_bad_source(spark):
+    """Source 'junk' (quality 0.3 docs) dragging down a 1.0-quality
+    corpus: dropping it raises the mean (drop_gain > 0); dropping the
+    good source lowers it (drop_gain < 0); the identity
+    corpus_mean = weighted mean of source means holds."""
+    from shifts_etl_spark.operators.curation import loso_quality_attribution
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    junk = "12345 67890 13579"
+    rows = [Row(doc_id=i, source="good", text=good) for i in range(3)]
+    rows += [Row(doc_id=10 + i, source="junk", text=junk) for i in range(2)]
+    out = {r.source: r for r in loso_quality_attribution(
+        spark.createDataFrame(rows)).collect()}
+    g, j = out["good"], out["junk"]
+    assert g.mean_quality == 1.0 and j.mean_quality == 0.3
+    assert g.corpus_mean == round((3 * 1.0 + 2 * 0.3) / 5, 6)
+    assert j.loso_mean == 1.0 and j.drop_gain > 0
+    assert g.loso_mean == 0.3 and g.drop_gain < 0

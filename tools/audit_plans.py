@@ -200,6 +200,9 @@ SINGLE_PARTITION_OK = {
     # lattice (sanctioned tiny window, the x186 shape)
     "y7_negative_collision",  # two 1-row folds (label moments, x67
     # pair count) + a 3-literal batch grid
+    "x226_grouped_kfold",  # two 1-row span counts + 1-row doc total
+    # onto the |folds| cells
+    "x227_loso_quality",  # 1-row corpus total onto |sources| cells
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -326,6 +329,10 @@ CROSS_JOIN_OK = {
     # against the broadcast 11-row pooled-CDF lattice
     "y7_negative_collision",  # crossJoin of the two broadcast 1-row
     # folds (label moments x pair count)
+    "x226_grouped_kfold",  # crossJoins with the broadcast 1-row
+    # doc-total / span-count folds
+    "x227_loso_quality",  # crossJoin with the broadcast 1-row corpus
+    # total onto the |sources| cells
 }
 
 
