@@ -1,0 +1,1554 @@
+"""Similarity search over the embeddings table: brute-force / LSH / IVF / PQ top-k, reranking, embedding geometry audits."""
+
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ...operators import bloom, clustering, countmin, curation, dedup, funnel, heavyhitters, multimodal, profile, simsearch, textstats, theta
+from ...operators.profile import profile_table
+from ...sources.tables import load_table as _t_impl
+from ._shared import (
+    X6_SQL,
+    _X67_NORM,
+    _X73_U,
+    _kmeans_cells_sql,
+    _t,
+)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def x7_sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for query vectors 0-4 (the ANN baseline)."""
+    return simsearch.brute_force_topk(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5)
+
+
+X7_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def x8_sim_topk_lsh(spark, sf_dir):
+    """Approximate top-5 via sign-LSH (band bucket join, exact re-rank).
+
+    Oracle-checkable since round 3: the catalog entry runs the md5-derived
+    sparse ±1 plane family over floor(v·1e6) integer quantization
+    (simsearch.add_det_lsh_signature) — projections are pure integer sums,
+    so signatures, band keys, candidates, and the 6-dp cosine re-rank all
+    mirror bit-for-bit into X8_SQL. The seeded Gaussian/Pandas-UDF family
+    stays the library throughput default with its recall pytest."""
+    return simsearch.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, dim=64, k=5, plane_fn="md5"
+    )
+
+
+_X8_HEX = (
+    "(" + " + ".join(
+        f"CAST(ascii(substring(hx, {i}, 1)) - CASE WHEN "
+        f"ascii(substring(hx, {i}, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+        f" * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    ) + ")"
+)
+
+X8_SQL = f"""
+WITH pw AS (
+  SELECT p, i,
+         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
+  FROM range(16) tp(p), range(64) ti(i)
+),
+planes AS (
+  SELECT p, i,
+         CASE ({_X8_HEX} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+  FROM pw
+),
+elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(floor(e.v * 1000000.0) AS BIGINT) * pl.w) AS s
+  FROM elem e JOIN planes pl USING (i)
+  GROUP BY 1, 2
+),
+bkeys AS (
+  SELECT vec_id, p // 4 AS band,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+             * (CAST(1 AS BIGINT) << CAST(3 - (p % 4) AS INT))) AS key
+  FROM proj GROUP BY 1, 2
+),
+buckets AS (SELECT vec_id, band * 4294967296 + key AS bucket FROM bkeys),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets cb USING (bucket)
+  WHERE qb.vec_id IN (0, 1, 2, 3, 4) AND qb.vec_id <> cb.vec_id
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, SUM(q.v * n.v) AS dot
+  FROM cand c
+  JOIN elem q ON q.vec_id = c.query_id
+  JOIN elem n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+def x13_sim_topk_ivf(spark, sf_dir):
+    """IVF-cell approximate top-5 (deterministic centroid sample, 4-probe).
+    Fully deterministic (stride centroids, exact cosine, id tie-breaks),
+    so unlike the seeded-LSH paths it carries a full DuckDB oracle in
+    addition to the recall-vs-brute-force pytest."""
+    return simsearch.ivf_topk(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5)
+
+
+X13_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+cdots AS (
+  SELECT a.vec_id, ce.vec_id AS cent_id, SUM(a.v * ce.v) AS dot
+  FROM elem a JOIN elem ce ON a.i = ce.i
+  WHERE ce.vec_id % 16 = 0
+  GROUP BY 1, 2
+),
+csims AS (
+  SELECT d.vec_id, d.cent_id, d.dot / (na.nrm * nc.nrm) AS sim
+  FROM cdots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nc ON d.cent_id = nc.vec_id
+),
+corpus_cell AS (
+  SELECT vec_id AS neighbor_id, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM csims)
+  WHERE rn = 1
+),
+query_cell AS (
+  SELECT vec_id AS query_id, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM csims WHERE vec_id IN (0, 1, 2, 3, 4))
+  WHERE rn <= 4
+),
+pair_ids AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM query_cell JOIN corpus_cell USING (cent_id)
+  WHERE query_id <> neighbor_id
+),
+pdots AS (
+  SELECT p.query_id, p.neighbor_id, SUM(q.v * c.v) AS dot
+  FROM pair_ids p
+  JOIN elem q ON q.vec_id = p.query_id
+  JOIN elem c ON c.vec_id = p.neighbor_id AND c.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pdots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def x30_kmeans_cells(spark, sf_dir):
+    """DataFrame-native k-means (operators/clustering.py): 3 Lloyd
+    iterations over the embeddings, then the per-cell occupancy.
+
+    Oracle-checkable since round 3 (the x13 determinism recipe): centroids
+    seed from the k lowest vec_ids ("first" init — ORDER BY vec_id LIMIT k
+    in SQL), distances HALF_UP-round to 6 decimals before each argmin, and
+    centroid means round to 6 decimals after each update — so the Lloyd
+    fixed point is identical across engines regardless of float partial-sum
+    order, and the 3 iterations unroll into a DuckDB CTE chain
+    (_kmeans_cells_sql). The seeded-hash init stays the default for
+    library callers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = clustering.kmeans_fit(
+        emb, k=8, max_iter=3, init="first", round_decimals=6
+    )
+    return (
+        clustering.assign_cells(emb, model.centroids, round_decimals=6)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+X30_SQL = f"""{_kmeans_cells_sql(8, 3, 6)}
+SELECT CAST(cell AS INT) AS cell, count(*) AS n_vectors
+FROM a4 GROUP BY 1
+"""
+
+
+def x42_label_centroid_similarity(spark, sf_dir):
+    """Embedding-space separability audit: cosine similarity between
+    per-label centroids — high off-diagonal cosine flags label classes a
+    classifier (or dedup threshold) cannot separate. posexplode →
+    (label, dim) avg is map-side combinable and the pair join carries
+    only labels²·d centroid cells, never vectors; the corpus is read
+    once. Rounded to 4 dp so float partial-sum order cannot leak."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    a = cent.select(F.col("label").alias("la"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "pos", F.col("c").alias("cb"))
+    return (
+        a.join(b, "pos")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                4,
+            ).alias("cosine")
+        )
+    )
+
+
+X42_SQL = """
+WITH pos AS (
+  SELECT label,
+         unnest(embedding) AS val,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, avg(CAST(val AS DOUBLE)) AS c FROM pos GROUP BY 1, 2
+)
+SELECT a.label AS la, b.label AS lb,
+       round(sum(a.c * b.c)
+             / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS cosine
+FROM cent a JOIN cent b USING (pos)
+WHERE a.label < b.label
+GROUP BY 1, 2
+"""
+
+
+def x44_pq_ann(spark, sf_dir):
+    """Product-quantization ANN: 64-dim vectors compressed to 16 4-bit
+    codes, ADC shortlist + exact re-rank, top-5 for query vectors 0-4
+    (operators/pq.py).
+
+    Oracle-checkable since round 3 (the x30 recipe scaled up): with
+    round_decimals=6 every float step — normalized inputs, per-iteration
+    Lloyd distances and means, ADC lookup entries and sums — rounds
+    half-away to 6 dp, so the whole pipeline (codebook training on the
+    deterministic 2048-row sample, nearest-code encoding, compressed
+    shortlist, exact re-rank) replays bit-for-bit in _pq_ann_sql's
+    unrolled CTE chain. The unrounded configuration stays the library
+    default with its recall pytest."""
+    from ...operators.pq import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5, round_decimals=6
+    )
+
+
+def _pq_ann_sql(
+    m: int = 16,
+    kc: int = 16,
+    dsub: int = 4,
+    iters: int = 10,
+    sample: int = 2048,
+    k: int = 5,
+    refine: int = 8,
+    dec: int = 6,
+    qids: str = "0, 1, 2, 3, 4",
+) -> str:
+    """Unrolled PQ pipeline as a DuckDB CTE chain mirroring
+    pq.pq_topk(round_decimals=dec) exactly: normalize+round → per-subspace
+    Lloyd (np.linspace "evenly spaced" init over the id-ordered sample,
+    rounded distances with lower-code tie-break, rounded means, empty
+    cells carry the previous centroid) → encode full corpus → rounded
+    ADC lookup sums → top-(k·refine) shortlist → exact cosine re-rank on
+    the RAW vectors (the X7 pattern). MATERIALIZED keeps each Lloyd
+    layer computed once."""
+    parts = [
+        f"""WITH elem AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+nv AS MATERIALIZED (
+  SELECT e.vec_id, e.i // {dsub} AS j, e.i % {dsub} AS p,
+         round(e.v / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END, {dec}) AS v
+  FROM elem e JOIN nrm n USING (vec_id)
+),
+sn AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {sample})
+),
+scount AS (SELECT count(*) AS n FROM sn),
+ii AS (
+  SELECT t.c,
+         CASE WHEN t.c = {kc - 1} THEN s.n - 1
+              ELSE CAST(trunc(t.c * (CAST(s.n - 1 AS DOUBLE) / {kc - 1}.0)) AS BIGINT)
+         END AS rn
+  FROM range({kc}) t(c), scount s
+),
+sv AS MATERIALIZED (SELECT nv.* FROM nv JOIN sn USING (vec_id)),
+cb0 AS MATERIALIZED (
+  SELECT ii.c, nv.j, nv.p, nv.v AS w
+  FROM ii JOIN sn ON sn.rn = ii.rn JOIN nv ON nv.vec_id = sn.vec_id
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"""d{t} AS (
+  SELECT s.vec_id, s.j, c.c, round(SUM((s.v - c.w) * (s.v - c.w)), {dec}) AS d
+  FROM sv s JOIN cb{p} c ON c.j = s.j AND c.p = s.p
+  GROUP BY 1, 2, 3
+),
+a{t} AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.j, a.c, s.p, round(avg(s.v), {dec}) AS w
+  FROM a{t} a JOIN sv s ON s.vec_id = a.vec_id AND s.j = a.j
+  GROUP BY 1, 2, 3
+),
+cb{t} AS MATERIALIZED (
+  SELECT pr.c, pr.j, pr.p, coalesce(u.w, pr.w) AS w
+  FROM cb{p} pr LEFT JOIN u{t} u ON u.j = pr.j AND u.c = pr.c AND u.p = pr.p
+)"""
+        )
+    parts.append(
+        f"""ed AS (
+  SELECT n.vec_id, n.j, c.c, round(SUM((n.v - c.w) * (n.v - c.w)), {dec}) AS d
+  FROM nv n JOIN cb{iters} c ON c.j = n.j AND c.p = n.p
+  GROUP BY 1, 2, 3
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM ed) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.j, c.c,
+         round(SUM((c.w - q.v) * (c.w - q.v)), {dec}) AS ld
+  FROM nv q JOIN cb{iters} c ON c.j = q.j AND c.p = q.p
+  WHERE q.vec_id IN ({qids})
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, round(SUM(l.ld), {dec}) AS adc_dist
+  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {k * refine}
+),
+dots AS (
+  SELECT s.query_id, s.neighbor_id, SUM(q.v * n.v) AS dot
+  FROM short s
+  JOIN elem q ON q.vec_id = s.query_id
+  JOIN elem n ON n.vec_id = s.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN nrm nq ON d.query_id = nq.vec_id
+  JOIN nrm nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+    )
+    return ",\n".join(parts)
+
+
+X44_SQL = _pq_ann_sql()
+
+
+def x49_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-10 for query vector 0
+    (λ=0.7 over an exact top-50 shortlist).
+
+    Oracle-checkable since round 3: the greedy selection — sequential in
+    k but over a BOUNDED 50-candidate shortlist — replays in X49_SQL as a
+    recursive CTE (one selected id per iteration, the chosen set carried
+    as a list column); pairwise sims follow the identical float path in
+    both engines (dot/(na·nb), 6-dp half-away rounding), so the walk and
+    scores match bit-for-bit (operators/simsearch.mmr_topk)."""
+    return simsearch.mmr_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+X49_SQL = """
+WITH RECURSIVE
+elem AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS MATERIALIZED (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+qdots AS MATERIALIZED (
+  SELECT c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND c.vec_id <> 0
+  WHERE q.vec_id = 0
+  GROUP BY 1
+),
+cand AS MATERIALIZED (
+  SELECT neighbor_id, rel FROM (
+    SELECT d.neighbor_id,
+           round(d.dot / (nq.nrm * nc.nrm), 6) AS rel,
+           row_number() OVER (ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.neighbor_id) AS rn
+    FROM qdots d
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN norms nc ON d.neighbor_id = nc.vec_id
+  ) WHERE rn <= 50
+),
+-- MATERIALIZED + the celem pre-filter matter: the recursive term below
+-- re-executes inlined CTEs on EVERY iteration, and an inlined pdots
+-- (full-elem self-join with IN subqueries) costs ~19 s/iter at sf0.1
+-- vs 0.2 s total in this shape.
+celem AS MATERIALIZED (
+  SELECT e.* FROM elem e WHERE e.vec_id IN (SELECT neighbor_id FROM cand)
+),
+pdots AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, SUM(a.v * b.v) AS dot
+  FROM celem a JOIN celem b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+psim AS MATERIALIZED (
+  SELECT d.ida, d.idb, round(d.dot / (na.nrm * nb.nrm), 6) AS sim
+  FROM pdots d
+  JOIN norms na ON d.ida = na.vec_id
+  JOIN norms nb ON d.idb = nb.vec_id
+),
+sel(rank, ids, vec_id, relevance, mmr_score) AS (
+  (SELECT 1, [c.neighbor_id], c.neighbor_id, c.rel, round(0.7 * c.rel, 6)
+   FROM cand c ORDER BY 0.7 * c.rel DESC, c.neighbor_id LIMIT 1)
+  UNION ALL
+  (SELECT s.rank + 1, list_append(s.ids, pick.nid), pick.nid, pick.rel, pick.score
+   FROM sel s CROSS JOIN LATERAL (
+     SELECT c.neighbor_id AS nid, c.rel,
+            round(0.7 * c.rel - 0.3 * pen.mx, 6) AS score
+     FROM cand c CROSS JOIN LATERAL (
+       SELECT max(p.sim) AS mx FROM psim p
+       WHERE p.ida = c.neighbor_id AND list_contains(s.ids, p.idb)
+     ) pen
+     WHERE NOT list_contains(s.ids, c.neighbor_id)
+     ORDER BY 0.7 * c.rel - 0.3 * pen.mx DESC, c.neighbor_id LIMIT 1
+   ) pick
+   WHERE s.rank < 10)
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, relevance, mmr_score FROM sel
+"""
+
+
+def x54_int8_quantization_audit(spark, sf_dir):
+    """Embedding int8-quantization error audit: per label, the mean and
+    max per-vector MSE of symmetric per-vector int8 quantization
+    (scale = 127/max|v|, the faiss/sentence-transformers convention) —
+    the go/no-go check before shipping a 4× smaller vector index.
+    All math is JVM-side array lambdas over the scan (no UDF, no
+    shuffle of vectors — only (label, mse) pairs aggregate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / F.col("mx")
+    err_sq = F.transform(
+        F.col("v"),
+        lambda x: F.pow(x - F.round(x * scale) / scale, 2),
+    )
+    mse = F.aggregate(err_sq, F.lit(0.0), lambda a, x: a + x) / F.size("v")
+    return (
+        emb.select("label", v.alias("v"), mx.alias("mx"))
+        .where(F.col("mx") > 0)
+        .select("label", mse.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse"), 8).alias("mean_mse"),
+            F.round(F.max("mse"), 8).alias("max_mse"),
+        )
+        .orderBy("label")
+    )
+
+
+X54_SQL = """
+WITH prep AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS mx
+  FROM embeddings
+),
+scored AS (
+  SELECT label,
+         list_aggregate(list_transform(v,
+             x -> pow(x - round(x * (127.0 / mx)) / (127.0 / mx), 2)),
+           'sum') / len(v) AS mse
+  FROM prep WHERE mx > 0
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(mse), 8) AS mean_mse,
+       round(max(mse), 8) AS max_mse
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+def x59_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/std/min/max) — the
+    feature-normalization pre-pass for training (z-scoring a corpus of
+    vectors needs per-dim moments first). posexplode fans each vector into
+    (dim, value) rows whose groupBy(dim) partially aggregates map-side, so
+    the shuffle carries |dims| rows per task, never vectors; at 100 TB this
+    is one scan + a 64-key exchange. Values cast to double BEFORE
+    aggregation so both engines sum in double precision."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 4).alias("std_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+    )
+
+
+X59_SQL = """
+-- "+ 0" collapses IEEE -0.0 (DuckDB round keeps the sign of a tiny
+-- negative mean; Spark's round yields +0.0)
+SELECT dim,
+       round(avg(v), 4) + 0 AS mean_v,
+       round(stddev_samp(v), 4) + 0 AS std_v,
+       round(min(v), 4) + 0 AS min_v,
+       round(max(v), 4) + 0 AS max_v
+FROM (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+GROUP BY dim
+"""
+
+
+def y2_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (simsearch.hard_negative_topk): per anchor,
+    the top-3 most-similar DIFFERENT-label vectors inside the
+    label-independent 8-bit sign bucket — the refinement over x73's
+    random negative sampling (near-boundary cross-label pairs are the
+    ones that move a contrastive loss)."""
+    return simsearch.hard_negative_topk(_t(spark, sf_dir, "embeddings"))
+
+
+_Y2_BKT = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+
+Y2_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_Y2_BKT} AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS neg_id, b.label AS neg_label,
+         SUM(a.v * b.v) AS dot
+  FROM elem a
+  JOIN elem b ON a.bkt = b.bkt AND a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2, 3, 4
+),
+sims AS (
+  SELECT d.anchor_id, d.anchor_label, d.neg_id, d.neg_label,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.anchor_id = na.vec_id
+  JOIN norms nb ON d.neg_id = nb.vec_id
+),
+ranked AS (
+  SELECT anchor_id, anchor_label, neg_id, neg_label, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY anchor_id ORDER BY cosine DESC, neg_id
+         ) AS INT) AS rank
+  FROM sims
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def y3_embedding_covariance(spark, sf_dir):
+    """Distributed covariance matrix of the embedding space
+    (profile.embedding_covariance): upper triangle as (i, j, cov) —
+    each Arrow batch folds to triangle-sized partials via one numpy
+    outer product in mapInPandas, so the reduce never carries vectors."""
+    from ...operators.profile import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+Y3_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, count(*) AS n,
+         SUM(a.v) AS si, SUM(b.v) AS sj, SUM(a.v * b.v) AS sp
+  FROM elem a JOIN elem b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+       round((sp - si * sj / n) / n, 6) + 0.0 AS cov
+FROM p
+"""
+
+
+def x89_pca_whiten(spark, sf_dir):
+    """PCA whitening of the embeddings table (profile.pca_whiten):
+    distributed single-pass covariance → bounded 64×64 driver-side
+    eigendecomposition (sign-canonicalized, deterministic) → top-8
+    whitened projection as k literal-array zip_with folds per row.
+    Rows-only (eigendecomposition is not SQL-expressible); pytest pins
+    the full numpy replica + whitened-covariance≈identity property."""
+    return profile.pca_whiten(_t(spark, sf_dir, "embeddings"))
+
+
+def x95_hamming_ann(spark, sf_dir):
+    """Binary-embedding ANN (simsearch.hamming_topk): 64 sign bits
+    packed into two 32-bit words (16 bytes/vector), per-query top-10 by
+    Hamming distance — the memory-tier companion to x7/x8/x13/x44.
+    Integer-exact end to end."""
+    return simsearch.hamming_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+def _x95_word_sql(j: int) -> str:
+    return " + ".join(
+        f"CASE WHEN embedding[{j * 32 + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(32)
+    )
+
+
+X95_SQL = f"""
+WITH packed AS (
+  SELECT vec_id,
+         CAST({_x95_word_sql(0)} AS BIGINT) AS w0,
+         CAST({_x95_word_sql(1)} AS BIGINT) AS w1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+  FROM packed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, p.vec_id AS neighbor_id,
+         CAST(bit_count(xor(p.w0, q.q0))
+              + bit_count(xor(p.w1, q.q1)) AS INT) AS hamming
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def x105_ann_recall(spark, sf_dir):
+    """ANN index certification (simsearch.ann_recall): recall@10 of the
+    x95 binary Hamming index against the x7 exact cosine baseline, per
+    query — the eval a pipeline runs before trusting an ANN tier with
+    retrieval traffic. Both sub-scans are the audited index shapes; the
+    eval itself joins two broadcast-sized |Q| x k frames."""
+    return simsearch.ann_recall(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=10
+    )
+
+
+X105_SQL = f"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sims
+  ) WHERE rank <= 10
+),
+packed AS (
+  SELECT vec_id,
+         CAST({_x95_word_sql(0)} AS BIGINT) AS w0,
+         CAST({_x95_word_sql(1)} AS BIGINT) AS w1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+  FROM packed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+hscored AS (
+  SELECT q.query_id, p.vec_id AS neighbor_id,
+         bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS hamming
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> q.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS rank
+    FROM hscored
+  ) WHERE rank <= 10
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1
+"""
+
+
+def x121_nn_hubness(spark, sf_dir):
+    """Embedding hubness audit (profile.nn_hubness): in-degree
+    distribution of the x6 blocked NN graph, zeros included — the
+    high-dimensional hub pathology check run before ANN serving. The
+    oracle extends X6's chain with the in-degree left join and
+    histogram."""
+    return profile.nn_hubness(_t(spark, sf_dir, "embeddings"))
+
+
+# X6's blocked-NN chain, extended (the X84 surgery pattern) with the
+# zero-inclusive in-degree left join and the degree histogram.
+X121_SQL = X6_SQL.replace(
+    """SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
+FROM ranked WHERE rn = 1""",
+    """, nn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rn = 1),
+indeg AS (
+  SELECT e.vec_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS in_degree
+  FROM (SELECT DISTINCT vec_id FROM embeddings) e
+  LEFT JOIN (SELECT neighbor_id, count(*) AS cnt FROM nn GROUP BY 1) c
+    ON e.vec_id = c.neighbor_id
+),
+hist AS (
+  SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM indeg GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n FROM hist)
+SELECT in_degree, n_vectors,
+       round(CAST(n_vectors AS DOUBLE) / t.n, 6) AS share
+FROM hist CROSS JOIN tot t""",
+)
+
+
+def x124_label_compactness(spark, sf_dir):
+    """Intra-class compactness audit (profile.label_compactness): per
+    label, member-to-centroid cosine mean/min and the below-0.5 outlier
+    share — the mislabel detector complementing x42's between-label
+    view. Runs in exploded (label, dim) cell space, the x104 contract."""
+    return profile.label_compactness(_t(spark, sf_dir, "embeddings"))
+
+
+X124_SQL = """
+WITH elem AS (
+  SELECT vec_id AS vid, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label, i, avg(v) AS c FROM elem GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY 1),
+per_member AS (
+  SELECT e.vid, e.label,
+         SUM(e.v * c.c) AS dot,
+         sqrt(SUM(e.v * e.v)) AS vn
+  FROM elem e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY 1, 2
+),
+cosines AS (
+  SELECT m.label,
+         CAST(round(m.dot / (m.vn * n.cn) * 1e6, 0) AS BIGINT) AS icos
+  FROM per_member m JOIN cnorm n ON m.label = n.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(icos) AS DOUBLE) / count(*) / 1e6, 6) AS mean_cos,
+       CAST(MIN(icos) AS DOUBLE) / 1e6 AS min_cos,
+       round(CAST(SUM(CASE WHEN icos < 500000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS outlier_share
+FROM cosines GROUP BY 1
+"""
+
+
+def x129_norm_profile(spark, sf_dir):
+    """Embedding L2-norm QA histogram (profile.norm_profile): 0.5-wide
+    norm bins + zero-vector accounting — the degenerate-encoder check
+    before any cosine math. Row-local fold (array-order IEEE adds, no
+    shuffle wobble), bin-sized groupBy, broadcast 1-row total."""
+    return profile.norm_profile(_t(spark, sf_dir, "embeddings"))
+
+
+X129_SQL = """
+WITH norms AS (
+  SELECT sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+         AS nrm
+  FROM embeddings
+),
+binned AS (
+  SELECT CAST(floor(nrm / 0.5) AS BIGINT) AS bin,
+         CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END AS is_zero
+  FROM norms
+),
+hist AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(is_zero) AS BIGINT) AS n_zero
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_vectors) AS DOUBLE) AS n FROM hist)
+SELECT bin,
+       round(bin * CAST(0.5 AS DOUBLE), 2) AS bin_lo,
+       round((bin + 1) * CAST(0.5 AS DOUBLE), 2) AS bin_hi,
+       n_vectors, n_zero,
+       round(n_vectors / t.n, 6) AS share
+FROM hist CROSS JOIN tot t
+"""
+
+
+def x140_isotropy_audit(spark, sf_dir):
+    """Per-label embedding isotropy (profile.isotropy_audit): mean
+    pairwise cosine across all ordered pairs inside each label via the
+    closed form ||SUM(u)||^2 - SUM(||u||^2) on micro-quantized unit
+    vectors — one (label, dim) aggregate, no pair join anywhere."""
+    return profile.isotropy_audit(_t(spark, sf_dir, "embeddings"))
+
+
+X140_SQL = """
+WITH normed AS (
+  SELECT label, vec_id,
+         sqrt(list_sum(list_transform(
+           embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         ))) AS nrm,
+         embedding
+  FROM embeddings
+),
+q AS (
+  SELECT label, vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm * 1e6, 0)
+              AS BIGINT) AS q
+  FROM normed WHERE nrm > 0
+),
+dims AS (
+  SELECT label,
+         SUM(q * q) AS selfsq
+  FROM q GROUP BY 1
+),
+svec AS (
+  SELECT label, i, SUM(qq) AS s
+  FROM (
+    SELECT label, vec_id,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm * 1e6, 0)
+                AS BIGINT) AS qq,
+           generate_subscripts(embedding, 1) AS i
+    FROM normed WHERE nrm > 0
+  ) GROUP BY 1, 2
+),
+ss AS (
+  SELECT label, SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss2
+  FROM svec GROUP BY 1
+),
+cnt AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n
+  FROM normed WHERE nrm > 0 GROUP BY 1
+)
+SELECT c.label, c.n,
+       round((ss.ss2 - d.selfsq) / (CAST(c.n AS DOUBLE) * (c.n - 1.0))
+             / 1e12, 6) AS mean_pairwise_cosine
+FROM cnt c JOIN ss USING (label) JOIN dims d USING (label)
+WHERE c.n > 1
+"""
+
+
+def x144_embedding_split_drift(spark, sf_dir):
+    """Per-label embedding drift between md5 halves
+    (profile.embedding_split_drift): centroid cosine + centroid L2 on
+    micro-quantized component sums — one (label, dim) aggregate, the
+    vector-space companion to x78's scalar KS."""
+    return profile.embedding_split_drift(_t(spark, sf_dir, "embeddings"))
+
+
+X144_SQL = """
+WITH q AS (
+  SELECT label,
+         CASE WHEN (ascii(substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) * 256
+                  + ascii(substring(md5(CAST(vec_id AS VARCHAR)), 2, 1))) % 100 < 50
+              THEN 1 ELSE 0 END AS a,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0) AS BIGINT)
+           AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i,
+         SUM(a * qv) AS sa,
+         SUM((1 - a) * qv) AS sb,
+         SUM(a) AS na_i,
+         SUM(1 - a) AS nb_i
+  FROM q GROUP BY 1, 2
+),
+per_label AS (
+  SELECT label,
+         CAST(MAX(na_i) AS BIGINT) AS n_a,
+         CAST(MAX(nb_i) AS BIGINT) AS n_b,
+         SUM(CAST(sa AS DOUBLE) * sb) AS dot,
+         SUM(CAST(sa AS DOUBLE) * sa) AS aa,
+         SUM(CAST(sb AS DOUBLE) * sb) AS bb,
+         SUM(pow(CAST(sa AS DOUBLE) / GREATEST(na_i, 1)
+                 - CAST(sb AS DOUBLE) / GREATEST(nb_i, 1), 2)) AS dsq
+  FROM dims GROUP BY 1
+)
+SELECT label, n_a, n_b,
+       round(dot / sqrt(aa * bb), 6) AS centroid_cosine,
+       round(sqrt(dsq) / 1e6, 6) AS centroid_l2
+FROM per_label
+WHERE n_a > 0 AND n_b > 0 AND aa > 0 AND bb > 0
+"""
+
+
+def x185_knn_label_agreement(spark, sf_dir):
+    """Label-noise screen by neighbor agreement
+    (profile.knn_label_agreement): label-blind md5-bucket NN graph,
+    per-label same-label share — the confident-learning signal."""
+    return profile.knn_label_agreement(_t(spark, sf_dir, "embeddings"))
+
+
+X185_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM bucketed
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b
+    ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.neighbor_id = nb.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+),
+nn AS (
+  SELECT vec_id, neighbor_id, cosine >= 0.9 AS is_near_dup
+  FROM ranked WHERE rn = 1
+),
+edges AS (
+  SELECT la.label AS label, lb.label AS n_label, n.is_near_dup
+  FROM nn n
+  JOIN embeddings la ON n.vec_id = la.vec_id
+  JOIN embeddings lb ON n.neighbor_id = lb.vec_id
+),
+cells AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CASE WHEN label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree,
+         round(avg(CASE WHEN is_near_dup THEN 1.0 ELSE 0.0 END), 6)
+           AS near_dup_share
+  FROM edges GROUP BY 1
+)
+SELECT label, n_vectors, n_agree,
+       round(n_agree / CAST(n_vectors AS DOUBLE), 6) AS agreement,
+       near_dup_share
+FROM cells
+ORDER BY label
+"""
+
+
+def x199_novelty_position(spark, sf_dir):
+    """Lead-bias audit (textstats.novelty_position): first-occurrence
+    position deciles of each (doc, type) pair; 10 cells + cumulative
+    share."""
+    return textstats.novelty_position(_t(spark, sf_dir, "documents"))
+
+
+X199_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+toked AS (
+  SELECT doc_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos1,
+         len(toks) AS n
+  FROM toks WHERE len(toks) > 0
+),
+firsts AS (
+  SELECT doc_id, token,
+         CAST(MIN(pos1) AS BIGINT) - 1 AS "off",
+         CAST(MIN(n) AS BIGINT) AS n
+  FROM toked GROUP BY 1, 2
+),
+binned AS (
+  SELECT CAST(least(floor(("off" * 10) / n), 9) AS BIGINT) AS decile
+  FROM firsts
+),
+cells AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_types_introduced
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_types_introduced) AS DOUBLE) AS total FROM cells)
+SELECT decile, n_types_introduced,
+       round(n_types_introduced / total, 6) AS share,
+       round(SUM(n_types_introduced) OVER (ORDER BY decile ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) / total, 6) AS cum_share
+FROM cells CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+def x209_ann_mrr(spark, sf_dir):
+    """MRR certification of the x95 Hamming index (simsearch.ann_mrr):
+    the reciprocal rank of each query's TRUE cosine nearest neighbor
+    inside the index's top-10 (0 when missed). Complements x105's set
+    recall with the position-weighted serving metric."""
+    return simsearch.ann_mrr(_t(spark, sf_dir, "embeddings"), QUERY_IDS, k=10)
+
+
+X209_SQL = f"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id AS true_nn FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sims
+  ) WHERE rank = 1
+),
+packed AS (
+  SELECT vec_id,
+         CAST({{w0}} AS BIGINT) AS w0,
+         CAST({{w1}} AS BIGINT) AS w1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+  FROM packed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+hscored AS (
+  SELECT q.query_id, p.vec_id AS neighbor_id,
+         bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS hamming
+  FROM packed p CROSS JOIN q
+  WHERE p.vec_id <> q.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS approx_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, neighbor_id) AS rank
+    FROM hscored
+  ) WHERE rank <= 10
+)
+SELECT t.query_id, t.true_nn, a.approx_rank,
+       round(CASE WHEN a.approx_rank IS NOT NULL
+                  THEN 1.0 / a.approx_rank ELSE 0.0 END, 6) AS rr
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.true_nn = a.neighbor_id
+ORDER BY t.query_id
+""".replace("{w0}", _x95_word_sql(0)).replace("{w1}", _x95_word_sql(1))
+
+
+def x215_ivf_probe_sweep(spark, sf_dir):
+    """IVF n_probe tuning curve (simsearch.ivf_probe_sweep): per probe
+    setting in {1,2,4,8} and per query, candidates scanned and
+    recall@5 vs the x7 exact baseline — one scoring pass serves every
+    setting via the first-admitting-cell rank."""
+    return simsearch.ivf_probe_sweep(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5
+    )
+
+
+X215_SQL = """
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+cdots AS (
+  SELECT a.vec_id, ce.vec_id AS cent_id, SUM(a.v * ce.v) AS dot
+  FROM elem a JOIN elem ce ON a.i = ce.i
+  WHERE ce.vec_id % 16 = 0
+  GROUP BY 1, 2
+),
+csims AS (
+  SELECT d.vec_id, d.cent_id, d.dot / (na.nrm * nc.nrm) AS sim
+  FROM cdots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nc ON d.cent_id = nc.vec_id
+),
+corpus_cell AS (
+  SELECT vec_id AS neighbor_id, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM csims)
+  WHERE rn = 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, cent_id, rn AS cell_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cent_id) AS rn
+        FROM csims WHERE vec_id IN (0, 1, 2, 3, 4))
+  WHERE rn <= 8
+),
+cand AS (
+  SELECT query_id, neighbor_id, MIN(cell_rank) AS first_probe
+  FROM query_cells JOIN corpus_cell USING (cent_id)
+  WHERE query_id <> neighbor_id
+  GROUP BY 1, 2
+),
+pdots AS (
+  SELECT p.query_id, p.neighbor_id, p.first_probe, SUM(q.v * c.v) AS dot
+  FROM cand p
+  JOIN elem q ON q.vec_id = p.query_id
+  JOIN elem c ON c.vec_id = p.neighbor_id AND c.i = q.i
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.first_probe,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pdots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+probes AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+sweep AS (
+  SELECT * FROM scored CROSS JOIN probes WHERE first_probe <= n_probe
+),
+counts AS (
+  SELECT n_probe, query_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM sweep GROUP BY 1, 2
+),
+approx AS (
+  SELECT n_probe, query_id, neighbor_id FROM (
+    SELECT n_probe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sweep
+  ) WHERE rn <= 5
+),
+tdots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+tsims AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM tdots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM tsims
+  ) WHERE rank <= 5
+),
+nexact AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM truth GROUP BY 1
+),
+hits AS (
+  SELECT pr.n_probe, t.query_id,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM truth t
+  CROSS JOIN probes pr
+  LEFT JOIN approx a ON a.n_probe = pr.n_probe
+                    AND a.query_id = t.query_id
+                    AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT c.n_probe, c.query_id, c.n_candidates, e.n_exact, h.n_hits,
+       round(h.n_hits / CAST(e.n_exact AS DOUBLE), 6) AS recall
+FROM counts c
+JOIN nexact e USING (query_id)
+JOIN hits h ON h.n_probe = c.n_probe AND h.query_id = c.query_id
+ORDER BY c.n_probe, c.query_id
+"""
+
+
+def x220_retrieval_exposure(spark, sf_dir):
+    """Retrieval exposure fairness (profile.retrieval_exposure): per
+    label, top-k appearance share vs corpus base rate and their lift,
+    over the y6 vote edges — the class-starvation audit for a serving
+    tier."""
+    return profile.retrieval_exposure(_t(spark, sf_dir, "embeddings"))
+
+
+X220_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM bucketed
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b
+    ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.neighbor_id = nb.vec_id
+),
+votes AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+),
+expo AS (
+  SELECT lb.label, CAST(count(*) AS BIGINT) AS n_appearances
+  FROM votes v JOIN embeddings lb ON v.neighbor_id = lb.vec_id
+  GROUP BY 1
+),
+base AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM embeddings GROUP BY 1
+),
+tv AS (SELECT CAST(SUM(n_vectors) AS DOUBLE) AS nv FROM base),
+ta AS (SELECT CAST(SUM(n_appearances) AS DOUBLE) AS na FROM expo)
+SELECT b.label, b.n_vectors,
+       CAST(COALESCE(e.n_appearances, 0) AS BIGINT) AS n_appearances,
+       round(b.n_vectors / nv, 6) AS base_share,
+       round(COALESCE(e.n_appearances, 0) / na, 6) AS exposure_share,
+       CASE WHEN b.n_vectors / nv > 0
+            THEN round((COALESCE(e.n_appearances, 0) / na)
+                       / (b.n_vectors / nv), 6)
+       END AS exposure_lift
+FROM base b LEFT JOIN expo e USING (label)
+CROSS JOIN tv CROSS JOIN ta
+ORDER BY label
+"""
+
+
+def y5_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval (simsearch.rrf_fusion): reciprocal-rank fusion
+    of the x7 exact-cosine dense top-10 with a lexical token-Jaccard
+    top-10 — each list contributes 1/(60 + rank); a doc missing from
+    one list contributes 0 from it. Both retrievers are the broadcast
+    |Q|-query linear-scan contract; the fusion joins |Q| x k lists."""
+    return simsearch.rrf_fusion(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=10,
+    )
+
+
+Y5_SQL = rf"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id, SUM(q.v * c.v) AS dot
+  FROM elem q JOIN elem c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.doc_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nc ON d.doc_id = nc.vec_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS dense_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rank
+    FROM sims
+  ) WHERE rank <= 10
+),
+tok AS (SELECT doc_id, list_distinct({_X67_NORM}) AS tok FROM documents),
+q AS (SELECT doc_id AS query_id, tok AS qtok
+      FROM tok WHERE doc_id IN (0, 1, 2, 3, 4)),
+jac AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(len(list_intersect(t.tok, q.qtok)) AS DOUBLE)
+           / len(list_distinct(list_concat(t.tok, q.qtok))) AS jac
+  FROM tok t CROSS JOIN q WHERE t.doc_id <> q.query_id
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS lex_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY jac DESC, doc_id) AS rank
+    FROM jac WHERE jac > 0
+  ) WHERE rank <= 10
+),
+fused AS (
+  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         d.dense_rank, l.lex_rank,
+         COALESCE(1.0 / (60 + d.dense_rank), 0.0)
+           + COALESCE(1.0 / (60 + l.lex_rank), 0.0) AS score
+  FROM dense d
+  FULL JOIN lex l ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, dense_rank, lex_rank,
+       round(score, 6) AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+
+
+def y6_knn_classifier(spark, sf_dir):
+    """Leave-one-out 5-NN majority-vote label eval
+    (profile.knn_classifier_report): per-label precision/recall/F1 and
+    macro-F1 over the x185 label-blind md5 buckets — the
+    embedding-separability report card."""
+    return profile.knn_classifier_report(_t(spark, sf_dir, "embeddings"))
+
+
+Y6_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, bkt, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM bucketed
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM elem a JOIN elem b
+    ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.neighbor_id = nb.vec_id
+),
+votes AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+),
+vc AS (
+  SELECT v.vec_id, lb.label AS n_label, count(*) AS c
+  FROM votes v JOIN embeddings lb ON v.neighbor_id = lb.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT vec_id, n_label AS predicted FROM (
+    SELECT vec_id, n_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, n_label) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT la.label AS declared, p.predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred p JOIN embeddings la ON p.vec_id = la.vec_id
+  GROUP BY 1, 2
+),
+d AS (SELECT declared AS label, CAST(SUM(n) AS BIGINT) AS support
+      FROM cells GROUP BY 1),
+p AS (SELECT predicted AS label, CAST(SUM(n) AS BIGINT) AS predicted_count
+      FROM cells GROUP BY 1),
+c AS (SELECT declared AS label, CAST(SUM(n) AS BIGINT) AS n_correct
+      FROM cells WHERE declared = predicted GROUP BY 1),
+base AS (
+  SELECT COALESCE(d.label, p.label) AS label,
+         CAST(COALESCE(d.support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(p.predicted_count, 0) AS BIGINT) AS predicted_count,
+         CAST(COALESCE(c.n_correct, 0) AS BIGINT) AS n_correct
+  FROM d FULL JOIN p ON d.label = p.label
+  LEFT JOIN c ON COALESCE(d.label, p.label) = c.label
+),
+m AS (
+  SELECT label, support, predicted_count, n_correct,
+         CASE WHEN predicted_count > 0
+              THEN n_correct / CAST(predicted_count AS DOUBLE)
+              ELSE 0.0 END AS pr,
+         CASE WHEN support > 0
+              THEN n_correct / CAST(support AS DOUBLE) ELSE 0.0 END AS rc
+  FROM base
+),
+f AS (
+  SELECT label, support, predicted_count, n_correct, pr, rc,
+         CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc)
+              ELSE 0.0 END AS f1_raw
+  FROM m
+),
+macro AS (SELECT round(avg(f1_raw), 6) AS macro_f1 FROM f)
+SELECT label, support, predicted_count, n_correct,
+       round(pr, 6) AS "precision",
+       round(rc, 6) AS recall,
+       round(f1_raw, 6) AS f1,
+       macro_f1
+FROM f CROSS JOIN macro
+ORDER BY label
+"""

@@ -1,0 +1,1576 @@
+"""Exact / MinHash-LSH / SimHash / n-gram / embedding near-dup detection, duplicate clusters and spans, contamination, record linkage."""
+
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ...operators import bloom, clustering, countmin, curation, dedup, funnel, heavyhitters, multimodal, profile, simsearch, textstats, theta
+from ...operators.profile import profile_table
+from ...sources.tables import load_table as _t_impl
+from ._shared import (
+    X3_SQL,
+    X67_SQL,
+    _STOP_EN,
+    _X67_NORM,
+    _Y_SPLIT_CASE,
+    _Y_SPLIT_INNER,
+    _hex12_int_sql,
+    _kmeans_cells_sql,
+    _split_docs,
+    _t,
+)
+
+
+
+def x1_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+X1_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def x2_dedup_exact_normalized(spark, sf_dir):
+    return dedup.exact_dedup_normalized(_t(spark, sf_dir, "documents"))
+
+
+X2_SQL = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def x3_dedup_minhash_lsh(spark, sf_dir):
+    """Candidate near-dup pairs via 64-hash / 16-band MinHash-LSH.
+
+    Oracle-checkable since round 3: the catalog entry runs the md5-derived
+    48-bit hash family (dedup._md5_hash48), which DuckDB reproduces
+    bit-for-bit from the same hex string — signatures, band keys, the
+    hot-bucket cap, and the est_jaccard slot-match fraction all mirror
+    into X3_SQL. xxhash64 remains the library's throughput default and
+    keeps the planted-dup pytest."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
+def x4_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 via 4-chunk pigeonhole).
+
+    Oracle-checkable since round 3: the catalog entry runs the 48-bit
+    md5-family SimHash (12-bit chunks), which X4_SQL folds identically —
+    bit votes, sign fold, chunk banding, and the bit_count(xor) hamming
+    filter are all integer-exact cross-engine. The 64-bit xxhash64
+    configuration stays the library default with its planted-dup pytest."""
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), n_bits=48, hash_fn="md5"
+    )
+
+X4_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, {{norm}} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM norm),
+vh AS (
+  SELECT t, {_hex12_int_sql('hx')} AS h
+  FROM (SELECT DISTINCT t, md5(t || '#' || 's') AS hx FROM tok)
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok JOIN vh USING (t), unnest(generate_series(0, 47)) AS u(i)
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS sh
+  FROM votes GROUP BY doc_id
+),
+chunked AS (
+  SELECT doc_id, sh, c AS chunk, (sh >> (c * 12)) & 4095 AS chunk_val
+  FROM sigs, unnest(generate_series(0, 3)) AS u(c)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         bit_count(xor(l.sh, r.sh)) AS hamming
+  FROM chunked l JOIN chunked r
+    ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+  WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sh, r.sh)) <= 3
+)
+SELECT id_a, id_b, hamming FROM pairs
+""".replace("{norm}", _X67_NORM)
+
+
+def x5_ngram_jaccard(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard for consecutive doc-id pairs — the
+    verification stage of LSH dedup, demonstrated on a deterministic
+    pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+    )
+    return dedup.ngram_jaccard_pairs(docs, pairs)
+
+
+X5_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM norm
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def x6_embedding_nn(spark, sf_dir):
+    """Embedding-cosine near-dup: per-vector nearest neighbor within its
+    label block + near-dup flag at 0.9."""
+    return dedup.embedding_nn_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def x25_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup removal: candidate pairs → exact-Jaccard
+    verification (≥ 0.5) → connected components → keep/drop per doc.
+
+    Oracle-checkable since round 3: the catalog entry generates candidates
+    with deterministic rare-shingle blocking (dedup.rare_shingle_pairs —
+    hash-free, same fan-out bound as x67) instead of seeded MinHash-LSH,
+    so the keep-set is exactly derivable by a DuckDB WITH RECURSIVE
+    reachability oracle. The MinHash-LSH candidate generator remains the
+    library's scale default for adversarial corpora and keeps its planted
+    -dup pytest (x3); only the verification/clustering stages differ in
+    nothing — both variants share them."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.rare_shingle_pairs(docs)
+    verified = dedup.ngram_jaccard_pairs(docs, cand).where(
+        F.col("jaccard") >= 0.5
+    )
+    clusters = dedup.dedup_clusters(verified.select("id_a", "id_b"))
+    return (
+        docs.select("doc_id")
+        .join(clusters, docs.doc_id == clusters.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            (
+                F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )
+
+
+def x27_bloom_semi_join(spark, sf_dir):
+    """Exact semi-join executed as bloom prune → semi join
+    (operators/bloom.py): lineitem rows whose order is URGENT, aggregated
+    by return flag. The bloom bitset filters the fact side above its scan,
+    so the semi-join's exchange only carries surviving rows — the 100 TB
+    shape for selective FK joins where the key side is too big to
+    broadcast. Result is EXACT (the bloom's false positives are removed by
+    the semi join), hence the plain IN-subquery oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = bloom.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+X27_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
+def x29_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion dedup (dedup.incremental_exact_dedup): odd
+    doc_ids arrive as the new batch, even doc_ids are the historical
+    corpus; survivors are batch docs (collapsed within-batch) whose
+    normalized hash history has never seen."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_exact_dedup(incoming, history)
+
+
+X29_SQL = r"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS ch
+  FROM documents
+), batch AS (
+  SELECT ch AS content_hash, MIN(doc_id) AS keep_id, count(*) AS n_copies
+  FROM hashed WHERE doc_id % 2 = 1 GROUP BY 1
+)
+SELECT content_hash, keep_id, n_copies
+FROM batch
+WHERE content_hash NOT IN (SELECT ch FROM hashed WHERE doc_id % 2 = 0)
+"""
+
+
+def x35_benchmark_contamination(spark, sf_dir):
+    """Eval-leakage audit (curation.benchmark_contamination): docs with
+    doc_id < 20 stand in for the benchmark; every other doc reports what
+    fraction of its distinct 3-gram shingles appear anywhere in it. The
+    benchmark side collapses to a broadcast shingle set, so the corpus
+    side is one scan with a map-side probe — no corpus-text shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.benchmark_contamination(
+        d.where(F.col("doc_id") >= 20), d.where(F.col("doc_id") < 20)
+    )
+
+
+X35_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM norm
+),
+bset AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+expl AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20),
+hits AS (SELECT e.doc_id, count(*) AS n FROM expl e JOIN bset b USING (s) GROUP BY 1)
+SELECT c.doc_id,
+       CAST(len(c.sh) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+       round(COALESCE(h.n, 0) * 1.0 / len(c.sh), 6) AS contamination_frac
+FROM sh c LEFT JOIN hits h USING (doc_id)
+WHERE c.doc_id >= 20
+"""
+
+
+def x36_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (curation.semantic_dedup): k-means
+    cells, then inside each cell drop every vector with a LOWER-id
+    cell-mate at cosine >= 0.9 (one representative per near-dup
+    neighborhood — a pure join, not a sequential greedy, so it is
+    SQL-expressible). Oracle-checkable since round 3: the fit runs the
+    same deterministic recipe as x30 ("first" init + 6-decimal rounding),
+    and the cosine is rounded to 6 decimals before the threshold compare
+    on both engines. Keep/drop semantics additionally pytest-covered with
+    planted near-duplicate vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return curation.semantic_dedup(
+        emb, k=8, threshold=0.9, max_iter=3, init="first", round_decimals=6
+    )
+
+
+X36_SQL = f"""{_kmeans_cells_sql(8, 3, 6)},
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+cpairs AS (
+  SELECT l.vec_id AS lv, r.vec_id AS rv
+  FROM a4 l JOIN a4 r ON l.cell = r.cell AND r.vec_id < l.vec_id
+),
+cdots2 AS (
+  SELECT c.lv, c.rv, SUM(x.v * y.v) AS dot
+  FROM cpairs c
+  JOIN elem x ON x.vec_id = c.lv
+  JOIN elem y ON y.vec_id = c.rv AND y.i = x.i
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT d.lv AS vid
+  FROM cdots2 d
+  JOIN norms nl ON nl.vec_id = d.lv
+  JOIN norms nr ON nr.vec_id = d.rv
+  WHERE nl.nrm > 0 AND nr.nrm > 0
+    AND round(d.dot / (nl.nrm * nr.nrm), 6) >= 0.9
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, dr.vid IS NULL AS keep
+FROM a4 a LEFT JOIN dropped dr ON dr.vid = a.vec_id
+"""
+
+
+def x43_substring_dupes(spark, sf_dir):
+    """Span-level duplicate fingerprints: 40-char windows occurring in
+    ≥2 distinct documents (see dedup.substring_duplicate_spans)."""
+    return dedup.substring_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+X43_SQL = """
+SELECT md5(substr(text, pos, 40)) AS gram,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc,
+       count(*) AS n_occurrences
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 39)) AS pos
+  FROM documents WHERE length(text) >= 40
+)
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def x51_within_label_topk(spark, sf_dir):
+    """Label-coherence audit: the 3 most-similar embedding pairs within
+    each label among SIGN-BUCKET COLLIDING candidates (which clusters
+    hide near-identical vectors). Candidates are blocked on (label,
+    8-bit sign bucket of the first 8 dims) — near-identical vectors
+    collide by construction, so the audit's target pairs survive while
+    the pair space is Σ per-(label,bucket)², not Σ per-label² (measured
+    17.3× superlinear at 10× before the sign blocking, 256× fewer pairs
+    after). The sign bucket is plain comparisons — deterministic and
+    oracle-expressible, unlike seeded-hyperplane LSH. Cosine is
+    JVM-side; the per-label top-3 is a window over the label
+    partition."""
+    from ...functions.vectors import cosine_from_norms, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # F.get is null-safe past the array end (short vectors) — the NULL
+    # comparison coalesces to 0, exactly the SQL CASE's ELSE branch
+    bucket = sum(
+        F.coalesce((F.get("embedding", i) >= 0).cast("int"), F.lit(0))
+        * (1 << i)
+        for i in range(8)
+    ).alias("bkt")
+    # norms once per vector, not per pair (bit-identical cosine)
+    a = emb.select(
+        "label", bucket, F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    ).withColumn("na", l2_norm(F.col("va")))
+    b = emb.select(
+        "label", bucket, F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    ).withColumn("nb", l2_norm(F.col("vb")))
+    pairs = a.join(b, ["label", "bkt"]).where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(
+        cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cosine"), "id_a", "id_b"
+    )
+    return (
+        pairs.select("label", "id_a", "id_b", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("label", "id_a", "id_b", "cosine", "rank")
+    )
+
+
+X51_SQL = """
+WITH bkt AS (
+  SELECT vec_id, label,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bkt
+  FROM embeddings
+),
+elem AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+cand AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b ON a.label = b.label AND a.bkt = b.bkt
+                       AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.label, c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
+  FROM cand c
+  JOIN elem ea ON ea.vec_id = c.id_a
+  JOIN elem eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT d.label, d.id_a, d.id_b,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.id_a = na.vec_id
+  JOIN norms nb ON d.id_b = nb.vec_id
+),
+ranked AS (
+  SELECT label, id_a, id_b, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                 ORDER BY cosine DESC, id_a, id_b) AS INT) AS rank
+  FROM sims
+)
+SELECT label, id_a, id_b, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def x60_fuzzy_entity_match(spark, sf_dir):
+    """Record linkage (operators/linkage.py): near-duplicate part names
+    1-3 Levenshtein edits apart within first-token blocks — the
+    entity-resolution primitive (catalog/vendor-feed reconciliation).
+    Two-stage, and the staging IS the scale design: rows dedup to
+    DISTINCT-name entities first (a map-side-combinable groupBy — 64
+    entities here at every SF), THEN the blocked fuzzy self-join runs
+    over entities, so candidate pairs are bounded by vocab², independent
+    of row count. Linking raw part rows instead re-creates a
+    quadratic-in-n pair set (measured 15k pairs at sf0.01 → 1.5M at
+    sf0.1 on this catalog's 64-name vocabulary) for zero extra
+    information — n_linked_rows carries the row-level multiplicity.
+    Exact-duplicate names (edit 0) stay on the cheaper exact-dedup path
+    (x1)."""
+    from ...operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("nid"), F.count(F.lit(1)).alias("n_rows")
+    )
+    pairs = linkage.blocked_fuzzy_pairs(
+        names, "nid", "p_name", F.split(F.col("p_name"), " ").getItem(0)
+    )
+    a = names.select(F.col("nid").alias("a_id"), F.col("n_rows").alias("a_rows"))
+    b = names.select(F.col("nid").alias("b_id"), F.col("n_rows").alias("b_rows"))
+    return (
+        pairs.join(F.broadcast(a), "a_id")
+        .join(F.broadcast(b), "b_id")
+        .select(
+            "blk",
+            "a_id",
+            "b_id",
+            "edit_distance",
+            (F.col("a_rows") * F.col("b_rows")).alias("n_linked_rows"),
+        )
+    )
+
+
+X60_SQL = """
+WITH names AS (
+  SELECT p_name, min(p_partkey) AS nid, count(*) AS n_rows
+  FROM part GROUP BY p_name
+),
+b AS (SELECT nid, p_name, n_rows, split_part(p_name, ' ', 1) AS blk FROM names)
+SELECT a.blk AS blk, a.nid AS a_id, c.nid AS b_id,
+       levenshtein(a.p_name, c.p_name) AS edit_distance,
+       a.n_rows * c.n_rows AS n_linked_rows
+FROM b a JOIN b c
+  ON a.blk = c.blk AND a.nid < c.nid
+WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 3
+"""
+
+
+def _geo_coord_sql(key_expr: str, salt: str, mod: int, div: int, shift: int) -> str:
+    """SQL twin of the md5-derived synthetic coordinate (the x40
+    hex-decode trick over md5(key || salt))."""
+    h = f"md5(CAST({key_expr} AS VARCHAR) || '{salt}')"
+    u = " + ".join(
+        f"(ascii(substring({h}, {i}, 1)) - CASE WHEN ascii(substring({h}, {i}, 1)) >= 97 "
+        f"THEN 87 ELSE 48 END) * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"(CAST(({u}) % {mod} AS DOUBLE) / {div} - {shift})"
+
+
+def x66_geo_radius_join(spark, sf_dir):
+    """Geospatial radius join (operators/geo.py): customers to suppliers
+    within 150 km over md5-derived synthetic coordinates (lat ±45, lon
+    ±180 — the testdata carries no geo columns, so coordinates are a
+    deterministic pure function of the keys, reproduced exactly by the
+    oracle). The engine runs the GRID form (3×3 neighbor cells, Σ|cell|²
+    candidates); the oracle runs the naive quadratic radius join — a pass
+    proves the grid loses no pairs, the j9 verification pattern."""
+    from ...operators.curation import _hex_uniform_int
+    from ...operators.geo import grid_radius_join
+
+    def coords(df, key, prefix):
+        k = F.col(key)
+        lat = (
+            _hex_uniform_int(F.concat(k.cast("string"), F.lit("-lat"))) % 90000
+        ).cast("double") / 1000 - 45
+        lon = (
+            _hex_uniform_int(F.concat(k.cast("string"), F.lit("-lon"))) % 360000
+        ).cast("double") / 1000 - 180
+        return df.select(k.alias("id"), lat.alias("lat"), lon.alias("lon"))
+
+    cust = coords(_t(spark, sf_dir, "customer"), "c_custkey", "c")
+    supp = coords(_t(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    pairs = grid_radius_join(cust, supp, radius_km=150.0, cell_deg=2.0, max_abs_lat=45.0)
+    return pairs.select(
+        F.col("l_id").alias("c_custkey"),
+        F.col("r_id").alias("s_suppkey"),
+        F.round("dist_km", 3).alias("dist_km"),
+    )
+
+
+X66_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {_geo_coord_sql('c_custkey', '-lat', 90000, 1000, 45)} AS lat,
+         {_geo_coord_sql('c_custkey', '-lon', 360000, 1000, 180)} AS lon
+  FROM customer
+), supp AS (
+  SELECT s_suppkey,
+         {_geo_coord_sql('s_suppkey', '-lat', 90000, 1000, 45)} AS lat,
+         {_geo_coord_sql('s_suppkey', '-lon', 360000, 1000, 180)} AS lon
+  FROM supplier
+), pairs AS (
+  SELECT c_custkey, s_suppkey,
+         2 * 6371.0 * asin(sqrt(
+           sin(radians(s.lat - c.lat) / 2) * sin(radians(s.lat - c.lat) / 2)
+           + cos(radians(c.lat)) * cos(radians(s.lat))
+             * sin(radians(s.lon - c.lon) / 2) * sin(radians(s.lon - c.lon) / 2)
+         )) AS dist_km
+  FROM cust c CROSS JOIN supp s
+)
+SELECT c_custkey, s_suppkey, round(dist_km, 3) AS dist_km
+FROM pairs WHERE dist_km <= 150.0
+"""
+
+
+def x67_dedup_components(spark, sf_dir):
+    """Standalone connected-components dedup (operators/dedup.py:
+    blocked_dedup_components): rare-shingle blocking (df in [2,5] —
+    fan-out bounded by C(5,2) per shingle, never quadratic) → exact
+    3-shingle Jaccard confirm at 0.3 → transitive closure via
+    distributed label propagation. Every stage is deterministic, so the
+    full iterative algorithm is hash-verified against a DuckDB
+    WITH RECURSIVE reachability oracle — upgrading the components step
+    that x25 could only rows-only-check."""
+    return dedup.blocked_dedup_components(_t(spark, sf_dir, "documents"))
+
+# x25's oracle: the same blocked-components chain at confirm threshold 0.5,
+# projected to a keep/drop decision for EVERY document (docs outside any
+# confirmed component keep themselves). The Jaccard is rounded to 6 decimals
+# before the threshold compare to mirror ngram_jaccard_pairs exactly.
+X25_SQL = rf"""
+WITH RECURSIVE norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+conf AS MATERIALIZED (
+  SELECT ia, ib
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.5
+),
+edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b
+),
+comp AS MATERIALIZED (SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+"""
+
+
+def x68_dup_ngram_coverage(spark, sf_dir):
+    """Per-doc duplicate-5-gram coverage fraction (operators/dedup.py:
+    duplicate_ngram_coverage) — the RefinedWeb/MassiveText
+    "fraction of tokens inside duplicated n-grams" quality signal,
+    computed cross-corpus: positioned shingles once via posexplode+LEAD,
+    df aggregate on (shingle, doc) pairs, bounded position fan-out for
+    coverage. Text never moves after the scan."""
+    return dedup.duplicate_ngram_coverage(_t(spark, sf_dir, "documents"))
+
+
+X68_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shp AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS s
+  FROM norm, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)
+),
+dup AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM shp) GROUP BY s HAVING count(*) >= 2
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT cp) AS dup_tokens
+  FROM (SELECT doc_id, unnest(generate_series(i, i + 4)) AS cp
+        FROM shp SEMI JOIN dup USING (s))
+  GROUP BY doc_id
+)
+SELECT n.doc_id, len(n.toks) AS n_tokens,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(n.toks), 6) AS dup_frac
+FROM norm n LEFT JOIN cov c USING (doc_id)
+WHERE len(n.toks) > 0
+"""
+
+
+def y4_split_ngram_contamination(spark, sf_dir):
+    """Cross-split 5-gram contamination audit (dedup.
+    split_ngram_contamination): per held-out doc, the fraction of its
+    distinct 5-grams that occur in ANY train doc under the x24 md5
+    split — the near-dup complement of x53's exact-hash leakage check
+    (GPT-3 §4 eval-decontamination, turned inward)."""
+    return dedup.split_ngram_contamination(_t(spark, sf_dir, "documents"))
+
+
+Y4_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, {_X67_NORM} AS toks,
+         {_Y_SPLIT_CASE} AS split
+  FROM (SELECT doc_id, text, {_Y_SPLIT_INNER} AS b FROM documents)
+),
+shn AS (
+  SELECT doc_id, split,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct([array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks) - 4)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM base
+),
+flat AS (SELECT DISTINCT doc_id, split, unnest(sh) AS s FROM shn),
+train_s AS (SELECT DISTINCT s FROM flat WHERE split = 'train'),
+agg AS (
+  SELECT h.doc_id, h.split, count(*) AS n_shingles,
+         CAST(count(*) FILTER (t.s IS NOT NULL) AS BIGINT) AS n_shared
+  FROM (SELECT * FROM flat WHERE split <> 'train') h
+  LEFT JOIN train_s t ON t.s = h.s
+  GROUP BY 1, 2
+)
+SELECT doc_id, split, n_shingles, n_shared,
+       round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS shared_frac,
+       CAST(n_shared AS DOUBLE) / n_shingles >= 0.5 AS contaminated
+FROM agg
+"""
+
+
+def x79_containment_dupes(spark, sf_dir):
+    """Asymmetric near-dup pairs via the overlap coefficient
+    |S(a)∩S(b)| / min(|S(a)|,|S(b)|) >= 0.5 over rare-shingle-blocked
+    candidates (dedup.containment_pairs) — catches short-doc-inside-long
+    quoting that whole-doc Jaccard structurally misses. Deterministic
+    (no hash family needed), so fully oracle-checked."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+X79_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS INT) AS n_inter,
+       CAST(len(x.sh) AS INT) AS size_a,
+       CAST(len(y.sh) AS INT) AS size_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / least(len(x.sh), len(y.sh)), 6) AS containment
+FROM cand c JOIN shn x ON x.doc_id = c.id_a JOIN shn y ON y.doc_id = c.id_b
+WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / least(len(x.sh), len(y.sh)), 6) >= 0.5
+"""
+
+
+def x83_minhash_calibration(spark, sf_dir):
+    """Estimator-calibration audit: score the MinHash-LSH Jaccard
+    ESTIMATES (x3's md5-family est_jaccard) against the EXACT shingle
+    Jaccard on the same candidate pairs — (n_pairs, mae, mean_bias,
+    max_abs_err), the sketch-credibility check a pipeline runs before
+    trusting a threshold. Both sides are deterministic (md5 hash family;
+    exact set Jaccard), so the whole audit oracle-checks; error means
+    are computed in INTEGER micro-units with half-up division (the x82
+    lesson — float means of 1e-6-grid values tie at .5 constantly), and
+    `div`/`//` agree across engines because the sign-split keeps every
+    operand positive."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, hash_fn="md5")
+    exact = dedup.ngram_jaccard_pairs(docs, pairs.select("id_a", "id_b"))
+    cal = pairs.join(exact, ["id_a", "id_b"])
+    diff = (
+        F.round(F.col("est_jaccard") * 1e6).cast("long")
+        - F.round(F.col("jaccard") * 1e6).cast("long")
+    )
+    agg = cal.select(diff.alias("diff")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs("diff")).alias("sabs"),
+        F.sum("diff").alias("s"),
+        F.max(F.abs("diff")).alias("mx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        (F.expr("(2 * sabs + n) div (2 * n)") / 1e6).alias("mae"),
+        (
+            F.when(F.col("s") >= 0, F.expr("(2 * s + n) div (2 * n)"))
+            .otherwise(-F.expr("(2 * (-s) + n) div (2 * n)"))
+            / 1e6
+        ).alias("mean_bias"),
+        (F.col("mx") / 1e6).alias("max_abs_err"),
+    )
+
+
+X83_SQL = X3_SQL.replace(
+    ")\nSELECT id_a, id_b, est_jaccard FROM pairs",
+    """),
+cal AS (
+  SELECT CAST(round(p.est_jaccard * 1000000) AS BIGINT)
+         - CAST(round(round(CAST(len(list_intersect(list_distinct(x.sh), list_distinct(y.sh))) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 6) * 1000000) AS BIGINT) AS diff
+  FROM pairs p
+  JOIN shn x ON x.doc_id = p.id_a
+  JOIN shn y ON y.doc_id = p.id_b
+)
+SELECT count(*) AS n_pairs,
+       ((2 * SUM(abs(diff)) + count(*)) // (2 * count(*))) / 1000000.0 AS mae,
+       CASE WHEN SUM(diff) >= 0
+            THEN ((2 * SUM(diff) + count(*)) // (2 * count(*))) / 1000000.0
+            ELSE -(((2 * (-SUM(diff)) + count(*)) // (2 * count(*))) / 1000000.0)
+       END AS mean_bias,
+       MAX(abs(diff)) / 1000000.0 AS max_abs_err
+FROM cal""",
+)
+
+
+def x84_cluster_canonical(spark, sf_dir):
+    """Duplicate-cluster canonicalization (dedup.canonical_representatives,
+    verdict r3/r4 optional item b): x67's blocked components, then per
+    cluster elect the member with the best x9 quality score (ties → min
+    doc id) — the keep-decision of a curation pipeline, upgraded from
+    "keep min id" to "keep the best copy". Composes existing ops only;
+    deterministic end to end, so the components chain AND the argmax are
+    both value-hash oracle-checked."""
+    return dedup.canonical_representatives(_t(spark, sf_dir, "documents"))
+
+
+# X67's recursive-components chain, extended with the X9 quality mirror and
+# a per-cluster argmax. Surgery on the final SELECT (the X83 pattern) keeps
+# the two oracles' shared blocking/closure logic in one place.
+X84_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    rf""", comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+qual AS (
+  SELECT doc_id,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+  )
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc, qual.q,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qual.q DESC, c.doc) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM comp c JOIN qual ON qual.doc_id = c.doc
+)
+SELECT cluster_id, n_members, doc AS canonical_doc, q AS canonical_quality
+FROM ranked WHERE rn = 1""",
+)
+
+
+def x85_duplicate_spans(spark, sf_dir):
+    """Maximal duplicated character spans per document
+    (dedup.duplicate_span_intervals, verdict r3/r4 optional item a):
+    x43's 40-char duplicate fingerprints upgraded to span granularity —
+    overlapping/adjacent duplicated windows merge into maximal (start,
+    end) intervals via per-document gaps-and-islands, the Lee et al.
+    exact-substring dedup output shape. Deterministic md5 fingerprints,
+    so the full interval-merge is value-hash oracle-checked."""
+    return dedup.duplicate_span_intervals(_t(spark, sf_dir, "documents"))
+
+
+# Shared CTE chain for the x85/x86/x87 exact-substring family: duplicated
+# 40-char fingerprints → per-document gaps-and-islands → maximal spans.
+_X85_CHAIN = """
+WITH g AS (
+  SELECT doc_id, pos, md5(substr(text, pos, 40)) AS gram
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 39)) AS pos
+    FROM documents WHERE length(text) >= 40
+  )
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id AS doc,
+         CAST(MIN(pos) AS INT) AS span_start,
+         CAST(MAX(pos) + 39 AS INT) AS span_end,
+         CAST(MAX(pos) + 39 - MIN(pos) + 1 AS INT) AS span_chars,
+         COUNT(*) AS n_windows
+  FROM isl GROUP BY doc_id, island
+)"""
+
+X85_SQL = _X85_CHAIN + """
+SELECT doc, span_start, span_end, span_chars, n_windows FROM spans
+"""
+
+
+def x86_boilerplate_catalog(spark, sf_dir):
+    """Boilerplate-block catalog (dedup.span_boilerplate_blocks): the
+    maximal duplicated spans from x85, extracted and fingerprinted into
+    the blocklist a curation pipeline scrubs against — (block_hash,
+    span_chars, n_docs, n_spans, first_doc) per distinct block text."""
+    return dedup.span_boilerplate_blocks(_t(spark, sf_dir, "documents"))
+
+
+X86_SQL = _X85_CHAIN + """
+SELECT md5(substr(d.text, s.span_start, s.span_chars)) AS block_hash,
+       s.span_chars,
+       COUNT(DISTINCT s.doc) AS n_docs,
+       COUNT(*) AS n_spans,
+       MIN(s.doc) AS first_doc
+FROM spans s JOIN documents d ON d.doc_id = s.doc
+GROUP BY 1, 2
+"""
+
+
+def x87_scrub_accounting(spark, sf_dir):
+    """Per-document exact-substring scrub audit (dedup.span_scrub_stats):
+    chars each doc loses if its x85 duplicated spans are cut — the
+    dup_frac accounting that decides cut-vs-drop thresholds before a
+    destructive scrub. Every document gets a row (zero for span-free)."""
+    return dedup.span_scrub_stats(_t(spark, sf_dir, "documents"))
+
+
+X87_SQL = _X85_CHAIN + """
+, per_doc AS (
+  SELECT doc, CAST(SUM(span_chars) AS BIGINT) AS dup_chars,
+         COUNT(*) AS n_spans
+  FROM spans GROUP BY doc
+)
+SELECT d.doc_id AS doc,
+       CAST(length(d.text) AS INT) AS n_chars,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       round(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+             / greatest(length(d.text), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+"""
+
+
+def x93_cross_source_dupes(spark, sf_dir):
+    """Cross-source duplication matrix: confirmed near-dup pairs (the
+    x67 blocking + Jaccard-confirm chain) rolled up by unordered source
+    pair — which sources copy from which, the provenance diagnostic
+    that decides source-level dedup priorities. Pair fan-out stays
+    df-bounded (never n²); the rollup shuffles (src, src) keys only."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.rare_shingle_pairs(docs)
+    conf = dedup.ngram_jaccard_pairs(docs, cands).where(
+        F.col("jaccard") >= 0.3
+    )
+    src = docs.select("doc_id", "source")
+    pairs = conf.join(
+        src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a"
+    ).join(
+        src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b"
+    )
+    return (
+        pairs.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# reuse the X67 chain through its confirmed-pairs CTE, then roll up by
+# unordered source pair instead of running the closure
+X93_SQL = X67_SQL.replace(
+    """edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM conf UNION SELECT ib, ia FROM conf),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node""",
+    """srcpairs AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM conf
+  JOIN documents da ON da.doc_id = conf.ia
+  JOIN documents db ON db.doc_id = conf.ib
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM srcpairs GROUP BY source_a, source_b""",
+)
+
+
+# Shared shingle CTE prefix (the X67 norm→shn→flat chain with flat keyed
+# as ``doc``) for the source-level shingle audits x98/x99.
+_SHINGLE3_CTES = rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id AS doc, unnest(sh) AS s FROM shn),
+src AS (SELECT doc_id AS doc, source FROM documents)
+"""
+
+
+def x98_shingle_novelty(spark, sf_dir):
+    """First-seen novelty attribution (dedup.shingle_novelty): each
+    distinct corpus 3-shingle is credited to the source of its earliest
+    document; per source, novel vs repeated content share — the
+    marginal-contribution diagnostic for mixture design."""
+    return dedup.shingle_novelty(_t(spark, sf_dir, "documents"))
+
+
+X98_SQL = (
+    _SHINGLE3_CTES
+    + """,
+per_source AS (
+  SELECT source, count(*) AS n_occurrences, count(DISTINCT s) AS n_distinct
+  FROM flat JOIN src USING (doc) GROUP BY 1
+),
+first AS (SELECT s, min(doc) AS doc FROM flat GROUP BY 1),
+novel AS (SELECT source, count(*) AS n_novel FROM first JOIN src USING (doc) GROUP BY 1)
+SELECT p.source, p.n_occurrences, p.n_distinct,
+       coalesce(n.n_novel, 0) AS n_novel,
+       round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_distinct, 6)
+         AS novelty_rate
+FROM per_source p LEFT JOIN novel n USING (source)
+"""
+)
+
+
+def x99_source_overlap(spark, sf_dir):
+    """Source-pair content overlap (dedup.source_shingle_overlap):
+    Jaccard between per-source distinct-shingle sets, full matrix —
+    the corpus-space companion to x93's confirmed doc-pair counts."""
+    return dedup.source_shingle_overlap(_t(spark, sf_dir, "documents"))
+
+
+X99_SQL = (
+    _SHINGLE3_CTES
+    + """,
+srcsh AS MATERIALIZED (SELECT DISTINCT source, s FROM flat JOIN src USING (doc)),
+sizes AS (SELECT source, count(*) AS n FROM srcsh GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM srcsh a JOIN srcsh b USING (s)
+  WHERE a.source < b.source GROUP BY 1, 2
+),
+grid AS (
+  SELECT sa.source AS source_a, sa.n AS n_a, sb.source AS source_b, sb.n AS n_b
+  FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source
+)
+SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+       coalesce(sh.n_shared, 0) AS n_shared,
+       round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+             / (g.n_a + g.n_b - coalesce(sh.n_shared, 0)), 6) AS jaccard
+FROM grid g LEFT JOIN shared sh USING (source_a, source_b)
+"""
+)
+
+
+def x106_dedup_savings(spark, sf_dir):
+    """Dedup impact accounting (dedup.dedup_savings): per source, the
+    documents and tokens removed when every x67 near-dup cluster keeps
+    its best-quality copy (the x84 elect rule) — the before/after report
+    a curation pipeline publishes with the dedup pass. The oracle
+    extends the X67 recursive-components chain with the X84 quality
+    argmax and a source-keyed token rollup."""
+    return dedup.dedup_savings(_t(spark, sf_dir, "documents"))
+
+
+# X67's recursive-components chain, extended (the X84 surgery pattern) with
+# the quality elect, the rn>1 removal set, and a per-source token rollup.
+X106_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    rf""", comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+toks2 AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM toks2
+  )
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qual.q DESC, c.doc) AS rn
+  FROM comp c JOIN qual ON qual.doc_id = c.doc
+),
+removed AS (SELECT doc FROM ranked WHERE rn > 1)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+       CAST(SUM(len(t.toks)) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN len(t.toks) ELSE 0 END) AS BIGINT) AS tokens_removed,
+       round(CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS doc_savings,
+       round(CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN len(t.toks) ELSE 0 END) AS DOUBLE)
+             / SUM(len(t.toks)), 6) AS token_savings
+FROM toks2 t LEFT JOIN removed r ON t.doc_id = r.doc
+GROUP BY 1""",
+)
+
+
+def x130_repeated_sentences(spark, sf_dir):
+    """Sentence-granular boilerplate catalog (dedup.repeated_sentences):
+    top-20 sentences repeated across >= 2 docs, with doc/occurrence
+    counts and the scrub payload — the template detector at real
+    sentence boundaries (x86 approximates with fixed-width char grams).
+    Map-side collapse to per-sentence counts; TakeOrdered top-k."""
+    from ...operators.dedup import repeated_sentences
+
+    return repeated_sentences(_t(spark, sf_dir, "documents"))
+
+
+X130_SQL = """
+WITH sent AS (
+  SELECT d.doc_id AS doc, trim(t.s) AS sentence
+  FROM documents d,
+       unnest(regexp_split_to_array(d.text, '[.!?]+')) AS t(s)
+  WHERE length(trim(t.s)) >= 20
+),
+counts AS (
+  SELECT md5(sentence) AS sentence_md5,
+         CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         MIN(sentence) AS sentence
+  FROM sent GROUP BY 1
+)
+SELECT sentence_md5, n_docs, n_occurrences,
+       CAST(length(sentence) AS BIGINT) AS n_chars, sentence
+FROM counts WHERE n_docs >= 2
+ORDER BY n_docs DESC, sentence_md5
+LIMIT 20
+"""
+
+
+def x148_neardup_contamination(spark, sf_dir):
+    """Near-duplicate split contamination
+    (dedup.neardup_split_contamination): x3's banded MinHash-LSH
+    candidates (md5 hash family, hot-bucket cap) filtered to
+    cross-split pairs with est_jaccard >= 0.5, rolled up per split
+    pair — the fuzzy companion to y4's exact n-gram check."""
+    return dedup.neardup_split_contamination(
+        _split_docs(spark, sf_dir), hash_fn="md5"
+    )
+
+
+X148_SQL = f"""
+WITH cand AS ({X3_SQL}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ({_Y_SPLIT_INNER}) < 5 THEN 'val'
+              WHEN ({_Y_SPLIT_INNER}) < 15 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+),
+labeled AS (
+  SELECT LEAST(sa.split, sb.split) AS split_lo,
+         GREATEST(sa.split, sb.split) AS split_hi,
+         p.id_a, p.id_b, p.est_jaccard
+  FROM cand p
+  JOIN sp sa ON p.id_a = sa.doc_id
+  JOIN sp sb ON p.id_b = sb.doc_id
+  WHERE sa.split <> sb.split AND p.est_jaccard >= 0.5
+),
+per_pair AS (
+  SELECT split_lo, split_hi,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         round(avg(est_jaccard), 6) AS mean_est_jaccard
+  FROM labeled GROUP BY 1, 2
+),
+involved AS (
+  SELECT split_lo, split_hi,
+         CAST(count(*) AS BIGINT) AS n_docs_involved
+  FROM (
+    SELECT DISTINCT split_lo, split_hi, d
+    FROM (
+      SELECT split_lo, split_hi, unnest([id_a, id_b]) AS d FROM labeled
+    )
+  ) GROUP BY 1, 2
+)
+SELECT split_lo, split_hi, n_pairs, n_docs_involved, mean_est_jaccard
+FROM per_pair JOIN involved USING (split_lo, split_hi)
+"""
+
+
+def x178_dedup_worklist(spark, sf_dir):
+    """Dedup triage worklist (dedup.dedup_worklist): x67 components +
+    row-local token counts -> top-20 clusters by wasted tokens (total
+    minus longest member)."""
+    return dedup.dedup_worklist(_t(spark, sf_dir, "documents"))
+
+
+X178_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    """, comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT c.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(n.toks)) AS BIGINT) AS total_tokens,
+         CAST(MAX(len(n.toks)) AS BIGINT) AS kept_tokens
+  FROM comp c JOIN norm n ON n.doc_id = c.doc
+  GROUP BY 1
+)
+SELECT cluster_id, n_docs, total_tokens, kept_tokens,
+       total_tokens - kept_tokens AS wasted_tokens
+FROM sizes
+ORDER BY wasted_tokens DESC, cluster_id
+LIMIT 20""",
+)
+
+
+def x187_editdist_confirm(spark, sf_dir):
+    """Edit-distance confirmation of the x3 LSH candidates
+    (dedup.editdist_confirm_pairs): true Levenshtein over normalized
+    160-char opening passages, <= 20 edits kept — the precision layer
+    separating near-dups from shingle coincidences."""
+    return dedup.editdist_confirm_pairs(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
+_X187_PREF = (
+    r"substring(trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), 1, 160)"
+)
+
+X187_SQL = f"""
+WITH cand AS ({X3_SQL}),
+pref AS (
+  SELECT doc_id, {_X187_PREF} AS p FROM documents
+)
+SELECT c.id_a, c.id_b, c.est_jaccard,
+       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_distance,
+       round(1.0 - CAST(levenshtein(pa.p, pb.p) AS DOUBLE)
+             / CAST(greatest(greatest(length(pa.p), length(pb.p)), 1)
+                    AS DOUBLE), 6) AS prefix_sim
+FROM cand c
+JOIN pref pa ON c.id_a = pa.doc_id
+JOIN pref pb ON c.id_b = pb.doc_id
+WHERE levenshtein(pa.p, pb.p) <= 20
+ORDER BY c.id_a, c.id_b
+"""
+
+
+def x190_dup_cluster_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution (dedup.dup_cluster_histogram):
+    the x67 components rolled to a size histogram with cluster- and
+    doc-mass shares."""
+    return dedup.dup_cluster_histogram(_t(spark, sf_dir, "documents"))
+
+
+X190_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    """, comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+  FROM comp GROUP BY 1
+),
+hist AS (
+  SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_clusters) AS DOUBLE) AS tc,
+         CAST(SUM(csize * n_clusters) AS DOUBLE) AS td
+  FROM hist
+)
+SELECT csize, n_clusters,
+       CAST(csize * n_clusters AS BIGINT) AS n_docs,
+       round(n_clusters / tc, 6) AS cluster_share,
+       round(csize * n_clusters / td, 6) AS doc_share
+FROM hist CROSS JOIN tot
+ORDER BY csize""",
+)
+
+
+
+def x197_dedup_threshold_roc(spark, sf_dir):
+    """MinHash cutoff operating points (dedup.dedup_threshold_roc):
+    precision/recall/FPR at thresholds 0.1..0.9 against exact
+    3-shingle Jaccard truth over the banded candidate set."""
+    return dedup.dedup_threshold_roc(
+        _t(spark, sf_dir, "documents"), hash_fn="md5"
+    )
+
+
+X197_SQL = rf"""
+WITH cand AS ({X3_SQL}),
+norm2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')]
+         END AS sh
+  FROM norm2
+),
+labeled AS (
+  SELECT c.est_jaccard,
+         round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+               THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))
+               ELSE 0 END, 6) >= 0.5 AS is_pos
+  FROM cand c
+  JOIN sh2 a ON c.id_a = a.doc_id
+  JOIN sh2 b ON c.id_b = b.doc_id
+),
+swept AS (
+  SELECT t.threshold, e.est_jaccard, e.is_pos
+  FROM labeled e CROSS JOIN
+       (SELECT unnest(generate_series(1, 9)) / 10.0 AS threshold) t
+),
+cells AS (
+  SELECT threshold,
+         CAST(SUM(CASE WHEN is_pos AND est_jaccard >= threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT is_pos AND est_jaccard >= threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN is_pos AND est_jaccard < threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN NOT is_pos AND est_jaccard < threshold
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM swept GROUP BY 1
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN round(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN round(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+       CASE WHEN fp + tn > 0
+            THEN round(fp / CAST(fp + tn AS DOUBLE), 6) END AS fpr
+FROM cells
+ORDER BY threshold
+"""
+
+
+def x217_dup_flow_matrix(spark, sf_dir):
+    """Cross-source duplicate flow matrix (dedup.dup_flow_matrix):
+    x67's confirmed near-dup pairs rolled up by unordered source pair
+    — off-diagonal cells are syndication/mirroring between feeds."""
+    return dedup.dup_flow_matrix(_t(spark, sf_dir, "documents"))
+
+
+# X67's blocked-candidates + Jaccard-confirm prefix, rolled up by source
+# pair instead of closed into components.
+X217_SQL = rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+conf AS (
+  SELECT ia, ib
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3
+),
+flows AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM conf
+  JOIN documents da ON da.doc_id = ia
+  JOIN documents db ON db.doc_id = ib
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_pairs) AS DOUBLE) AS n_total FROM flows)
+SELECT source_a, source_b, n_pairs,
+       source_a <> source_b AS cross_source,
+       round(n_pairs / n_total, 6) AS share
+FROM flows CROSS JOIN tot
+ORDER BY source_a, source_b
+"""
+
+
+def x223_source_originality(spark, sf_dir):
+    """Per-source originality accounting (dedup.source_originality):
+    non-canonical near-dup members are copies charged to their source;
+    originality = 1 - copies/docs — the source-level rollup of x217's
+    pair flows."""
+    return dedup.source_originality(_t(spark, sf_dir, "documents"))
+
+
+# X67's components chain + the X84 quality argmax, rolled up per source.
+X223_SQL = X67_SQL.replace(
+    "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    rf""", comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+qual AS (
+  SELECT doc_id,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+  )
+),
+flags AS (
+  SELECT d2.source,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qual.q DESC, c.doc) AS rn
+  FROM comp c
+  JOIN qual ON qual.doc_id = c.doc
+  JOIN documents d2 ON d2.doc_id = c.doc
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_in_clusters,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical
+  FROM flags GROUP BY 1
+),
+src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT s.source, s.n_docs,
+       CAST(COALESCE(a.n_in_clusters, 0) AS BIGINT) AS n_in_clusters,
+       CAST(COALESCE(a.n_canonical, 0) AS BIGINT) AS n_canonical,
+       CAST(COALESCE(a.n_in_clusters, 0) - COALESCE(a.n_canonical, 0)
+            AS BIGINT) AS n_copies,
+       round(1.0 - (COALESCE(a.n_in_clusters, 0)
+                    - COALESCE(a.n_canonical, 0))
+             / CAST(s.n_docs AS DOUBLE), 6) AS originality
+FROM src s LEFT JOIN agg a USING (source)
+ORDER BY s.source""",
+)
+
+
+def x225_lsh_parameter_plan(spark, sf_dir):
+    """LSH band/row planner (dedup.lsh_parameter_plan): expected true
+    pairs captured vs false candidates admitted for each (bands, rows)
+    split of the 64-hash budget, weighting the banded S-curve by the
+    observed candidate-pair Jaccard histogram — picks x3's
+    configuration before the big run; x83 calibrates it after."""
+    return dedup.lsh_parameter_plan(_t(spark, sf_dir, "documents"))
+
+
+def _x225_lut_sql() -> str:
+    rows = []
+    for b, r in dedup.LSH_PARAM_GRID:
+        for bn in range(20):
+            mid = (bn + 0.5) / 20.0
+            p = dedup.lsh_capture_prob(mid, b, r)
+            rows.append(
+                f"({b}, {r}, {bn}, {str(mid >= 0.3).upper()}, {p!r})"
+            )
+    return ",\n    ".join(rows)
+
+
+X225_SQL = rf"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_X67_NORM} AS toks FROM documents
+),
+shn AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+              WHEN len(toks) > 0
+              THEN [array_to_string(toks, ' ')]
+              ELSE CAST([] AS VARCHAR[])
+         END AS sh
+  FROM norm
+),
+flat AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn),
+rare AS MATERIALIZED (SELECT s FROM flat GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM flat a JOIN rare USING (s) JOIN flat b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+sims AS (
+  SELECT round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+  FROM cand JOIN shn x ON x.doc_id = ia JOIN shn y ON y.doc_id = ib
+),
+bins AS (
+  SELECT CAST(least(floor(jaccard * 20), 19) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sims GROUP BY 1
+),
+lut(bands, rows_per_band, bin, is_true, p) AS (
+  VALUES
+    {_x225_lut_sql()}
+),
+folded AS (
+  SELECT bands, rows_per_band,
+         row_number() OVER (PARTITION BY bands, rows_per_band
+                            ORDER BY bin) AS rn,
+         SUM(CASE WHEN is_true THEN n * p ELSE 0.0 END) OVER wf AS exp_tp,
+         SUM(CASE WHEN NOT is_true THEN n * p ELSE 0.0 END) OVER wf AS exp_fp,
+         CAST(SUM(CASE WHEN is_true THEN n ELSE 0 END) OVER wf AS BIGINT)
+           AS n_true,
+         CAST(SUM(CASE WHEN NOT is_true THEN n ELSE 0 END) OVER wf
+              AS BIGINT) AS n_false
+  FROM bins JOIN lut USING (bin)
+  WINDOW wf AS (PARTITION BY bands, rows_per_band ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT bands, rows_per_band,
+       n_true AS n_true_pairs,
+       n_false AS n_false_pairs,
+       round(exp_tp, 6) AS exp_true_captured,
+       round(exp_fp, 6) AS exp_false_captured,
+       CASE WHEN n_true > 0
+            THEN round(exp_tp / CAST(n_true AS DOUBLE), 6) END
+         AS recall_proxy,
+       CASE WHEN n_false > 0
+            THEN round(exp_fp / CAST(n_false AS DOUBLE), 6) END
+         AS fp_capture_rate
+FROM folded
+WHERE rn = 1
+ORDER BY bands
+"""

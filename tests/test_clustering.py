@@ -85,7 +85,8 @@ def test_kmeans_fewer_rows_than_k(spark):
 def test_label_centroid_similarity_planted(spark):
     """Two labels sharing a direction → cosine 1; orthogonal labels → 0."""
     from shifts_etl_spark.plans.extensions import x42_label_centroid_similarity
-    import shifts_etl_spark.plans.extensions as ext
+    # patch the family module whose globals x42 resolves `_t` from
+    from shifts_etl_spark.plans.extensions import ann as ext
 
     rows = []
     for vid in range(4):

@@ -237,7 +237,8 @@ def test_minhash_calibration_bounds(spark):
     """On a corpus of exact duplicates the estimate is exact (mae 0);
     invariants mae <= max_abs_err and |bias| <= mae always hold."""
     from shifts_etl_spark.plans.extensions import x83_minhash_calibration
-    import shifts_etl_spark.plans.extensions as ext
+    # patch the family module whose globals x83 resolves `_t` from
+    from shifts_etl_spark.plans.extensions import dedup as ext
 
     base = "the quick brown fox jumps over the lazy dog again and again"
     docs = spark.createDataFrame(
