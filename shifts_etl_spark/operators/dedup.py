@@ -1023,6 +1023,74 @@ def span_scrub_stats(
     )
 
 
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 40,
+    min_docs: int = 2,
+    drop_frac: float = 0.8,
+) -> DataFrame:
+    """The DESTRUCTIVE counterpart of ``span_scrub_stats``: cut every
+    maximal duplicated span (``duplicate_span_intervals``) out of its
+    document's text, and flag documents that are mostly duplicated
+    (``dup_frac >= drop_frac``) for dropping instead of scrubbing —
+    Lee et al.'s exact-substring dedup applied, not just measured.
+    Returns every input doc with (text scrubbed, n_chars, dup_chars,
+    n_spans, dup_frac, action ∈ {keep, scrub, drop}); callers filter on
+    ``action != 'drop'``. Span-free documents pass through unchanged.
+
+    Scale shape: the spans frame (doc, start, chars) aggregates to ONE
+    array per affected document — bounded by doc length / span_len, never
+    corpus-sized — and the cut itself is a JVM ``aggregate`` over that
+    sorted array (substring concat between spans), so text is rewritten
+    in the same stage it is read; no Python, no extra shuffle beyond the
+    span join keyed on doc id."""
+    spans = duplicate_span_intervals(docs, text_col, id_col, span_len, min_docs)
+    per_doc = spans.groupBy("doc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_chars"))
+        ).alias("spans"),
+        F.sum("span_chars").alias("dup_chars"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc["doc"], "left"
+    ).drop("doc")
+    txt = F.col(text_col)
+    # fold the sorted spans: keep [pos, span_start), skip the span
+    cut = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc")),
+        lambda st, s: F.struct(
+            (s["span_start"] + s["span_chars"]).alias("pos"),
+            F.concat(
+                st["acc"], txt.substr(st["pos"], s["span_start"] - st["pos"])
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"], txt.substr(st["pos"], F.length(txt) - st["pos"] + 1)
+        ),
+    )
+    dup = F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long")
+    frac = dup / F.greatest(F.length(txt), F.lit(1))
+    action = (
+        F.when(F.col("spans").isNull(), F.lit("keep"))
+        .when(frac >= drop_frac, F.lit("drop"))
+        .otherwise(F.lit("scrub"))
+    )
+    keep_cols = [c for c in docs.columns if c != text_col]
+    return joined.select(
+        *keep_cols,
+        F.when(action == "scrub", cut).otherwise(txt).alias(text_col),
+        F.length(txt).cast("long").alias("n_chars"),
+        dup.alias("dup_chars"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.round(frac, 6).alias("dup_frac"),
+        action.alias("action"),
+    )
+
+
 def shingle_novelty(
     docs: DataFrame,
     text_col: str = "text",

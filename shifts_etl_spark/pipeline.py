@@ -177,3 +177,176 @@ def prepare_training_data(
     if output_dir is not None:
         StagedWriter(output_dir).write_batch(stages)
     return stages
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    budget_docs: int = 1000,
+    temperature: float = 0.7,
+    min_quality: float = 0.5,
+    span_len: int = 40,
+    span_min_docs: int = 2,
+    span_drop_frac: float = 0.8,
+    neardup_threshold: float = 0.3,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    fingerprint_chars: int = 160,
+):
+    """The composed end-to-end curation run a 100 TB pre-training pipeline
+    executes (VERDICT r5 "Next round" #5), chaining the individually
+    verified operators with x87-style accounting at every stage:
+
+      ingest
+      → exact dedup, normalized text        (x1/x2: md5 groupBy)
+      → near-dup canonical election         (x67 components + x84 elect:
+        drop every cluster member except the best-quality copy)
+      → duplicate-span scrub                (x85-x87 applied: cut maximal
+        duplicated spans; drop mostly-duplicated docs)
+      → quality calibration + filter        (x88/x222: cross-source
+        quantile-normalized quality >= min_quality)
+      → temperature mixture draw            (x50/x71: largest-remainder
+        allocation over sources, deterministic md5 priority)
+      → leakage-safe split                  (x53's 160-char normalized
+        fingerprint as the split KEY, so any residual near-exact copies
+        land in the same split by construction; x24 md5 buckets)
+
+    Returns ``(curated, ledger)``: the final DataFrame (doc_id, source,
+    text, split) and a list of per-stage accounting dicts
+    (stage, n_docs, n_chars, n_tokens, docs_dropped, chars_removed) whose
+    arithmetic a pytest pins at sf0.1 (tests/test_curate_pipeline.py).
+
+    Scale shape: every stage is one of the already-audited operator plans
+    (no new shuffle patterns); survivors are persisted between stages so
+    each stage's ledger aggregate and the next stage share one
+    materialization; the ledger itself is ONE map-side-combinable
+    aggregate per stage (6 rows total on the driver)."""
+    from pyspark.sql import Window, functions as F
+
+    from .operators import curation as cur, dedup as dd
+    from .operators.textstats import normalize_text, quality_score, token_count
+
+    def stats(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("n_chars"),
+            F.coalesce(F.sum(token_count(F.col("text"))), F.lit(0)).alias(
+                "n_tokens"
+            ),
+        ).collect()[0]
+        return int(row.n_docs), int(row.n_chars), int(row.n_tokens)
+
+    ledger: list[dict] = []
+    prev = None
+
+    def account(stage, df):
+        nonlocal prev
+        n_docs, n_chars, n_tokens = stats(df)
+        ledger.append(
+            {
+                "stage": stage,
+                "n_docs": n_docs,
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "docs_dropped": (prev[0] - n_docs) if prev else 0,
+                "chars_removed": (prev[1] - n_chars) if prev else 0,
+            }
+        )
+        prev = (n_docs, n_chars, n_tokens)
+
+    cur_df = docs.select("doc_id", "source", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    account("ingest", cur_df)
+
+    # 1 — exact dedup on normalized text: keep the min-id copy
+    keep = dd.exact_dedup_normalized(cur_df).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    nxt = cur_df.join(keep, "doc_id", "semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    account("exact_dedup", nxt)
+    cur_df.unpersist()
+    cur_df = nxt
+
+    # 2 — near-dup components + canonical election: inside every cluster
+    # keep only the best-quality member (ties -> min id), i.e. x67 + x84
+    # applied as a filter instead of reported as a table.
+    comps = dd.blocked_dedup_components(
+        cur_df, threshold=neardup_threshold
+    )
+    scored = cur_df.select(
+        F.col("doc_id").alias("doc"),
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+    )
+    members = comps.join(scored, "doc")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc"))
+    losers = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(F.col("doc").alias("doc_id"))
+    )
+    nxt = cur_df.join(losers, "doc_id", "anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    account("neardup_canonical", nxt)
+    cur_df.unpersist()
+    cur_df = nxt
+
+    # 3 — exact-substring scrub: cut duplicated maximal spans, drop docs
+    # that are mostly duplication (x85-x87 applied).
+    scrubbed = dd.scrub_duplicate_spans(
+        cur_df,
+        span_len=span_len,
+        min_docs=span_min_docs,
+        drop_frac=span_drop_frac,
+    )
+    nxt = (
+        scrubbed.where(F.col("action") != "drop")
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    account("span_scrub", nxt)
+    cur_df.unpersist()
+    cur_df = nxt
+
+    # 4 — cross-source quality calibration, then threshold on the
+    # calibrated score (x88/x222 applied).
+    cal = cur.calibrate_quality(cur_df).where(
+        F.col("q_calibrated") >= min_quality
+    )
+    nxt = cur_df.join(cal.select("doc_id"), "doc_id", "semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    account("quality_filter", nxt)
+    cur_df.unpersist()
+    cur_df = nxt
+
+    # 5 — temperature-scaled mixture draw (x50 plan + x71 materialize).
+    drawn = cur.materialize_mixture(
+        cur_df, budget=budget_docs, temperature=temperature
+    )
+    nxt = cur_df.join(drawn.select("doc_id"), "doc_id", "semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    account("mixture_draw", nxt)
+    cur_df.unpersist()
+    cur_df = nxt
+
+    # 6 — leakage-safe split: bucket on the x53 content fingerprint (md5
+    # of the normalized 160-char prefix), not the doc id, so residual
+    # near-exact copies cannot straddle splits.
+    fp = F.md5(
+        F.substring(normalize_text(F.col("text")), 1, fingerprint_chars)
+    )
+    u = cur._hex_uniform_int(fp, 6) / F.lit(float(16**6))
+    split = (
+        F.when(u < train_frac, "train")
+        .when(u < train_frac + val_frac, "val")
+        .otherwise("test")
+    )
+    curated = cur_df.select("doc_id", "source", "text", split.alias("split"))
+    account("split", curated)
+    return curated, ledger

@@ -1,0 +1,158 @@
+"""End-to-end composed curation pipeline (VERDICT r5 "Next round" #5):
+pipeline.curate() chains the individually-verified operators — exact
+dedup (x1/x2) → near-dup canonical election (x67/x84) → duplicate-span
+scrub (x85–x87) → calibrated quality filter (x88/x222) → temperature
+mixture (x50/x71) → leakage-safe split (x53/x24) — and this test pins the
+stage-by-stage row/char accounting at sf0.1, over the real documents
+table PLUS planted adversarial docs that force every stage to fire.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shifts_etl_spark.operators.textstats import normalize_text
+from shifts_etl_spark.pipeline import curate
+
+SF_DIR = "/root/testdata/sf0.1"
+
+BOILER = "COPYRIGHT NOTICE ALL RIGHTS RESERVED REDISTRIBUTION FORBIDDEN! " * 3
+
+STAGES = [
+    "ingest",
+    "exact_dedup",
+    "neardup_canonical",
+    "span_scrub",
+    "quality_filter",
+    "mixture_draw",
+    "split",
+]
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "common words keep the quality score reasonable for this text "
+    ) * 3
+    planted = [
+        # exact duplicates of one real doc's text (normalized-identical)
+        (100000, "srcP", base),
+        (100001, "srcP", base),
+        (100002, "srcP", base.upper()),  # normalized-equal -> exact dup too
+        # boilerplate carriers: unique body + a shared >=40-char block
+        (100010, "srcP", f"unique preamble alpha with several words {BOILER} unique tail alpha"),
+        (100011, "srcP", f"unique preamble bravo with several words {BOILER} unique tail bravo"),
+        (100012, "srcP", f"unique preamble charlie with several words {BOILER} unique tail charlie"),
+        # mostly-boilerplate doc -> span stage must DROP it
+        (100020, "srcP", BOILER + BOILER),
+        # junk-quality doc (all digits, no stopwords) -> quality filter
+        (100030, "srcP", "9" * 400),
+    ]
+    extra = spark.createDataFrame(
+        planted, "doc_id long, source string, text string"
+    )
+    all_docs = docs.unionByName(extra)
+    out, ledger = curate(
+        spark,
+        all_docs,
+        budget_docs=800,
+        min_quality=0.5,
+        span_drop_frac=0.8,
+    )
+    out = out.persist()
+    out.count()
+    return out, ledger, all_docs
+
+
+def test_ledger_shape_and_monotonic_docs(curated):
+    _, ledger, _ = curated
+    assert [r["stage"] for r in ledger] == STAGES
+    counts = [r["n_docs"] for r in ledger]
+    assert counts == sorted(counts, reverse=True)
+    # accounting arithmetic: docs_dropped/chars_removed are exact deltas
+    for prev, cur in zip(ledger, ledger[1:]):
+        assert cur["docs_dropped"] == prev["n_docs"] - cur["n_docs"]
+        assert cur["chars_removed"] == prev["n_chars"] - cur["n_chars"]
+
+
+def test_each_stage_fired(curated):
+    _, ledger, _ = curated
+    by = {r["stage"]: r for r in ledger}
+    assert by["ingest"]["n_docs"] == 5000 + 8
+    # 3 exact copies of `base` -> 2 dropped
+    assert by["exact_dedup"]["docs_dropped"] >= 2
+    # sf0.1 documents carry planted near-dup clusters; election drops >0
+    assert by["neardup_canonical"]["docs_dropped"] > 0
+    # the pure-boilerplate doc is dropped AND/OR carriers lose chars
+    assert (
+        by["span_scrub"]["docs_dropped"] >= 1
+        or by["span_scrub"]["chars_removed"] > 0
+    )
+    assert by["quality_filter"]["docs_dropped"] >= 1  # the digit junk doc
+    assert by["mixture_draw"]["n_docs"] == 800
+    assert by["split"]["n_docs"] == 800
+    assert by["split"]["docs_dropped"] == 0
+
+
+def test_planted_docs_fate(curated):
+    out, _, _ = curated
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # at most one of the three exact copies can survive
+    assert len(ids & {100000, 100001, 100002}) <= 1
+    # the all-boilerplate and junk docs never reach the output
+    assert 100020 not in ids
+    assert 100030 not in ids
+
+
+def test_boilerplate_scrubbed_from_survivors(curated):
+    out, _, _ = curated
+    carriers = out.where(F.col("doc_id").isin(100010, 100011, 100012))
+    for r in carriers.collect():
+        assert BOILER.strip() not in r.text  # the shared block was cut
+        assert "unique preamble" in r.text  # the unique body survived
+
+
+def test_split_fractions_and_leakage(curated):
+    out, _, _ = curated
+    n = out.count()
+    frac = {
+        r.split: r["count"] / n
+        for r in out.groupBy("split").count().collect()
+    }
+    assert 0.70 <= frac.get("train", 0) <= 0.90
+    assert 0.03 <= frac.get("val", 0) <= 0.20
+    assert 0.03 <= frac.get("test", 0) <= 0.20
+    # leakage-safe BY CONSTRUCTION: a normalized 160-char fingerprint
+    # never spans two splits
+    fp = F.md5(F.substring(normalize_text(F.col("text")), 1, 160))
+    leaks = (
+        out.select(fp.alias("fp"), "split")
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaks == 0
+
+
+def test_mixture_respects_allocation(curated):
+    out, _, all_docs = curated
+    # re-deriving the allocation on the pre-mixture survivors would re-run
+    # the whole chain; instead check the output-level invariants the
+    # largest-remainder draw guarantees: exact total and no source above
+    # its pre-mixture document count.
+    per_source = {
+        r.source: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    assert sum(per_source.values()) == 800
+    avail = {
+        r.source: r["count"]
+        for r in all_docs.groupBy("source").count().collect()
+    }
+    for s, got in per_source.items():
+        assert got <= avail[s]
