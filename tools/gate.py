@@ -1,0 +1,103 @@
+"""One-command round gate (VERDICT r5 "Next round" #7): fold the
+correctness sweep, the physical-plan audit, the determinism audit, and
+(with --full) the sf0.1 sweep into a single reproducible command whose
+result lands as ONE logged JSON artifact.
+
+Each step runs as a subprocess (the sub-tools pin their own Spark
+configs — determinism_check needs two sessions with different
+parallelism, so in-process composition would fight over the singleton
+session). The summary records each step's verdict line, duration, and
+pass/fail; the gate passes only if every step does.
+
+Usage:
+    python tools/gate.py            # sf0.01 sweep + plan audit + determinism
+    python tools/gate.py --full     # ... plus the full sf0.1 sweep
+    python tools/gate.py --out GATE_r06.json --log /tmp/gate_r06.log
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+STEPS = [
+    ("correctness_sf0.01",
+     [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.01"],
+     "pass, 0 fail"),
+    ("plan_audit",
+     [sys.executable, "tools/audit_plans.py"],
+     ", 0 flagged"),
+    ("determinism",
+     [sys.executable, "tools/determinism_check.py"],
+     ", 0 flipped"),
+]
+FULL_STEPS = [
+    ("correctness_sf0.1",
+     [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.1"],
+     "pass, 0 fail"),
+]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    full = "--full" in args
+
+    def opt(flag, default):
+        return args[args.index(flag) + 1] if flag in args else default
+
+    out_path = Path(opt("--out", str(ROOT / "GATE_LAST.json")))
+    log_path = Path(opt("--log", "/tmp/gate_last.log"))
+    # bare positional args = query-name filter, passed through to the
+    # sweeps that accept one (smoke-testing the gate plumbing itself)
+    skip = {"--full", "--out", str(out_path), "--log", str(log_path)}
+    only = [a for a in args if a not in skip]
+
+    steps = [
+        (name,
+         cmd + (only if "check_correctness" in cmd[1]
+                or "determinism" in cmd[1] else []),
+         marker)
+        for name, cmd, marker in STEPS + (FULL_STEPS if full else [])
+    ]
+    summary = {"full": full, "steps": {}, "pass": True}
+    with log_path.open("w") as log:
+        for name, cmd, ok_marker in steps:
+            t0 = time.time()
+            log.write(f"==== {name}: {' '.join(cmd)}\n")
+            log.flush()
+            proc = subprocess.run(
+                cmd, cwd=ROOT, stdout=log, stderr=subprocess.STDOUT
+            )
+            log.flush()
+            # verdict = last non-empty line of this step's output
+            tail = [
+                ln
+                for ln in log_path.read_text().splitlines()
+                if ln.strip()
+            ]
+            verdict = tail[-1] if tail else ""
+            ok = proc.returncode == 0 and ok_marker in verdict
+            summary["steps"][name] = {
+                "ok": ok,
+                "verdict": verdict,
+                "sec": round(time.time() - t0, 1),
+            }
+            summary["pass"] &= ok
+            print(f"{'ok  ' if ok else 'FAIL'} {name}: {verdict} "
+                  f"({summary['steps'][name]['sec']}s)", flush=True)
+            if not ok and proc.returncode != 0:
+                break  # a crashed step invalidates everything after it
+
+    summary["log"] = str(log_path)
+    out_path.write_text(json.dumps(summary, indent=2) + "\n")
+    print(json.dumps({k: v for k, v in summary.items() if k != "steps"}))
+    sys.exit(0 if summary["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
