@@ -156,3 +156,25 @@ def test_mixture_respects_allocation(curated):
     }
     for s, got in per_source.items():
         assert got <= avail[s]
+
+
+def test_persisted_output(spark, tmp_path):
+    """output_dir writes curated + ledger as one atomic StagedWriter
+    batch; what lands on disk equals what curate() returned."""
+    from shifts_etl_spark.sinks.staged import StagedWriter
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(500)
+    )
+    out, ledger = curate(
+        spark, docs, budget_docs=100, output_dir=str(tmp_path)
+    )
+    w = StagedWriter(str(tmp_path))
+    disk = w.read_table(spark, "curated")
+    assert disk.count() == out.count() == 100
+    led = {r.stage: r for r in w.read_table(spark, "curation_ledger").collect()}
+    assert led["ingest"].n_docs == 500
+    assert led["split"].n_docs == 100
+    assert [r["stage"] for r in ledger] == STAGES
