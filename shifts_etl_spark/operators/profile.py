@@ -1649,17 +1649,29 @@ def supplier_spc(
 def _knn_votes(
     emb: DataFrame,
     k: int,
-    n_buckets: int,
+    n_buckets: int | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """(vec_id, neighbor_id) top-``k`` in-bucket cosine vote edges over
     the x185 label-blind md5 buckets — the shared candidate stage of
-    the kNN classifier (y6) and retrieval-exposure (x220) evals."""
+    the kNN classifier (y6) and retrieval-exposure (x220) evals.
+
+    ``n_buckets=None`` is the 100 TB mode (docs/SCALE.md round-6 tail):
+    a FIXED bucket count makes bucket size — and therefore the in-bucket
+    pair scoring — grow linearly/quadratically with the corpus, so auto
+    mode sizes n_buckets ∝ N / target_bucket_rows instead. Bucket
+    occupancy then stays ~target regardless of N and total pair work is
+    N × target, linear in the corpus. One count() action buys the
+    sizing; the fixed default (16) is kept for catalog-oracle parity."""
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_from_norms, l2_norm
     from .curation import _hex_uniform_int
+
+    if n_buckets is None:
+        n_buckets = max(1, -(-emb.count() // target_bucket_rows))
 
     e = emb.select(
         F.col(id_col).alias("vid"),
@@ -1695,7 +1707,7 @@ def _knn_votes(
 def knn_classifier_report(
     emb: DataFrame,
     k: int = 5,
-    n_buckets: int = 16,
+    n_buckets: int | None = 16,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
@@ -1880,7 +1892,7 @@ def poisson_bootstrap_mean(
 def retrieval_exposure(
     emb: DataFrame,
     k: int = 5,
-    n_buckets: int = 16,
+    n_buckets: int | None = 16,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",

@@ -692,6 +692,7 @@ def ivf_probe_sweep(
     probes: tuple[int, ...] = (1, 2, 4, 8),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Recall-vs-cost tuning curve for the x13 IVF index: for each
     n_probe setting, per query, the candidate count actually scanned
@@ -706,12 +707,37 @@ def ivf_probe_sweep(
 
     Scale shape: the x13 contract (broadcast centroid scoring, cell
     equi-join, id-only dedup shuffle) plus a 4-literal probe explode
-    over the |Q|-bounded candidate lists."""
+    over the |Q|-bounded candidate lists.
+
+    ``n_cells`` is the 100 TB mode (docs/SCALE.md round-6 tail): the
+    default stride sample grows the centroid count WITH the corpus, so
+    assignment (|corpus| × |centroids| broadcast cosines) turns
+    quadratic at scale. A fixed ``n_cells`` takes the n_cells vectors
+    with the smallest deterministic md5 priority as centroids instead —
+    assignment stays |corpus| × n_cells (linear), cell population grows
+    to N / n_cells (cap with the x8 band trick if cells must stay
+    cache-sized). The stride default is kept for catalog-oracle parity."""
+    from .curation import _hex_uniform_int
     from .dedup import _fan_out
 
-    cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
-    )
+    if n_cells is not None:
+        pri = _hex_uniform_int(
+            F.concat(F.col(id_col).cast("string"), F.lit("-ivfc"))
+        )
+        cents = (
+            emb.select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_v"),
+                pri.alias("_pri"),
+            )
+            .orderBy("_pri", "cent_id")
+            .limit(n_cells)
+            .drop("_pri")
+        )
+    else:
+        cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+        )
     max_probe = max(probes)
 
     corpus = (
