@@ -194,17 +194,25 @@ def curate(
     val_frac: float = 0.1,
     fingerprint_chars: int = 160,
     output_dir: str | Path | None = None,
+    eval_docs: DataFrame | None = None,
+    max_contamination: float = 0.2,
+    pii_scrub: bool = True,
 ):
     """The composed end-to-end curation run a 100 TB pre-training pipeline
     executes (VERDICT r5 "Next round" #5), chaining the individually
     verified operators with x87-style accounting at every stage:
 
       ingest
+      → PII scrub (optional, default on)    (x16: typed placeholders,
+        BEFORE hashing so PII-only variants dedup as copies)
       → exact dedup, normalized text        (x1/x2: md5 groupBy)
       → near-dup canonical election         (x67 components + x84 elect:
         drop every cluster member except the best-quality copy)
       → duplicate-span scrub                (x85-x87 applied: cut maximal
         duplicated spans; drop mostly-duplicated docs)
+      → benchmark decontamination           (optional, when ``eval_docs``
+        is given — x35 applied: drop docs whose shingle overlap with the
+        eval set exceeds ``max_contamination``)
       → quality calibration + filter        (x88/x222: cross-source
         quantile-normalized quality >= min_quality)
       → temperature mixture draw            (x50/x71: largest-remainder
@@ -261,6 +269,19 @@ def curate(
     )
     account("ingest", cur_df)
 
+    # 0 (optional) — PII scrub: emails / URLs / long digit runs become
+    # typed placeholders BEFORE any hashing, so two docs differing only
+    # in PII dedup as the copies they are. Rewrites text, drops nothing.
+    if pii_scrub:
+        from .operators.textstats import scrub_pii
+
+        nxt = cur_df.select(
+            "doc_id", "source", scrub_pii(F.col("text")).alias("text")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        account("pii_scrub", nxt)
+        cur_df.unpersist()
+        cur_df = nxt
+
     # 1 — exact dedup on normalized text: keep the min-id copy
     keep = dd.exact_dedup_normalized(cur_df).select(
         F.col("keep_id").alias("doc_id")
@@ -312,6 +333,20 @@ def curate(
     account("span_scrub", nxt)
     cur_df.unpersist()
     cur_df = nxt
+
+    # 3b (optional) — benchmark decontamination (x35 applied): drop any
+    # doc whose shingle overlap with the eval set exceeds the cap. The
+    # eval side collapses to a broadcast shingle set — no corpus shuffle.
+    if eval_docs is not None:
+        dirty = cur.benchmark_contamination(cur_df, eval_docs).where(
+            F.col("contamination_frac") > max_contamination
+        )
+        nxt = cur_df.join(dirty.select("doc_id"), "doc_id", "anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        account("decontaminate", nxt)
+        cur_df.unpersist()
+        cur_df = nxt
 
     # 4 — cross-source quality calibration, then threshold on the
     # calibrated score (x88/x222 applied).

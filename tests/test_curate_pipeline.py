@@ -21,6 +21,7 @@ BOILER = "COPYRIGHT NOTICE ALL RIGHTS RESERVED REDISTRIBUTION FORBIDDEN! " * 3
 
 STAGES = [
     "ingest",
+    "pii_scrub",
     "exact_dedup",
     "neardup_canonical",
     "span_scrub",
@@ -156,6 +157,52 @@ def test_mixture_respects_allocation(curated):
     }
     for s, got in per_source.items():
         assert got <= avail[s]
+
+
+def test_optional_stages(spark):
+    """eval_docs adds a decontaminate stage that drops overlapping docs;
+    pii_scrub=False removes the pii stage; PII-only variants dedup as
+    exact copies when the scrub is on."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and many common "
+        "words fill this reasonably long benchmark sentence nicely "
+    ) * 2
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", base + " trailing corpus-only suffix words here"),
+            # PII-only variants of one text -> exact dups after scrub
+            (2, "s0", "contact alice@example.com about the quarterly report today"),
+            (3, "s0", "contact bob@other.org about the quarterly report today"),
+            (4, "s1", "a completely unrelated document about gardens and rivers flowing"),
+            (5, "s1", "another unrelated document on mountains weather and hiking trails"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, base)], "doc_id long, text string"
+    )
+    out, ledger = curate(
+        spark,
+        docs,
+        budget_docs=3,
+        min_quality=0.0,
+        eval_docs=eval_docs,
+        max_contamination=0.2,
+    )
+    stages = [r["stage"] for r in ledger]
+    assert "decontaminate" in stages and "pii_scrub" in stages
+    by = {r["stage"]: r for r in ledger}
+    assert by["decontaminate"]["docs_dropped"] >= 1  # doc 1 overlaps base
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 not in ids
+    # docs 2/3 differ only in the email -> exact dups post-scrub
+    assert by["exact_dedup"]["docs_dropped"] >= 1
+    assert len(ids & {2, 3}) <= 1
+
+    _, ledger_off = curate(
+        spark, docs, budget_docs=3, min_quality=0.0, pii_scrub=False
+    )
+    assert "pii_scrub" not in [r["stage"] for r in ledger_off]
 
 
 def test_persisted_output(spark, tmp_path):
