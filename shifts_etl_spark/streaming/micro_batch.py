@@ -338,3 +338,102 @@ def streaming_blocklist_scrub(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_curation_admit(
+    spark: SparkSession,
+    input_dir: str | Path,
+    checkpoint_dir: str | Path,
+    output_dir: str | Path,
+    gram_hashes: list[str] | None = None,
+    span_len: int = 40,
+    max_blocked_frac: float = 0.5,
+    min_quality: float = 0.5,
+):
+    """ONLINE admission counterpart of pipeline.curate(): as document
+    files land, each micro-batch is (1) scored against the boilerplate
+    blocklist (the x86-style gram fingerprints; same stateless windowed
+    fold as ``streaming_blocklist_scrub``), (2) quality-gated on the
+    x18/x88 heuristic score, (3) exact-deduped BOTH within the batch and
+    against every previously ADMITTED document
+    (``dedup.incremental_exact_dedup`` vs the cumulative sink), and the
+    survivors committed atomically per epoch through StagedWriter —
+    whose idempotent ``batch_id=epoch`` replay makes the whole admission
+    exactly-once across restarts (same contract as ``stream_etl``).
+
+    State lives in the SINK, not the stream: the seen-hash set is the
+    admitted table itself (at 100 TB: a pre-computed hash table appended
+    per epoch — incremental_exact_dedup's documented shape), so the
+    streaming query carries zero state-store bytes and restarts cold.
+
+    Returns the started query (availableNow trigger: drains and stops).
+    """
+    from ..operators.dedup import incremental_exact_dedup
+    from ..operators.textstats import quality_score, scrub_pii
+
+    docs = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).json(str(input_dir))
+    writer = StagedWriter(output_dir)
+    hashes = gram_hashes or []
+    block = F.array(*[F.lit(h) for h in hashes])
+    npos = F.length("text") - (span_len - 1)
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hits = F.filter(
+        positions,
+        lambda p: F.array_contains(
+            block, F.md5(F.col("text").substr(p, F.lit(span_len)))
+        ),
+    )
+    zero = F.struct(F.lit(0).alias("total"), F.lit(0).alias("prev_end"))
+    blocked = F.aggregate(
+        hits,
+        zero,
+        lambda acc, p: F.struct(
+            (
+                acc["total"]
+                + (p + (span_len - 1))
+                - F.greatest(acc["prev_end"], p - 1)
+            ).alias("total"),
+            (p + (span_len - 1)).alias("prev_end"),
+        ),
+        lambda acc: acc["total"],
+    ) if hashes else F.lit(0)
+    blocked_frac = blocked / F.greatest(F.length("text"), F.lit(1))
+
+    def admit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            scrubbed = batch_df.select(
+                "doc_id", "source", scrub_pii(F.col("text")).alias("text")
+            )
+            passing = scrubbed.where(
+                (blocked_frac <= max_blocked_frac)
+                & (F.round(quality_score(F.col("text")), 4) >= min_quality)
+            )
+            sp = batch_df.sparkSession
+            history = (
+                writer.read_table(sp, "admitted")
+                if writer.table_exists("admitted")
+                else sp.createDataFrame(
+                    [], "doc_id long, source string, text string"
+                )
+            )
+            keep = incremental_exact_dedup(passing, history).select("keep_id")
+            admitted = passing.join(
+                keep.withColumnRenamed("keep_id", "doc_id"), "doc_id", "semi"
+            )
+            writer.write_batch(
+                {"admitted": admitted}, batch_id=f"epoch{epoch_id:06d}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(admit_epoch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
