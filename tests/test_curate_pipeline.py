@@ -225,3 +225,19 @@ def test_persisted_output(spark, tmp_path):
     assert led["ingest"].n_docs == 500
     assert led["split"].n_docs == 100
     assert [r["stage"] for r in ledger] == STAGES
+
+
+def test_curate_deterministic_under_partitioning(spark):
+    """Same corpus, different physical layout -> identical admitted ids,
+    splits, and ledger (the determinism_check contract applied to the
+    composed pipeline: every stage is md5-keyed or integer-exact rank
+    arithmetic, so partitioning must not leak into results)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out_a, led_a = curate(spark, docs.repartition(4), budget_docs=120)
+    out_b, led_b = curate(spark, docs.repartition(31, "source"), budget_docs=120)
+    rows_a = sorted((r.doc_id, r.split) for r in out_a.collect())
+    rows_b = sorted((r.doc_id, r.split) for r in out_b.collect())
+    assert rows_a == rows_b
+    assert led_a == led_b
