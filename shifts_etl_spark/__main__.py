@@ -5,6 +5,9 @@ endpoints (reference etl/app/main.py:31-67) plus local utilities:
                                        [--output DIR] [--api-url URL]
   python -m shifts_etl_spark clear-data [--output DIR]
   python -m shifts_etl_spark show-kpis  [--output DIR]
+  python -m shifts_etl_spark curate     --input DOCS.parquet [--output DIR]
+                                        [--budget-docs N] [--min-quality Q]
+                                        [--eval-input EVAL.parquet]
 """
 
 from __future__ import annotations
@@ -30,6 +33,18 @@ def main(argv: list[str] | None = None) -> int:
     show = sub.add_parser("show-kpis", help="print the kpis table")
     show.add_argument("--output", default="/tmp/shifts_etl_spark_out")
 
+    cu = sub.add_parser(
+        "curate",
+        help="composed curation run: dedup → scrub → quality → mixture → split",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet (doc_id, source, text)")
+    cu.add_argument("--output", default=None, help="StagedWriter dir for curated + ledger")
+    cu.add_argument("--budget-docs", type=int, default=1000)
+    cu.add_argument("--temperature", type=float, default=0.7)
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--eval-input", default=None, help="eval parquet for decontamination")
+    cu.add_argument("--no-pii-scrub", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "run-etl" and not 1 <= args.batch_size <= 30:
@@ -52,6 +67,27 @@ def main(argv: list[str] | None = None) -> int:
         from .sinks.staged import StagedWriter
 
         StagedWriter(args.output).read_table(spark, "kpis").show(100, False)
+        return 0
+
+    if args.cmd == "curate":
+        from .pipeline import curate
+
+        docs = spark.read.parquet(args.input)
+        eval_docs = (
+            spark.read.parquet(args.eval_input) if args.eval_input else None
+        )
+        _, ledger = curate(
+            spark,
+            docs,
+            budget_docs=args.budget_docs,
+            temperature=args.temperature,
+            min_quality=args.min_quality,
+            eval_docs=eval_docs,
+            pii_scrub=not args.no_pii_scrub,
+            output_dir=args.output,
+        )
+        for row in ledger:
+            print(row)
         return 0
 
     # run-etl
