@@ -93,3 +93,45 @@ def test_extra_columns_survive(spark):
     assert set(out.columns) >= {"doc_id", "source", "extra", "text", "action"}
     vals = {r.doc_id: r for r in out.collect()}
     assert vals[1].extra == 7 and vals[2].source == "s1"
+
+
+def test_randomized_invariants(spark):
+    """Seeded random corpus with planted shared blocks at random
+    positions: per-row invariants hold for every document —
+    scrub ⇒ len(text) == n_chars - dup_chars and dup_frac < drop_frac;
+    keep ⇒ text unchanged and dup_chars == 0;
+    drop ⇒ dup_frac >= drop_frac; and 0 <= dup_chars <= n_chars."""
+    import random
+
+    rng = random.Random(42)
+    words = [f"w{i}" for i in range(300)]
+    blocks = [
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(40, 90)))
+        for _ in range(6)
+    ]
+    rows = []
+    for doc_id in range(200):
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(5, 60)))
+        # ~half the docs carry 1-2 shared blocks spliced at random points
+        for _ in range(rng.randint(0, 2)):
+            b = rng.choice(blocks)
+            pos = rng.randint(0, len(body))
+            body = body[:pos] + b + body[pos:]
+        rows.append((doc_id, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    original = dict(rows)
+    drop_frac = 0.7
+    out = scrub_duplicate_spans(df, drop_frac=drop_frac).collect()
+    assert len(out) == 200
+    for r in out:
+        assert 0 <= r.dup_chars <= r.n_chars
+        assert r.n_chars == len(original[r.doc_id])
+        if r.action == "keep":
+            assert r.dup_chars == 0 and r.text == original[r.doc_id]
+        elif r.action == "scrub":
+            assert len(r.text) == r.n_chars - r.dup_chars
+            assert r.dup_frac < drop_frac
+        else:
+            assert r.action == "drop"
+            assert r.dup_frac >= drop_frac
+            assert r.text == original[r.doc_id]  # drop leaves text as-is
