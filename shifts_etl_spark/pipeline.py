@@ -197,6 +197,7 @@ def curate(
     eval_docs: DataFrame | None = None,
     max_contamination: float = 0.2,
     pii_scrub: bool = True,
+    budget_tokens: int | None = None,
 ):
     """The composed end-to-end curation run a 100 TB pre-training pipeline
     executes (VERDICT r5 "Next round" #5), chaining the individually
@@ -360,14 +361,23 @@ def curate(
     cur_df.unpersist()
     cur_df = nxt
 
-    # 5 — temperature-scaled mixture draw (x50 plan + x71 materialize).
-    drawn = cur.materialize_mixture(
-        cur_df, budget=budget_docs, temperature=temperature
-    )
+    # 5 — mixture: either the temperature-scaled document draw (x50 plan
+    # + x71 materialize) or, when ``budget_tokens`` is set, x90's
+    # quality-greedy selection under a per-source TOKEN quota.
+    if budget_tokens is not None:
+        drawn = cur.select_within_token_budget(
+            cur_df, budget_tokens=budget_tokens
+        )
+        stage_name = "token_budget"
+    else:
+        drawn = cur.materialize_mixture(
+            cur_df, budget=budget_docs, temperature=temperature
+        )
+        stage_name = "mixture_draw"
     nxt = cur_df.join(drawn.select("doc_id"), "doc_id", "semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    account("mixture_draw", nxt)
+    account(stage_name, nxt)
     cur_df.unpersist()
     cur_df = nxt
 

@@ -241,3 +241,40 @@ def test_curate_deterministic_under_partitioning(spark):
     rows_b = sorted((r.doc_id, r.split) for r in out_b.collect())
     assert rows_a == rows_b
     assert led_a == led_b
+
+
+def test_degenerate_corpora(spark):
+    """Empty and single-doc corpora run the full chain without error."""
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    out, led = curate(spark, empty, budget_docs=10)
+    assert out.count() == 0
+    assert all(r["n_docs"] == 0 for r in led)
+    one = spark.createDataFrame(
+        [(1, "s0", "the quick brown fox jumps over the lazy dog with many common words here")],
+        "doc_id long, source string, text string",
+    )
+    out, led = curate(spark, one, budget_docs=10)
+    assert out.count() == 1
+
+
+def test_token_budget_mode(spark):
+    """budget_tokens swaps the mixture stage for x90's per-source
+    quality-greedy token selection: every source's admitted token total
+    stays within the quota."""
+    from shifts_etl_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out, ledger = curate(spark, docs, budget_tokens=400)
+    stages = [r["stage"] for r in ledger]
+    assert "token_budget" in stages and "mixture_draw" not in stages
+    per_source = (
+        out.select("source", token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    )
+    assert per_source
+    for r in per_source:
+        assert r.tot <= 400
