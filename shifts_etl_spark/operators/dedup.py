@@ -1079,7 +1079,14 @@ def scrub_duplicate_spans(
         .when(frac >= drop_frac, F.lit("drop"))
         .otherwise(F.lit("scrub"))
     )
-    keep_cols = [c for c in docs.columns if c != text_col]
+    # pass-through columns exclude the stat columns this function emits,
+    # so re-scrubbing a previous scrub's survivors (cutting spans can
+    # splice new duplicated junctions) composes instead of producing
+    # ambiguous duplicate column names
+    stat_cols = {"n_chars", "dup_chars", "n_spans", "dup_frac", "action"}
+    keep_cols = [
+        c for c in docs.columns if c != text_col and c not in stat_cols
+    ]
     return joined.select(
         *keep_cols,
         F.when(action == "scrub", cut).otherwise(txt).alias(text_col),

@@ -724,7 +724,10 @@ def ivf_probe_sweep(
         pri = _hex_uniform_int(
             F.concat(F.col(id_col).cast("string"), F.lit("-ivfc"))
         )
-        cents = (
+        # materialize the n_cells sample ONCE (bounded by construction):
+        # cents feeds two separate broadcasts, and leaving it lazy would
+        # re-run the full-corpus TakeOrdered for each
+        rows = (
             emb.select(
                 F.col(id_col).alias("cent_id"),
                 F.col(vec_col).alias("cent_v"),
@@ -733,6 +736,10 @@ def ivf_probe_sweep(
             .orderBy("_pri", "cent_id")
             .limit(n_cells)
             .drop("_pri")
+            .collect()
+        )
+        cents = emb.sparkSession.createDataFrame(
+            rows, schema="cent_id long, cent_v array<double>"
         )
     else:
         cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(

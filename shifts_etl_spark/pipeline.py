@@ -270,29 +270,34 @@ def curate(
     )
     account("ingest", cur_df)
 
+    def advance(stage, nxt):
+        # persist the survivors, record the stage, release the previous
+        # stage's cache — each stage's ledger aggregate and its successor
+        # share one materialization
+        nonlocal cur_df
+        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        account(stage, nxt)
+        cur_df.unpersist()
+        cur_df = nxt
+
     # 0 (optional) — PII scrub: emails / URLs / long digit runs become
     # typed placeholders BEFORE any hashing, so two docs differing only
     # in PII dedup as the copies they are. Rewrites text, drops nothing.
     if pii_scrub:
         from .operators.textstats import scrub_pii
 
-        nxt = cur_df.select(
-            "doc_id", "source", scrub_pii(F.col("text")).alias("text")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        account("pii_scrub", nxt)
-        cur_df.unpersist()
-        cur_df = nxt
+        advance(
+            "pii_scrub",
+            cur_df.select(
+                "doc_id", "source", scrub_pii(F.col("text")).alias("text")
+            ),
+        )
 
     # 1 — exact dedup on normalized text: keep the min-id copy
     keep = dd.exact_dedup_normalized(cur_df).select(
         F.col("keep_id").alias("doc_id")
     )
-    nxt = cur_df.join(keep, "doc_id", "semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    account("exact_dedup", nxt)
-    cur_df.unpersist()
-    cur_df = nxt
+    advance("exact_dedup", cur_df.join(keep, "doc_id", "semi"))
 
     # 2 — near-dup components + canonical election: inside every cluster
     # keep only the best-quality member (ties -> min id), i.e. x67 + x84
@@ -311,12 +316,7 @@ def curate(
         .where(F.col("rn") > 1)
         .select(F.col("doc").alias("doc_id"))
     )
-    nxt = cur_df.join(losers, "doc_id", "anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    account("neardup_canonical", nxt)
-    cur_df.unpersist()
-    cur_df = nxt
+    advance("neardup_canonical", cur_df.join(losers, "doc_id", "anti"))
 
     # 3 — exact-substring scrub: cut duplicated maximal spans, drop docs
     # that are mostly duplication (x85-x87 applied).
@@ -326,14 +326,12 @@ def curate(
         min_docs=span_min_docs,
         drop_frac=span_drop_frac,
     )
-    nxt = (
-        scrubbed.where(F.col("action") != "drop")
-        .select("doc_id", "source", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    advance(
+        "span_scrub",
+        scrubbed.where(F.col("action") != "drop").select(
+            "doc_id", "source", "text"
+        ),
     )
-    account("span_scrub", nxt)
-    cur_df.unpersist()
-    cur_df = nxt
 
     # 3b (optional) — benchmark decontamination (x35 applied): drop any
     # doc whose shingle overlap with the eval set exceeds the cap. The
@@ -342,24 +340,17 @@ def curate(
         dirty = cur.benchmark_contamination(cur_df, eval_docs).where(
             F.col("contamination_frac") > max_contamination
         )
-        nxt = cur_df.join(dirty.select("doc_id"), "doc_id", "anti").persist(
-            StorageLevel.MEMORY_AND_DISK
+        advance(
+            "decontaminate",
+            cur_df.join(dirty.select("doc_id"), "doc_id", "anti"),
         )
-        account("decontaminate", nxt)
-        cur_df.unpersist()
-        cur_df = nxt
 
     # 4 — cross-source quality calibration, then threshold on the
     # calibrated score (x88/x222 applied).
     cal = cur.calibrate_quality(cur_df).where(
         F.col("q_calibrated") >= min_quality
     )
-    nxt = cur_df.join(cal.select("doc_id"), "doc_id", "semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    account("quality_filter", nxt)
-    cur_df.unpersist()
-    cur_df = nxt
+    advance("quality_filter", cur_df.join(cal.select("doc_id"), "doc_id", "semi"))
 
     # 5 — mixture: either the temperature-scaled document draw (x50 plan
     # + x71 materialize) or, when ``budget_tokens`` is set, x90's
@@ -374,12 +365,7 @@ def curate(
             cur_df, budget=budget_docs, temperature=temperature
         )
         stage_name = "mixture_draw"
-    nxt = cur_df.join(drawn.select("doc_id"), "doc_id", "semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    account(stage_name, nxt)
-    cur_df.unpersist()
-    cur_df = nxt
+    advance(stage_name, cur_df.join(drawn.select("doc_id"), "doc_id", "semi"))
 
     # 6 — leakage-safe split: bucket on the x53 content fingerprint (md5
     # of the normalized 160-char prefix), not the doc id, so residual
@@ -393,8 +379,14 @@ def curate(
         .when(u < train_frac + val_frac, "val")
         .otherwise("test")
     )
-    curated = cur_df.select("doc_id", "source", "text", split.alias("split"))
+    # the RETURNED frame carries the cache so the caller can release it
+    # (curated.unpersist()); the last intermediate is freed here — curate
+    # leaks no cache handle the caller can't reach
+    curated = cur_df.select(
+        "doc_id", "source", "text", split.alias("split")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     account("split", curated)
+    cur_df.unpersist()
 
     if output_dir is not None:
         # production shape: curated docs + the ledger land atomically as

@@ -47,12 +47,17 @@ def stream_etl(
         .json(str(input_dir))
     )
     writer = StagedWriter(output_dir)
+    # namespace epoch batch ids by checkpoint identity: a fresh checkpoint
+    # restarts epoch numbering at 0, which must not collide with batches an
+    # earlier stream already committed to this output dir (write_batch
+    # would silently skip them as replays)
+    sid = _stream_identity(checkpoint_dir)
 
     def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
             tables = flatten.flatten_all(batch_df)
-            writer.write_batch(tables, batch_id=f"epoch{epoch_id:06d}")
+            writer.write_batch(tables, batch_id=f"{sid}-epoch{epoch_id:06d}")
             if refresh_kpis:
                 from ..operators import kpi
 
@@ -68,7 +73,9 @@ def stream_etl(
                 from ..sinks.staged import clear_outputs
 
                 clear_outputs(Path(output_dir), ["kpis"])
-                writer.write_batch({"kpis": kpis}, batch_id=f"epoch{epoch_id:06d}-kpis")
+                writer.write_batch(
+                    {"kpis": kpis}, batch_id=f"{sid}-epoch{epoch_id:06d}-kpis"
+                )
         finally:
             batch_df.unpersist()
 
@@ -265,6 +272,63 @@ def streaming_merge_upsert(
     return q
 
 
+def _blocklist_coverage(
+    gram_hashes: list[str], span_len: int, text_col: str = "text"
+):
+    """(blocked_chars, blocked_frac) column pair: characters of
+    ``text_col`` covered by blocklisted ``span_len``-char windows, via
+    the gaps-and-islands fold (positions ascend, so a single
+    (total, prev_end) accumulator merges overlapping windows). Shared by
+    the scrub report and the admission pipeline so the interval-merge
+    arithmetic exists exactly once."""
+    if not gram_hashes:
+        blocked = F.lit(0)
+        return blocked, blocked / F.greatest(F.length(text_col), F.lit(1))
+    block = F.array(*[F.lit(h) for h in gram_hashes])
+    npos = F.length(text_col) - (span_len - 1)
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hits = F.filter(
+        positions,
+        lambda p: F.array_contains(
+            block, F.md5(F.col(text_col).substr(p, F.lit(span_len)))
+        ),
+    )
+    zero = F.struct(F.lit(0).alias("total"), F.lit(0).alias("prev_end"))
+    blocked = F.aggregate(
+        hits,
+        zero,
+        lambda acc, p: F.struct(
+            (
+                acc["total"]
+                + (p + (span_len - 1))
+                - F.greatest(acc["prev_end"], p - 1)
+            ).alias("total"),
+            (p + (span_len - 1)).alias("prev_end"),
+        ),
+        lambda acc: acc["total"],
+    )
+    return blocked, blocked / F.greatest(F.length(text_col), F.lit(1))
+
+
+def _stream_identity(checkpoint_dir: str | Path) -> str:
+    """Stable per-checkpoint id persisted INSIDE the checkpoint dir, used
+    to namespace StagedWriter batch ids. Same checkpoint → same id, so
+    the epoch replay after a crash stays idempotent; a FRESH checkpoint
+    (whose epoch counter restarts at 0) gets a new namespace, so its
+    epochs can never silently collide with batches an earlier stream
+    already committed to the same output dir."""
+    import uuid
+
+    p = Path(checkpoint_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    f = p / "stream_identity"
+    if not f.exists():
+        f.write_text(uuid.uuid4().hex[:12])
+    return f.read_text().strip()
+
+
 def streaming_blocklist_scrub(
     spark: SparkSession,
     input_dir: str | Path,
@@ -295,34 +359,7 @@ def streaming_blocklist_scrub(
     docs = spark.readStream.schema("doc_id long, text string").json(
         str(input_dir)
     )
-    block = F.array(*[F.lit(h) for h in gram_hashes])
-    npos = F.length("text") - (span_len - 1)
-    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    hits = F.filter(
-        positions,
-        lambda p: F.array_contains(
-            block, F.md5(F.col("text").substr(p, F.lit(span_len)))
-        ),
-    )
-    zero = F.struct(
-        F.lit(0).alias("total"), F.lit(0).alias("prev_end")
-    )
-    blocked = F.aggregate(
-        hits,
-        zero,
-        lambda acc, p: F.struct(
-            (
-                acc["total"]
-                + (p + (span_len - 1))
-                - F.greatest(acc["prev_end"], p - 1)
-            ).alias("total"),
-            (p + (span_len - 1)).alias("prev_end"),
-        ),
-        lambda acc: acc["total"],
-    )
-    frac = blocked / F.greatest(F.length("text"), F.lit(1))
+    blocked, frac = _blocklist_coverage(gram_hashes, span_len)
     out = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -352,14 +389,18 @@ def streaming_curation_admit(
 ):
     """ONLINE admission counterpart of pipeline.curate(): as document
     files land, each micro-batch is (1) scored against the boilerplate
-    blocklist (the x86-style gram fingerprints; same stateless windowed
-    fold as ``streaming_blocklist_scrub``), (2) quality-gated on the
-    x18/x88 heuristic score, (3) exact-deduped BOTH within the batch and
-    against every previously ADMITTED document
+    blocklist ON THE RAW TEXT (the x86-style gram fingerprints are raw-
+    text hashes, so matching must run before any rewrite; same stateless
+    fold as ``streaming_blocklist_scrub``), (2) PII-scrubbed, (3)
+    quality-gated on the x18/x88 heuristic score, (4) exact-deduped BOTH
+    within the batch and against every previously ADMITTED document
     (``dedup.incremental_exact_dedup`` vs the cumulative sink), and the
-    survivors committed atomically per epoch through StagedWriter —
-    whose idempotent ``batch_id=epoch`` replay makes the whole admission
-    exactly-once across restarts (same contract as ``stream_etl``).
+    survivors committed atomically per epoch through StagedWriter. Batch
+    ids are namespaced by ``_stream_identity`` — same checkpoint replays
+    idempotently (exactly-once across restarts, the ``stream_etl``
+    contract), while a FRESH checkpoint against an existing output dir
+    gets its own id space instead of silently colliding with (and being
+    swallowed by) an earlier stream's epoch 0.
 
     State lives in the SINK, not the stream: the seen-hash set is the
     admitted table itself (at 100 TB: a pre-computed hash table appended
@@ -375,43 +416,18 @@ def streaming_curation_admit(
         "doc_id long, source string, text string"
     ).json(str(input_dir))
     writer = StagedWriter(output_dir)
-    hashes = gram_hashes or []
-    block = F.array(*[F.lit(h) for h in hashes])
-    npos = F.length("text") - (span_len - 1)
-    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    hits = F.filter(
-        positions,
-        lambda p: F.array_contains(
-            block, F.md5(F.col("text").substr(p, F.lit(span_len)))
-        ),
-    )
-    zero = F.struct(F.lit(0).alias("total"), F.lit(0).alias("prev_end"))
-    blocked = F.aggregate(
-        hits,
-        zero,
-        lambda acc, p: F.struct(
-            (
-                acc["total"]
-                + (p + (span_len - 1))
-                - F.greatest(acc["prev_end"], p - 1)
-            ).alias("total"),
-            (p + (span_len - 1)).alias("prev_end"),
-        ),
-        lambda acc: acc["total"],
-    ) if hashes else F.lit(0)
-    blocked_frac = blocked / F.greatest(F.length("text"), F.lit(1))
+    sid = _stream_identity(checkpoint_dir)
+    _, blocked_frac = _blocklist_coverage(gram_hashes or [], span_len)
 
     def admit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            scrubbed = batch_df.select(
+            unblocked = batch_df.where(blocked_frac <= max_blocked_frac)
+            scrubbed = unblocked.select(
                 "doc_id", "source", scrub_pii(F.col("text")).alias("text")
             )
             passing = scrubbed.where(
-                (blocked_frac <= max_blocked_frac)
-                & (F.round(quality_score(F.col("text")), 4) >= min_quality)
+                F.round(quality_score(F.col("text")), 4) >= min_quality
             )
             sp = batch_df.sparkSession
             history = (
@@ -426,7 +442,8 @@ def streaming_curation_admit(
                 keep.withColumnRenamed("keep_id", "doc_id"), "doc_id", "semi"
             )
             writer.write_batch(
-                {"admitted": admitted}, batch_id=f"epoch{epoch_id:06d}"
+                {"admitted": admitted},
+                batch_id=f"{sid}-epoch{epoch_id:06d}",
             )
         finally:
             batch_df.unpersist()

@@ -85,3 +85,55 @@ def test_streaming_admission_end_to_end(spark, tmp_path):
     assert ids == {1, 6}
     # two commits, one per epoch — replay never duplicated a batch
     assert len(w.commits()) == 2
+
+
+def test_pii_bearing_boilerplate_is_blocked(spark, tmp_path):
+    """Blocklist matching must run on RAW text: boilerplate containing an
+    email would hash differently after the PII scrub and slip through if
+    matching ran post-scrub."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    pii_boiler = (
+        "FOR PERMISSIONS CONTACT legal@example.com ALL RIGHTS RESERVED "
+        "AND FORBIDDEN TO REPRODUCE WITHOUT WRITTEN CONSENT TODAY OK "
+    ) * 2
+    hashes = _windows_md5(pii_boiler)
+    _drop(input_dir, "e1.json", [
+        {"doc_id": 1, "source": "s0", "text": pii_boiler},
+        {"doc_id": 2, "source": "s0", "text": GOOD},
+    ])
+    q = streaming_curation_admit(
+        spark, input_dir, tmp_path / "ckpt", tmp_path / "out",
+        gram_hashes=hashes, max_blocked_frac=0.5,
+    )
+    q.awaitTermination()
+    ids = {
+        r.doc_id
+        for r in StagedWriter(tmp_path / "out")
+        .read_table(spark, "admitted")
+        .collect()
+    }
+    assert ids == {2}
+
+
+def test_fresh_checkpoint_does_not_swallow_epochs(spark, tmp_path):
+    """A new checkpoint restarts epoch numbering at 0; its batches must
+    land in the existing output dir rather than being skipped as replays
+    of the first stream's epoch 0."""
+    out = tmp_path / "out"
+    in1 = tmp_path / "in1"
+    in1.mkdir()
+    _drop(in1, "e1.json", [{"doc_id": 1, "source": "s0", "text": GOOD}])
+    q = streaming_curation_admit(spark, in1, tmp_path / "ckpt1", out)
+    q.awaitTermination()
+
+    in2 = tmp_path / "in2"
+    in2.mkdir()
+    _drop(in2, "e1.json", [{"doc_id": 2, "source": "s1", "text": GOOD2}])
+    q = streaming_curation_admit(spark, in2, tmp_path / "ckpt2", out)
+    q.awaitTermination()
+
+    w = StagedWriter(out)
+    ids = {r.doc_id for r in w.read_table(spark, "admitted").collect()}
+    assert ids == {1, 2}
+    assert len(w.commits()) == 2  # one commit per stream, none swallowed

@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import re
 import subprocess
 import sys
 import time
@@ -70,21 +71,28 @@ def main() -> None:
             t0 = time.time()
             log.write(f"==== {name}: {' '.join(cmd)}\n")
             log.flush()
+            start = log.tell()
             proc = subprocess.run(
                 cmd, cwd=ROOT, stdout=log, stderr=subprocess.STDOUT
             )
             log.flush()
-            # verdict = last non-empty line of this step's output
-            tail = [
-                ln
-                for ln in log_path.read_text().splitlines()
-                if ln.strip()
-            ]
+            # verdict = last non-empty line of THIS step's output slice —
+            # reading the whole log would let an output-less step inherit
+            # the previous step's verdict line
+            with log_path.open() as f:
+                f.seek(start)
+                step_out = f.read()
+            tail = [ln for ln in step_out.splitlines() if ln.strip()]
             verdict = tail[-1] if tail else ""
-            ok = proc.returncode == 0 and ok_marker in verdict
+            # a verdict counting ZERO runs certifies nothing: "0 pass,
+            # 0 fail" from a typo'd query filter must not green the gate
+            m = re.match(r"\s*(\d+)", verdict)
+            n_ran = int(m.group(1)) if m else 0
+            ok = proc.returncode == 0 and ok_marker in verdict and n_ran > 0
             summary["steps"][name] = {
                 "ok": ok,
                 "verdict": verdict,
+                "n": n_ran,
                 "sec": round(time.time() - t0, 1),
             }
             summary["pass"] &= ok
