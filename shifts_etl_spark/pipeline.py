@@ -103,6 +103,11 @@ def prepare_training_data(
     stage as a table batch when ``output_dir`` is given), so callers can
     audit per-stage row drops — the shape of a production curation run.
     Input: any DataFrame with (doc_id long, text string).
+
+    Sibling of ``curate()``: this pipeline ends in the TRAINING-SHARD
+    shapes (context-window chunks, packed sequences); curate() ends in a
+    mixed, split corpus with a per-stage accounting ledger. Use this one
+    to produce model inputs, curate() to decide what goes in the corpus.
     """
     from pyspark.sql import functions as F
 
@@ -231,7 +236,12 @@ def curate(
     (no new shuffle patterns); survivors are persisted between stages so
     each stage's ledger aggregate and the next stage share one
     materialization; the ledger itself is ONE map-side-combinable
-    aggregate per stage (6 rows total on the driver)."""
+    aggregate per stage (a handful of rows on the driver).
+
+    Sibling of ``prepare_training_data`` (corpus membership + mixture +
+    split with full accounting, this function) and of
+    ``streaming.micro_batch.streaming_curation_admit`` (the online
+    admission variant of the same filters)."""
     from pyspark.sql import Window, functions as F
 
     from .operators import curation as cur, dedup as dd
