@@ -195,6 +195,7 @@ def curate(
     span_min_docs: int = 2,
     span_drop_frac: float = 0.8,
     neardup_threshold: float = 0.3,
+    neardup_method: str = "blocked",
     train_frac: float = 0.8,
     val_frac: float = 0.1,
     fingerprint_chars: int = 160,
@@ -311,10 +312,21 @@ def curate(
 
     # 2 — near-dup components + canonical election: inside every cluster
     # keep only the best-quality member (ties -> min id), i.e. x67 + x84
-    # applied as a filter instead of reported as a table.
-    comps = dd.blocked_dedup_components(
-        cur_df, threshold=neardup_threshold
-    )
+    # applied as a filter instead of reported as a table. Candidate
+    # generation is pluggable: "blocked" (rare-shingle blocking, fully
+    # deterministic — the oracle-verified x67 chain) or "minhash" (banded
+    # LSH + exact-Jaccard confirm — higher recall on long documents, the
+    # configuration a 100 TB run typically picks; x3/x25 chain).
+    if neardup_method == "minhash":
+        cand = dd.minhash_lsh_pairs(cur_df)
+        conf = dd.ngram_jaccard_pairs(
+            cur_df, cand.select("id_a", "id_b")
+        ).where(F.col("jaccard") >= neardup_threshold)
+        comps = dd.dedup_clusters(conf.select("id_a", "id_b"))
+    else:
+        comps = dd.blocked_dedup_components(
+            cur_df, threshold=neardup_threshold
+        )
     scored = cur_df.select(
         F.col("doc_id").alias("doc"),
         F.round(quality_score(F.col("text")), 4).alias("q"),

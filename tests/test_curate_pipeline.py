@@ -278,3 +278,38 @@ def test_token_budget_mode(spark):
     assert per_source
     for r in per_source:
         assert r.tot <= 400
+
+
+def test_minhash_neardup_method(spark):
+    """neardup_method='minhash' routes candidate generation through the
+    banded-LSH + Jaccard-confirm chain; planted paraphrase copies still
+    collapse to the best-quality representative."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest while many ordinary words pad this out "
+    ) * 2
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", base + "tail variant one"),
+            (2, "s0", base + "tail variant two differs slightly"),
+            (3, "s1", "a completely different document about rivers and gardens and sunshine today"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out, ledger = curate(
+        spark,
+        docs,
+        budget_docs=3,
+        # high temperature flattens the token-share mixture so the small
+        # source is allocated a slot (at T=0.7 the token-heavy source
+        # would win all three by largest remainder — correct, but not
+        # what this test is about)
+        temperature=5.0,
+        min_quality=0.0,
+        neardup_method="minhash",
+        neardup_threshold=0.5,
+    )
+    by = {r["stage"]: r for r in ledger}
+    assert by["neardup_canonical"]["docs_dropped"] == 1  # one of 1/2
+    ids = {r.doc_id for r in out.collect()}
+    assert 3 in ids and len(ids & {1, 2}) == 1
