@@ -1313,10 +1313,11 @@ def price_dispersion(
 
 def knn_label_agreement(
     emb: DataFrame,
-    n_buckets: int = 16,
+    n_buckets: int | None = 16,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Label-noise screen by neighbor agreement (the confident-learning
     signal): block vectors into deterministic md5 buckets of their ids
@@ -1331,12 +1332,17 @@ def knn_label_agreement(
     6 dp with (cosine desc, neighbor id) NN tie-break; agreement is
     integer counting, shares at 6 dp.
 
-    Scale shape: the pair scan is per-bucket (bounded blocks — at
-    100 TB size n_buckets ~ N/2k so blocks stay cache-sized, or swap
-    in the x8 LSH bands); labels rejoin by id; the rollup is
-    |labels|-cell."""
+    Scale shape: the pair scan is per-bucket (bounded blocks — pass
+    ``n_buckets=None`` to auto-size buckets to ~``target_bucket_rows``
+    occupancy so pair work stays linear in the corpus, the same 100 TB
+    mode as ``_knn_votes``; or swap in the x8 LSH bands); labels rejoin
+    by id; the rollup is |labels|-cell. The fixed default (16) is kept
+    for catalog-oracle parity."""
     from .curation import _hex_uniform_int
     from .dedup import embedding_nn_pairs
+
+    if n_buckets is None:
+        n_buckets = max(1, -(-emb.count() // target_bucket_rows))
 
     bucketed = emb.select(
         F.col(id_col).alias("vec_id"),

@@ -105,3 +105,13 @@ def test_ivf_fixed_cells_full_probe_is_exact(spark, emb):
         cands = [r.n_candidates for r in seq]
         assert recalls == sorted(recalls)
         assert cands == sorted(cands)
+
+
+def test_label_agreement_auto_mode(emb):
+    from shifts_etl_spark.operators.profile import knn_label_agreement
+
+    rows = knn_label_agreement(emb, n_buckets=None).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.agreement <= 1.0
+        assert r.n_agree <= r.n_vectors
