@@ -41,6 +41,12 @@ FULL_STEPS = [
     ("correctness_sf0.1",
      [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.1"],
      "pass, 0 fail"),
+    # float-summation-order flips are scale-dependent (partition fill
+    # changes partial-aggregate merge order), so --full re-runs the
+    # determinism audit at sf0.1 too (first r6 run: 329/329 clean)
+    ("determinism_sf0.1",
+     [sys.executable, "tools/determinism_check.py", "/root/testdata/sf0.1"],
+     ", 0 flipped"),
 ]
 
 
