@@ -201,6 +201,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | None = 500,
     hash_fn: str = "xxhash64",
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -219,6 +220,11 @@ def minhash_lsh_pairs(
     bucket that large is near-identical boilerplate — exact/normalized
     dedup, which has no quadratic step, is the right tool for those).
     ``None`` disables the cap.
+
+    The signature and banded frames persist internally (the self-join
+    needs both sides cached); pass ``_cache_registry`` to receive those
+    handles and unpersist them once downstream work has materialized —
+    ``minhash_dedup_components`` does this for the composed chain.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -230,6 +236,8 @@ def minhash_lsh_pairs(
     with_sig = minhash_signatures(
         docs, text_col, id_col, num_hashes, shingle_n, hash_fn
     ).persist()
+    if _cache_registry is not None:
+        _cache_registry.append(with_sig)
 
     # band key = hash of the comma-joined slot values, salted per band.
     # Literal per-band expressions (not a lambda over sequence()) so the
@@ -264,6 +272,8 @@ def minhash_lsh_pairs(
         banded = banded.join(
             F.broadcast(hot), ["band", "band_hash"], "left_anti"
         ).persist()
+        if _cache_registry is not None:
+            _cache_registry.append(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     est = (
@@ -644,6 +654,40 @@ def blocked_dedup_components(
         F.col("jaccard") >= threshold
     )
     return dedup_clusters(conf.select("id_a", "id_b"))
+
+
+def minhash_dedup_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    **lsh_kwargs,
+) -> DataFrame:
+    """MinHash sibling of ``blocked_dedup_components``: banded-LSH
+    candidates → exact shingle-Jaccard confirm at ``threshold`` →
+    transitive closure. Returns (doc, cluster_id = min doc id in
+    component) for every doc with at least one confirmed near-dup —
+    the higher-recall configuration for long documents (x3/x25 chain),
+    where the blocked variant is the fully deterministic, oracle-
+    verified one.
+
+    Cache discipline: ``minhash_lsh_pairs`` persists its signature and
+    banded frames for the self-join; ``dedup_clusters`` eagerly
+    localCheckpoints its labels (truncating lineage), so those caches
+    are dead weight by the time this returns — they are unpersisted
+    here rather than leaked for the session lifetime."""
+    caches: list = []
+    cand = minhash_lsh_pairs(
+        docs, text_col, id_col, _cache_registry=caches, **lsh_kwargs
+    )
+    conf = ngram_jaccard_pairs(
+        docs, cand.select("id_a", "id_b"), text_col, id_col, shingle_n
+    ).where(F.col("jaccard") >= threshold)
+    comps = dedup_clusters(conf.select("id_a", "id_b"))
+    for c in caches:
+        c.unpersist()
+    return comps
 
 
 def duplicate_ngram_coverage(

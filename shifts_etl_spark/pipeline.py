@@ -151,11 +151,7 @@ def prepare_training_data(
     scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    cand = dedup.minhash_lsh_pairs(scrubbed)
-    verified = dedup.ngram_jaccard_pairs(scrubbed, cand.select("id_a", "id_b")).where(
-        F.col("jaccard") >= min_jaccard
-    )
-    clusters = dedup.dedup_clusters(verified)
+    clusters = dedup.minhash_dedup_components(scrubbed, threshold=min_jaccard)
     deduped = (
         scrubbed.join(clusters, scrubbed.doc_id == clusters.doc, "left")
         .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
@@ -318,14 +314,17 @@ def curate(
     # LSH + exact-Jaccard confirm — higher recall on long documents, the
     # configuration a 100 TB run typically picks; x3/x25 chain).
     if neardup_method == "minhash":
-        cand = dd.minhash_lsh_pairs(cur_df)
-        conf = dd.ngram_jaccard_pairs(
-            cur_df, cand.select("id_a", "id_b")
-        ).where(F.col("jaccard") >= neardup_threshold)
-        comps = dd.dedup_clusters(conf.select("id_a", "id_b"))
-    else:
+        comps = dd.minhash_dedup_components(
+            cur_df, threshold=neardup_threshold
+        )
+    elif neardup_method == "blocked":
         comps = dd.blocked_dedup_components(
             cur_df, threshold=neardup_threshold
+        )
+    else:
+        raise ValueError(
+            f"unknown neardup_method {neardup_method!r}: "
+            "expected 'blocked' or 'minhash'"
         )
     scored = cur_df.select(
         F.col("doc_id").alias("doc"),

@@ -313,3 +313,11 @@ def test_minhash_neardup_method(spark):
     assert by["neardup_canonical"]["docs_dropped"] == 1  # one of 1/2
     ids = {r.doc_id for r in out.collect()}
     assert 3 in ids and len(ids & {1, 2}) == 1
+
+
+def test_unknown_neardup_method_raises(spark):
+    docs = spark.createDataFrame(
+        [(1, "s0", "some words here")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="neardup_method"):
+        curate(spark, docs, neardup_method="minhsah")
