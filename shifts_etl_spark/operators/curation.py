@@ -1090,8 +1090,15 @@ def grouped_kfold_audit(
     NAIVE per-doc hashing (the leakage a grouped split prevents) and
     under the grouped split (0 by construction, computed not assumed).
 
-    Scale shape: the x67 component chain, one md5 expression, two
-    |folds|-cell rollups and two 1-row span counts."""
+    Scale shape: ONE pass over the x67 component chain — a group-keyed
+    rollup (fold and both span flags are per-group facts, since a
+    group's fold is a function of its key) feeding a |folds|-cell
+    rollup, with the corpus totals taken by a k-row unpartitioned
+    window (k rows, never data; whitelisted in the plan audit). The
+    earlier shape computed per-fold counts and the two span counts as
+    three separate aggregates of `assigned` plus a total-of-per-fold,
+    re-running the component chain 4x inside one job — the source of
+    the 2.2x ratio at 10x docs/SCALE.md flagged in r6."""
     from .dedup import blocked_dedup_components
 
     comps = blocked_dedup_components(docs, text_col, id_col)
@@ -1114,45 +1121,34 @@ def grouped_kfold_audit(
         fold_of(F.col("group_key"), "-fold").alias("fold"),
         fold_of(F.col("doc"), "-fold").alias("naive_fold"),
     )
-    per_fold = assigned.groupBy("fold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct("group_key").cast("long").alias("n_groups"),
+    # span flags count folds over the non-representative members only
+    # (doc != group_key), matching the x226 oracle's WHERE clause;
+    # countDistinct(when(...)) skips the excluded rows as nulls
+    member = F.col("doc") != F.col("group_key")
+    per_group = assigned.groupBy("group_key", "fold").agg(
+        F.count(F.lit(1)).alias("g_docs"),
+        F.countDistinct(F.when(member, F.col("naive_fold"))).alias("nf_naive"),
+        F.countDistinct(F.when(member, F.col("fold"))).alias("nf_grouped"),
     )
-    tot = per_fold.agg(F.sum("n_docs").cast("double").alias("nt"))
-    span_naive = (
-        assigned.where(F.col("group_key") != F.col("doc"))
-        .groupBy("group_key")
-        .agg(F.countDistinct("naive_fold").alias("nf"))
-        .agg(
-            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0)).cast("long")
-            .alias("n_span_naive")
-        )
+    per_fold = per_group.groupBy("fold").agg(
+        F.sum("g_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("nf_naive") > 1, 1).otherwise(0)).alias("f_naive"),
+        F.sum(F.when(F.col("nf_grouped") > 1, 1).otherwise(0)).alias(
+            "f_grouped"
+        ),
     )
-    span_grouped = (
-        assigned.where(F.col("group_key") != F.col("doc"))
-        .groupBy("group_key")
-        .agg(F.countDistinct("fold").alias("nf"))
-        .agg(
-            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0)).cast("long")
-            .alias("n_span_grouped")
-        )
-    )
-    return (
-        per_fold.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(span_naive))
-        .crossJoin(F.broadcast(span_grouped))
-        .select(
-            "fold",
-            "n_docs",
-            "n_groups",
-            F.round(F.col("n_docs") / F.col("nt"), 6).alias("doc_share"),
-            F.coalesce("n_span_naive", F.lit(0)).cast("long")
-            .alias("n_span_naive"),
-            F.coalesce("n_span_grouped", F.lit(0)).cast("long")
-            .alias("n_span_grouped"),
-        )
-        .orderBy("fold")
-    )
+    w = Window.partitionBy()  # k rows total — bounded by the fold count
+    return per_fold.select(
+        "fold",
+        "n_docs",
+        "n_groups",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("doc_share"),
+        F.sum("f_naive").over(w).cast("long").alias("n_span_naive"),
+        F.sum("f_grouped").over(w).cast("long").alias("n_span_grouped"),
+    ).orderBy("fold")
 
 
 def loso_quality_attribution(

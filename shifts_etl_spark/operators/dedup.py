@@ -522,20 +522,28 @@ def incremental_exact_dedup(
     history: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    history_hash_col: str | None = None,
 ) -> DataFrame:
     """Continuous-ingestion dedup: collapse the incoming batch on its
     normalized content hash, then drop every hash already present in the
     historical corpus (left_anti). Both sides reduce to hashes before any
     join — the anti-join shuffles (16-byte hash, id, count) rows, never
-    documents, and at 100 TB the history side is a pre-computed hash table
-    you append each batch's survivors to (this function only ever reads
-    ``history``'s text to build that table on the fly)."""
+    documents. At 100 TB the history side is a pre-computed hash table
+    you append each batch's survivors to: pass it via
+    ``history_hash_col`` (the name of the md5 column in ``history``) and
+    this function never touches history text at all — the scan reads one
+    32-hex column instead of the corpus. Without it, ``history`` is a
+    document table and the hash table is built on the fly (small-corpus
+    convenience path)."""
     h = F.md5(normalize_text(F.col(text_col)))
     batch = (
         incoming.groupBy(h.alias("content_hash"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
-    seen = history.select(h.alias("content_hash")).dropDuplicates()
+    seen_col = (
+        F.col(history_hash_col) if history_hash_col is not None else h
+    )
+    seen = history.select(seen_col.alias("content_hash")).dropDuplicates()
     return batch.join(seen, "content_hash", "left_anti")
 
 
@@ -1083,6 +1091,12 @@ def scrub_duplicate_spans(
     Returns every input doc with (text scrubbed, n_chars, dup_chars,
     n_spans, dup_frac, action ∈ {keep, scrub, drop}); callers filter on
     ``action != 'drop'``. Span-free documents pass through unchanged.
+
+    Stats convention: ``n_chars`` / ``dup_chars`` / ``dup_frac`` describe
+    the INPUT text (matching ``span_scrub_stats``, so the two agree row
+    for row), while the returned ``text`` column is the post-scrub
+    rewrite — ``n_chars`` is NOT the length of the returned text for
+    ``action = 'scrub'`` rows (that length is ``n_chars - dup_chars``).
 
     Scale shape: the spans frame (doc, start, chars) aggregates to ONE
     array per affected document — bounded by doc length / span_len, never

@@ -244,6 +244,20 @@ def curate(
     from .operators import curation as cur, dedup as dd
     from .operators.textstats import normalize_text, quality_score, token_count
 
+    # fail fast on config typos BEFORE any Spark action — a bad
+    # neardup_method raising only at stage 2 would waste a full corpus
+    # pass through ingest/pii_scrub/exact_dedup first (ADVICE r6)
+    if neardup_method not in ("blocked", "minhash"):
+        raise ValueError(
+            f"unknown neardup_method {neardup_method!r}: "
+            "expected 'blocked' or 'minhash'"
+        )
+    if not (0 <= train_frac and 0 <= val_frac and train_frac + val_frac <= 1):
+        raise ValueError(
+            f"train_frac + val_frac must be within [0, 1]: "
+            f"got {train_frac} + {val_frac}"
+        )
+
     def stats(df):
         row = df.agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -57,7 +57,7 @@ def stream_etl(
         batch_df.persist()
         try:
             tables = flatten.flatten_all(batch_df)
-            writer.write_batch(tables, batch_id=f"{sid}-epoch{epoch_id:06d}")
+            writer.write_batch(tables, batch_id=_epoch_batch_id(sid, epoch_id))
             if refresh_kpis:
                 from ..operators import kpi
 
@@ -74,7 +74,8 @@ def stream_etl(
 
                 clear_outputs(Path(output_dir), ["kpis"])
                 writer.write_batch(
-                    {"kpis": kpis}, batch_id=f"{sid}-epoch{epoch_id:06d}-kpis"
+                    {"kpis": kpis},
+                    batch_id=_epoch_batch_id(sid, epoch_id, "-kpis"),
                 )
         finally:
             batch_df.unpersist()
@@ -318,15 +319,40 @@ def _stream_identity(checkpoint_dir: str | Path) -> str:
     the epoch replay after a crash stays idempotent; a FRESH checkpoint
     (whose epoch counter restarts at 0) gets a new namespace, so its
     epochs can never silently collide with batches an earlier stream
-    already committed to the same output dir."""
+    already committed to the same output dir.
+
+    Pre-namespacing checkpoints (Spark offset state already present, no
+    identity file — a stream created before this upgrade) committed bare
+    ``epochNNNNNN`` batch ids; they get the LEGACY sentinel (empty id →
+    ``_epoch_batch_id`` emits the bare format) so a crashed epoch replays
+    under the SAME id it was committed as, instead of being re-committed
+    under a fresh namespace and breaking exactly-once across the upgrade.
+
+    The identity file is written atomically (temp + rename); like
+    StagedWriter's staging-rename commit this assumes a local/posix-rename
+    filesystem for the checkpoint dir."""
+    import os
     import uuid
 
     p = Path(checkpoint_dir)
     p.mkdir(parents=True, exist_ok=True)
     f = p / "stream_identity"
     if not f.exists():
-        f.write_text(uuid.uuid4().hex[:12])
+        offsets = p / "offsets"
+        legacy = offsets.is_dir() and any(offsets.iterdir())
+        sid = "" if legacy else uuid.uuid4().hex[:12]
+        tmp = p / f"stream_identity.tmp.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(sid)
+        os.replace(tmp, f)
     return f.read_text().strip()
+
+
+def _epoch_batch_id(sid: str, epoch_id: int, suffix: str = "") -> str:
+    """StagedWriter batch id for a streaming epoch: namespaced by the
+    checkpoint identity, or the bare legacy format when ``sid`` is the
+    pre-upgrade sentinel (empty)."""
+    base = f"epoch{epoch_id:06d}{suffix}"
+    return f"{sid}-{base}" if sid else base
 
 
 def streaming_blocklist_scrub(
@@ -377,6 +403,31 @@ def streaming_blocklist_scrub(
     )
 
 
+def _admitted_hashes(spark: SparkSession, writer: StagedWriter) -> DataFrame:
+    """The seen-hash set for online-admission dedup: the hashes-only
+    ``admitted_hashes`` sidecar (one 32-hex column — the anti-join's scan
+    never touches admitted text). A pre-sidecar output dir (admitted
+    exists, sidecar doesn't) is backfilled ONCE from the admitted table
+    under a fixed batch id, so write_batch's idempotency makes the
+    upgrade replay-safe; after that the derive path never runs again
+    (every epoch appends its survivors' hashes alongside the survivors).
+    """
+    from ..operators.textstats import normalize_text
+
+    if not writer.table_exists("admitted_hashes") and writer.table_exists(
+        "admitted"
+    ):
+        derived = writer.read_table(spark, "admitted").select(
+            F.md5(normalize_text(F.col("text"))).alias("content_hash")
+        )
+        writer.write_batch(
+            {"admitted_hashes": derived}, batch_id="hashes-backfill"
+        )
+    if writer.table_exists("admitted_hashes"):
+        return writer.read_table(spark, "admitted_hashes")
+    return spark.createDataFrame([], "content_hash string")
+
+
 def streaming_curation_admit(
     spark: SparkSession,
     input_dir: str | Path,
@@ -402,15 +453,20 @@ def streaming_curation_admit(
     gets its own id space instead of silently colliding with (and being
     swallowed by) an earlier stream's epoch 0.
 
-    State lives in the SINK, not the stream: the seen-hash set is the
-    admitted table itself (at 100 TB: a pre-computed hash table appended
-    per epoch — incremental_exact_dedup's documented shape), so the
-    streaming query carries zero state-store bytes and restarts cold.
+    State lives in the SINK, not the stream: the seen-hash set is a
+    hashes-only ``admitted_hashes`` sidecar table, appended atomically
+    WITH each epoch's survivors (same write_batch, so sidecar and corpus
+    can never diverge). The per-epoch dedup anti-join therefore scans one
+    32-hex column, never the admitted corpus — the 100 TB shape
+    incremental_exact_dedup documents — and the streaming query carries
+    zero state-store bytes and restarts cold. An output dir admitted to
+    BEFORE the sidecar existed is upgraded lazily: the first epoch
+    derives the missing sidecar from the admitted table once.
 
     Returns the started query (availableNow trigger: drains and stops).
     """
     from ..operators.dedup import incremental_exact_dedup
-    from ..operators.textstats import quality_score, scrub_pii
+    from ..operators.textstats import normalize_text, quality_score, scrub_pii
 
     docs = spark.readStream.schema(
         "doc_id long, source string, text string"
@@ -428,23 +484,24 @@ def streaming_curation_admit(
             )
             passing = scrubbed.where(
                 F.round(quality_score(F.col("text")), 4) >= min_quality
-            )
+            ).persist()
             sp = batch_df.sparkSession
-            history = (
-                writer.read_table(sp, "admitted")
-                if writer.table_exists("admitted")
-                else sp.createDataFrame(
-                    [], "doc_id long, source string, text string"
-                )
-            )
-            keep = incremental_exact_dedup(passing, history).select("keep_id")
+            history = _admitted_hashes(sp, writer)
+            keep = incremental_exact_dedup(
+                passing, history, history_hash_col="content_hash"
+            ).select("keep_id")
             admitted = passing.join(
                 keep.withColumnRenamed("keep_id", "doc_id"), "doc_id", "semi"
+            ).persist()
+            new_hashes = admitted.select(
+                F.md5(normalize_text(F.col("text"))).alias("content_hash")
             )
             writer.write_batch(
-                {"admitted": admitted},
-                batch_id=f"{sid}-epoch{epoch_id:06d}",
+                {"admitted": admitted, "admitted_hashes": new_hashes},
+                batch_id=_epoch_batch_id(sid, epoch_id),
             )
+            admitted.unpersist()
+            passing.unpersist()
         finally:
             batch_df.unpersist()
 

@@ -9,7 +9,12 @@ import hashlib
 import json
 
 from shifts_etl_spark.sinks.staged import StagedWriter
-from shifts_etl_spark.streaming.micro_batch import streaming_curation_admit
+from shifts_etl_spark.streaming.micro_batch import (
+    _admitted_hashes,
+    _epoch_batch_id,
+    _stream_identity,
+    streaming_curation_admit,
+)
 
 GOOD = (
     "the quick brown fox jumps over the lazy dog while many other common "
@@ -85,6 +90,65 @@ def test_streaming_admission_end_to_end(spark, tmp_path):
     assert ids == {1, 6}
     # two commits, one per epoch — replay never duplicated a batch
     assert len(w.commits()) == 2
+
+    # 100 TB contract: the per-epoch dedup history is the hashes-only
+    # sidecar — its scan reads ONE 32-hex column, never admitted text
+    history = _admitted_hashes(spark, w)
+    assert history.columns == ["content_hash"]
+    plan = history._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<content_hash:string>" in plan
+    assert "text" not in plan
+    # sidecar content is exactly the admitted docs' normalized hashes
+    assert history.count() == 2 and history.distinct().count() == 2
+
+
+def test_pre_sidecar_output_dir_backfills_once(spark, tmp_path):
+    """An output dir admitted to BEFORE the hashes sidecar existed must
+    still dedup against its history: the first epoch derives the sidecar
+    from the admitted table once (idempotent batch id), then appends."""
+    out = tmp_path / "out"
+    w = StagedWriter(out)
+    legacy = spark.createDataFrame(
+        [(1, "s0", GOOD)], "doc_id long, source string, text string"
+    )
+    w.write_batch({"admitted": legacy}, batch_id="pre-sidecar-epoch")
+    assert not w.table_exists("admitted_hashes")
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(input_dir, "e1.json", [
+        {"doc_id": 7, "source": "s2", "text": GOOD},   # dup of history
+        {"doc_id": 8, "source": "s2", "text": GOOD2},  # fresh
+    ])
+    q = streaming_curation_admit(spark, input_dir, tmp_path / "ckpt", out)
+    q.awaitTermination()
+    ids = {r.doc_id for r in w.read_table(spark, "admitted").collect()}
+    assert ids == {1, 8}
+    # sidecar now covers history + the new epoch, and the backfill ran once
+    assert w.table_exists("admitted_hashes")
+    assert _admitted_hashes(spark, w).count() == 2
+    assert sum(1 for bid, _ in w.commits() if bid == "hashes-backfill") == 1
+
+
+def test_legacy_checkpoint_keeps_unnamespaced_ids(tmp_path):
+    """A checkpoint created BEFORE batch-id namespacing (Spark offset
+    state present, no stream_identity file) committed bare epochNNNNNN
+    ids; on restart the crashed epoch must replay under the SAME id, not
+    a freshly namespaced one (which write_batch would commit twice)."""
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "offsets" / "0").write_text("{}")
+    sid = _stream_identity(ckpt)
+    assert sid == ""
+    assert _epoch_batch_id(sid, 3) == "epoch000003"
+    # the sentinel persists: a second call (post-restart) agrees
+    assert _stream_identity(ckpt) == ""
+
+    # a genuinely fresh checkpoint still gets its own namespace
+    fresh = tmp_path / "fresh"
+    sid2 = _stream_identity(fresh)
+    assert sid2 and _epoch_batch_id(sid2, 3) == f"{sid2}-epoch000003"
+    assert _stream_identity(fresh) == sid2
 
 
 def test_pii_bearing_boilerplate_is_blocked(spark, tmp_path):
