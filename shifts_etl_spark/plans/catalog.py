@@ -119,6 +119,16 @@ _DRIVER_VERIFIED = (
 
 _MERGED = {**RELATIONAL, **TPCH, **EXTENSIONS}
 
+# Round-7 unfreeze candidates (VERDICT r6 #3): kept OUT of the frozen
+# 329-entry catalog until the driver ledger drains; flip the flag to
+# merge them (they sort to the unverified front automatically).
+import os  # noqa: E402
+
+if os.environ.get("SPARK_GRAFT_UNFREEZE"):
+    from .pending import PENDING
+
+    _MERGED.update(PENDING)
+
 # Round-2 verdict sort contract (VERDICT.md "Next round" #1): the window must
 # never burn a slot on a rows-only entry while oracle-backed queries lack a
 # driver row. Sort key = (already-driver-verified, rows-only, name) so the

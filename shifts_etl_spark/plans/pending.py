@@ -1,0 +1,415 @@
+"""Round-7 unfreeze candidates (VERDICT r6 "Next round" #3).
+
+Four oracle-backed specs prepared BEHIND A FLAG while the driver drains
+the last unverified rows of the frozen 329-entry catalog: they merge
+into CATALOG only when ``SPARK_GRAFT_UNFREEZE=1`` is set (see
+plans/catalog.py), so the driver's r7 window cannot burn slots on them.
+Each is pytest-pinned against its DuckDB oracle regardless of the flag
+(tests/test_pending_entries.py), and `SPARK_GRAFT_UNFREEZE=1 python
+tools/gate.py x228... x229... x230... x231...` runs the full local gate
+over them.
+
+The four, per the r6 verdict:
+  x228 — scrub_duplicate_spans as an oracle-backed entry (destructive
+         counterpart of the green x87; the oracle reassembles the
+         scrubbed text from the x85 interval chain).
+  x229 — x185's auto-bucket kNN agreement mode (n_buckets=None →
+         ceil(N/256) buckets, the linear-scale 100 TB path).
+  x230 — IVF probe sweep with corpus-decoupled fixed cells
+         (n_cells=8 md5-priority centroids instead of the stride
+         sample whose centroid count grows with the corpus).
+  x231 — the pipeline.curate() ledger as an oracle entry: the composed
+         end-to-end curation run certified stage by stage with the
+         driver's own hash check.
+"""
+
+from __future__ import annotations
+
+from ..operators import dedup, profile, simsearch
+from .extensions._shared import _STOP_EN, _X73_U, X67_SQL, _t
+from .extensions.ann import QUERY_IDS, X185_SQL, X215_SQL
+from .extensions.curation import _X40_U
+from .extensions.dedup import _X85_CHAIN
+
+# ---------------------------------------------------------------------------
+# x228 — exact-substring scrub APPLIED (dedup.scrub_duplicate_spans)
+# ---------------------------------------------------------------------------
+
+
+def x228_span_scrub_apply(spark, sf_dir):
+    """Destructive exact-substring scrub (dedup.scrub_duplicate_spans):
+    every maximal duplicated span (the green x85 intervals) cut out of
+    its document, mostly-duplicated docs flagged 'drop' — Lee et al.'s
+    exact-substring dedup applied, not just measured (x87). The full
+    post-scrub text is part of the compared payload, so the oracle
+    checks the substring-reassembly itself, value for value."""
+    return dedup.scrub_duplicate_spans(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "n_chars", "dup_chars", "n_spans", "dup_frac",
+        "action",
+    )
+
+
+# The x85 interval chain, then reassembly: spans are disjoint maximal
+# intervals per doc, so the scrubbed text is the ordered concat of the
+# inter-span pieces plus the tail after the last span. Action mirrors the
+# Spark operator: no spans -> keep, UNROUNDED dup fraction >= 0.8 -> drop
+# (text passes through), else scrub. n_chars/dup_chars/dup_frac describe
+# the INPUT text (the operator's documented convention).
+X228_SQL = _X85_CHAIN + """
+, per_doc AS (
+  SELECT doc, CAST(SUM(span_chars) AS BIGINT) AS dup_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc
+),
+segs AS (
+  SELECT doc, span_start, span_chars,
+         COALESCE(lag(span_end) OVER (PARTITION BY doc ORDER BY span_start),
+                  0) AS prev_end
+  FROM spans
+),
+pieces AS (
+  SELECT s.doc,
+         substr(d.text, s.prev_end + 1, s.span_start - s.prev_end - 1)
+           AS piece,
+         s.span_start
+  FROM segs s JOIN documents d ON d.doc_id = s.doc
+),
+rebuilt AS (
+  SELECT doc, string_agg(piece, '' ORDER BY span_start) AS head
+  FROM pieces GROUP BY doc
+),
+lastend AS (SELECT doc, MAX(span_end) AS last_end FROM spans GROUP BY doc)
+SELECT d.doc_id,
+       CASE WHEN p.doc IS NULL THEN d.text
+            WHEN CAST(p.dup_chars AS DOUBLE) / greatest(length(d.text), 1)
+                 >= 0.8 THEN d.text
+            ELSE r.head || substr(d.text, l.last_end + 1) END AS text,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       round(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+             / greatest(length(d.text), 1), 6) AS dup_frac,
+       CASE WHEN p.doc IS NULL THEN 'keep'
+            WHEN CAST(p.dup_chars AS DOUBLE) / greatest(length(d.text), 1)
+                 >= 0.8 THEN 'drop'
+            ELSE 'scrub' END AS action
+FROM documents d
+LEFT JOIN per_doc p ON p.doc = d.doc_id
+LEFT JOIN rebuilt r ON r.doc = d.doc_id
+LEFT JOIN lastend l ON l.doc = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# x229 — kNN label agreement, auto-sized buckets (the 100 TB mode)
+# ---------------------------------------------------------------------------
+
+
+def x229_knn_agreement_autobucket(spark, sf_dir):
+    """x185's linear-scale mode (profile.knn_label_agreement with
+    n_buckets=None): bucket count = ceil(N / 256) instead of the fixed
+    16, so per-bucket pair work stays ~256² regardless of corpus size.
+    The bucket count is computable in SQL, so the oracle mirrors the
+    auto-sizing exactly."""
+    return profile.knn_label_agreement(
+        _t(spark, sf_dir, "embeddings"), n_buckets=None
+    )
+
+
+X229_SQL = X185_SQL.replace(
+    "% 16 AS bkt",
+    "% (SELECT greatest(CAST(1 AS BIGINT),"
+    " CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings) AS bkt",
+)
+assert X229_SQL != X185_SQL  # surgery anchor must exist
+
+
+# ---------------------------------------------------------------------------
+# x230 — IVF probe sweep with corpus-decoupled fixed cells
+# ---------------------------------------------------------------------------
+
+
+def x230_ivf_fixed_cells_sweep(spark, sf_dir):
+    """x215's 100 TB mode (simsearch.ivf_probe_sweep with n_cells=8):
+    centroids are the n_cells vectors with the smallest deterministic
+    md5 priority rather than the stride sample (whose centroid count —
+    and therefore the |corpus| x |centroids| assignment cost — grows
+    with the corpus). The md5-priority sample is SQL-expressible, so
+    recall@5 and candidate counts are value-checked per probe setting
+    against the same exact-scan truth as x215."""
+    return simsearch.ivf_probe_sweep(
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5, n_cells=8
+    )
+
+
+_CENT_PRI = _X73_U("md5(CAST(vec_id AS VARCHAR) || '-ivfc')")
+_CENTS = (
+    "WITH cents AS (\n"
+    "  SELECT vec_id FROM (\n"
+    f"    SELECT vec_id, ({_CENT_PRI}) AS pri\n"
+    "    FROM embeddings\n"
+    "  ) ORDER BY pri, vec_id LIMIT 8\n"
+    "),\nelem AS ("
+)
+
+X230_SQL = X215_SQL.replace("WITH elem AS (", _CENTS, 1).replace(
+    "WHERE ce.vec_id % 16 = 0",
+    "WHERE ce.vec_id IN (SELECT vec_id FROM cents)",
+    1,
+)
+assert X230_SQL != X215_SQL  # surgery anchors must exist
+
+
+# ---------------------------------------------------------------------------
+# x231 — pipeline.curate() ledger, end-to-end
+# ---------------------------------------------------------------------------
+
+
+def x231_curation_ledger(spark, sf_dir):
+    """The composed curation pipeline's per-stage accounting ledger
+    (pipeline.curate, budget_docs=200, otherwise defaults): ingest →
+    PII scrub → exact dedup → near-dup canonical election (blocked) →
+    span scrub → calibrated quality filter → temperature mixture →
+    leakage-safe split, each stage's (n_docs, n_chars, n_tokens,
+    docs_dropped, chars_removed) reproduced by one chained DuckDB CTE
+    per stage — the end-to-end certificate that the stages compose the
+    way the individually green x16/x1/x67/x84/x85–x87/x88/x50/x71
+    entries say they do."""
+    from ..pipeline import curate
+
+    curated, ledger = curate(
+        spark, _t(spark, sf_dir, "documents"), budget_docs=200
+    )
+    curated.unpersist()
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in ledger],
+        "stage string, n_docs long, n_chars long, n_tokens long, "
+        "docs_dropped long, chars_removed long",
+    )
+
+
+_NTOK = r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))"
+_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ',"
+    r" 'g'), '\s+', ' ', 'g'))"
+)
+_PII = (
+    r"regexp_replace(regexp_replace(regexp_replace(text,"
+    r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    r" 'https?://[^\s]+', '<URL>', 'g'),"
+    r" '[0-9]{7,}', '<NUMBER_LONG>', 'g')"
+)
+
+# the x84 quality rubric (verified green there), as a reusable fragment
+# parameterized on the source CTE
+_QUAL = lambda src: f"""
+  SELECT doc_id, source,
+         CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
+             + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+             + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
+             + CASE WHEN digr <= 0.2 THEN 0.1 ELSE 0 END, 4) AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mtl,
+           CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+             / greatest(len(toks), 1) AS swr,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digr
+    FROM (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM {src}
+    )
+  )
+"""  # noqa: E731
+
+_STATS = (
+    lambda src: f"SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+    f" CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,"
+    f" CAST(COALESCE(SUM({_NTOK}), 0) AS BIGINT) AS n_tokens FROM {src}"
+)  # noqa: E731
+
+# x67's recursive components chain, rebased onto the exact-deduped stage
+# (same surgery pattern as the green X84_SQL: the shared blocking/closure
+# SQL lives once in _shared.X67_SQL)
+_COMP_CHAIN = (
+    X67_SQL.strip()
+    .removeprefix("WITH RECURSIVE ")
+    .replace("FROM documents", "FROM stage2")
+    .replace(
+        "SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node",
+        ",\ncomp AS (\n  SELECT node AS doc, MIN(r) AS cluster_id"
+        " FROM reach GROUP BY node\n)",
+        1,
+    )
+)
+assert "comp AS" in _COMP_CHAIN and "FROM stage2" in _COMP_CHAIN
+
+# x85's span chain, rebased onto the canonical-elected stage
+_SPAN_CHAIN = (
+    _X85_CHAIN.strip()
+    .removeprefix("WITH ")
+    .replace("FROM documents", "FROM stage3")
+)
+assert "FROM stage3" in _SPAN_CHAIN
+
+X231_SQL = f"""
+WITH RECURSIVE
+-- stage 1: PII scrub (x16 mirror) — rewrites text, drops nothing
+stage1 AS (
+  SELECT doc_id, source, {_PII} AS text FROM documents
+),
+-- stage 2: exact dedup on normalized text, keep the min-id copy (x1/x2)
+keep2 AS (
+  SELECT MIN(doc_id) AS doc_id FROM stage1 GROUP BY md5({_NORM})
+),
+stage2 AS (SELECT s.* FROM stage1 s JOIN keep2 USING (doc_id)),
+-- stage 3: near-dup components (x67 chain, rebased) + canonical
+-- election (x84): inside each cluster keep the best-quality member
+{_COMP_CHAIN},
+q3 AS ({_QUAL("stage2")}),
+losers AS (
+  SELECT doc FROM (
+    SELECT c.doc,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q3.q DESC, c.doc) AS rn
+    FROM comp c JOIN q3 ON q3.doc_id = c.doc
+  ) WHERE rn > 1
+),
+stage3 AS (
+  SELECT s.* FROM stage2 s
+  WHERE s.doc_id NOT IN (SELECT doc FROM losers)
+),
+-- stage 4: exact-substring scrub applied (x85 chain + x228 reassembly);
+-- docs with UNROUNDED dup fraction >= 0.8 drop, the rest are rewritten
+{_SPAN_CHAIN},
+per_doc AS (
+  SELECT doc, CAST(SUM(span_chars) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc
+),
+segs AS (
+  SELECT doc, span_start, span_chars,
+         COALESCE(lag(span_end) OVER (PARTITION BY doc ORDER BY span_start),
+                  0) AS prev_end
+  FROM spans
+),
+pieces AS (
+  SELECT s.doc,
+         substr(d.text, s.prev_end + 1, s.span_start - s.prev_end - 1)
+           AS piece,
+         s.span_start
+  FROM segs s JOIN stage3 d ON d.doc_id = s.doc
+),
+rebuilt AS (
+  SELECT doc, string_agg(piece, '' ORDER BY span_start) AS head
+  FROM pieces GROUP BY doc
+),
+lastend AS (SELECT doc, MAX(span_end) AS last_end FROM spans GROUP BY doc),
+stage4 AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN p.doc IS NULL THEN d.text
+              ELSE r.head || substr(d.text, l.last_end + 1) END AS text
+  FROM stage3 d
+  LEFT JOIN per_doc p ON p.doc = d.doc_id
+  LEFT JOIN rebuilt r ON r.doc = d.doc_id
+  LEFT JOIN lastend l ON l.doc = d.doc_id
+  WHERE p.doc IS NULL
+     OR CAST(p.dup_chars AS DOUBLE) / greatest(length(d.text), 1) < 0.8
+),
+-- stage 5: cross-source quality calibration (x88 mirror) at >= 0.5
+qual5 AS ({_QUAL("stage4")}),
+cdf5 AS (
+  SELECT q AS qv,
+         CAST(SUM(COUNT(*)) OVER (ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / (SELECT COUNT(*) FROM qual5) AS cf
+  FROM qual5 GROUP BY q
+),
+ranked5 AS (
+  SELECT doc_id,
+         percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS r
+  FROM qual5
+),
+keep5 AS (
+  SELECT doc_id FROM ranked5 rk
+  WHERE (SELECT MIN(qv) FROM cdf5 WHERE cf >= rk.r) >= 0.5
+),
+stage5 AS (SELECT s.* FROM stage4 s JOIN keep5 USING (doc_id)),
+-- stage 6: temperature mixture, budget 200 docs, T = 0.7 (x50 plan +
+-- x71 deterministic draw)
+mg AS (
+  SELECT source, SUM({_NTOK}) AS n_tokens FROM stage5 GROUP BY 1
+),
+mtot AS (SELECT SUM(n_tokens) AS tot FROM mg),
+mwtd AS (
+  SELECT source, pow(n_tokens / mtot.tot, 1.0 / 0.7) AS w
+  FROM mg CROSS JOIN mtot
+),
+mws AS (SELECT SUM(w) AS ws FROM mwtd),
+mscored AS (
+  SELECT source, floor(w / mws.ws * 200) AS base,
+         w / mws.ws * 200 - floor(w / mws.ws * 200) AS frac
+  FROM mwtd CROSS JOIN mws
+),
+malloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+                          <= 200 - SUM(base) OVER () THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc_docs
+  FROM mscored
+),
+mpri AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || '-mix') AS h
+  FROM stage5
+),
+mdrawn AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ({_X40_U}), doc_id) AS rn
+  FROM mpri
+),
+keep6 AS (
+  SELECT d.doc_id FROM mdrawn d JOIN malloc a USING (source)
+  WHERE d.rn <= a.alloc_docs
+),
+stage6 AS (SELECT s.* FROM stage5 s JOIN keep6 USING (doc_id)),
+-- split assigns a column, drops nothing: its ledger row repeats stage 6
+s0 AS ({_STATS("documents")}),
+s1 AS ({_STATS("stage1")}),
+s2 AS ({_STATS("stage2")}),
+s3 AS ({_STATS("stage3")}),
+s4 AS ({_STATS("stage4")}),
+s5 AS ({_STATS("stage5")}),
+s6 AS ({_STATS("stage6")})
+SELECT 'ingest' AS stage, n_docs, n_chars, n_tokens,
+       CAST(0 AS BIGINT) AS docs_dropped, CAST(0 AS BIGINT) AS chars_removed
+FROM s0
+UNION ALL SELECT 'pii_scrub', s1.n_docs, s1.n_chars, s1.n_tokens,
+       s0.n_docs - s1.n_docs, s0.n_chars - s1.n_chars FROM s0, s1
+UNION ALL SELECT 'exact_dedup', s2.n_docs, s2.n_chars, s2.n_tokens,
+       s1.n_docs - s2.n_docs, s1.n_chars - s2.n_chars FROM s1, s2
+UNION ALL SELECT 'neardup_canonical', s3.n_docs, s3.n_chars, s3.n_tokens,
+       s2.n_docs - s3.n_docs, s2.n_chars - s3.n_chars FROM s2, s3
+UNION ALL SELECT 'span_scrub', s4.n_docs, s4.n_chars, s4.n_tokens,
+       s3.n_docs - s4.n_docs, s3.n_chars - s4.n_chars FROM s3, s4
+UNION ALL SELECT 'quality_filter', s5.n_docs, s5.n_chars, s5.n_tokens,
+       s4.n_docs - s5.n_docs, s4.n_chars - s5.n_chars FROM s4, s5
+UNION ALL SELECT 'mixture_draw', s6.n_docs, s6.n_chars, s6.n_tokens,
+       s5.n_docs - s6.n_docs, s5.n_chars - s6.n_chars FROM s5, s6
+UNION ALL SELECT 'split', n_docs, n_chars, n_tokens,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM s6
+"""
+
+
+PENDING = {
+    "x228_span_scrub_apply": (x228_span_scrub_apply, X228_SQL),
+    "x229_knn_agreement_autobucket": (
+        x229_knn_agreement_autobucket,
+        X229_SQL,
+    ),
+    "x230_ivf_fixed_cells_sweep": (x230_ivf_fixed_cells_sweep, X230_SQL),
+    "x231_curation_ledger": (x231_curation_ledger, X231_SQL),
+}

@@ -317,6 +317,8 @@ CROSS_JOIN_OK = {
     # onto the |labels|-row metric frame
     "x215_ivf_probe_sweep",  # the x13 broadcast-centroid scan plus the
     # 4-literal probe grid onto |Q|-bounded candidate lists
+    "x230_ivf_fixed_cells_sweep",  # same contract with n_cells=8
+    # md5-priority centroids (pending entry, flag-gated)
     "x216_poisson_bootstrap",  # crossJoin of the 1-row point estimate
     # with the broadcast 1-row CI fold
     "x217_dup_flow_matrix",  # crossJoin with the broadcast 1-row pair
@@ -329,8 +331,6 @@ CROSS_JOIN_OK = {
     # against the broadcast 11-row pooled-CDF lattice
     "y7_negative_collision",  # crossJoin of the two broadcast 1-row
     # folds (label moments x pair count)
-    "x226_grouped_kfold",  # crossJoins with the broadcast 1-row
-    # doc-total / span-count folds
     "x227_loso_quality",  # crossJoin with the broadcast 1-row corpus
     # total onto the |sources| cells
 }
