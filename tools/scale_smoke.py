@@ -67,9 +67,16 @@ def materialize(spark, factor: int, out_dir: Path) -> None:
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:
-    df = CATALOG[name].spark(spark, sf_dir)
+    # timer covers the build too: for lazy entries that's millis of plan
+    # construction, but eager entries (x231's curate ledger runs its
+    # Spark actions while building) do their real work there.
+    # Materialize through the noop sink, not count(): count() lets
+    # Catalyst prune projection columns and eliminate unique-key outer
+    # joins, so projection-shaped entries (x228's scrub rewrite) would
+    # time an empty plan.
     t0 = time.time()
-    df.count()
+    df = CATALOG[name].spark(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
