@@ -437,6 +437,7 @@ def streaming_curation_admit(
     span_len: int = 40,
     max_blocked_frac: float = 0.5,
     min_quality: float = 0.5,
+    compact_every: int | None = None,
 ):
     """ONLINE admission counterpart of pipeline.curate(): as document
     files land, each micro-batch is (1) scored against the boilerplate
@@ -462,6 +463,13 @@ def streaming_curation_admit(
     zero state-store bytes and restarts cold. An output dir admitted to
     BEFORE the sidecar existed is upgraded lazily: the first epoch
     derives the missing sidecar from the admitted table once.
+
+    ``compact_every=N`` rewrites the sidecar's accumulated per-epoch
+    batch dirs into one after every N epochs (StagedWriter.compact, the
+    nightly-OPTIMIZE analog): without it a long-running stream's dedup
+    scan pays one file listing per historical epoch. Compaction replays
+    safely — a crashed epoch's replay skips its (already-committed)
+    write, and re-compacting an already-compacted table is a no-op.
 
     Returns the started query (availableNow trigger: drains and stops).
     """
@@ -502,6 +510,8 @@ def streaming_curation_admit(
             )
             admitted.unpersist()
             passing.unpersist()
+            if compact_every and (epoch_id + 1) % compact_every == 0:
+                writer.compact(sp, "admitted_hashes")
         finally:
             batch_df.unpersist()
 

@@ -130,6 +130,35 @@ def test_pre_sidecar_output_dir_backfills_once(spark, tmp_path):
     assert sum(1 for bid, _ in w.commits() if bid == "hashes-backfill") == 1
 
 
+def test_sidecar_compaction_keeps_dedup_correct(spark, tmp_path):
+    """compact_every folds the sidecar's per-epoch batch dirs into one
+    without changing dedup semantics: cross-epoch duplicates are still
+    rejected after compaction, and the sidecar's dir count stays 1."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    def run():
+        q = streaming_curation_admit(spark, input_dir, ckpt, out,
+                                     compact_every=1)
+        q.awaitTermination()
+
+    _drop(input_dir, "e1.json", [{"doc_id": 1, "source": "s0", "text": GOOD}])
+    run()
+    _drop(input_dir, "e2.json", [
+        {"doc_id": 2, "source": "s1", "text": GOOD},   # dup vs epoch 1
+        {"doc_id": 3, "source": "s1", "text": GOOD2},  # fresh
+    ])
+    run()
+    w = StagedWriter(out)
+    ids = {r.doc_id for r in w.read_table(spark, "admitted").collect()}
+    assert ids == {1, 3}
+    # each compaction leaves exactly one sidecar batch dir behind
+    assert len(list((out / "admitted_hashes").glob("batch=*"))) == 1
+    assert _admitted_hashes(spark, w).count() == 2
+
+
 def test_legacy_checkpoint_keeps_unnamespaced_ids(tmp_path):
     """A checkpoint created BEFORE batch-id namespacing (Spark offset
     state present, no stream_identity file) committed bare epochNNNNNN
