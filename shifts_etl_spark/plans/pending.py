@@ -1,15 +1,14 @@
 """Round-7 unfreeze candidates (VERDICT r6 "Next round" #3).
 
-Four oracle-backed specs prepared BEHIND A FLAG while the driver drains
-the last unverified rows of the frozen 329-entry catalog: they merge
-into CATALOG only when ``SPARK_GRAFT_UNFREEZE=1`` is set (see
+Oracle-backed specs prepared BEHIND A FLAG while the driver drains the
+last unverified rows of the frozen 329-entry catalog: they merge into
+CATALOG only when ``SPARK_GRAFT_UNFREEZE=1`` is set (see
 plans/catalog.py), so the driver's r7 window cannot burn slots on them.
 Each is pytest-pinned against its DuckDB oracle regardless of the flag
 (tests/test_pending_entries.py), and `SPARK_GRAFT_UNFREEZE=1 python
-tools/gate.py x228... x229... x230... x231...` runs the full local gate
-over them.
+tools/gate.py x228... x229... ...` runs the full local gate over them.
 
-The four, per the r6 verdict:
+The first four, per the r6 verdict:
   x228 — scrub_duplicate_spans as an oracle-backed entry (destructive
          counterpart of the green x87; the oracle reassembles the
          scrubbed text from the x85 interval chain).
@@ -21,9 +20,20 @@ The four, per the r6 verdict:
   x231 — the pipeline.curate() ledger as an oracle entry: the composed
          end-to-end curation run certified stage by stage with the
          driver's own hash check.
+
+Two more cover curate()'s remaining arms (ROUND8_PLAN candidate #2),
+built from the same parameterized ledger-SQL builder as x231:
+  x232 — the per-source TOKEN-budget mixture (``budget_tokens``, x90's
+         quality-greedy running-sum selection) in place of the
+         temperature document draw.
+  x233 — benchmark decontamination (``eval_docs``, x35's shingle-overlap
+         audit applied as a drop filter between span scrub and the
+         quality gate).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from ..operators import dedup, profile, simsearch
 from .extensions._shared import _STOP_EN, _X73_U, X67_SQL, _t
@@ -165,6 +175,16 @@ assert X230_SQL != X215_SQL  # surgery anchors must exist
 # ---------------------------------------------------------------------------
 
 
+def _ledger_df(spark, ledger):
+    """The curate() ledger (list of per-stage dicts) as a typed DataFrame
+    in the column order the oracle emits."""
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in ledger],
+        "stage string, n_docs long, n_chars long, n_tokens long, "
+        "docs_dropped long, chars_removed long",
+    )
+
+
 def x231_curation_ledger(spark, sf_dir):
     """The composed curation pipeline's per-stage accounting ledger
     (pipeline.curate, budget_docs=200, otherwise defaults): ingest →
@@ -181,11 +201,45 @@ def x231_curation_ledger(spark, sf_dir):
         spark, _t(spark, sf_dir, "documents"), budget_docs=200
     )
     curated.unpersist()
-    return spark.createDataFrame(
-        [tuple(r.values()) for r in ledger],
-        "stage string, n_docs long, n_chars long, n_tokens long, "
-        "docs_dropped long, chars_removed long",
+    return _ledger_df(spark, ledger)
+
+
+def x232_curation_ledger_tokens(spark, sf_dir):
+    """curate()'s TOKEN-budget arm (budget_tokens=500): identical
+    pipeline through the quality gate, then stage 6 is x90's
+    quality-greedy running-token-sum selection per source instead of
+    the temperature document draw — the configuration a mixture recipe
+    with per-source token quotas runs. Same ledger schema; the oracle
+    is the x231 template with the stage-6 CTEs swapped for the x90
+    window, so the shared stages stay literally identical."""
+    from ..pipeline import curate
+
+    curated, ledger = curate(
+        spark, _t(spark, sf_dir, "documents"), budget_tokens=500
     )
+    curated.unpersist()
+    return _ledger_df(spark, ledger)
+
+
+def x233_curation_decontam(spark, sf_dir):
+    """curate()'s decontamination arm: docs with doc_id < 20 stand in
+    for the benchmark (x35's convention), the rest are the corpus, and
+    the pipeline drops every doc whose post-scrub 3-gram shingle overlap
+    with the eval set exceeds 0.2 — between span scrub and the quality
+    gate, exactly where a pre-training run decontaminates. The ledger
+    gains its 'decontaminate' row; the oracle is the x231 template with
+    the corpus restricted and the x35 chain spliced in."""
+    from ..pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    curated, ledger = curate(
+        spark,
+        d.where(F.col("doc_id") >= 20),
+        budget_docs=200,
+        eval_docs=d.where(F.col("doc_id") < 20),
+    )
+    curated.unpersist()
+    return _ledger_df(spark, ledger)
 
 
 _NTOK = r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))"
@@ -201,9 +255,12 @@ _PII = (
 )
 
 # the x84 quality rubric (verified green there), as a reusable fragment
-# parameterized on the source CTE
-_QUAL = lambda src: f"""
-  SELECT doc_id, source,
+# parameterized on the source CTE; tokens=True also surfaces the doc's
+# token count (the x90 budget selection needs both)
+_QUAL = lambda src, tokens=False: f"""
+  SELECT doc_id, source,{
+      chr(10) + '         CAST(n_tokens AS BIGINT) AS n_tokens,'
+      if tokens else ''}
          CAST(round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0 END
              + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
              + CASE WHEN swr >= 0.01 THEN 0.2 ELSE 0 END
@@ -256,11 +313,32 @@ _SPAN_CHAIN = (
 )
 assert "FROM stage3" in _SPAN_CHAIN
 
-X231_SQL = f"""
+def _ledger_sql(
+    corpus_where: str | None = None,
+    eval_where: str | None = None,
+    mixture: str = "docs",
+    budget_tokens: int = 500,
+) -> str:
+    """Assemble the curate()-ledger oracle for one pipeline configuration:
+    an optional corpus restriction, an optional x35-mirror decontamination
+    stage (between span scrub and the quality gate, exactly where curate()
+    runs it), and either the temperature document draw (x50/x71) or the
+    per-source token-budget selection (x90) as stage 6. x231/x232/x233
+    are three instantiations of this one template, so the shared stages
+    stay literally identical across the three oracles."""
+    src = "corpus" if corpus_where else "documents"
+    pre = (
+        f"corpus AS (SELECT * FROM documents WHERE {corpus_where}),\n"
+        if corpus_where
+        else ""
+    )
+    q5src = "stage4b" if eval_where else "stage4"
+
+    head = f"""
 WITH RECURSIVE
--- stage 1: PII scrub (x16 mirror) — rewrites text, drops nothing
+{pre}-- stage 1: PII scrub (x16 mirror) — rewrites text, drops nothing
 stage1 AS (
-  SELECT doc_id, source, {_PII} AS text FROM documents
+  SELECT doc_id, source, {_PII} AS text FROM {src}
 ),
 -- stage 2: exact dedup on normalized text, keep the min-id copy (x1/x2)
 keep2 AS (
@@ -318,9 +396,58 @@ stage4 AS (
   LEFT JOIN lastend l ON l.doc = d.doc_id
   WHERE p.doc IS NULL
      OR CAST(p.dup_chars AS DOUBLE) / greatest(length(d.text), 1) < 0.8
+),"""
+
+    decon = ""
+    if eval_where:
+        decon = f"""
+-- stage 4b: benchmark decontamination (x35 mirror: POST-scrub corpus
+-- text vs the RAW eval side — exactly what curate() hands
+-- benchmark_contamination): drop docs whose distinct-3-gram shingle
+-- overlap with the eval set exceeds 0.2
+evtok AS (
+  SELECT list_filter(regexp_split_to_array(trim({_NORM}), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE {eval_where}
 ),
+evsh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                             for i in generate_series(1, len(toks) - 2)])
+         ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM evtok WHERE len(toks) > 0
+),
+c4sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim({_NORM}), '\\s+'),
+                       t -> t <> '') AS toks
+    FROM stage4
+  ) WHERE len(toks) > 0
+),
+cdirty AS (
+  SELECT c.doc_id
+  FROM c4sh c LEFT JOIN (
+    SELECT e.doc_id, count(*) AS n
+    FROM (SELECT doc_id, unnest(sh) AS s FROM c4sh) e
+    JOIN evsh b USING (s) GROUP BY 1
+  ) h USING (doc_id)
+  WHERE round(COALESCE(h.n, 0) * 1.0 / len(c.sh), 6) > 0.2
+),
+stage4b AS (
+  SELECT s.* FROM stage4 s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM cdirty)
+),"""
+
+    quality = f"""
 -- stage 5: cross-source quality calibration (x88 mirror) at >= 0.5
-qual5 AS ({_QUAL("stage4")}),
+qual5 AS ({_QUAL(q5src)}),
 cdf5 AS (
   SELECT q AS qv,
          CAST(SUM(COUNT(*)) OVER (ORDER BY q
@@ -337,7 +464,25 @@ keep5 AS (
   SELECT doc_id FROM ranked5 rk
   WHERE (SELECT MIN(qv) FROM cdf5 WHERE cf >= rk.r) >= 0.5
 ),
-stage5 AS (SELECT s.* FROM stage4 s JOIN keep5 USING (doc_id)),
+stage5 AS (SELECT s.* FROM {q5src} s JOIN keep5 USING (doc_id)),"""
+
+    if mixture == "tokens":
+        stage6_name = "token_budget"
+        draw = f"""
+-- stage 6: quality-greedy per-source TOKEN budget (x90 mirror on the
+-- post-filter corpus), budget {budget_tokens} tokens per source
+tb AS (
+  SELECT doc_id, source, q, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM ({_QUAL("stage5", tokens=True)})
+),
+keep6 AS (SELECT doc_id FROM tb WHERE cum_tokens <= {budget_tokens}),
+stage6 AS (SELECT s.* FROM stage5 s JOIN keep6 USING (doc_id)),"""
+    else:
+        stage6_name = "mixture_draw"
+        draw = f"""
 -- stage 6: temperature mixture, budget 200 docs, T = 0.7 (x50 plan +
 -- x71 deterministic draw)
 mg AS (
@@ -375,13 +520,24 @@ keep6 AS (
   SELECT d.doc_id FROM mdrawn d JOIN malloc a USING (source)
   WHERE d.rn <= a.alloc_docs
 ),
-stage6 AS (SELECT s.* FROM stage5 s JOIN keep6 USING (doc_id)),
+stage6 AS (SELECT s.* FROM stage5 s JOIN keep6 USING (doc_id)),"""
+
+    s4b_stats = f"\ns4b AS ({_STATS('stage4b')})," if eval_where else ""
+    decon_rows = (
+        "\nUNION ALL SELECT 'decontaminate', s4b.n_docs, s4b.n_chars,"
+        " s4b.n_tokens,\n"
+        "       s4.n_docs - s4b.n_docs, s4.n_chars - s4b.n_chars FROM s4, s4b"
+        if eval_where
+        else ""
+    )
+    q5prev = "s4b" if eval_where else "s4"
+    tail = f"""
 -- split assigns a column, drops nothing: its ledger row repeats stage 6
-s0 AS ({_STATS("documents")}),
+s0 AS ({_STATS(src)}),
 s1 AS ({_STATS("stage1")}),
 s2 AS ({_STATS("stage2")}),
 s3 AS ({_STATS("stage3")}),
-s4 AS ({_STATS("stage4")}),
+s4 AS ({_STATS("stage4")}),{s4b_stats}
 s5 AS ({_STATS("stage5")}),
 s6 AS ({_STATS("stage6")})
 SELECT 'ingest' AS stage, n_docs, n_chars, n_tokens,
@@ -394,14 +550,32 @@ UNION ALL SELECT 'exact_dedup', s2.n_docs, s2.n_chars, s2.n_tokens,
 UNION ALL SELECT 'neardup_canonical', s3.n_docs, s3.n_chars, s3.n_tokens,
        s2.n_docs - s3.n_docs, s2.n_chars - s3.n_chars FROM s2, s3
 UNION ALL SELECT 'span_scrub', s4.n_docs, s4.n_chars, s4.n_tokens,
-       s3.n_docs - s4.n_docs, s3.n_chars - s4.n_chars FROM s3, s4
+       s3.n_docs - s4.n_docs, s3.n_chars - s4.n_chars FROM s3, s4{decon_rows}
 UNION ALL SELECT 'quality_filter', s5.n_docs, s5.n_chars, s5.n_tokens,
-       s4.n_docs - s5.n_docs, s4.n_chars - s5.n_chars FROM s4, s5
-UNION ALL SELECT 'mixture_draw', s6.n_docs, s6.n_chars, s6.n_tokens,
+       {q5prev}.n_docs - s5.n_docs, {q5prev}.n_chars - s5.n_chars
+FROM {q5prev}, s5
+UNION ALL SELECT '{stage6_name}', s6.n_docs, s6.n_chars, s6.n_tokens,
        s5.n_docs - s6.n_docs, s5.n_chars - s6.n_chars FROM s5, s6
 UNION ALL SELECT 'split', n_docs, n_chars, n_tokens,
        CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM s6
 """
+    sql = head + decon + quality + draw + tail
+    # Materialize every stage boundary (and the two multi-referenced
+    # inner CTEs): DuckDB otherwise inlines each reference, and because
+    # stage4 sits on top of the recursive x67 reach chain the inlining
+    # compounds per layer — the decontamination variant re-evaluated the
+    # chain enough times to turn a ~1 min oracle into ~10+ min. A pure
+    # execution hint: results are unchanged (the pending pytest compares
+    # all three variants value-for-value against Spark).
+    for cte in ("stage1", "stage2", "stage3", "stage4", "stage4b",
+                "stage5", "stage6", "c4sh", "qual5", "spans"):
+        sql = sql.replace(f"\n{cte} AS (", f"\n{cte} AS MATERIALIZED (")
+    return sql
+
+
+X231_SQL = _ledger_sql()
+X232_SQL = _ledger_sql(mixture="tokens", budget_tokens=500)
+X233_SQL = _ledger_sql(corpus_where="doc_id >= 20", eval_where="doc_id < 20")
 
 
 PENDING = {
@@ -412,4 +586,6 @@ PENDING = {
     ),
     "x230_ivf_fixed_cells_sweep": (x230_ivf_fixed_cells_sweep, X230_SQL),
     "x231_curation_ledger": (x231_curation_ledger, X231_SQL),
+    "x232_curation_ledger_tokens": (x232_curation_ledger_tokens, X232_SQL),
+    "x233_curation_decontam": (x233_curation_decontam, X233_SQL),
 }
