@@ -192,6 +192,7 @@ def curate(
     span_drop_frac: float = 0.8,
     neardup_threshold: float = 0.3,
     neardup_method: str = "blocked",
+    neardup_lsh_kwargs: dict | None = None,
     train_frac: float = 0.8,
     val_frac: float = 0.1,
     fingerprint_chars: int = 160,
@@ -256,6 +257,10 @@ def curate(
         raise ValueError(
             f"train_frac + val_frac must be within [0, 1]: "
             f"got {train_frac} + {val_frac}"
+        )
+    if neardup_lsh_kwargs and neardup_method != "minhash":
+        raise ValueError(
+            "neardup_lsh_kwargs only applies to neardup_method='minhash'"
         )
 
     def stats(df):
@@ -328,8 +333,14 @@ def curate(
     # LSH + exact-Jaccard confirm — higher recall on long documents, the
     # configuration a 100 TB run typically picks; x3/x25 chain).
     if neardup_method == "minhash":
+        # neardup_lsh_kwargs flows to minhash_lsh_pairs (num_hashes,
+        # bands, max_bucket_size, hash_fn...); hash_fn="md5" selects the
+        # cross-engine-mirrorable family, making this arm oracle-backable
+        # (x234) at ~2x the signature cost of the xxhash64 default
         comps = dd.minhash_dedup_components(
-            cur_df, threshold=neardup_threshold
+            cur_df,
+            threshold=neardup_threshold,
+            **(neardup_lsh_kwargs or {}),
         )
     elif neardup_method == "blocked":
         comps = dd.blocked_dedup_components(

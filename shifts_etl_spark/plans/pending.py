@@ -29,6 +29,9 @@ built from the same parameterized ledger-SQL builder as x231:
   x233 — benchmark decontamination (``eval_docs``, x35's shingle-overlap
          audit applied as a drop filter between span scrub and the
          quality gate).
+  x234 — the minhash near-dup arm with the md5 hash family (x3's
+         cross-engine convention), turning curate()'s last rows-only
+         configuration into a value-checked one.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ from ..operators import dedup, profile, simsearch
 from .extensions._shared import _STOP_EN, _X73_U, X67_SQL, _t
 from .extensions.ann import QUERY_IDS, X185_SQL, X215_SQL
 from .extensions.curation import _X40_U
-from .extensions.dedup import _X85_CHAIN
+from .extensions.dedup import _X85_CHAIN, X3_SQL
 
 # ---------------------------------------------------------------------------
 # x228 — exact-substring scrub APPLIED (dedup.scrub_duplicate_spans)
@@ -242,6 +245,29 @@ def x233_curation_decontam(spark, sf_dir):
     return _ledger_df(spark, ledger)
 
 
+def x234_curation_ledger_minhash(spark, sf_dir):
+    """curate()'s minhash arm made fully oracle-backed: near-dup
+    candidates come from banded MinHash-LSH (64 hashes / 16 bands /
+    hot-bucket cap 500) with the md5 hash family (x3's cross-engine
+    convention, selected via neardup_lsh_kwargs), then the usual exact
+    -Jaccard confirm at 0.3 and components election — the configuration
+    a 100 TB run picks for long documents, now value-checked end to end
+    instead of rows-only. The oracle swaps the blocked x67 chain for the
+    x3 signature/band chain; everything downstream of `comp` is the
+    shared template."""
+    from ..pipeline import curate
+
+    curated, ledger = curate(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        budget_docs=200,
+        neardup_method="minhash",
+        neardup_lsh_kwargs={"hash_fn": "md5"},
+    )
+    curated.unpersist()
+    return _ledger_df(spark, ledger)
+
+
 _NTOK = r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))"
 _NORM = (
     r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ',"
@@ -313,19 +339,63 @@ _SPAN_CHAIN = (
 )
 assert "FROM stage3" in _SPAN_CHAIN
 
+# x3's md5-family MinHash-LSH chain (signatures → bands → hot-bucket cap
+# → candidate pairs), rebased onto the exact-deduped stage and cut before
+# its final SELECT so the verify/closure CTEs can take over — the
+# candidate generator of curate()'s minhash arm (x234). Multi-referenced
+# CTEs get the same MATERIALIZED treatment as the stage boundaries.
+_X3_CTES = (
+    X3_SQL.strip()
+    .removeprefix("WITH ")
+    .replace("FROM documents", "FROM stage2")
+)
+_X3_CTES = _X3_CTES[: _X3_CTES.rindex("\nSELECT id_a")].rstrip()
+for _cte in ("flat", "sigs", "kept", "pairs"):
+    _X3_CTES = _X3_CTES.replace(f"{_cte} AS (", f"{_cte} AS MATERIALIZED (")
+assert _X3_CTES.endswith(")") and "FROM stage2" in _X3_CTES
+
+# banded-LSH candidates → exact-Jaccard confirm (>= 0.3, the x67/x5
+# convention: round-6 then compare, distinct shingle sets) → recursive
+# closure → components, ending in the same `comp` CTE the blocked chain
+# ends in, so the election SQL downstream is shared verbatim
+_MINHASH_COMP_CHAIN = f"""{_X3_CTES},
+dsh AS MATERIALIZED (SELECT doc_id, list(s) AS sh FROM flat GROUP BY doc_id),
+mconf AS MATERIALIZED (
+  SELECT id_a AS ia, id_b AS ib
+  FROM pairs
+  JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3
+),
+medges AS MATERIALIZED (
+  SELECT ia AS a, ib AS b FROM mconf UNION SELECT ib, ia FROM mconf
+),
+reach AS (
+  SELECT a AS node, a AS r FROM medges
+  UNION
+  SELECT e.a AS node, reach.r AS r FROM medges e JOIN reach ON reach.node = e.b
+),
+comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
+)"""
+
+
 def _ledger_sql(
     corpus_where: str | None = None,
     eval_where: str | None = None,
     mixture: str = "docs",
     budget_tokens: int = 500,
+    neardup: str = "blocked",
 ) -> str:
     """Assemble the curate()-ledger oracle for one pipeline configuration:
     an optional corpus restriction, an optional x35-mirror decontamination
     stage (between span scrub and the quality gate, exactly where curate()
-    runs it), and either the temperature document draw (x50/x71) or the
-    per-source token-budget selection (x90) as stage 6. x231/x232/x233
-    are three instantiations of this one template, so the shared stages
-    stay literally identical across the three oracles."""
+    runs it), pluggable near-dup candidate generation (the blocked x67
+    chain or the md5-family MinHash-LSH x3 chain, both ending in the same
+    `comp` CTE), and either the temperature document draw (x50/x71) or
+    the per-source token-budget selection (x90) as stage 6.
+    x231/x232/x233/x234 are four instantiations of this one template, so
+    the shared stages stay literally identical across the oracles."""
     src = "corpus" if corpus_where else "documents"
     pre = (
         f"corpus AS (SELECT * FROM documents WHERE {corpus_where}),\n"
@@ -333,6 +403,9 @@ def _ledger_sql(
         else ""
     )
     q5src = "stage4b" if eval_where else "stage4"
+    comp_chain = (
+        _MINHASH_COMP_CHAIN if neardup == "minhash" else _COMP_CHAIN
+    )
 
     head = f"""
 WITH RECURSIVE
@@ -345,9 +418,9 @@ keep2 AS (
   SELECT MIN(doc_id) AS doc_id FROM stage1 GROUP BY md5({_NORM})
 ),
 stage2 AS (SELECT s.* FROM stage1 s JOIN keep2 USING (doc_id)),
--- stage 3: near-dup components (x67 chain, rebased) + canonical
+-- stage 3: near-dup components (x67 or x3 chain, rebased) + canonical
 -- election (x84): inside each cluster keep the best-quality member
-{_COMP_CHAIN},
+{comp_chain},
 q3 AS ({_QUAL("stage2")}),
 losers AS (
   SELECT doc FROM (
@@ -576,6 +649,7 @@ UNION ALL SELECT 'split', n_docs, n_chars, n_tokens,
 X231_SQL = _ledger_sql()
 X232_SQL = _ledger_sql(mixture="tokens", budget_tokens=500)
 X233_SQL = _ledger_sql(corpus_where="doc_id >= 20", eval_where="doc_id < 20")
+X234_SQL = _ledger_sql(neardup="minhash")
 
 
 PENDING = {
@@ -588,4 +662,5 @@ PENDING = {
     "x231_curation_ledger": (x231_curation_ledger, X231_SQL),
     "x232_curation_ledger_tokens": (x232_curation_ledger_tokens, X232_SQL),
     "x233_curation_decontam": (x233_curation_decontam, X233_SQL),
+    "x234_curation_ledger_minhash": (x234_curation_ledger_minhash, X234_SQL),
 }
