@@ -32,6 +32,10 @@ built from the same parameterized ledger-SQL builder as x231:
   x234 — the minhash near-dup arm with the md5 hash family (x3's
          cross-engine convention), turning curate()'s last rows-only
          configuration into a value-checked one.
+  x235/x236 — x220 retrieval exposure and y6 kNN classifier in the
+         auto-bucket linear-scale mode (the other two members of
+         SCALE.md's fixed-16-bucket superlinear family; x229 already
+         covers x185's).
 """
 
 from __future__ import annotations
@@ -40,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, profile, simsearch
 from .extensions._shared import _STOP_EN, _X73_U, X67_SQL, _t
-from .extensions.ann import QUERY_IDS, X185_SQL, X215_SQL
+from .extensions.ann import QUERY_IDS, X185_SQL, X215_SQL, X220_SQL, Y6_SQL
 from .extensions.curation import _X40_U
 from .extensions.dedup import _X85_CHAIN, X3_SQL
 
@@ -129,11 +133,15 @@ def x229_knn_agreement_autobucket(spark, sf_dir):
     )
 
 
-X229_SQL = X185_SQL.replace(
-    "% 16 AS bkt",
+# ceil(N / 256) buckets, mirrored as a scalar subquery — shared by every
+# auto-bucket entry (x229/x235/x236): the linear-scale mode keeps bucket
+# OCCUPANCY fixed at ~256 instead of bucket COUNT fixed at 16
+_AUTOBKT = (
     "% (SELECT greatest(CAST(1 AS BIGINT),"
-    " CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings) AS bkt",
+    " CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings) AS bkt"
 )
+
+X229_SQL = X185_SQL.replace("% 16 AS bkt", _AUTOBKT)
 assert X229_SQL != X185_SQL  # surgery anchor must exist
 
 
@@ -171,6 +179,46 @@ X230_SQL = X215_SQL.replace("WITH elem AS (", _CENTS, 1).replace(
     1,
 )
 assert X230_SQL != X215_SQL  # surgery anchors must exist
+
+
+# ---------------------------------------------------------------------------
+# x235/x236 — the other two fixed-16-bucket evals in auto-bucket mode
+# (docs/SCALE.md superlinear family: x220 at 8.6x and y6 at 7.7x on the
+# 10x smoke both ride the fixed-16 _knn_votes edges; the opt-in linear
+# mode landed in r6, these give it oracle-backed rows like x229 did for
+# x185)
+# ---------------------------------------------------------------------------
+
+
+def x235_retrieval_exposure_autobucket(spark, sf_dir):
+    """x220's linear-scale mode (profile.retrieval_exposure with
+    n_buckets=None): vote-edge buckets sized ceil(N / 256) so in-bucket
+    pair scoring stays ~256 rows per bucket regardless of corpus size —
+    the 100 TB remedy SCALE.md records for the 8.6x superlinear smoke
+    ratio of the fixed-16 default. Bucket count mirrored in SQL."""
+    return profile.retrieval_exposure(
+        _t(spark, sf_dir, "embeddings"), n_buckets=None
+    )
+
+
+X235_SQL = X220_SQL.replace("% 16 AS bkt", _AUTOBKT)
+assert X235_SQL != X220_SQL  # surgery anchor must exist
+
+
+def x236_knn_classifier_autobucket(spark, sf_dir):
+    """y6's linear-scale mode (profile.knn_classifier_report with
+    n_buckets=None): same auto-sized vote edges as x235, then the
+    majority-vote confusion cells and per-label precision/recall/F1 —
+    the embedding-quality report card at the bucket sizing a 100 TB
+    corpus needs (SCALE.md records 7.7x at 10x for the fixed-16
+    default)."""
+    return profile.knn_classifier_report(
+        _t(spark, sf_dir, "embeddings"), n_buckets=None
+    )
+
+
+X236_SQL = Y6_SQL.replace("% 16 AS bkt", _AUTOBKT)
+assert X236_SQL != Y6_SQL  # surgery anchor must exist
 
 
 # ---------------------------------------------------------------------------
@@ -663,4 +711,12 @@ PENDING = {
     "x232_curation_ledger_tokens": (x232_curation_ledger_tokens, X232_SQL),
     "x233_curation_decontam": (x233_curation_decontam, X233_SQL),
     "x234_curation_ledger_minhash": (x234_curation_ledger_minhash, X234_SQL),
+    "x235_retrieval_exposure_autobucket": (
+        x235_retrieval_exposure_autobucket,
+        X235_SQL,
+    ),
+    "x236_knn_classifier_autobucket": (
+        x236_knn_classifier_autobucket,
+        X236_SQL,
+    ),
 }

@@ -189,11 +189,15 @@ SINGLE_PARTITION_OK = {
     # cross-margin sum) — cells are |langs|^2-bounded
     "y6_knn_classifier",  # 1-row macro-F1 fold over the |labels|-row
     # metric frame
+    "x236_knn_classifier_autobucket",  # y6's plan with auto-sized vote
+    # buckets (pending entry, flag-gated) — same 1-row folds
     "x216_poisson_bootstrap",  # 1-row point estimate + B-row (B=50)
     # percentile fold — the replica aggregate itself is keyed on b
     "x217_dup_flow_matrix",  # 1-row pair total onto |sources|^2 cells
     "x218_ab_power_curve",  # one 1-row moment fold + 4-literal grid
     "x220_retrieval_exposure",  # two 1-row totals onto |labels| cells
+    "x235_retrieval_exposure_autobucket",  # x220's plan with auto-sized
+    # vote buckets (pending entry, flag-gated) — same 1-row totals
     "x221_mix_rate_decomposition",  # 1-row date span + 1-row period
     # totals onto |segments| cells
     "x222_quantile_normalize",  # pooled-CDF fold over the 11-point
@@ -315,6 +319,8 @@ CROSS_JOIN_OK = {
     # linear-scan contract (|Q| rows x corpus); fusion joins |Q| x k
     "y6_knn_classifier",  # crossJoin with the broadcast 1-row macro-F1
     # onto the |labels|-row metric frame
+    "x236_knn_classifier_autobucket",  # y6's crossJoin, auto-bucket
+    # variant (pending entry, flag-gated)
     "x215_ivf_probe_sweep",  # the x13 broadcast-centroid scan plus the
     # 4-literal probe grid onto |Q|-bounded candidate lists
     "x230_ivf_fixed_cells_sweep",  # same contract with n_cells=8
@@ -325,6 +331,8 @@ CROSS_JOIN_OK = {
     # total onto the |sources|^2 cells
     "x220_retrieval_exposure",  # crossJoins with the two broadcast
     # 1-row totals onto the |labels| cells
+    "x235_retrieval_exposure_autobucket",  # x220's crossJoins,
+    # auto-bucket variant (pending entry, flag-gated)
     "x221_mix_rate_decomposition",  # crossJoins with the broadcast
     # 1-row date-span / period totals
     "x222_quantile_normalize",  # range lookup of |sources| x 11 cells
