@@ -83,6 +83,8 @@ def prepare_training_data(
     max_dup_bigram_frac: float | None = None,
     max_length_quantile: float | None = None,
     max_cross_doc_dup_frac: float | None = None,
+    lsh_kwargs: dict | None = None,
+    _cache_registry: list | None = None,
 ) -> dict[str, DataFrame]:
     """The LLM-data capstone pipeline, composed from the extension
     operators: quality-filter → optional repetition filter (Gopher-style
@@ -116,6 +118,12 @@ def prepare_training_data(
     from .operators.textstats import quality_filter, repetition_stats, scrub_pii
 
     docs = docs.select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    if _cache_registry is not None:
+        # the two stage caches back the RETURNED lazy frames, so this
+        # function cannot release them itself; callers that consume the
+        # stages eagerly (the x237 ledger entry) collect the handles here
+        # and unpersist once done — same convention as minhash_lsh_pairs
+        _cache_registry.append(docs)
 
     quality = quality_filter(docs)
     kept = docs.join(quality.where(F.col("keep")).select("doc_id"), "doc_id")
@@ -150,8 +158,14 @@ def prepare_training_data(
 
     scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
+    if _cache_registry is not None:
+        _cache_registry.append(scrubbed)
 
-    clusters = dedup.minhash_dedup_components(scrubbed, threshold=min_jaccard)
+    # lsh_kwargs flows to minhash_lsh_pairs (hash_fn="md5" selects the
+    # cross-engine-mirrorable family — the x237 oracle's configuration)
+    clusters = dedup.minhash_dedup_components(
+        scrubbed, threshold=min_jaccard, **(lsh_kwargs or {})
+    )
     deduped = (
         scrubbed.join(clusters, scrubbed.doc_id == clusters.doc, "left")
         .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))

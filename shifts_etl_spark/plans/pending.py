@@ -36,6 +36,10 @@ built from the same parameterized ledger-SQL builder as x231:
          auto-bucket linear-scale mode (the other two members of
          SCALE.md's fixed-16-bucket superlinear family; x229 already
          covers x185's).
+  x237 — pipeline.prepare_training_data's end-to-end stage-count
+         certificate (quality gate → PII scrub → md5-family minhash
+         dedup → chunk/pack/split), the sibling composed-run
+         certificate to x231's curate().
 """
 
 from __future__ import annotations
@@ -43,9 +47,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, profile, simsearch
-from .extensions._shared import _STOP_EN, _X73_U, X67_SQL, _t
+from .extensions._shared import (
+    _STOP_EN,
+    _X73_U,
+    _Y_SPLIT_CASE,
+    _Y_SPLIT_INNER,
+    X67_SQL,
+    _t,
+)
 from .extensions.ann import QUERY_IDS, X185_SQL, X215_SQL, X220_SQL, Y6_SQL
-from .extensions.curation import _X40_U
+from .extensions.curation import _NORM_TOKS_SQL, _X40_U
 from .extensions.dedup import _X85_CHAIN, X3_SQL
 
 # ---------------------------------------------------------------------------
@@ -402,18 +413,20 @@ for _cte in ("flat", "sigs", "kept", "pairs"):
     _X3_CTES = _X3_CTES.replace(f"{_cte} AS (", f"{_cte} AS MATERIALIZED (")
 assert _X3_CTES.endswith(")") and "FROM stage2" in _X3_CTES
 
-# banded-LSH candidates → exact-Jaccard confirm (>= 0.3, the x67/x5
-# convention: round-6 then compare, distinct shingle sets) → recursive
-# closure → components, ending in the same `comp` CTE the blocked chain
-# ends in, so the election SQL downstream is shared verbatim
-_MINHASH_COMP_CHAIN = f"""{_X3_CTES},
+# banded-LSH candidates → exact-Jaccard confirm (the x67/x5 convention:
+# round-6 then compare, distinct shingle sets) → recursive closure →
+# components, ending in the same `comp` CTE the blocked chain ends in,
+# so the election SQL downstream is shared verbatim. Threshold is the
+# only knob (0.3 = curate()'s default, 0.5 = prepare_training_data's).
+def _minhash_comp_chain(threshold: float) -> str:
+    return f"""{_X3_CTES},
 dsh AS MATERIALIZED (SELECT doc_id, list(s) AS sh FROM flat GROUP BY doc_id),
 mconf AS MATERIALIZED (
   SELECT id_a AS ia, id_b AS ib
   FROM pairs
   JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
   WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.3
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= {threshold}
 ),
 medges AS MATERIALIZED (
   SELECT ia AS a, ib AS b FROM mconf UNION SELECT ib, ia FROM mconf
@@ -426,6 +439,9 @@ reach AS (
 comp AS (
   SELECT node AS doc, MIN(r) AS cluster_id FROM reach GROUP BY node
 )"""
+
+
+_MINHASH_COMP_CHAIN = _minhash_comp_chain(0.3)
 
 
 def _ledger_sql(
@@ -700,6 +716,117 @@ X233_SQL = _ledger_sql(corpus_where="doc_id >= 20", eval_where="doc_id < 20")
 X234_SQL = _ledger_sql(neardup="minhash")
 
 
+# ---------------------------------------------------------------------------
+# x237 — pipeline.prepare_training_data, end-to-end stage counts
+# ---------------------------------------------------------------------------
+
+
+def x237_training_data_ledger(spark, sf_dir):
+    """The TRAINING-SHARD pipeline's end-to-end certificate — the
+    sibling composed run to x231's curate(): quality gate → PII scrub →
+    minhash near-dup removal (md5 family via lsh_kwargs, min_jaccard
+    0.5) → context-window chunking (100/20) → 512-token packing →
+    md5-bucket split, reported as one stage-count ledger. Certifies
+    that the individually green x16/x3/x21/x22/y-split stages compose
+    the way pipeline.prepare_training_data chains them."""
+    from ..pipeline import prepare_training_data
+
+    caches: list = []
+    stages = prepare_training_data(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        lsh_kwargs={"hash_fn": "md5"},
+        _cache_registry=caches,
+    )
+    rows = [
+        ("quality_total", stages["quality"].count()),
+        ("quality_keep", stages["quality"].where(F.col("keep")).count()),
+        ("deduped", stages["deduped"].count()),
+        ("chunks", stages["chunks"].count()),
+        (
+            "packs",
+            stages["packs"].select("pack_id").distinct().count(),
+        ),
+    ]
+    sp = {
+        r["split"]: r["n"]
+        for r in stages["split"]
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows += [(f"split_{k}", int(sp.get(k, 0))) for k in ("train", "val", "test")]
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
+X237_SQL = f"""
+WITH RECURSIVE
+-- quality gate (textstats.quality_filter mirror): drop on too few
+-- tokens (< 20), digit ratio > 0.2, or mean token length < 3.0
+qstats AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digr,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+              AS DOUBLE) / greatest(len(toks), 1) AS mtl
+  FROM (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+  )
+),
+stage1 AS MATERIALIZED (
+  SELECT doc_id, text FROM qstats
+  WHERE n_tokens >= 20 AND digr <= 0.2 AND mtl >= 3.0
+),
+-- PII scrub (x16 mirror) on the survivors
+stage2 AS MATERIALIZED (
+  SELECT doc_id, {_PII} AS text FROM stage1
+),
+-- md5-family MinHash-LSH candidates -> exact-Jaccard confirm at 0.5 ->
+-- components; keep unclustered docs and each cluster's min-id member
+{_minhash_comp_chain(0.5)},
+stage3 AS MATERIALIZED (
+  SELECT s.doc_id, s.text
+  FROM stage2 s LEFT JOIN comp c ON c.doc = s.doc_id
+  WHERE c.doc IS NULL OR c.cluster_id = s.doc_id
+),
+-- x21 chunk rows (100-token chunks, 20 overlap) over the deduped docs
+ch AS (
+  SELECT unnest(generate_series(0,
+           CAST(greatest(ceil((len(tk) - 20) / 80.0), 1) AS BIGINT) - 1))
+  FROM (SELECT {_NORM_TOKS_SQL} AS tk FROM stage3)
+),
+-- x22 pack ids (512-token budget, doc-id order)
+pk AS (
+  SELECT floor((c - n_tokens) / 512.0) AS pack_id
+  FROM (
+    SELECT n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM (SELECT doc_id, len({_NORM_TOKS_SQL}) AS n_tokens FROM stage3)
+  )
+),
+-- y-split md5 buckets over the deduped docs
+sp AS (
+  SELECT {_Y_SPLIT_CASE} AS split
+  FROM (SELECT ({_Y_SPLIT_INNER}) AS b FROM stage3)
+)
+SELECT 'quality_total' AS stage, CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+UNION ALL SELECT 'quality_keep', count(*) FROM stage1
+UNION ALL SELECT 'deduped', count(*) FROM stage3
+UNION ALL SELECT 'chunks', count(*) FROM ch
+UNION ALL SELECT 'packs', count(DISTINCT pack_id) FROM pk
+UNION ALL SELECT 'split_train', count(*) FROM sp WHERE split = 'train'
+UNION ALL SELECT 'split_val', count(*) FROM sp WHERE split = 'val'
+UNION ALL SELECT 'split_test', count(*) FROM sp WHERE split = 'test'
+"""
+
+
 PENDING = {
     "x228_span_scrub_apply": (x228_span_scrub_apply, X228_SQL),
     "x229_knn_agreement_autobucket": (
@@ -719,4 +846,5 @@ PENDING = {
         x236_knn_classifier_autobucket,
         X236_SQL,
     ),
+    "x237_training_data_ledger": (x237_training_data_ledger, X237_SQL),
 }
