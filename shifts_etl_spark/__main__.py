@@ -8,6 +8,9 @@ endpoints (reference etl/app/main.py:31-67) plus local utilities:
   python -m shifts_etl_spark curate     --input DOCS.parquet [--output DIR]
                                         [--budget-docs N] [--min-quality Q]
                                         [--eval-input EVAL.parquet]
+  python -m shifts_etl_spark prepare    --input DOCS.parquet [--output DIR]
+                                        [--min-jaccard J] [--chunk-tokens N]
+                                        [--budget-tokens N]
 """
 
 from __future__ import annotations
@@ -44,6 +47,17 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-quality", type=float, default=0.5)
     cu.add_argument("--eval-input", default=None, help="eval parquet for decontamination")
     cu.add_argument("--no-pii-scrub", action="store_true")
+
+    pr = sub.add_parser(
+        "prepare",
+        help="training-shard run: quality → scrub → dedup → chunk/pack → split",
+    )
+    pr.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    pr.add_argument("--output", default=None, help="StagedWriter dir for the 5 stage tables")
+    pr.add_argument("--min-jaccard", type=float, default=0.5)
+    pr.add_argument("--chunk-tokens", type=int, default=100)
+    pr.add_argument("--overlap", type=int, default=20)
+    pr.add_argument("--budget-tokens", type=int, default=512)
 
     args = p.parse_args(argv)
 
@@ -88,6 +102,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         for row in ledger:
             print(row)
+        return 0
+
+    if args.cmd == "prepare":
+        from pyspark.sql import functions as F
+
+        from .pipeline import prepare_training_data
+
+        caches: list = []
+        stages = prepare_training_data(
+            spark,
+            spark.read.parquet(args.input),
+            output_dir=args.output,
+            min_jaccard=args.min_jaccard,
+            chunk_tokens=args.chunk_tokens,
+            overlap=args.overlap,
+            budget_tokens=args.budget_tokens,
+            _cache_registry=caches,
+        )
+        counts = {
+            "quality_keep": stages["quality"].where(F.col("keep")).count(),
+            "deduped": stages["deduped"].count(),
+            "chunks": stages["chunks"].count(),
+            "packs": stages["packs"].select("pack_id").distinct().count(),
+            "split": stages["split"].count(),
+        }
+        for c in caches:
+            c.unpersist()
+        print(counts)
         return 0
 
     # run-etl

@@ -139,6 +139,33 @@ def test_cli_curate_smoke(spark, tmp_path, capsys):
     assert ledger["split"].n_docs == 100
 
 
+def test_cli_prepare_smoke(spark, tmp_path, capsys):
+    """CLI smoke for the training-shard pipeline: `python -m
+    shifts_etl_spark prepare` on the sf0.001 documents table — printed
+    stage counts plus the five persisted stage tables. The quality-gate
+    count is deterministic (446 at sf0.001, pinned by the x237 oracle);
+    dedup runs the xxhash64 default here, so downstream counts are
+    bounded rather than pinned (the md5-family configuration is
+    value-checked by x237)."""
+    from shifts_etl_spark.__main__ import main
+    from shifts_etl_spark.sinks.staged import StagedWriter
+
+    out = str(tmp_path / "prepared")
+    assert main([
+        "prepare", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert "'quality_keep': 446" in printed
+    w = StagedWriter(out)
+    deduped = w.read_table(spark, "deduped")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= 446
+    assert w.read_table(spark, "chunks").count() >= n_dedup
+    assert w.read_table(spark, "split").count() == n_dedup
+    assert set(deduped.columns) == {"doc_id", "text"}
+
+
 def test_run_etl_over_real_http(spark, tmp_path):
     """Full E1 over an actual HTTP boundary: threaded stdlib server serving
     the reference's page envelope, urllib-based page iterator, full
