@@ -10,7 +10,7 @@ endpoints (reference etl/app/main.py:31-67) plus local utilities:
                                         [--eval-input EVAL.parquet]
   python -m shifts_etl_spark prepare    --input DOCS.parquet [--output DIR]
                                         [--min-jaccard J] [--chunk-tokens N]
-                                        [--budget-tokens N]
+                                        [--overlap N] [--budget-tokens N]
 """
 
 from __future__ import annotations
@@ -110,25 +110,34 @@ def main(argv: list[str] | None = None) -> int:
         from .pipeline import prepare_training_data
 
         caches: list = []
-        stages = prepare_training_data(
-            spark,
-            spark.read.parquet(args.input),
-            output_dir=args.output,
-            min_jaccard=args.min_jaccard,
-            chunk_tokens=args.chunk_tokens,
-            overlap=args.overlap,
-            budget_tokens=args.budget_tokens,
-            _cache_registry=caches,
-        )
-        counts = {
-            "quality_keep": stages["quality"].where(F.col("keep")).count(),
-            "deduped": stages["deduped"].count(),
-            "chunks": stages["chunks"].count(),
-            "packs": stages["packs"].select("pack_id").distinct().count(),
-            "split": stages["split"].count(),
-        }
-        for c in caches:
-            c.unpersist()
+        try:
+            stages = prepare_training_data(
+                spark,
+                spark.read.parquet(args.input),
+                output_dir=args.output,
+                min_jaccard=args.min_jaccard,
+                chunk_tokens=args.chunk_tokens,
+                overlap=args.overlap,
+                budget_tokens=args.budget_tokens,
+                _cache_registry=caches,
+            )
+            if args.output:
+                # write_batch already materialized every stage — count
+                # the persisted tables instead of re-running the DAGs
+                from .sinks.staged import StagedWriter
+
+                w = StagedWriter(args.output)
+                stages = {n: w.read_table(spark, n) for n in stages}
+            counts = {
+                "quality_keep": stages["quality"].where(F.col("keep")).count(),
+                "deduped": stages["deduped"].count(),
+                "chunks": stages["chunks"].count(),
+                "packs": stages["packs"].select("pack_id").distinct().count(),
+                "split": stages["split"].count(),
+            }
+        finally:
+            for c in caches:
+                c.unpersist()
         print(counts)
         return 0
 

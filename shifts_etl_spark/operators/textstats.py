@@ -278,7 +278,10 @@ def quality_filter(
 ) -> DataFrame:
     """Training-data quality gate: keep/drop per doc with the FIRST failing
     reason (deterministic reason priority), the composable filter stage of
-    a data pipeline. Pure expressions — the filter pushes to the scan."""
+    a data pipeline. Pure expressions — the filter pushes to the scan.
+
+    DuckDB mirrors of this rubric: X18_SQL (reason-labeled) and X237_SQL's
+    qstats/stage1 (kept-set only) — keep the thresholds in sync."""
     c = F.col(text_col)
     n = token_count(c)
     reason = (

@@ -117,6 +117,21 @@ def prepare_training_data(
     from .operators.chunking import chunk_documents, pack_sequences
     from .operators.textstats import quality_filter, repetition_stats, scrub_pii
 
+    # fail fast on config typos BEFORE any Spark action (same rationale
+    # as curate()'s entry validation): chunk_documents' own guard would
+    # otherwise fire only after the eager LSH-dedup stage has burned a
+    # full corpus pass, and budget_tokens=0 would silently NULL every
+    # pack_id instead of erroring
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): got {overlap} vs "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: got {budget_tokens}")
+    if not 0 <= min_jaccard <= 1:
+        raise ValueError(f"min_jaccard must be in [0, 1]: got {min_jaccard}")
+
     docs = docs.select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
     if _cache_registry is not None:
         # the two stage caches back the RETURNED lazy frames, so this
@@ -356,14 +371,9 @@ def curate(
             threshold=neardup_threshold,
             **(neardup_lsh_kwargs or {}),
         )
-    elif neardup_method == "blocked":
+    else:  # "blocked" — the only other value the entry validation admits
         comps = dd.blocked_dedup_components(
             cur_df, threshold=neardup_threshold
-        )
-    else:
-        raise ValueError(
-            f"unknown neardup_method {neardup_method!r}: "
-            "expected 'blocked' or 'minhash'"
         )
     scored = cur_df.select(
         F.col("doc_id").alias("doc"),

@@ -732,39 +732,45 @@ def x237_training_data_ledger(spark, sf_dir):
     from ..pipeline import prepare_training_data
 
     caches: list = []
-    stages = prepare_training_data(
-        spark,
-        _t(spark, sf_dir, "documents"),
-        lsh_kwargs={"hash_fn": "md5"},
-        _cache_registry=caches,
-    )
-    rows = [
-        ("quality_total", stages["quality"].count()),
-        ("quality_keep", stages["quality"].where(F.col("keep")).count()),
-        ("deduped", stages["deduped"].count()),
-        ("chunks", stages["chunks"].count()),
-        (
-            "packs",
-            stages["packs"].select("pack_id").distinct().count(),
-        ),
-    ]
-    sp = {
-        r["split"]: r["n"]
-        for r in stages["split"]
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    rows += [(f"split_{k}", int(sp.get(k, 0))) for k in ("train", "val", "test")]
-    for c in caches:
-        c.unpersist()
+    try:
+        stages = prepare_training_data(
+            spark,
+            _t(spark, sf_dir, "documents"),
+            lsh_kwargs={"hash_fn": "md5"},
+            _cache_registry=caches,
+        )
+        rows = [
+            ("quality_total", stages["quality"].count()),
+            ("quality_keep", stages["quality"].where(F.col("keep")).count()),
+            ("deduped", stages["deduped"].count()),
+            ("chunks", stages["chunks"].count()),
+            (
+                "packs",
+                stages["packs"].select("pack_id").distinct().count(),
+            ),
+        ]
+        sp = {
+            r["split"]: r["n"]
+            for r in stages["split"]
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows += [
+            (f"split_{k}", int(sp.get(k, 0))) for k in ("train", "val", "test")
+        ]
+    finally:
+        for c in caches:
+            c.unpersist()
     return spark.createDataFrame(rows, "stage string, n_rows long")
 
 
 X237_SQL = f"""
 WITH RECURSIVE
--- quality gate (textstats.quality_filter mirror): drop on too few
--- tokens (< 20), digit ratio > 0.2, or mean token length < 3.0
+-- quality gate (textstats.quality_filter mirror; the reason-labeled
+-- form of the same rubric is X18_SQL — change all three together):
+-- drop on too few tokens (< 20), digit ratio > 0.2, or mean token
+-- length < 3.0
 qstats AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
