@@ -321,3 +321,14 @@ def test_unknown_neardup_method_raises(spark):
     )
     with pytest.raises(ValueError, match="neardup_method"):
         curate(spark, docs, neardup_method="minhsah")
+
+
+def test_lsh_kwargs_with_blocked_method_raises(spark):
+    """neardup_lsh_kwargs only makes sense for the minhash arm — with
+    the blocked method it would be silently ignored, so it fails fast
+    at entry like the other config validations."""
+    docs = spark.createDataFrame(
+        [(1, "s0", "some words here")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="neardup_lsh_kwargs"):
+        curate(spark, docs, neardup_lsh_kwargs={"hash_fn": "md5"})

@@ -121,3 +121,19 @@ def test_cross_doc_dup_filter_stage(spark):
     # by the cross-doc stage; the clean doc survives; stage off = no drop
     assert 2 in kept_ids and not {0, 1} & kept_ids
     assert {0, 1, 2} <= base_ids
+
+
+def test_prepare_validates_knobs_before_any_action(spark):
+    """Config typos fail at entry, BEFORE the eager LSH-dedup stage
+    burns a corpus pass (the curate() convention): overlap must sit in
+    [0, chunk_tokens), budget_tokens must be positive (0 would silently
+    NULL every pack_id), min_jaccard must be a fraction."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "some words")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        prepare_training_data(spark, docs, chunk_tokens=100, overlap=100)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        prepare_training_data(spark, docs, budget_tokens=0)
+    with pytest.raises(ValueError, match="min_jaccard"):
+        prepare_training_data(spark, docs, min_jaccard=1.5)
