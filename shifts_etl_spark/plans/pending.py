@@ -40,6 +40,9 @@ built from the same parameterized ledger-SQL builder as x231:
          certificate (quality gate → PII scrub → md5-family minhash
          dedup → chunk/pack/split), the sibling composed-run
          certificate to x231's curate().
+  x238 — x237 with the optional deterministic filter stages on
+         (Gopher repetition cutoff + RefinedWeb cross-doc coverage
+         cutoff, the x28/x68 signals applied).
 """
 
 from __future__ import annotations
@@ -731,6 +734,15 @@ def x237_training_data_ledger(spark, sf_dir):
     the way pipeline.prepare_training_data chains them."""
     from ..pipeline import prepare_training_data
 
+    return _training_rows(spark, sf_dir)
+
+
+def _training_rows(spark, sf_dir, **prep_kwargs):
+    """Run prepare_training_data (md5 hash family + any extra config)
+    and reduce the returned stages to the 8-row stage-count ledger the
+    x237/x238 oracles reproduce."""
+    from ..pipeline import prepare_training_data
+
     caches: list = []
     try:
         stages = prepare_training_data(
@@ -738,6 +750,7 @@ def x237_training_data_ledger(spark, sf_dir):
             _t(spark, sf_dir, "documents"),
             lsh_kwargs={"hash_fn": "md5"},
             _cache_registry=caches,
+            **prep_kwargs,
         )
         rows = [
             ("quality_total", stages["quality"].count()),
@@ -765,7 +778,102 @@ def x237_training_data_ledger(spark, sf_dir):
     return spark.createDataFrame(rows, "stage string, n_rows long")
 
 
-X237_SQL = f"""
+def x238_training_data_filters(spark, sf_dir):
+    """x237 with the two optional deterministic filter stages ON:
+    Gopher-style intra-doc repetition cutoff (dup_bigram_frac <= 0.1,
+    the x28 signal) and RefinedWeb-style cross-corpus boilerplate
+    cutoff (duplicate-5-gram coverage <= 0.8, the x68 signal), spliced
+    between the quality gate and the PII scrub exactly where
+    prepare_training_data runs them. Same 8-row ledger as x237 — the
+    filters' effect is certified through the downstream
+    dedup/chunk/pack/split counts. (The third optional stage, the
+    length-quantile cutoff, rides a mergeable sketch whose approximate
+    cutoff is not SQL-mirrorable — it stays pytest-covered.)"""
+    return _training_rows(
+        spark, sf_dir, max_dup_bigram_frac=0.1, max_cross_doc_dup_frac=0.8
+    )
+
+
+def _training_ledger_sql(
+    max_dup_bigram: float | None = None,
+    max_crossdoc: float | None = None,
+) -> str:
+    """Assemble the prepare_training_data stage-count oracle: quality
+    gate → [optional x28 repetition filter] → [optional x68 cross-doc
+    coverage filter] → PII scrub → md5-family minhash components →
+    chunk/pack/split counts. x237 (both filters off) and x238 (both on)
+    are two instantiations, so the shared stages stay literally
+    identical."""
+    scrub_src = "stage1"
+    filters = ""
+    if max_dup_bigram is not None:
+        filters += f"""
+-- optional filter 1 (x28 mirror on the kept docs, RAW-text whitespace
+-- bigrams): keep docs whose duplicate-bigram fraction is within bound;
+-- the pipeline's inner join drops token-less docs, which the per-doc
+-- aggregate reproduces (no tok rows -> no rep row)
+rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(t2) AS n_bigrams,
+           count(DISTINCT CASE WHEN t2 IS NOT NULL
+                               THEN tk || ' ' || t2 END) AS nd
+    FROM (
+      SELECT doc_id, tk,
+             lead(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM (
+        SELECT doc_id, unnest(t) AS tk,
+               unnest(generate_series(1, len(t))) AS pos
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM {scrub_src}
+        )
+      )
+    ) GROUP BY doc_id
+  )
+  WHERE CASE WHEN n_bigrams > 0
+             THEN 1 - nd / CAST(n_bigrams AS DOUBLE) ELSE 0.0 END
+        <= {max_dup_bigram}
+),
+stage1r AS MATERIALIZED (
+  SELECT s.* FROM {scrub_src} s JOIN rep USING (doc_id)
+),"""
+        scrub_src = "stage1r"
+    if max_crossdoc is not None:
+        filters += f"""
+-- optional filter 2 (x68 mirror on the post-repetition kept set):
+-- drop docs whose duplicate-5-gram coverage (round 6, the operator's
+-- convention) exceeds the bound; docs absent from the coverage frame
+-- (zero tokens) pass through the anti-join untouched
+cdnorm AS (
+  SELECT doc_id, {{norm}} AS toks FROM {scrub_src}
+),
+cdshp AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS s
+  FROM cdnorm, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)
+),
+cddup AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM cdshp)
+  GROUP BY s HAVING count(*) >= 2
+),
+cdover AS (
+  SELECT n.doc_id
+  FROM cdnorm n JOIN (
+    SELECT doc_id, count(DISTINCT cp) AS dup_tokens
+    FROM (SELECT doc_id, unnest(generate_series(i, i + 4)) AS cp
+          FROM cdshp SEMI JOIN cddup USING (s))
+    GROUP BY doc_id
+  ) c USING (doc_id)
+  WHERE round(CAST(c.dup_tokens AS DOUBLE) / len(n.toks), 6) > {max_crossdoc}
+),
+stage1c AS MATERIALIZED (
+  SELECT s.* FROM {scrub_src} s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM cdover)
+),""".replace("{norm}", _NORM_TOKS_SQL)
+        scrub_src = "stage1c"
+
+    return f"""
 WITH RECURSIVE
 -- quality gate (textstats.quality_filter mirror; the reason-labeled
 -- form of the same rubric is X18_SQL — change all three together):
@@ -787,10 +895,10 @@ qstats AS (
 stage1 AS MATERIALIZED (
   SELECT doc_id, text FROM qstats
   WHERE n_tokens >= 20 AND digr <= 0.2 AND mtl >= 3.0
-),
+),{filters}
 -- PII scrub (x16 mirror) on the survivors
 stage2 AS MATERIALIZED (
-  SELECT doc_id, {_PII} AS text FROM stage1
+  SELECT doc_id, {_PII} AS text FROM {scrub_src}
 ),
 -- md5-family MinHash-LSH candidates -> exact-Jaccard confirm at 0.5 ->
 -- components; keep unclustered docs and each cluster's min-id member
@@ -833,6 +941,10 @@ UNION ALL SELECT 'split_test', count(*) FROM sp WHERE split = 'test'
 """
 
 
+X237_SQL = _training_ledger_sql()
+X238_SQL = _training_ledger_sql(max_dup_bigram=0.1, max_crossdoc=0.8)
+
+
 PENDING = {
     "x228_span_scrub_apply": (x228_span_scrub_apply, X228_SQL),
     "x229_knn_agreement_autobucket": (
@@ -853,4 +965,5 @@ PENDING = {
         X236_SQL,
     ),
     "x237_training_data_ledger": (x237_training_data_ledger, X237_SQL),
+    "x238_training_data_filters": (x238_training_data_filters, X238_SQL),
 }
