@@ -176,13 +176,27 @@ def prepare_training_data(
     if _cache_registry is not None:
         _cache_registry.append(scrubbed)
 
+    # Collapse exact (normalized) duplicates BEFORE the LSH stage: exact
+    # copies share identical shingle sets, hence identical signatures and
+    # buckets, so keeping only the min-id copy never changes the near-dup
+    # survivor set while the pile is under the hot-bucket cap — and above
+    # it, it strictly improves recall (a corpus-scale pile of identical
+    # docs would overflow its LSH buckets and escape dedup entirely).
+    # It also removes the pair work that grows QUADRATICALLY with
+    # duplication: the 30x-replica smoke ran 6.8x without this collapse
+    # vs curate()'s 0.7x with it (docs/SCALE.md).
+    exact_keep = dedup.exact_dedup_normalized(scrubbed).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    collapsed = scrubbed.join(exact_keep, "doc_id", "semi")
+
     # lsh_kwargs flows to minhash_lsh_pairs (hash_fn="md5" selects the
     # cross-engine-mirrorable family — the x237 oracle's configuration)
     clusters = dedup.minhash_dedup_components(
-        scrubbed, threshold=min_jaccard, **(lsh_kwargs or {})
+        collapsed, threshold=min_jaccard, **(lsh_kwargs or {})
     )
     deduped = (
-        scrubbed.join(clusters, scrubbed.doc_id == clusters.doc, "left")
+        collapsed.join(clusters, collapsed.doc_id == clusters.doc, "left")
         .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .select("doc_id", "text")
     )

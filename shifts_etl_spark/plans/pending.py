@@ -897,8 +897,18 @@ stage1 AS MATERIALIZED (
   WHERE n_tokens >= 20 AND digr <= 0.2 AND mtl >= 3.0
 ),{filters}
 -- PII scrub (x16 mirror) on the survivors
-stage2 AS MATERIALIZED (
+stage2pre AS MATERIALIZED (
   SELECT doc_id, {_PII} AS text FROM {scrub_src}
+),
+-- exact-normalized pre-collapse (x1/x2 mirror): min-id copy per
+-- normalized hash feeds the LSH stage — survivor-set-preserving under
+-- the hot-bucket cap, quadratic-pair-work-saving always (see
+-- pipeline.prepare_training_data)
+keepx AS (
+  SELECT MIN(doc_id) AS doc_id FROM stage2pre GROUP BY md5({_NORM})
+),
+stage2 AS MATERIALIZED (
+  SELECT s.* FROM stage2pre s JOIN keepx USING (doc_id)
 ),
 -- md5-family MinHash-LSH candidates -> exact-Jaccard confirm at 0.5 ->
 -- components; keep unclustered docs and each cluster's min-id member
