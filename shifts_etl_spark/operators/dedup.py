@@ -684,7 +684,16 @@ def minhash_dedup_components(
     banded frames for the self-join; ``dedup_clusters`` eagerly
     localCheckpoints its labels (truncating lineage), so those caches
     are dead weight by the time this returns — they are unpersisted
-    here rather than leaked for the session lifetime."""
+    here rather than leaked for the session lifetime.
+
+    Scale note: EXACT-COLLAPSE FIRST (``exact_dedup_normalized``, the
+    x1/x2 hash groupBy) and hand this only the min-id copies, the way
+    ``pipeline.curate`` and ``pipeline.prepare_training_data`` do.
+    Exact copies share identical signatures and buckets, so the
+    in-bucket pair work grows quadratically with duplication (a 30×
+    replicated corpus measured 6.8× wall-clock without the collapse vs
+    2.3× with it, docs/SCALE.md), and a corpus-scale pile of identical
+    docs overflows the hot-bucket cap and escapes dedup entirely."""
     caches: list = []
     cand = minhash_lsh_pairs(
         docs, text_col, id_col, _cache_registry=caches, **lsh_kwargs
