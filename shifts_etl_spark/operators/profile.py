@@ -1313,7 +1313,7 @@ def price_dispersion(
 
 def knn_label_agreement(
     emb: DataFrame,
-    n_buckets: int | None = 16,
+    n_buckets: int | None = None,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
@@ -1332,12 +1332,13 @@ def knn_label_agreement(
     6 dp with (cosine desc, neighbor id) NN tie-break; agreement is
     integer counting, shares at 6 dp.
 
-    Scale shape: the pair scan is per-bucket (bounded blocks — pass
-    ``n_buckets=None`` to auto-size buckets to ~``target_bucket_rows``
-    occupancy so pair work stays linear in the corpus, the same 100 TB
-    mode as ``_knn_votes``; or swap in the x8 LSH bands); labels rejoin
-    by id; the rollup is |labels|-cell. The fixed default (16) is kept
-    for catalog-oracle parity."""
+    Scale shape: the pair scan is per-bucket (bounded blocks); labels
+    rejoin by id; the rollup is |labels|-cell. ``n_buckets=None`` (the
+    default since round 8) auto-sizes buckets to ~``target_bucket_rows``
+    occupancy so pair work stays linear in the corpus — the 100 TB mode,
+    same as ``_knn_votes``. A fixed ``n_buckets`` (the pre-r8 default of
+    16) stays opt-in for legacy parity; its pair work grows
+    quadratically with the corpus (docs/SCALE.md)."""
     from .curation import _hex_uniform_int
     from .dedup import embedding_nn_pairs
 
@@ -1664,13 +1665,14 @@ def _knn_votes(
     the x185 label-blind md5 buckets — the shared candidate stage of
     the kNN classifier (y6) and retrieval-exposure (x220) evals.
 
-    ``n_buckets=None`` is the 100 TB mode (docs/SCALE.md round-6 tail):
-    a FIXED bucket count makes bucket size — and therefore the in-bucket
-    pair scoring — grow linearly/quadratically with the corpus, so auto
-    mode sizes n_buckets ∝ N / target_bucket_rows instead. Bucket
-    occupancy then stays ~target regardless of N and total pair work is
-    N × target, linear in the corpus. One count() action buys the
-    sizing; the fixed default (16) is kept for catalog-oracle parity."""
+    ``n_buckets=None`` is the 100 TB mode (docs/SCALE.md round-6 tail),
+    and the callers' default since round 8: a FIXED bucket count makes
+    bucket size — and therefore the in-bucket pair scoring — grow
+    linearly/quadratically with the corpus, so auto mode sizes
+    n_buckets ∝ N / target_bucket_rows instead. Bucket occupancy then
+    stays ~target regardless of N and total pair work is N × target,
+    linear in the corpus. One count() action buys the sizing; a fixed
+    count (the pre-r8 default of 16) stays opt-in for legacy parity."""
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_from_norms, l2_norm
@@ -1713,10 +1715,11 @@ def _knn_votes(
 def knn_classifier_report(
     emb: DataFrame,
     k: int = 5,
-    n_buckets: int | None = 16,
+    n_buckets: int | None = None,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Leave-one-out k-NN majority-vote classifier report card:
     block vectors into the x185 label-blind md5 buckets, vote each
@@ -1734,7 +1737,7 @@ def knn_classifier_report(
     Scale shape: the pair scan is per-bucket (bounded blocks, the x185
     contract — at 100 TB swap buckets for x8 LSH bands); everything
     downstream of the votes is |labels|^2 cells."""
-    votes = _knn_votes(emb, k, n_buckets, id_col, vec_col)
+    votes = _knn_votes(emb, k, n_buckets, id_col, vec_col, target_bucket_rows)
     nlab = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
     )
@@ -1898,10 +1901,11 @@ def poisson_bootstrap_mean(
 def retrieval_exposure(
     emb: DataFrame,
     k: int = 5,
-    n_buckets: int | None = 16,
+    n_buckets: int | None = None,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Retrieval exposure fairness: per label, the share of top-``k``
     neighbor-list appearances (exposure) vs the label's corpus base
@@ -1912,7 +1916,7 @@ def retrieval_exposure(
 
     Scale shape: the x185 bucketed vote scan, then |labels|-cell
     aggregates against two broadcast 1-row totals."""
-    votes = _knn_votes(emb, k, n_buckets, id_col, vec_col)
+    votes = _knn_votes(emb, k, n_buckets, id_col, vec_col, target_bucket_rows)
     nlab = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("label")
     )

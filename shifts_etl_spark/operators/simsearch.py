@@ -692,7 +692,7 @@ def ivf_probe_sweep(
     probes: tuple[int, ...] = (1, 2, 4, 8),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int | None = None,
+    n_cells: int | None = 8,
 ) -> DataFrame:
     """Recall-vs-cost tuning curve for the x13 IVF index: for each
     n_probe setting, per query, the candidate count actually scanned
@@ -709,14 +709,15 @@ def ivf_probe_sweep(
     equi-join, id-only dedup shuffle) plus a 4-literal probe explode
     over the |Q|-bounded candidate lists.
 
-    ``n_cells`` is the 100 TB mode (docs/SCALE.md round-6 tail): the
-    default stride sample grows the centroid count WITH the corpus, so
-    assignment (|corpus| × |centroids| broadcast cosines) turns
-    quadratic at scale. A fixed ``n_cells`` takes the n_cells vectors
-    with the smallest deterministic md5 priority as centroids instead —
-    assignment stays |corpus| × n_cells (linear), cell population grows
-    to N / n_cells (cap with the x8 band trick if cells must stay
-    cache-sized). The stride default is kept for catalog-oracle parity."""
+    A fixed ``n_cells`` (the default since round 8) is the 100 TB mode
+    (docs/SCALE.md round-6 tail): it takes the n_cells vectors with the
+    smallest deterministic md5 priority as centroids, so assignment
+    stays |corpus| × n_cells (linear); cell population grows to
+    N / n_cells (cap with the x8 band trick if cells must stay
+    cache-sized). ``n_cells=None`` falls back to the legacy stride
+    sample, whose centroid count grows WITH the corpus — assignment
+    (|corpus| × |centroids| broadcast cosines) turns quadratic at scale
+    (18.2× on the 10× smoke); it stays opt-in for parity only."""
     from .curation import _hex_uniform_int
     from .dedup import _fan_out
 

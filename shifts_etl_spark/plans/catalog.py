@@ -105,7 +105,18 @@ _DRIVER_VERIFIED_SEED = frozenset(
 # front until a round-N-or-later CORRECTNESS file re-greens it.
 #   x53: round 5 re-keyed the leakage fingerprint to the 160-char prefix
 #        (its r4 green was vacuous — 0 rows at sf0.01).
-_SEMANTICS_CHANGED_IN = {"x53_split_leakage": 5}
+#   x185/x215/x220/y6: round 8 flipped their operator defaults from the
+#        block-quadratic fixed-16-bucket / stride-centroid configs to
+#        the oracle-certified linear modes (auto-bucket ceil(N/256),
+#        n_cells=8 md5-priority centroids) — VERDICT r7 #3. Results
+#        differ, so pre-r8 green rows no longer certify them.
+_SEMANTICS_CHANGED_IN = {
+    "x53_split_leakage": 5,
+    "x185_knn_label_agreement": 8,
+    "x215_ivf_probe_sweep": 8,
+    "x220_retrieval_exposure": 8,
+    "y6_knn_classifier": 8,
+}
 
 _GREEN_ROUNDS = _driver_green_rounds()
 _DRIVER_VERIFIED = (
@@ -118,16 +129,6 @@ _DRIVER_VERIFIED = (
 )
 
 _MERGED = {**RELATIONAL, **TPCH, **EXTENSIONS}
-
-# Round-7 unfreeze candidates (VERDICT r6 #3): kept OUT of the frozen
-# 329-entry catalog until the driver ledger drains; flip the flag to
-# merge them (they sort to the unverified front automatically).
-import os  # noqa: E402
-
-if os.environ.get("SPARK_GRAFT_UNFREEZE"):
-    from .pending import PENDING
-
-    _MERGED.update(PENDING)
 
 # Round-2 verdict sort contract (VERDICT.md "Next round" #1): the window must
 # never burn a slot on a rows-only entry while oracle-backed queries lack a

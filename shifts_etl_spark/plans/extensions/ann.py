@@ -1013,11 +1013,24 @@ WHERE n_a > 0 AND n_b > 0 AND aa > 0 AND bb > 0
 def x185_knn_label_agreement(spark, sf_dir):
     """Label-noise screen by neighbor agreement
     (profile.knn_label_agreement): label-blind md5-bucket NN graph,
-    per-label same-label share — the confident-learning signal."""
+    per-label same-label share — the confident-learning signal. Since
+    round 8 the operator default is the auto-sized bucket mode
+    (n_buckets = ceil(N/256), linear pair work — the 100 TB path the
+    r7-certified x229 entry proved out); the fixed-16 legacy mode stays
+    opt-in via n_buckets=16."""
     return profile.knn_label_agreement(_t(spark, sf_dir, "embeddings"))
 
 
-X185_SQL = f"""
+# ceil(N / 256) buckets, mirrored as a scalar subquery — shared by every
+# auto-bucket oracle (x185/x220/y6 defaults since r8, and their explicit
+# -arg twins x229/x235/x236): the linear-scale mode keeps bucket
+# OCCUPANCY fixed at ~256 instead of bucket COUNT fixed at 16
+_AUTOBKT = (
+    "% (SELECT greatest(CAST(1 AS BIGINT),"
+    " CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings) AS bkt"
+)
+
+X185_FIXED_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding,
          ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
@@ -1073,6 +1086,15 @@ SELECT label, n_vectors, n_agree,
 FROM cells
 ORDER BY label
 """
+
+# the r8 default flip (VERDICT r7 #3): the catalog entry runs the
+# auto-bucket linear mode, so its oracle carries the _AUTOBKT surgery
+# the r7-certified x229 proved out; the fixed-16 literal above is kept
+# as the surgery base (and documents the legacy opt-in mode). x229
+# re-certifies the same operator at occupancy 128 — the knob, not a
+# duplicate of this entry.
+X185_SQL = X185_FIXED_SQL.replace("% 16 AS bkt", _AUTOBKT)
+assert X185_SQL != X185_FIXED_SQL  # surgery anchor must exist
 
 
 def x199_novelty_position(spark, sf_dir):
@@ -1192,13 +1214,18 @@ def x215_ivf_probe_sweep(spark, sf_dir):
     """IVF n_probe tuning curve (simsearch.ivf_probe_sweep): per probe
     setting in {1,2,4,8} and per query, candidates scanned and
     recall@5 vs the x7 exact baseline — one scoring pass serves every
-    setting via the first-admitting-cell rank."""
+    setting via the first-admitting-cell rank. Since round 8 the
+    operator default is n_cells=8 corpus-decoupled md5-priority
+    centroids (linear assignment cost — the 100 TB path the
+    r7-certified x230 entry proved out); the stride sample whose
+    centroid count grows with the corpus stays opt-in via
+    n_cells=None."""
     return simsearch.ivf_probe_sweep(
         _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5
     )
 
 
-X215_SQL = """
+X215_STRIDE_SQL = """
 WITH elem AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
@@ -1310,15 +1337,43 @@ ORDER BY c.n_probe, c.query_id
 """
 
 
+# fixed md5-priority centroid sample (the r8 default, n_cells cells),
+# parameterized so x215 (8 cells) and the x230 knob twin (4 cells)
+# share the surgery; the stride literal above stays as the base and
+# documents the legacy opt-in mode
+def _ivf_cells_sql(n_cells: int) -> str:
+    pri = _X73_U("md5(CAST(vec_id AS VARCHAR) || '-ivfc')")
+    cents = (
+        "WITH cents AS (\n"
+        "  SELECT vec_id FROM (\n"
+        f"    SELECT vec_id, ({pri}) AS pri\n"
+        "    FROM embeddings\n"
+        f"  ) ORDER BY pri, vec_id LIMIT {n_cells}\n"
+        "),\nelem AS ("
+    )
+    out = X215_STRIDE_SQL.replace("WITH elem AS (", cents, 1).replace(
+        "WHERE ce.vec_id % 16 = 0",
+        "WHERE ce.vec_id IN (SELECT vec_id FROM cents)",
+        1,
+    )
+    assert out != X215_STRIDE_SQL  # surgery anchors must exist
+    return out
+
+
+X215_SQL = _ivf_cells_sql(8)
+
+
 def x220_retrieval_exposure(spark, sf_dir):
     """Retrieval exposure fairness (profile.retrieval_exposure): per
     label, top-k appearance share vs corpus base rate and their lift,
     over the y6 vote edges — the class-starvation audit for a serving
-    tier."""
+    tier. Since round 8 the operator default is the auto-sized bucket
+    mode (ceil(N/256) vote-edge buckets, linear pair work — the
+    r7-certified x235 path); fixed-16 stays opt-in."""
     return profile.retrieval_exposure(_t(spark, sf_dir, "embeddings"))
 
 
-X220_SQL = f"""
+X220_FIXED_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding,
          ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
@@ -1374,6 +1429,11 @@ FROM base b LEFT JOIN expo e USING (label)
 CROSS JOIN tv CROSS JOIN ta
 ORDER BY label
 """
+
+# r8 default flip: the catalog entry runs the auto-bucket mode (x185's
+# _AUTOBKT surgery); x235 re-certifies the occupancy knob at 128
+X220_SQL = X220_FIXED_SQL.replace("% 16 AS bkt", _AUTOBKT)
+assert X220_SQL != X220_FIXED_SQL  # surgery anchor must exist
 
 
 def y5_rrf_fusion(spark, sf_dir):
@@ -1459,11 +1519,14 @@ def y6_knn_classifier(spark, sf_dir):
     """Leave-one-out 5-NN majority-vote label eval
     (profile.knn_classifier_report): per-label precision/recall/F1 and
     macro-F1 over the x185 label-blind md5 buckets — the
-    embedding-separability report card."""
+    embedding-separability report card. Since round 8 the operator
+    default is the auto-sized bucket mode (ceil(N/256) vote-edge
+    buckets, linear pair work — the r7-certified x236 path); fixed-16
+    stays opt-in."""
     return profile.knn_classifier_report(_t(spark, sf_dir, "embeddings"))
 
 
-Y6_SQL = f"""
+Y6_FIXED_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding,
          ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-knb')")}) % 16 AS bkt
@@ -1552,3 +1615,8 @@ SELECT label, support, predicted_count, n_correct,
 FROM f CROSS JOIN macro
 ORDER BY label
 """
+
+# r8 default flip: the catalog entry runs the auto-bucket mode (x185's
+# _AUTOBKT surgery); x236 re-certifies the occupancy knob at 128
+Y6_SQL = Y6_FIXED_SQL.replace("% 16 AS bkt", _AUTOBKT)
+assert Y6_SQL != Y6_FIXED_SQL  # surgery anchor must exist

@@ -1,22 +1,26 @@
-"""Round-7 unfreeze candidates (VERDICT r6 "Next round" #3).
+"""Composed-pipeline and linear-scale-mode entries (x228-x238).
 
-Oracle-backed specs prepared BEHIND A FLAG while the driver drains the
-last unverified rows of the frozen 329-entry catalog: they merge into
-CATALOG only when ``SPARK_GRAFT_UNFREEZE=1`` is set (see
-plans/catalog.py), so the driver's r7 window cannot burn slots on them.
-Each is pytest-pinned against its DuckDB oracle regardless of the flag
-(tests/test_pending_entries.py), and `SPARK_GRAFT_UNFREEZE=1 python
-tools/gate.py x228... x229... ...` runs the full local gate over them.
+Built in round 7 behind the ``SPARK_GRAFT_UNFREEZE`` flag while the
+driver drained the frozen 329-entry catalog (plans/pending.py then);
+merged into the catalog proper in round 8 per VERDICT r7 "Next round"
+#2 after all eleven came back gate-green at sf0.01 (GATE_r07_pending:
+correctness 11/11, plan audit, determinism) and judge-green at sf0.1.
+Each stays pytest-pinned against its DuckDB oracle
+(tests/test_composed_entries.py).
 
 The first four, per the r6 verdict:
   x228 — scrub_duplicate_spans as an oracle-backed entry (destructive
          counterpart of the green x87; the oracle reassembles the
          scrubbed text from the x85 interval chain).
-  x229 — x185's auto-bucket kNN agreement mode (n_buckets=None →
-         ceil(N/256) buckets, the linear-scale 100 TB path).
+  x229 — x185's auto-bucket kNN agreement mode. The r7-certified
+         ceil(N/256) sizing became x185's own default (and oracle) in
+         the r8 flip, so this entry now certifies the occupancy KNOB
+         at target_bucket_rows=128 instead of duplicating the default.
   x230 — IVF probe sweep with corpus-decoupled fixed cells
-         (n_cells=8 md5-priority centroids instead of the stride
-         sample whose centroid count grows with the corpus).
+         (md5-priority centroids instead of the stride sample whose
+         centroid count grows with the corpus). n_cells=8 became
+         x215's default in the r8 flip; this entry certifies the knob
+         at n_cells=4.
   x231 — the pipeline.curate() ledger as an oracle entry: the composed
          end-to-end curation run certified stage by stage with the
          driver's own hash check.
@@ -33,9 +37,9 @@ built from the same parameterized ledger-SQL builder as x231:
          cross-engine convention), turning curate()'s last rows-only
          configuration into a value-checked one.
   x235/x236 — x220 retrieval exposure and y6 kNN classifier in the
-         auto-bucket linear-scale mode (the other two members of
-         SCALE.md's fixed-16-bucket superlinear family; x229 already
-         covers x185's).
+         auto-bucket linear-scale mode, at the 128-occupancy knob
+         setting (their ceil(N/256) sizing became the operators'
+         defaults in the r8 flip, like x229 for x185).
   x237 — pipeline.prepare_training_data's end-to-end stage-count
          certificate (quality gate → PII scrub → md5-family minhash
          dedup → chunk/pack/split), the sibling composed-run
@@ -49,18 +53,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, profile, simsearch
-from .extensions._shared import (
+from ...operators import dedup, profile, simsearch
+from ._shared import (
     _STOP_EN,
-    _X73_U,
     _Y_SPLIT_CASE,
     _Y_SPLIT_INNER,
     X67_SQL,
     _t,
 )
-from .extensions.ann import QUERY_IDS, X185_SQL, X215_SQL, X220_SQL, Y6_SQL
-from .extensions.curation import _NORM_TOKS_SQL, _X40_U
-from .extensions.dedup import _X85_CHAIN, X3_SQL
+from .ann import (
+    QUERY_IDS,
+    X185_FIXED_SQL,
+    X220_FIXED_SQL,
+    Y6_FIXED_SQL,
+    _ivf_cells_sql,
+)
+from .curation import _NORM_TOKS_SQL, _X40_U
+from .dedup import _X85_CHAIN, X3_SQL
 
 # ---------------------------------------------------------------------------
 # x228 — exact-substring scrub APPLIED (dedup.scrub_duplicate_spans)
@@ -137,102 +146,94 @@ LEFT JOIN lastend l ON l.doc = d.doc_id
 
 
 def x229_knn_agreement_autobucket(spark, sf_dir):
-    """x185's linear-scale mode (profile.knn_label_agreement with
-    n_buckets=None): bucket count = ceil(N / 256) instead of the fixed
-    16, so per-bucket pair work stays ~256² regardless of corpus size.
-    The bucket count is computable in SQL, so the oracle mirrors the
-    auto-sizing exactly."""
+    """x185's linear-scale mode at the occupancy knob's other setting
+    (profile.knn_label_agreement with target_bucket_rows=128): bucket
+    count = ceil(N / 128), so per-bucket pair work stays ~128² whatever
+    the corpus size. Certified in r7 at the 256 occupancy that became
+    x185's DEFAULT in the r8 flip; this entry now re-certifies the knob
+    itself — the auto-sizing must hold at any target, not just the
+    default. The bucket count is computable in SQL, so the oracle
+    mirrors the sizing exactly."""
     return profile.knn_label_agreement(
-        _t(spark, sf_dir, "embeddings"), n_buckets=None
+        _t(spark, sf_dir, "embeddings"), n_buckets=None,
+        target_bucket_rows=128,
     )
 
 
-# ceil(N / 256) buckets, mirrored as a scalar subquery — shared by every
-# auto-bucket entry (x229/x235/x236): the linear-scale mode keeps bucket
-# OCCUPANCY fixed at ~256 instead of bucket COUNT fixed at 16
-_AUTOBKT = (
+# ceil(N / 128) buckets, mirrored as a scalar subquery — shared by the
+# occupancy-knob twins (x229/x235/x236); ann._AUTOBKT is the same
+# surgery at the 256 default the flipped x185/x220/y6 oracles carry
+_AUTOBKT_128 = (
     "% (SELECT greatest(CAST(1 AS BIGINT),"
-    " CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings) AS bkt"
+    " CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM embeddings) AS bkt"
 )
 
-X229_SQL = X185_SQL.replace("% 16 AS bkt", _AUTOBKT)
-assert X229_SQL != X185_SQL  # surgery anchor must exist
+X229_SQL = X185_FIXED_SQL.replace("% 16 AS bkt", _AUTOBKT_128)
+assert X229_SQL != X185_FIXED_SQL  # surgery anchor must exist
 
 
 # ---------------------------------------------------------------------------
-# x230 — IVF probe sweep with corpus-decoupled fixed cells
+# x230 — IVF probe sweep, corpus-decoupled cells at the other cell count
 # ---------------------------------------------------------------------------
 
 
 def x230_ivf_fixed_cells_sweep(spark, sf_dir):
-    """x215's 100 TB mode (simsearch.ivf_probe_sweep with n_cells=8):
-    centroids are the n_cells vectors with the smallest deterministic
-    md5 priority rather than the stride sample (whose centroid count —
-    and therefore the |corpus| x |centroids| assignment cost — grows
-    with the corpus). The md5-priority sample is SQL-expressible, so
-    recall@5 and candidate counts are value-checked per probe setting
-    against the same exact-scan truth as x215."""
+    """x215's 100 TB mode at the cell-count knob's other setting
+    (simsearch.ivf_probe_sweep with n_cells=4): centroids are the
+    n_cells vectors with the smallest deterministic md5 priority rather
+    than the stride sample (whose centroid count — and therefore the
+    |corpus| x |centroids| assignment cost — grows with the corpus).
+    Certified in r7 at n_cells=8, which became x215's DEFAULT in the r8
+    flip; this entry now re-certifies the knob at 4 cells. The
+    md5-priority sample is SQL-expressible, so recall@5 and candidate
+    counts are value-checked per probe setting against the same
+    exact-scan truth as x215."""
     return simsearch.ivf_probe_sweep(
-        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5, n_cells=8
+        _t(spark, sf_dir, "embeddings"), QUERY_IDS, k=5, n_cells=4
     )
 
 
-_CENT_PRI = _X73_U("md5(CAST(vec_id AS VARCHAR) || '-ivfc')")
-_CENTS = (
-    "WITH cents AS (\n"
-    "  SELECT vec_id FROM (\n"
-    f"    SELECT vec_id, ({_CENT_PRI}) AS pri\n"
-    "    FROM embeddings\n"
-    "  ) ORDER BY pri, vec_id LIMIT 8\n"
-    "),\nelem AS ("
-)
-
-X230_SQL = X215_SQL.replace("WITH elem AS (", _CENTS, 1).replace(
-    "WHERE ce.vec_id % 16 = 0",
-    "WHERE ce.vec_id IN (SELECT vec_id FROM cents)",
-    1,
-)
-assert X230_SQL != X215_SQL  # surgery anchors must exist
+X230_SQL = _ivf_cells_sql(4)
 
 
 # ---------------------------------------------------------------------------
-# x235/x236 — the other two fixed-16-bucket evals in auto-bucket mode
-# (docs/SCALE.md superlinear family: x220 at 8.6x and y6 at 7.7x on the
-# 10x smoke both ride the fixed-16 _knn_votes edges; the opt-in linear
-# mode landed in r6, these give it oracle-backed rows like x229 did for
-# x185)
+# x235/x236 — the other two auto-bucket evals at the 128-occupancy knob
+# (the fixed-16 superlinear family x220/y6 flipped to auto-sized defaults
+# in r8; these twins certify the occupancy parameterization)
 # ---------------------------------------------------------------------------
 
 
 def x235_retrieval_exposure_autobucket(spark, sf_dir):
-    """x220's linear-scale mode (profile.retrieval_exposure with
-    n_buckets=None): vote-edge buckets sized ceil(N / 256) so in-bucket
-    pair scoring stays ~256 rows per bucket regardless of corpus size —
-    the 100 TB remedy SCALE.md records for the 8.6x superlinear smoke
-    ratio of the fixed-16 default. Bucket count mirrored in SQL."""
+    """x220's linear-scale mode at the occupancy knob's other setting
+    (profile.retrieval_exposure with target_bucket_rows=128): vote-edge
+    buckets sized ceil(N / 128) so in-bucket pair scoring stays ~128
+    rows per bucket regardless of corpus size. The 256 default became
+    x220's own oracle in the r8 flip; this entry certifies the knob.
+    Bucket count mirrored in SQL."""
     return profile.retrieval_exposure(
-        _t(spark, sf_dir, "embeddings"), n_buckets=None
+        _t(spark, sf_dir, "embeddings"), n_buckets=None,
+        target_bucket_rows=128,
     )
 
 
-X235_SQL = X220_SQL.replace("% 16 AS bkt", _AUTOBKT)
-assert X235_SQL != X220_SQL  # surgery anchor must exist
+X235_SQL = X220_FIXED_SQL.replace("% 16 AS bkt", _AUTOBKT_128)
+assert X235_SQL != X220_FIXED_SQL  # surgery anchor must exist
 
 
 def x236_knn_classifier_autobucket(spark, sf_dir):
-    """y6's linear-scale mode (profile.knn_classifier_report with
-    n_buckets=None): same auto-sized vote edges as x235, then the
-    majority-vote confusion cells and per-label precision/recall/F1 —
-    the embedding-quality report card at the bucket sizing a 100 TB
-    corpus needs (SCALE.md records 7.7x at 10x for the fixed-16
-    default)."""
+    """y6's linear-scale mode at the occupancy knob's other setting
+    (profile.knn_classifier_report with target_bucket_rows=128): same
+    128-occupancy vote edges as x235, then the majority-vote confusion
+    cells and per-label precision/recall/F1. The 256 default became
+    y6's own oracle in the r8 flip; this entry certifies the knob."""
     return profile.knn_classifier_report(
-        _t(spark, sf_dir, "embeddings"), n_buckets=None
+        _t(spark, sf_dir, "embeddings"), n_buckets=None,
+        target_bucket_rows=128,
     )
 
 
-X236_SQL = Y6_SQL.replace("% 16 AS bkt", _AUTOBKT)
-assert X236_SQL != Y6_SQL  # surgery anchor must exist
+X236_SQL = Y6_FIXED_SQL.replace("% 16 AS bkt", _AUTOBKT_128)
+assert X236_SQL != Y6_FIXED_SQL  # surgery anchor must exist
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +261,7 @@ def x231_curation_ledger(spark, sf_dir):
     per stage — the end-to-end certificate that the stages compose the
     way the individually green x16/x1/x67/x84/x85–x87/x88/x50/x71
     entries say they do."""
-    from ..pipeline import curate
+    from ...pipeline import curate
 
     curated, ledger = curate(
         spark, _t(spark, sf_dir, "documents"), budget_docs=200
@@ -277,7 +278,7 @@ def x232_curation_ledger_tokens(spark, sf_dir):
     with per-source token quotas runs. Same ledger schema; the oracle
     is the x231 template with the stage-6 CTEs swapped for the x90
     window, so the shared stages stay literally identical."""
-    from ..pipeline import curate
+    from ...pipeline import curate
 
     curated, ledger = curate(
         spark, _t(spark, sf_dir, "documents"), budget_tokens=500
@@ -294,7 +295,7 @@ def x233_curation_decontam(spark, sf_dir):
     gate, exactly where a pre-training run decontaminates. The ledger
     gains its 'decontaminate' row; the oracle is the x231 template with
     the corpus restricted and the x35 chain spliced in."""
-    from ..pipeline import curate
+    from ...pipeline import curate
 
     d = _t(spark, sf_dir, "documents")
     curated, ledger = curate(
@@ -317,7 +318,7 @@ def x234_curation_ledger_minhash(spark, sf_dir):
     instead of rows-only. The oracle swaps the blocked x67 chain for the
     x3 signature/band chain; everything downstream of `comp` is the
     shared template."""
-    from ..pipeline import curate
+    from ...pipeline import curate
 
     curated, ledger = curate(
         spark,
@@ -732,7 +733,7 @@ def x237_training_data_ledger(spark, sf_dir):
     md5-bucket split, reported as one stage-count ledger. Certifies
     that the individually green x16/x3/x21/x22/y-split stages compose
     the way pipeline.prepare_training_data chains them."""
-    from ..pipeline import prepare_training_data
+    from ...pipeline import prepare_training_data
 
     return _training_rows(spark, sf_dir)
 
@@ -741,7 +742,7 @@ def _training_rows(spark, sf_dir, **prep_kwargs):
     """Run prepare_training_data (md5 hash family + any extra config)
     and reduce the returned stages to the 8-row stage-count ledger the
     x237/x238 oracles reproduce."""
-    from ..pipeline import prepare_training_data
+    from ...pipeline import prepare_training_data
 
     caches: list = []
     try:
@@ -955,7 +956,7 @@ X237_SQL = _training_ledger_sql()
 X238_SQL = _training_ledger_sql(max_dup_bigram=0.1, max_crossdoc=0.8)
 
 
-PENDING = {
+COMPOSED = {
     "x228_span_scrub_apply": (x228_span_scrub_apply, X228_SQL),
     "x229_knn_agreement_autobucket": (
         x229_knn_agreement_autobucket,

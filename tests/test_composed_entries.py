@@ -1,8 +1,7 @@
-"""Round-7 unfreeze candidates (plans/pending.py): each pending entry is
-pinned against its DuckDB oracle exactly the way the driver's gate
-compares — row count, column names, order-insensitive values over
-name-sorted columns — so the specs stay green while they wait outside
-the frozen catalog, and merging them later is a one-flag change.
+"""Composed-pipeline / linear-scale-mode entries (extensions/composed.py,
+x228-x238, merged into the catalog in round 8): each is pinned against
+its DuckDB oracle exactly the way the driver's gate compares — row
+count, column names, order-insensitive values over name-sorted columns.
 """
 
 from __future__ import annotations
@@ -12,7 +11,7 @@ import math
 import duckdb
 import pytest
 
-from shifts_etl_spark.plans.pending import PENDING
+from shifts_etl_spark.plans.extensions.composed import COMPOSED
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
@@ -45,9 +44,9 @@ def _canon(rows, cols):
     )
 
 
-@pytest.mark.parametrize("name", sorted(PENDING))
-def test_pending_entry_matches_oracle(spark, duck, name):
-    fn, sql = PENDING[name]
+@pytest.mark.parametrize("name", sorted(COMPOSED))
+def test_composed_entry_matches_oracle(spark, duck, name):
+    fn, sql = COMPOSED[name]
     sdf = fn(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = sdf.collect()
@@ -59,14 +58,12 @@ def test_pending_entry_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
 
 
-def test_pending_stays_out_of_frozen_catalog(monkeypatch):
-    """The frozen catalog must not grow until the flag flips: a fresh
-    import without SPARK_GRAFT_UNFREEZE stays at 329 entries."""
-    import importlib
-    import os
-    import sys
+def test_catalog_pin_340():
+    """Round-8 unfreeze pin (VERDICT r7 #2): all eleven composed entries
+    sit in the catalog proper and the total is exactly 340 — growth
+    beyond this needs a deliberate pin bump, not an accidental leak."""
+    from shifts_etl_spark.plans.catalog import CATALOG
 
-    assert "SPARK_GRAFT_UNFREEZE" not in os.environ
-    mod = importlib.reload(sys.modules["shifts_etl_spark.plans.catalog"])
-    assert len(mod.CATALOG) == 329
-    assert "x228_span_scrub_apply" not in mod.CATALOG
+    assert len(CATALOG) == 340
+    for name in COMPOSED:
+        assert name in CATALOG

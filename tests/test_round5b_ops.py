@@ -3158,8 +3158,10 @@ def test_ivf_probe_sweep_monotone_recall(spark):
                            math.sin(2 * math.pi * i / 32)],
                 label=i % 2) for i in range(32)]
     emb = spark.createDataFrame(rows)
+    # n_cells=None pins the legacy stride sample this test is built
+    # around (ids 0 and 16 as centroids); the r8 default is fixed cells
     out = ivf_probe_sweep(emb, [0, 5], k=3, centroid_stride=16,
-                          probes=(1, 2)).collect()
+                          probes=(1, 2), n_cells=None).collect()
     per = {}
     for r in out:
         per.setdefault(r.query_id, {})[r.n_probe] = r

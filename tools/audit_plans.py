@@ -190,14 +190,14 @@ SINGLE_PARTITION_OK = {
     "y6_knn_classifier",  # 1-row macro-F1 fold over the |labels|-row
     # metric frame
     "x236_knn_classifier_autobucket",  # y6's plan with auto-sized vote
-    # buckets (pending entry, flag-gated) — same 1-row folds
+    # buckets (merged r8) — same 1-row folds
     "x216_poisson_bootstrap",  # 1-row point estimate + B-row (B=50)
     # percentile fold — the replica aggregate itself is keyed on b
     "x217_dup_flow_matrix",  # 1-row pair total onto |sources|^2 cells
     "x218_ab_power_curve",  # one 1-row moment fold + 4-literal grid
     "x220_retrieval_exposure",  # two 1-row totals onto |labels| cells
     "x235_retrieval_exposure_autobucket",  # x220's plan with auto-sized
-    # vote buckets (pending entry, flag-gated) — same 1-row totals
+    # vote buckets (merged r8) — same 1-row totals
     "x221_mix_rate_decomposition",  # 1-row date span + 1-row period
     # totals onto |segments| cells
     "x222_quantile_normalize",  # pooled-CDF fold over the 11-point
@@ -320,11 +320,11 @@ CROSS_JOIN_OK = {
     "y6_knn_classifier",  # crossJoin with the broadcast 1-row macro-F1
     # onto the |labels|-row metric frame
     "x236_knn_classifier_autobucket",  # y6's crossJoin, auto-bucket
-    # variant (pending entry, flag-gated)
+    # variant (merged r8)
     "x215_ivf_probe_sweep",  # the x13 broadcast-centroid scan plus the
     # 4-literal probe grid onto |Q|-bounded candidate lists
     "x230_ivf_fixed_cells_sweep",  # same contract with n_cells=8
-    # md5-priority centroids (pending entry, flag-gated)
+    # md5-priority centroids (merged r8)
     "x216_poisson_bootstrap",  # crossJoin of the 1-row point estimate
     # with the broadcast 1-row CI fold
     "x217_dup_flow_matrix",  # crossJoin with the broadcast 1-row pair
@@ -332,7 +332,7 @@ CROSS_JOIN_OK = {
     "x220_retrieval_exposure",  # crossJoins with the two broadcast
     # 1-row totals onto the |labels| cells
     "x235_retrieval_exposure_autobucket",  # x220's crossJoins,
-    # auto-bucket variant (pending entry, flag-gated)
+    # auto-bucket variant (merged r8)
     "x221_mix_rate_decomposition",  # crossJoins with the broadcast
     # 1-row date-span / period totals
     "x222_quantile_normalize",  # range lookup of |sources| x 11 cells
