@@ -483,8 +483,10 @@ def embedding_nn_pairs(
 ) -> DataFrame:
     """Per-vector nearest neighbor within its block (blocked brute force) +
     near-dup flag at ``threshold``. Blocking bounds the pair count: the
-    cross product is per-block, never global — swap ``block_col`` for an
-    LSH bucket at 100 TB."""
+    cross product is per-block, never global — but a block COLUMN's
+    groups grow with the corpus, so at 100 TB use
+    :func:`embedding_nn_pairs_lsh` (sign-LSH band buckets + hot-bucket
+    cap, bucket-geometry-bounded pair work) instead."""
     from pyspark.sql import Window
     from ..functions.vectors import cosine_from_norms, l2_norm
 
@@ -507,6 +509,94 @@ def embedding_nn_pairs(
     )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "cosine",
+            (F.col("cosine") >= threshold).alias("is_near_dup"),
+        )
+    )
+
+
+def embedding_nn_pairs_lsh(
+    emb: DataFrame,
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 4,
+    hot_bucket_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """:func:`embedding_nn_pairs` in its documented 100 TB mode: the
+    per-label blocks are replaced by sign-LSH band buckets (the x8
+    md5-derived deterministic plane family,
+    simsearch.add_det_lsh_signature), so the candidate pair set is
+    bounded by bucket geometry instead of label cardinality. Buckets
+    hotter than ``hot_bucket_cap`` are dropped from candidate
+    generation (the x3 MinHash-LSH convention — an over-full sign
+    bucket is non-discriminative), which caps TOTAL pair scoring at
+    bands * 2^(n_planes/bands) * cap² cosines regardless of corpus
+    size; everything else (signatures, the bucket join shuffling only
+    (id, bucket) longs, the per-vector top-1 window over bounded
+    candidate lists) is linear in N. Output schema matches
+    embedding_nn_pairs — (vec_id, neighbor_id, cosine, is_near_dup at
+    ``threshold``) — but the NN is approximate (best among LSH
+    candidates) and vectors with no surviving candidate are absent.
+
+    Deterministic end to end (md5 planes over floor(v·1e6) integer
+    quantization, 6-dp cosine, neighbor-id tie-break), so the catalog
+    entry (x239) carries a full DuckDB value oracle."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_from_norms, l2_norm
+    from .simsearch import add_det_lsh_signature
+
+    sig = add_det_lsh_signature(emb, dim, n_planes, bands, vec_col)
+    buckets = sig.select(
+        F.col(id_col).alias("vid"), F.explode("buckets").alias("bucket")
+    ).persist()
+    hot = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > hot_bucket_cap)
+        .select("bucket")
+    )
+    # the hot set is at most bands * 2^(n_planes/bands) rows — broadcast
+    # the anti-join so cooling never shuffles the membership table
+    cool = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    pairs = (
+        cool.alias("l")
+        .join(cool.alias("r"), "bucket")
+        .where(F.col("l.vid") != F.col("r.vid"))
+        .select(
+            F.col("l.vid").alias("vec_id"),
+            F.col("r.vid").alias("neighbor_id"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    # re-attach vectors by id AFTER the dedup (the lsh_topk contract):
+    # the bucket join and the distinct shuffle only ever carry two longs
+    lv = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("lv")
+    ).withColumn("lnrm", l2_norm(F.col("lv")))
+    rv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("rv")
+    ).withColumn("rnrm", l2_norm(F.col("rv")))
+    sim = cosine_from_norms(
+        F.col("lv"), F.col("rv"), F.col("lnrm"), F.col("rnrm")
+    )
+    scored = (
+        pairs.join(lv, "vec_id")
+        .join(rv, "neighbor_id")
+        .select("vec_id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
             "vec_id",

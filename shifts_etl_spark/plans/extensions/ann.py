@@ -837,6 +837,89 @@ FROM hist CROSS JOIN tot t""",
 )
 
 
+def x239_embedding_nn_lsh(spark, sf_dir):
+    """x6's documented 100 TB mode, oracle-backed (VERDICT r7 #4):
+    embedding near-dup NN with the per-label blocks swapped for x8's
+    deterministic md5 sign-LSH band buckets
+    (dedup.embedding_nn_pairs_lsh, 32 planes / 4 bands / hot-bucket cap
+    64) — candidate pair work is bounded by bucket geometry
+    (≤ 4·2⁸·64² cosines total, corpus-size-independent) instead of
+    growing quadratically with label size. x121's hubness audit rides
+    the same pair generator. Approximate NN: best candidate sharing ≥1
+    band bucket; the whole chain (integer projections, 6-dp cosine,
+    id tie-break) mirrors bit-for-bit into SQL."""
+    return dedup.embedding_nn_pairs_lsh(_t(spark, sf_dir, "embeddings"))
+
+
+# the X8 signature chain at 32 planes / 4 bands (8-bit keys), then the
+# x3-style hot-bucket drop and the x6 top-1/flag tail
+X239_SQL = f"""
+WITH pw AS (
+  SELECT p, i,
+         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
+  FROM range(32) tp(p), range(64) ti(i)
+),
+planes AS (
+  SELECT p, i,
+         CASE ({_X8_HEX} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+  FROM pw
+),
+elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(floor(e.v * 1000000.0) AS BIGINT) * pl.w) AS s
+  FROM elem e JOIN planes pl USING (i)
+  GROUP BY 1, 2
+),
+bkeys AS (
+  SELECT vec_id, p // 8 AS band,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
+  FROM proj GROUP BY 1, 2
+),
+buckets AS (SELECT vec_id, band * 4294967296 + key AS bucket FROM bkeys),
+hot AS (
+  SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) > 64
+),
+cool AS (
+  SELECT vec_id, bucket FROM buckets
+  WHERE bucket NOT IN (SELECT bucket FROM hot)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id
+  FROM cool a JOIN cool c USING (bucket)
+  WHERE a.vec_id <> c.vec_id
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT c.vec_id, c.neighbor_id, SUM(q.v * n.v) AS dot
+  FROM cand c
+  JOIN elem q ON q.vec_id = c.vec_id
+  JOIN elem n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.vec_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
+FROM ranked WHERE rn = 1
+"""
+
+
 def x124_label_compactness(spark, sf_dir):
     """Intra-class compactness audit (profile.label_compactness): per
     label, member-to-centroid cosine mean/min and the below-0.5 outlier

@@ -58,12 +58,14 @@ def test_composed_entry_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
 
 
-def test_catalog_pin_340():
-    """Round-8 unfreeze pin (VERDICT r7 #2): all eleven composed entries
-    sit in the catalog proper and the total is exactly 340 — growth
-    beyond this needs a deliberate pin bump, not an accidental leak."""
+def test_catalog_pin_341():
+    """Round-8 pin: the eleven composed entries merged (VERDICT r7 #2,
+    329 -> 340) plus x239, the x6/x121 LSH-band linear mode (VERDICT r7
+    #4) — total exactly 341. Growth beyond this needs a deliberate pin
+    bump, not an accidental leak."""
     from shifts_etl_spark.plans.catalog import CATALOG
 
-    assert len(CATALOG) == 340
+    assert len(CATALOG) == 341
     for name in COMPOSED:
         assert name in CATALOG
+    assert "x239_embedding_nn_lsh" in CATALOG

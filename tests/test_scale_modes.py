@@ -1,8 +1,10 @@
-"""Opt-in 100 TB modes for the block-quadratic family (docs/SCALE.md
-round-6 tail): auto-sized kNN vote buckets (occupancy fixed at
-~target_bucket_rows, so pair work grows linearly with the corpus) and
-fixed-count sampled IVF centroids (assignment stays |corpus| × n_cells).
-Catalog defaults are untouched — these tests pin the opt-in paths.
+"""100 TB modes for the block-quadratic family (docs/SCALE.md round-6
+tail): auto-sized kNN vote buckets (occupancy fixed at
+~target_bucket_rows, so pair work grows linearly with the corpus),
+fixed-count sampled IVF centroids (assignment stays |corpus| × n_cells),
+and the LSH-band-blocked embedding NN (bucket-geometry-bounded pair
+work). Since round 8 these ARE the operator defaults (VERDICT r7 #3);
+the tests pin the paths under explicit args either way.
 """
 
 from __future__ import annotations
@@ -115,3 +117,56 @@ def test_label_agreement_auto_mode(emb):
     for r in rows:
         assert 0.0 <= r.agreement <= 1.0
         assert r.n_agree <= r.n_vectors
+
+
+def test_embedding_nn_lsh_planted_neardup(spark):
+    """Two nearly-identical vectors share every sign-LSH band bucket, so
+    each picks the other as its approximate NN and the near-dup flag
+    fires at cosine ~1; the pair survives any label blocking because
+    LSH mode ignores labels entirely."""
+    from pyspark.sql import Row
+
+    from shifts_etl_spark.operators.dedup import embedding_nn_pairs_lsh
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 0.001, 0.0, 0.0], label=1),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0], label=0),
+    ]
+    out = {
+        r.vec_id: r
+        for r in embedding_nn_pairs_lsh(
+            spark.createDataFrame(rows), dim=4
+        ).collect()
+    }
+    assert out[1].neighbor_id == 2 and out[1].is_near_dup
+    assert out[2].neighbor_id == 1 and out[2].is_near_dup
+    assert out[1].cosine >= 0.999
+
+
+def test_embedding_nn_lsh_hot_bucket_cap(spark):
+    """Buckets hotter than the cap drop out of candidate generation (the
+    x3 convention): five identical vectors fill every one of their band
+    buckets past cap=3 and vanish from the output, while a small
+    near-dup pair in other buckets is unaffected."""
+    from pyspark.sql import Row
+
+    from shifts_etl_spark.operators.dedup import embedding_nn_pairs_lsh
+
+    pile = [
+        Row(vec_id=i, embedding=[1.0, 1.0, 0.0, 0.0], label=0)
+        for i in range(1, 6)
+    ]
+    pair = [
+        Row(vec_id=10, embedding=[-1.0, 0.0, -1.0, 0.0], label=0),
+        Row(vec_id=11, embedding=[-1.0, 0.001, -1.0, 0.0], label=0),
+    ]
+    out = {
+        r.vec_id: r
+        for r in embedding_nn_pairs_lsh(
+            spark.createDataFrame(pile + pair), dim=4, hot_bucket_cap=3
+        ).collect()
+    }
+    assert not any(v in out for v in range(1, 6))
+    assert out[10].neighbor_id == 11 and out[10].is_near_dup
+    assert out[11].neighbor_id == 10 and out[11].is_near_dup
