@@ -159,6 +159,55 @@ def test_sidecar_compaction_keeps_dedup_correct(spark, tmp_path):
     assert _admitted_hashes(spark, w).count() == 2
 
 
+def test_sidecar_file_count_bounded_across_3n_epochs(spark, tmp_path):
+    """The long-run guarantee (VERDICT r7 #6 done-criterion): with
+    compact_every=N, the sidecar's batch-dir count stays bounded by
+    N across 3N epochs (one per-epoch file set would otherwise
+    accumulate forever), cross-epoch dedup keeps working through every
+    compaction boundary, and a replay with the same checkpoint and no
+    new input commits nothing."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    n = 2  # compact_every
+
+    def run():
+        q = streaming_curation_admit(spark, input_dir, ckpt, out,
+                                     compact_every=n)
+        q.awaitTermination()
+
+    texts = [GOOD, GOOD2,
+             GOOD + " with a small unique suffix epoch three",
+             GOOD2 + " with a small unique suffix epoch four",
+             GOOD + " with a different unique suffix epoch five",
+             GOOD2 + " with a different unique suffix epoch six"]
+    w = StagedWriter(out)
+    for epoch in range(3 * n):  # 6 epochs, one file each
+        rows = [
+            {"doc_id": 100 * epoch + 1, "source": "s", "text": texts[epoch]},
+            # every epoch also re-offers epoch 0's doc — must stay dropped
+            # no matter how many compactions the sidecar has been through
+            {"doc_id": 100 * epoch + 2, "source": "s", "text": GOOD},
+        ] if epoch else [
+            {"doc_id": 1, "source": "s", "text": texts[0]},
+        ]
+        _drop(input_dir, f"e{epoch}.json", rows)
+        run()
+        dirs = len(list((out / "admitted_hashes").glob("batch=*")))
+        assert dirs <= n, f"epoch {epoch}: {dirs} sidecar dirs > {n}"
+
+    admitted = {r.doc_id for r in w.read_table(spark, "admitted").collect()}
+    assert admitted == {1, 101, 201, 301, 401, 501}
+    assert _admitted_hashes(spark, w).count() == 6
+    # replay idempotency: same checkpoint, no new files -> no new commits
+    n_commits = len(list(w.commits()))
+    run()
+    assert len(list(w.commits())) == n_commits
+    assert {r.doc_id for r in w.read_table(spark, "admitted").collect()} \
+        == admitted
+
+
 def test_legacy_checkpoint_keeps_unnamespaced_ids(tmp_path):
     """A checkpoint created BEFORE batch-id namespacing (Spark offset
     state present, no stream_identity file) committed bare epochNNNNNN
