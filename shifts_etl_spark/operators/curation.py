@@ -1194,3 +1194,82 @@ def loso_quality_attribution(
         F.round(loso_mean, 6).alias("loso_mean"),
         F.round(loso_mean - full_mean, 6).alias("drop_gain"),
     ).orderBy("source")
+
+
+def balanced_shard_plan(
+    docs: DataFrame,
+    n_shards: int = 8,
+    sub_buckets_per_shard: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced output sharding for training-data writers: the
+    straggler audit/plan that decides which output shard each document
+    lands in so every shard carries ~equal token mass (a hash-only
+    split balances DOC counts; token-heavy tails then make one writer —
+    and later one dataloader — the straggler).
+
+    Distributed bin-packing shape: docs hash into
+    n_shards × sub_buckets_per_shard deterministic md5 sub-buckets (one
+    linear scan + a map-side-combinable token sum), then the BOUNDED
+    sub-bucket summary is packed onto shards serpentine-wise (sort by
+    token mass desc, assign shard 0..W-1 then W-1..0, repeating — the
+    folded round-robin that pairs heavy buckets with light ones). The
+    expensive work is one aggregate over the corpus; the packing frame
+    is ≤ W·K rows, so the sort/window never sees data-sized input. A
+    writer applies the plan by broadcast-joining shard onto the same
+    md5 sub-bucket of each doc.
+
+    Returns one row per shard: (shard, n_sub_buckets, n_docs, n_tokens,
+    token_share, skew_vs_mean) — skew_vs_mean ≈ 1.0 everywhere is the
+    goal state. Fully deterministic (md5 buckets, integer token counts,
+    6-dp shares), mirrored value-for-value by the x241 oracle."""
+    from .textstats import token_count
+
+    n_sub = n_shards * sub_buckets_per_shard
+    per_doc = docs.select(
+        (
+            _hex_uniform_int(
+                F.concat(F.col(id_col).cast("string"), F.lit("-shard"))
+            )
+            % n_sub
+        ).alias("sb"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    ss = per_doc.groupBy("sb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    fold = 2 * n_shards
+    pos = (
+        F.row_number().over(
+            Window.orderBy(F.col("n_tokens").desc(), F.col("sb"))
+        )
+        - 1
+    ) % fold
+    asg = ss.withColumn(
+        "shard",
+        F.when(pos < n_shards, pos)
+        .otherwise(F.lit(fold - 1) - pos)
+        .cast("long"),
+    )
+    per = asg.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sub_buckets"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("tt"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_sub_buckets",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
+            F.round(
+                F.col("n_tokens") / (F.col("tt") / n_shards), 6
+            ).alias("skew_vs_mean"),
+        )
+        .orderBy("shard")
+    )

@@ -637,6 +637,138 @@ def incremental_exact_dedup(
     return batch.join(seen, "content_hash", "left_anti")
 
 
+def incremental_minhash_dedup(
+    incoming: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
+    hash_fn: str = "xxhash64",
+    history_sig_col: str | None = None,
+    _cache_registry: list | None = None,
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dup admission — the banded-MinHash
+    counterpart of :func:`incremental_exact_dedup`: an incoming doc is
+    dropped when a banded-LSH candidate partner with signature-estimated
+    Jaccard ≥ ``threshold`` exists either in the admitted HISTORY or
+    among LOWER-id docs of the same batch (the x36 greedy-representative
+    rule, so one batch of mutual near-dups admits exactly its min-id
+    member). Returns one row per incoming doc: (doc_id, matched_id —
+    the min qualifying partner, null when admitted — est_jaccard of
+    that partner, keep).
+
+    The 100 TB shape mirrors incremental_exact_dedup's: pass
+    ``history_sig_col`` (the name of a precomputed array<long> MinHash
+    column in ``history``) and this function never touches history TEXT
+    at all — the admitted corpus keeps a (id, 64-long signature)
+    sidecar, ~0.5 KB/doc, exactly what streaming_curation_admit's
+    hashes sidecar does for the exact stage. Without it, history is a
+    document table and signatures are built on the fly (small-corpus
+    convenience path).
+
+    Scale shape: both sides reduce to signatures before any join; the
+    bucket join shuffles (band, hash, id) triples with hot buckets
+    (> ``max_bucket_size`` members across BOTH sides) dropped via a
+    broadcast anti-join BEFORE the join (the x3 convention), bounding
+    fan-out at cap² per bucket; est_jaccard is a 64-slot zip on the
+    re-attached signatures; the verdict per incoming doc is one keyed
+    min-aggregate. Decisions depend only on content hashes, so the
+    md5 family (``hash_fn="md5"``) makes the whole chain — signatures,
+    band keys, candidates, estimates, keep set — mirror bit-for-bit
+    into DuckDB (the x240 catalog entry)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    hf = _hash_family(hash_fn)
+
+    inc_sig = minhash_signatures(
+        incoming, text_col, id_col, num_hashes, shingle_n, hash_fn
+    ).withColumn("is_hist", F.lit(False))
+    if history_sig_col is not None:
+        hist_sig = history.select(
+            F.col(id_col).alias("doc"),
+            F.col(history_sig_col).alias("sig"),
+            F.lit(True).alias("is_hist"),
+        )
+    else:
+        hist_sig = minhash_signatures(
+            history, text_col, id_col, num_hashes, shingle_n, hash_fn
+        ).withColumn("is_hist", F.lit(True))
+    # persist: the bucket join reads the union twice (left/right alias);
+    # handles land in _cache_registry (the minhash_lsh_pairs contract)
+    # for the caller to release after materialization
+    sigs = inc_sig.unionByName(hist_sig).persist()
+    if _cache_registry is not None:
+        _cache_registry.append(sigs)
+
+    band_hashes = F.array(
+        *[
+            hf(F.concat_ws(",", F.slice("sig", b * r + 1, r)), b)
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc", "sig", "is_hist",
+        F.posexplode(band_hashes).alias("band", "band_hash"),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
+        )
+    banded = banded.persist()
+    if _cache_registry is not None:
+        _cache_registry.append(banded)
+
+    inc_side = banded.where(~F.col("is_hist")).alias("i")
+    partner = banded.alias("p")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("i.sig", "p.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    hits = (
+        inc_side.join(partner, ["band", "band_hash"])
+        .where(
+            F.col("p.is_hist") | (F.col("p.doc") < F.col("i.doc"))
+        )
+        .select(
+            F.col("i.doc").alias("doc_id"),
+            F.col("p.doc").alias("partner"),
+            est.alias("est"),
+        )
+        .dropDuplicates(["doc_id", "partner"])
+        .where(F.col("est") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.min("partner").alias("matched_id"),
+            F.min_by("est", "partner").alias("est_jaccard"),
+        )
+    )
+    return (
+        incoming.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "matched_id",
+            "est_jaccard",
+            F.col("matched_id").isNull().alias("keep"),
+        )
+    )
+
+
 def substring_duplicate_spans(
     docs: DataFrame,
     text_col: str = "text",

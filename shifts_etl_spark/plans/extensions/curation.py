@@ -2069,3 +2069,58 @@ SELECT batch_size, n AS n_corpus,
 FROM grid
 ORDER BY batch_size
 """
+
+
+def x241_balanced_shards(spark, sf_dir):
+    """Token-balanced output-shard plan (curation.balanced_shard_plan,
+    new in r8): documents hash into 8x32 md5 sub-buckets, the bounded
+    sub-bucket token summary packs serpentine-wise onto 8 shards
+    (heaviest with lightest), and the per-shard report shows token
+    share and skew vs the perfect-balance mean — the straggler audit a
+    100 TB writer runs before emitting training shards. Corpus-side
+    work is one linear hash + one map-side-combinable sum; the
+    sort/window only ever sees the <= 256-row summary."""
+    return curation.balanced_shard_plan(_t(spark, sf_dir, "documents"))
+
+
+X241_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+sub AS (
+  SELECT doc_id, n_tok,
+         ({_X73_U("md5(CAST(doc_id AS VARCHAR) || '-shard')")}) % 256 AS sb
+  FROM t
+),
+ss AS (
+  SELECT sb, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM sub GROUP BY 1
+),
+rk AS (
+  SELECT sb, n_docs, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, sb) - 1 AS r
+  FROM ss
+),
+asg AS (
+  SELECT n_docs, n_tokens,
+         CAST(CASE WHEN r % 16 < 8 THEN r % 16 ELSE 15 - (r % 16) END
+              AS BIGINT) AS shard
+  FROM rk
+),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_sub_buckets,
+         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM asg GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt FROM per)
+SELECT shard, n_sub_buckets, n_docs, n_tokens,
+       round(n_tokens / tt, 6) AS token_share,
+       round(n_tokens / (tt / 8), 6) AS skew_vs_mean
+FROM per CROSS JOIN tot
+ORDER BY shard
+"""

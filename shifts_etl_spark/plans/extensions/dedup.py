@@ -238,6 +238,58 @@ WHERE content_hash NOT IN (SELECT ch FROM hashed WHERE doc_id % 2 = 0)
 """
 
 
+def x240_incremental_neardup(spark, sf_dir):
+    """Continuous-ingestion NEAR-dup admission
+    (dedup.incremental_minhash_dedup, new in r8): docs with doc_id <
+    250 are the admitted history, the rest arrive as the batch; an
+    incoming doc is dropped when a banded-LSH candidate (md5 hash
+    family, 64 hashes / 16 bands / hot-bucket cap 500) with
+    signature-estimated Jaccard >= 0.5 exists in history or among
+    lower-id batch mates (the x36 greedy rule). At 100 TB the history
+    side is a (id, signature) sidecar and its text is never scanned
+    (history_sig_col, the incremental_exact_dedup contract). The id
+    split makes 'history or lower-id batch mate' collapse to
+    partner_id < doc_id, which the oracle mirrors literally."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_minhash_dedup(
+        docs.where(F.col("doc_id") >= 250),
+        docs.where(F.col("doc_id") < 250),
+        hash_fn="md5",
+    )
+
+
+# the X3 signature/band/cap chain verbatim; only the pair tail changes —
+# incoming side restricted, partner rule = lower id (history ids all sort
+# below batch ids by construction), then the per-doc min-partner verdict
+X240_SQL = X3_SQL.replace(
+    """pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         len([i for i in generate_series(1, 64) if l.sig[i] = r.sig[i]]) / 64.0 AS est_jaccard
+  FROM kept l JOIN kept r ON l.band = r.band AND l.band_hash = r.band_hash
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM pairs
+""",
+    """pairs AS (
+  SELECT DISTINCT r.doc_id AS doc_id, l.doc_id AS partner,
+         len([i for i in generate_series(1, 64) if l.sig[i] = r.sig[i]]) / 64.0 AS est
+  FROM kept l JOIN kept r ON l.band = r.band AND l.band_hash = r.band_hash
+  WHERE r.doc_id >= 250 AND l.doc_id < r.doc_id
+),
+hits AS (
+  SELECT doc_id, MIN(partner) AS matched_id,
+         arg_min(est, partner) AS est_jaccard
+  FROM pairs WHERE est >= 0.5 GROUP BY doc_id
+)
+SELECT d.doc_id, h.matched_id, h.est_jaccard,
+       h.matched_id IS NULL AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN hits h USING (doc_id)
+""",
+)
+assert "arg_min" in X240_SQL  # surgery anchor must exist
+
+
 def x35_benchmark_contamination(spark, sf_dir):
     """Eval-leakage audit (curation.benchmark_contamination): docs with
     doc_id < 20 stand in for the benchmark; every other doc reports what

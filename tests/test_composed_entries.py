@@ -58,14 +58,17 @@ def test_composed_entry_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
 
 
-def test_catalog_pin_341():
+def test_catalog_pin_343():
     """Round-8 pin: the eleven composed entries merged (VERDICT r7 #2,
-    329 -> 340) plus x239, the x6/x121 LSH-band linear mode (VERDICT r7
-    #4) — total exactly 341. Growth beyond this needs a deliberate pin
-    bump, not an accidental leak."""
+    329 -> 340) plus the r8 additions — x239 (the x6/x121 LSH-band
+    linear mode, VERDICT r7 #4), x240 (incremental near-dup admission),
+    x241 (balanced shard planner) — total exactly 343. Growth beyond
+    this needs a deliberate pin bump, not an accidental leak."""
     from shifts_etl_spark.plans.catalog import CATALOG
 
-    assert len(CATALOG) == 341
+    assert len(CATALOG) == 343
     for name in COMPOSED:
         assert name in CATALOG
-    assert "x239_embedding_nn_lsh" in CATALOG
+    for name in ("x239_embedding_nn_lsh", "x240_incremental_neardup",
+                 "x241_balanced_shards"):
+        assert name in CATALOG

@@ -1,0 +1,112 @@
+"""Round-8 operators: incremental near-dup admission
+(dedup.incremental_minhash_dedup) and the token-balanced shard planner
+(curation.balanced_shard_plan) — planted-scenario pins complementing
+the x240/x241 catalog oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from shifts_etl_spark.operators.curation import balanced_shard_plan
+from shifts_etl_spark.operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_signatures,
+)
+
+A = (
+    "the quick brown fox jumps over the lazy dog near the quiet river "
+    "bank while the evening sun sets slowly behind the old wooden mill"
+)
+B = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines today"
+)
+C = (
+    "a third unrelated passage describing mountain weather patterns and "
+    "the seasonal migration of birds across the northern coastal plains"
+)
+
+
+def test_incremental_neardup_admission(spark):
+    """History match drops the incoming copy; an unrelated doc is
+    admitted; of two mutual batch near-dups only the min-id one is
+    admitted (the greedy lower-id rule), the other matching its batch
+    mate, not history."""
+    history = spark.createDataFrame([Row(doc_id=1, text=A)])
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=A),   # exact copy of history -> drop
+            Row(doc_id=11, text=B),   # fresh -> keep
+            Row(doc_id=12, text=C),   # first of a batch pair -> keep
+            Row(doc_id=13, text=C),   # batch mate of 12 -> drop
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_minhash_dedup(incoming, history).collect()
+    }
+    assert not out[10].keep and out[10].matched_id == 1
+    assert out[10].est_jaccard == 1.0
+    assert out[11].keep and out[11].matched_id is None
+    assert out[12].keep
+    assert not out[13].keep and out[13].matched_id == 12
+
+
+def test_incremental_neardup_signature_only_history(spark):
+    """The 100 TB path: history passed as a precomputed (id, sig)
+    sidecar — text never scanned — must produce the identical verdicts
+    as the text-based convenience path."""
+    history = spark.createDataFrame(
+        [Row(doc_id=1, text=A), Row(doc_id=2, text=B)]
+    )
+    incoming = spark.createDataFrame(
+        [Row(doc_id=10, text=A), Row(doc_id=11, text=C)]
+    )
+    via_text = incremental_minhash_dedup(incoming, history).collect()
+    sidecar = minhash_signatures(history).withColumnRenamed("doc", "doc_id")
+    via_sigs = incremental_minhash_dedup(
+        incoming, sidecar, history_sig_col="sig"
+    ).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(via_text) == key(via_sigs)
+    verdicts = {r.doc_id: r.keep for r in via_text}
+    assert verdicts == {10: False, 11: True}
+
+
+def test_balanced_shard_plan_invariants(spark):
+    """Every doc lands in exactly one shard, token shares sum to 1,
+    skew is share x W by definition, and the plan is deterministic."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * (5 + (i * 7) % 40)))
+         for i in range(60)]
+    )
+    plan = balanced_shard_plan(docs, n_shards=4, sub_buckets_per_shard=8)
+    rows = plan.collect()
+    assert {r.shard for r in rows} <= set(range(4))
+    assert sum(r.n_docs for r in rows) == 60
+    total = sum(r.n_tokens for r in rows)
+    assert total == sum(5 + (i * 7) % 40 for i in range(60))
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert abs(r.skew_vs_mean - r.token_share * 4) < 1e-5
+    again = balanced_shard_plan(
+        docs, n_shards=4, sub_buckets_per_shard=8
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_balanced_shard_plan_beats_naive_on_skewed_tokens(spark):
+    """The serpentine pack must tame a token-skewed corpus: with a few
+    giant docs and many small ones, every shard's skew_vs_mean stays
+    within a loose band around 1 instead of one shard swallowing the
+    giants."""
+    rows = [Row(doc_id=i, text=" ".join(["w"] * 2000)) for i in range(4)]
+    rows += [Row(doc_id=100 + i, text=" ".join(["w"] * 10))
+             for i in range(96)]
+    plan = balanced_shard_plan(
+        spark.createDataFrame(rows), n_shards=4, sub_buckets_per_shard=16
+    ).collect()
+    assert len(plan) == 4
+    for r in plan:
+        assert 0.5 <= r.skew_vs_mean <= 1.5, plan

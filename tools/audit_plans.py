@@ -207,6 +207,8 @@ SINGLE_PARTITION_OK = {
     "x226_grouped_kfold",  # two 1-row span counts + 1-row doc total
     # onto the |folds| cells
     "x227_loso_quality",  # 1-row corpus total onto |sources| cells
+    "x241_balanced_shards",  # serpentine-rank window over the <= W*K
+    # (256) sub-bucket summary rows — the corpus never enters the window
 }
 CROSS_JOIN_OK = {
     "j5_cross_join",
@@ -341,6 +343,8 @@ CROSS_JOIN_OK = {
     # folds (label moments x pair count)
     "x227_loso_quality",  # crossJoin with the broadcast 1-row corpus
     # total onto the |sources| cells
+    "x241_balanced_shards",  # crossJoin with the broadcast 1-row token
+    # total onto the |shards| cells
 }
 
 
