@@ -428,6 +428,34 @@ def _admitted_hashes(spark: SparkSession, writer: StagedWriter) -> DataFrame:
     return spark.createDataFrame([], "content_hash string")
 
 
+def _admitted_sigs(
+    spark: SparkSession, writer: StagedWriter, sig_kwargs: dict
+) -> DataFrame:
+    """The seen-SIGNATURE set for online NEAR-dup admission: the
+    (doc_id, 64-long MinHash) ``admitted_sigs`` sidecar — the anti-join
+    side incremental_minhash_dedup reads via ``history_sig_col``, so
+    near-dup admission never scans admitted text (~0.5 KB/doc). Same
+    lazy-upgrade contract as _admitted_hashes: a pre-sidecar output dir
+    is backfilled ONCE from the admitted table under a fixed batch id;
+    ``sig_kwargs`` (num_hashes / shingle_n / hash_fn) must match the
+    admission call's, which streaming_curation_admit guarantees by
+    deriving both from one config."""
+    from ..operators.dedup import minhash_signatures
+
+    if not writer.table_exists("admitted_sigs") and writer.table_exists(
+        "admitted"
+    ):
+        derived = minhash_signatures(
+            writer.read_table(spark, "admitted"), **sig_kwargs
+        ).withColumnRenamed("doc", "doc_id")
+        writer.write_batch(
+            {"admitted_sigs": derived}, batch_id="sigs-backfill"
+        )
+    if writer.table_exists("admitted_sigs"):
+        return writer.read_table(spark, "admitted_sigs")
+    return spark.createDataFrame([], "doc_id long, sig array<long>")
+
+
 def streaming_curation_admit(
     spark: SparkSession,
     input_dir: str | Path,
@@ -438,6 +466,8 @@ def streaming_curation_admit(
     max_blocked_frac: float = 0.5,
     min_quality: float = 0.5,
     compact_every: int | None = None,
+    neardup_threshold: float | None = None,
+    neardup_kwargs: dict | None = None,
 ):
     """ONLINE admission counterpart of pipeline.curate(): as document
     files land, each micro-batch is (1) scored against the boilerplate
@@ -464,16 +494,32 @@ def streaming_curation_admit(
     BEFORE the sidecar existed is upgraded lazily: the first epoch
     derives the missing sidecar from the admitted table once.
 
-    ``compact_every=N`` rewrites the sidecar's accumulated per-epoch
+    ``compact_every=N`` rewrites the sidecars' accumulated per-epoch
     batch dirs into one after every N epochs (StagedWriter.compact, the
     nightly-OPTIMIZE analog): without it a long-running stream's dedup
     scan pays one file listing per historical epoch. Compaction replays
     safely — a crashed epoch's replay skips its (already-committed)
     write, and re-compacting an already-compacted table is a no-op.
 
+    ``neardup_threshold`` switches on ONLINE NEAR-dup admission (r8):
+    after the exact stage, survivors run
+    ``dedup.incremental_minhash_dedup`` against the (doc_id, signature)
+    ``admitted_sigs`` sidecar — signature-estimated Jaccard ≥ threshold
+    vs history or a lower-id batch mate drops the doc. The sidecar is
+    appended atomically WITH each epoch (same write_batch) and, like
+    the hash sidecar, means admission never rescans admitted text; a
+    pre-sidecar output dir backfills once. ``neardup_kwargs`` tunes the
+    LSH (num_hashes / bands / shingle_n / hash_fn / max_bucket_size)
+    and MUST stay constant across a stream's lifetime — signatures in
+    the sidecar embed the family.
+
     Returns the started query (availableNow trigger: drains and stops).
     """
-    from ..operators.dedup import incremental_exact_dedup
+    from ..operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
     from ..operators.textstats import normalize_text, quality_score, scrub_pii
 
     docs = spark.readStream.schema(
@@ -482,6 +528,12 @@ def streaming_curation_admit(
     writer = StagedWriter(output_dir)
     sid = _stream_identity(checkpoint_dir)
     _, blocked_frac = _blocklist_coverage(gram_hashes or [], span_len)
+    nd_kwargs = dict(neardup_kwargs or {})
+    sig_kwargs = {
+        k: nd_kwargs[k]
+        for k in ("num_hashes", "shingle_n", "hash_fn")
+        if k in nd_kwargs
+    }
 
     def admit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
@@ -501,17 +553,40 @@ def streaming_curation_admit(
             admitted = passing.join(
                 keep.withColumnRenamed("keep_id", "doc_id"), "doc_id", "semi"
             ).persist()
-            new_hashes = admitted.select(
+            if neardup_threshold is not None:
+                nd_keep = (
+                    incremental_minhash_dedup(
+                        admitted,
+                        _admitted_sigs(sp, writer, sig_kwargs),
+                        threshold=neardup_threshold,
+                        history_sig_col="sig",
+                        **nd_kwargs,
+                    )
+                    .where(F.col("keep"))
+                    .select("doc_id")
+                )
+                survivors = admitted.join(nd_keep, "doc_id", "semi").persist()
+            else:
+                survivors = admitted
+            new_hashes = survivors.select(
                 F.md5(normalize_text(F.col("text"))).alias("content_hash")
             )
+            tables = {"admitted": survivors, "admitted_hashes": new_hashes}
+            if neardup_threshold is not None:
+                tables["admitted_sigs"] = minhash_signatures(
+                    survivors, **sig_kwargs
+                ).withColumnRenamed("doc", "doc_id")
             writer.write_batch(
-                {"admitted": admitted, "admitted_hashes": new_hashes},
-                batch_id=_epoch_batch_id(sid, epoch_id),
+                tables, batch_id=_epoch_batch_id(sid, epoch_id)
             )
+            if survivors is not admitted:
+                survivors.unpersist()
             admitted.unpersist()
             passing.unpersist()
             if compact_every and (epoch_id + 1) % compact_every == 0:
                 writer.compact(sp, "admitted_hashes")
+                if writer.table_exists("admitted_sigs"):
+                    writer.compact(sp, "admitted_sigs")
         finally:
             batch_df.unpersist()
 

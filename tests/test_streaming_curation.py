@@ -279,3 +279,73 @@ def test_fresh_checkpoint_does_not_swallow_epochs(spark, tmp_path):
     ids = {r.doc_id for r in w.read_table(spark, "admitted").collect()}
     assert ids == {1, 2}
     assert len(w.commits()) == 2  # one commit per stream, none swallowed
+
+
+GOOD_NEAR = GOOD.replace("lazy", "sleepy")      # near-copy, not exact
+GOOD2_NEAR = GOOD2.replace("ordinary", "usual")  # near-copy of GOOD2
+
+
+def test_streaming_neardup_admission(spark, tmp_path):
+    """Online NEAR-dup admission (neardup_threshold): a cross-epoch
+    near-copy — one word changed, so the exact hash sidecar alone would
+    ADMIT it — is rejected against the signature sidecar; an unrelated
+    doc passes; of two batch-mate near-copies only the min-id one is
+    admitted. compact_every also folds the sigs sidecar."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    def run():
+        q = streaming_curation_admit(
+            spark, input_dir, ckpt, out,
+            neardup_threshold=0.5, compact_every=1,
+        )
+        q.awaitTermination()
+
+    _drop(input_dir, "e1.json", [{"doc_id": 1, "source": "s", "text": GOOD}])
+    run()
+    _drop(input_dir, "e2.json", [
+        {"doc_id": 2, "source": "s", "text": GOOD_NEAR},   # near hist -> drop
+        {"doc_id": 3, "source": "s", "text": GOOD2},       # fresh -> keep
+        {"doc_id": 4, "source": "s", "text": GOOD2_NEAR},  # near mate -> drop
+    ])
+    run()
+    w = StagedWriter(out)
+    ids = {r.doc_id for r in w.read_table(spark, "admitted").collect()}
+    assert ids == {1, 3}
+    sigs = w.read_table(spark, "admitted_sigs").collect()
+    assert {r.doc_id for r in sigs} == {1, 3}
+    assert all(len(r.sig) == 64 for r in sigs)
+    # compact_every folded both sidecars to one batch dir each
+    assert len(list((out / "admitted_sigs").glob("batch=*"))) == 1
+    assert len(list((out / "admitted_hashes").glob("batch=*"))) == 1
+
+
+def test_streaming_neardup_sidecar_backfill(spark, tmp_path):
+    """An output dir admitted to BEFORE near-dup mode existed upgrades
+    lazily: the first near-dup epoch derives admitted_sigs from the
+    admitted table once (fixed batch id), and a near-copy of the
+    PRE-upgrade history is then rejected."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    _drop(input_dir, "e1.json", [{"doc_id": 1, "source": "s", "text": GOOD}])
+    q = streaming_curation_admit(spark, input_dir, ckpt, out)  # exact-only era
+    q.awaitTermination()
+    w = StagedWriter(out)
+    assert not w.table_exists("admitted_sigs")
+
+    _drop(input_dir, "e2.json", [
+        {"doc_id": 2, "source": "s", "text": GOOD_NEAR},
+        {"doc_id": 3, "source": "s", "text": GOOD2},
+    ])
+    q = streaming_curation_admit(
+        spark, input_dir, ckpt, out, neardup_threshold=0.5
+    )
+    q.awaitTermination()
+    ids = {r.doc_id for r in w.read_table(spark, "admitted").collect()}
+    assert ids == {1, 3}
+    assert sum(1 for bid, _ in w.commits() if bid == "sigs-backfill") == 1
