@@ -1196,6 +1196,66 @@ def loso_quality_attribution(
     ).orderBy("source")
 
 
+def _shard_assignment(
+    docs: DataFrame,
+    n_shards: int,
+    sub_buckets_per_shard: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared core of balanced_shard_plan / balanced_shard_map: the
+    per-sub-bucket (sb, n_docs, n_tokens, shard) frame — md5 sub-bucket
+    token sums packed serpentine-wise (sort by mass desc, shard 0..W-1
+    then W-1..0, repeating) onto ``n_shards``. ≤ W·K rows."""
+    from .textstats import token_count
+
+    n_sub = n_shards * sub_buckets_per_shard
+    per_doc = docs.select(
+        (
+            _hex_uniform_int(
+                F.concat(F.col(id_col).cast("string"), F.lit("-shard"))
+            )
+            % n_sub
+        ).alias("sb"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    )
+    ss = per_doc.groupBy("sb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    fold = 2 * n_shards
+    pos = (
+        F.row_number().over(
+            Window.orderBy(F.col("n_tokens").desc(), F.col("sb"))
+        )
+        - 1
+    ) % fold
+    return ss.withColumn(
+        "shard",
+        F.when(pos < n_shards, pos)
+        .otherwise(F.lit(fold - 1) - pos)
+        .cast("long"),
+    )
+
+
+def balanced_shard_map(
+    docs: DataFrame,
+    n_shards: int = 8,
+    sub_buckets_per_shard: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The applicable artifact of :func:`balanced_shard_plan`: the
+    (sb, shard) mapping a writer broadcast-joins onto each doc's md5
+    sub-bucket (same hash: md5(id || '-shard') % (W·K)) to place it —
+    ≤ W·K rows, so the join side always broadcasts. Built from the same
+    serpentine assignment the plan aggregates, so the audited balance
+    IS the shipped balance."""
+    return _shard_assignment(
+        docs, n_shards, sub_buckets_per_shard, text_col, id_col
+    ).select("sb", "shard")
+
+
 def balanced_shard_plan(
     docs: DataFrame,
     n_shards: int = 8,
@@ -1223,35 +1283,12 @@ def balanced_shard_plan(
     Returns one row per shard: (shard, n_sub_buckets, n_docs, n_tokens,
     token_share, skew_vs_mean) — skew_vs_mean ≈ 1.0 everywhere is the
     goal state. Fully deterministic (md5 buckets, integer token counts,
-    6-dp shares), mirrored value-for-value by the x241 oracle."""
-    from .textstats import token_count
-
-    n_sub = n_shards * sub_buckets_per_shard
-    per_doc = docs.select(
-        (
-            _hex_uniform_int(
-                F.concat(F.col(id_col).cast("string"), F.lit("-shard"))
-            )
-            % n_sub
-        ).alias("sb"),
-        token_count(F.col(text_col)).alias("n_tok"),
-    )
-    ss = per_doc.groupBy("sb").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-    )
-    fold = 2 * n_shards
-    pos = (
-        F.row_number().over(
-            Window.orderBy(F.col("n_tokens").desc(), F.col("sb"))
-        )
-        - 1
-    ) % fold
-    asg = ss.withColumn(
-        "shard",
-        F.when(pos < n_shards, pos)
-        .otherwise(F.lit(fold - 1) - pos)
-        .cast("long"),
+    6-dp shares), mirrored value-for-value by the x241 oracle. A writer
+    gets the applicable (sb → shard) mapping from
+    :func:`balanced_shard_map` — the same assignment this report
+    aggregates, so audit and sharding can never drift."""
+    asg = _shard_assignment(
+        docs, n_shards, sub_buckets_per_shard, text_col, id_col
     )
     per = asg.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_sub_buckets"),

@@ -528,6 +528,7 @@ def embedding_nn_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """:func:`embedding_nn_pairs` in its documented 100 TB mode: the
     per-label blocks are replaced by sign-LSH band buckets (the x8
@@ -554,9 +555,15 @@ def embedding_nn_pairs_lsh(
     from .simsearch import add_det_lsh_signature
 
     sig = add_det_lsh_signature(emb, dim, n_planes, bands, vec_col)
+    # persist: the self-join reads both aliases (exchange reuse does not
+    # fire across them); (vid, bucket) longs only. The handle lands in
+    # _cache_registry (the minhash_lsh_pairs contract) for callers to
+    # release once downstream work has materialized.
     buckets = sig.select(
         F.col(id_col).alias("vid"), F.explode("buckets").alias("bucket")
     ).persist()
+    if _cache_registry is not None:
+        _cache_registry.append(buckets)
     hot = (
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -649,6 +656,8 @@ def incremental_minhash_dedup(
     max_bucket_size: int | None = 500,
     hash_fn: str = "xxhash64",
     history_sig_col: str | None = None,
+    incoming_sig_df: DataFrame | None = None,
+    exact_precollapse: bool = True,
     _cache_registry: list | None = None,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-dup admission — the banded-MinHash
@@ -668,25 +677,81 @@ def incremental_minhash_dedup(
     sidecar, ~0.5 KB/doc, exactly what streaming_curation_admit's
     hashes sidecar does for the exact stage. Without it, history is a
     document table and signatures are built on the fly (small-corpus
-    convenience path).
+    convenience path). ``incoming_sig_df`` is the same shortcut for the
+    batch side: a precomputed (doc, sig) frame (minhash_signatures
+    output, SAME num_hashes/shingle_n/hash_fn) skips the batch's
+    signature pass — streaming_curation_admit computes batch signatures
+    once and shares them between admission and its sidecar append.
+
+    ``exact_precollapse`` (default True — the x237 30× lesson: piles of
+    EXACT copies share identical signatures, so every band bucket they
+    land in grows with the pile and in-bucket pair work grows with its
+    SQUARE; the first 30×-replica smoke measured 5.8× for the
+    uncollapsed form vs ~1× collapsed) groups the batch by normalized
+    content hash first and runs LSH on min-id representatives only.
+    Non-representatives are exact duplicates of a lower-id batch mate
+    by construction, so their verdict is closed-form: matched_id =
+    their representative's match if it has one (it is lower), else the
+    representative itself, est 1.0. One deliberate improvement over the
+    raw form: shingle-less exact duplicates (empty/whitespace docs),
+    invisible to LSH, are now deduped too. Set False only when the
+    batch is already exact-collapsed (streaming_curation_admit's near
+    -dup stage runs AFTER incremental_exact_dedup, so it does).
 
     Scale shape: both sides reduce to signatures before any join; the
-    bucket join shuffles (band, hash, id) triples with hot buckets
-    (> ``max_bucket_size`` members across BOTH sides) dropped via a
-    broadcast anti-join BEFORE the join (the x3 convention), bounding
-    fan-out at cap² per bucket; est_jaccard is a 64-slot zip on the
-    re-attached signatures; the verdict per incoming doc is one keyed
+    bucket join shuffles (band, hash, id, side-bit) rows — signatures
+    re-attach BY ID after the candidate distinct, never riding the
+    bucket join (the embedding_nn_pairs_lsh contract) — with hot
+    buckets (> ``max_bucket_size`` members across BOTH sides) dropped
+    via a broadcast anti-join BEFORE the join (the x3 convention),
+    bounding fan-out at cap² per bucket; est_jaccard is a 64-slot zip
+    per candidate pair; the verdict per incoming doc is one keyed
     min-aggregate. Decisions depend only on content hashes, so the
-    md5 family (``hash_fn="md5"``) makes the whole chain — signatures,
-    band keys, candidates, estimates, keep set — mirror bit-for-bit
-    into DuckDB (the x240 catalog entry)."""
+    md5 family (``hash_fn="md5"``) makes the whole chain — collapse,
+    signatures, band keys, candidates, estimates, keep set — mirror
+    bit-for-bit into DuckDB (the x240 catalog entry)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     hf = _hash_family(hash_fn)
 
-    inc_sig = minhash_signatures(
-        incoming, text_col, id_col, num_hashes, shingle_n, hash_fn
-    ).withColumn("is_hist", F.lit(False))
+    if exact_precollapse:
+        keyed = incoming.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalize_text(F.col(text_col))).alias("_g"),
+        )
+        gmap = (
+            keyed.join(
+                keyed.groupBy("_g").agg(F.min("doc_id").alias("rep")), "_g"
+            )
+            .select("doc_id", "rep")
+            .persist()
+        )
+        if _cache_registry is not None:
+            _cache_registry.append(gmap)
+        rep_ids = gmap.where(F.col("doc_id") == F.col("rep")).select(
+            F.col("doc_id").alias("_rep_id")
+        )
+        lsh_incoming = incoming.join(
+            rep_ids, F.col(id_col) == F.col("_rep_id"), "semi"
+        )
+    else:
+        gmap = incoming.select(F.col(id_col).alias("doc_id")).withColumn(
+            "rep", F.col("doc_id")
+        )
+        rep_ids = gmap.select(F.col("doc_id").alias("_rep_id"))
+        lsh_incoming = incoming
+
+    if incoming_sig_df is not None:
+        inc_sig = incoming_sig_df.select("doc", "sig")
+        if exact_precollapse:
+            inc_sig = inc_sig.join(
+                rep_ids, F.col("doc") == F.col("_rep_id"), "semi"
+            )
+    else:
+        inc_sig = minhash_signatures(
+            lsh_incoming, text_col, id_col, num_hashes, shingle_n, hash_fn
+        )
+    inc_sig = inc_sig.withColumn("is_hist", F.lit(False))
     if history_sig_col is not None:
         hist_sig = history.select(
             F.col(id_col).alias("doc"),
@@ -697,9 +762,10 @@ def incremental_minhash_dedup(
         hist_sig = minhash_signatures(
             history, text_col, id_col, num_hashes, shingle_n, hash_fn
         ).withColumn("is_hist", F.lit(True))
-    # persist: the bucket join reads the union twice (left/right alias);
-    # handles land in _cache_registry (the minhash_lsh_pairs contract)
-    # for the caller to release after materialization
+    # persist: banding, the two by-id sig re-attaches, and (in collapse
+    # mode) the rep filter all read this union; handles land in
+    # _cache_registry (the minhash_lsh_pairs contract) for the caller
+    # to release after materialization
     sigs = inc_sig.unionByName(hist_sig).persist()
     if _cache_registry is not None:
         _cache_registry.append(sigs)
@@ -710,8 +776,10 @@ def incremental_minhash_dedup(
             for b in range(bands)
         ]
     )
+    # (band, hash, doc, side-bit) only — signatures stay out of the
+    # bucket join and re-attach by id on the deduped candidate pairs
     banded = sigs.select(
-        "doc", "sig", "is_hist",
+        "doc", "is_hist",
         F.posexplode(band_hashes).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
@@ -728,44 +796,57 @@ def incremental_minhash_dedup(
     if _cache_registry is not None:
         _cache_registry.append(banded)
 
-    inc_side = banded.where(~F.col("is_hist")).alias("i")
-    partner = banded.alias("p")
+    cand = (
+        banded.where(~F.col("is_hist"))
+        .alias("i")
+        .join(banded.alias("p"), ["band", "band_hash"])
+        .where(F.col("p.is_hist") | (F.col("p.doc") < F.col("i.doc")))
+        .select(
+            F.col("i.doc").alias("doc_id"),
+            F.col("p.doc").alias("partner"),
+        )
+        .dropDuplicates(["doc_id", "partner"])
+    )
+    sl = sigs.select(F.col("doc").alias("doc_id"), F.col("sig").alias("_si"))
+    sr = sigs.select(F.col("doc").alias("partner"), F.col("sig").alias("_sp"))
     est = (
         F.size(
             F.filter(
-                F.zip_with("i.sig", "p.sig", lambda x, y: (x == y).cast("int")),
+                F.zip_with("_si", "_sp", lambda x, y: (x == y).cast("int")),
                 lambda v: v == 1,
             )
         )
         / F.lit(float(num_hashes))
     )
     hits = (
-        inc_side.join(partner, ["band", "band_hash"])
-        .where(
-            F.col("p.is_hist") | (F.col("p.doc") < F.col("i.doc"))
-        )
-        .select(
-            F.col("i.doc").alias("doc_id"),
-            F.col("p.doc").alias("partner"),
-            est.alias("est"),
-        )
-        .dropDuplicates(["doc_id", "partner"])
+        cand.join(sl, "doc_id")
+        .join(sr, "partner")
+        .select("doc_id", "partner", est.alias("est"))
         .where(F.col("est") >= threshold)
         .groupBy("doc_id")
         .agg(
             F.min("partner").alias("matched_id"),
             F.min_by("est", "partner").alias("est_jaccard"),
         )
+        .withColumnRenamed("doc_id", "rep")
     )
-    return (
-        incoming.select(F.col(id_col).alias("doc_id"))
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "matched_id",
-            "est_jaccard",
-            F.col("matched_id").isNull().alias("keep"),
+    # expand rep verdicts to the whole batch: a non-representative is an
+    # exact duplicate of its (lower-id) rep — matched by the rep's own
+    # match when one exists (it sorts below the rep), else by the rep
+    return gmap.join(hits, "rep", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("rep"), F.col("matched_id"))
+        .otherwise(F.coalesce(F.col("matched_id"), F.col("rep")))
+        .alias("matched_id"),
+        F.when(F.col("doc_id") == F.col("rep"), F.col("est_jaccard"))
+        .when(F.col("matched_id").isNull(), F.lit(1.0))
+        .otherwise(F.col("est_jaccard"))
+        .alias("est_jaccard"),
+        F.when(
+            F.col("doc_id") == F.col("rep"), F.col("matched_id").isNull()
         )
+        .otherwise(F.lit(False))
+        .alias("keep"),
     )
 
 

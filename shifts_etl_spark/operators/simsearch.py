@@ -721,6 +721,14 @@ def ivf_probe_sweep(
     from .curation import _hex_uniform_int
     from .dedup import _fan_out
 
+    if n_cells is not None and centroid_stride != 16:
+        # the r8 default flip made n_cells win over the stride sample; a
+        # non-default stride alongside it is a pre-flip call pattern that
+        # would otherwise silently run fixed cells — fail loudly instead
+        raise ValueError(
+            "centroid_stride is ignored when n_cells is set; pass "
+            "n_cells=None to use the legacy stride sample"
+        )
     if n_cells is not None:
         pri = _hex_uniform_int(
             F.concat(F.col(id_col).cast("string"), F.lit("-ivfc"))

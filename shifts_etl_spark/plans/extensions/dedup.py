@@ -245,11 +245,15 @@ def x240_incremental_neardup(spark, sf_dir):
     incoming doc is dropped when a banded-LSH candidate (md5 hash
     family, 64 hashes / 16 bands / hot-bucket cap 500) with
     signature-estimated Jaccard >= 0.5 exists in history or among
-    lower-id batch mates (the x36 greedy rule). At 100 TB the history
-    side is a (id, signature) sidecar and its text is never scanned
-    (history_sig_col, the incremental_exact_dedup contract). The id
-    split makes 'history or lower-id batch mate' collapse to
-    partner_id < doc_id, which the oracle mirrors literally."""
+    lower-id batch mates (the x36 greedy rule). The batch is exact
+    -collapsed on its normalized content hash first (min-id reps run
+    the LSH; exact-dup verdicts expand in closed form — the x237 30x
+    lesson applied: without it the first 30x-replica smoke measured
+    5.8x). At 100 TB the history side is a (id, signature) sidecar and
+    its text is never scanned (history_sig_col, the
+    incremental_exact_dedup contract). The id split makes 'history or
+    lower-id batch mate' collapse to partner_id < doc_id, which the
+    oracle mirrors literally."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.incremental_minhash_dedup(
         docs.where(F.col("doc_id") >= 250),
@@ -258,11 +262,37 @@ def x240_incremental_neardup(spark, sf_dir):
     )
 
 
-# the X3 signature/band/cap chain verbatim; only the pair tail changes —
-# incoming side restricted, partner rule = lower id (history ids all sort
-# below batch ids by construction), then the per-doc min-partner verdict
-X240_SQL = X3_SQL.replace(
-    """pairs AS (
+# The X3 signature/band/cap chain, rebased twice:
+#  - a gmap/chain_docs prefix mirrors the operator's exact pre-collapse
+#    (batch grouped by normalized content hash, min-id representative;
+#    the r8 30x-replica fix) — the chain runs on history + reps only;
+#  - the pair tail restricts the incoming side and applies the lower-id
+#    partner rule (history ids all sort below batch ids by the entry's
+#    split), then per-rep min-partner verdicts expand to non-reps in
+#    closed form (matched by the rep's own match if any, else the rep,
+#    est 1.0).
+_X240_NORMH = (
+    r"md5(trim(regexp_replace(regexp_replace(lower(text),"
+    r" '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))"
+)
+X240_SQL = (
+    X3_SQL.replace(
+        "WITH norm AS (",
+        f"""WITH gmap AS MATERIALIZED (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY {_X240_NORMH}) AS rep
+  FROM documents WHERE doc_id >= 250
+),
+chain_docs AS (
+  SELECT * FROM documents
+  WHERE doc_id < 250 OR doc_id IN (SELECT rep FROM gmap)
+),
+norm AS (""",
+        1,
+    )
+    .replace(" AS toks FROM documents", " AS toks FROM chain_docs", 1)
+    .replace(
+        """pairs AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
          len([i for i in generate_series(1, 64) if l.sig[i] = r.sig[i]]) / 64.0 AS est_jaccard
   FROM kept l JOIN kept r ON l.band = r.band AND l.band_hash = r.band_hash
@@ -270,24 +300,30 @@ X240_SQL = X3_SQL.replace(
 )
 SELECT id_a, id_b, est_jaccard FROM pairs
 """,
-    """pairs AS (
+        """pairs AS (
   SELECT DISTINCT r.doc_id AS doc_id, l.doc_id AS partner,
          len([i for i in generate_series(1, 64) if l.sig[i] = r.sig[i]]) / 64.0 AS est
   FROM kept l JOIN kept r ON l.band = r.band AND l.band_hash = r.band_hash
   WHERE r.doc_id >= 250 AND l.doc_id < r.doc_id
 ),
-hits AS (
-  SELECT doc_id, MIN(partner) AS matched_id,
+rhits AS (
+  SELECT doc_id AS rep, MIN(partner) AS matched_id,
          arg_min(est, partner) AS est_jaccard
   FROM pairs WHERE est >= 0.5 GROUP BY doc_id
 )
-SELECT d.doc_id, h.matched_id, h.est_jaccard,
-       h.matched_id IS NULL AS keep
-FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
-LEFT JOIN hits h USING (doc_id)
+SELECT g.doc_id,
+       CASE WHEN g.doc_id = g.rep THEN h.matched_id
+            ELSE COALESCE(h.matched_id, g.rep) END AS matched_id,
+       CASE WHEN g.doc_id = g.rep THEN h.est_jaccard
+            WHEN h.matched_id IS NULL THEN 1.0
+            ELSE h.est_jaccard END AS est_jaccard,
+       CASE WHEN g.doc_id = g.rep THEN h.matched_id IS NULL
+            ELSE FALSE END AS keep
+FROM gmap g LEFT JOIN rhits h ON h.rep = g.rep
 """,
+    )
 )
-assert "arg_min" in X240_SQL  # surgery anchor must exist
+assert "arg_min" in X240_SQL and "chain_docs" in X240_SQL  # anchors
 
 
 def x35_benchmark_contamination(spark, sf_dir):

@@ -553,36 +553,58 @@ def streaming_curation_admit(
             admitted = passing.join(
                 keep.withColumnRenamed("keep_id", "doc_id"), "doc_id", "semi"
             ).persist()
-            if neardup_threshold is not None:
-                nd_keep = (
-                    incremental_minhash_dedup(
-                        admitted,
-                        _admitted_sigs(sp, writer, sig_kwargs),
-                        threshold=neardup_threshold,
-                        history_sig_col="sig",
-                        **nd_kwargs,
+            caches: list = []
+            survivors = admitted
+            batch_sigs = None
+            try:
+                if neardup_threshold is not None:
+                    # one signature pass serves both admission and the
+                    # sidecar append; exact_precollapse=False because the
+                    # exact stage above already collapsed the batch
+                    batch_sigs = minhash_signatures(
+                        admitted, **sig_kwargs
+                    ).persist()
+                    nd_keep = (
+                        incremental_minhash_dedup(
+                            admitted,
+                            _admitted_sigs(sp, writer, sig_kwargs),
+                            threshold=neardup_threshold,
+                            history_sig_col="sig",
+                            incoming_sig_df=batch_sigs,
+                            exact_precollapse=False,
+                            _cache_registry=caches,
+                            **nd_kwargs,
+                        )
+                        .where(F.col("keep"))
+                        .select("doc_id")
                     )
-                    .where(F.col("keep"))
-                    .select("doc_id")
+                    survivors = admitted.join(
+                        nd_keep, "doc_id", "semi"
+                    ).persist()
+                new_hashes = survivors.select(
+                    F.md5(normalize_text(F.col("text"))).alias("content_hash")
                 )
-                survivors = admitted.join(nd_keep, "doc_id", "semi").persist()
-            else:
-                survivors = admitted
-            new_hashes = survivors.select(
-                F.md5(normalize_text(F.col("text"))).alias("content_hash")
-            )
-            tables = {"admitted": survivors, "admitted_hashes": new_hashes}
-            if neardup_threshold is not None:
-                tables["admitted_sigs"] = minhash_signatures(
-                    survivors, **sig_kwargs
-                ).withColumnRenamed("doc", "doc_id")
-            writer.write_batch(
-                tables, batch_id=_epoch_batch_id(sid, epoch_id)
-            )
-            if survivors is not admitted:
-                survivors.unpersist()
-            admitted.unpersist()
-            passing.unpersist()
+                tables = {
+                    "admitted": survivors,
+                    "admitted_hashes": new_hashes,
+                }
+                if neardup_threshold is not None:
+                    tables["admitted_sigs"] = (
+                        batch_sigs.withColumnRenamed("doc", "doc_id")
+                        .join(survivors.select("doc_id"), "doc_id", "semi")
+                    )
+                writer.write_batch(
+                    tables, batch_id=_epoch_batch_id(sid, epoch_id)
+                )
+            finally:
+                for c in caches:
+                    c.unpersist()
+                if batch_sigs is not None:
+                    batch_sigs.unpersist()
+                if survivors is not admitted:
+                    survivors.unpersist()
+                admitted.unpersist()
+                passing.unpersist()
             if compact_every and (epoch_id + 1) % compact_every == 0:
                 writer.compact(sp, "admitted_hashes")
                 if writer.table_exists("admitted_sigs"):

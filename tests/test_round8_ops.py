@@ -110,3 +110,44 @@ def test_balanced_shard_plan_beats_naive_on_skewed_tokens(spark):
     assert len(plan) == 4
     for r in plan:
         assert 0.5 <= r.skew_vs_mean <= 1.5, plan
+
+
+def test_balanced_shard_map_matches_plan(spark):
+    """Applying balanced_shard_map the documented way (hash each doc to
+    its md5 sub-bucket, broadcast-join shard) reproduces the plan's
+    per-shard doc and token totals exactly — audit == shipped."""
+    from pyspark.sql import functions as F
+
+    from shifts_etl_spark.operators.curation import (
+        _hex_uniform_int,
+        balanced_shard_map,
+    )
+    from shifts_etl_spark.operators.textstats import token_count
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * (5 + (i * 11) % 50)))
+         for i in range(80)]
+    )
+    plan = {
+        r.shard: (r.n_docs, r.n_tokens)
+        for r in balanced_shard_plan(
+            docs, n_shards=4, sub_buckets_per_shard=8
+        ).collect()
+    }
+    m = balanced_shard_map(docs, n_shards=4, sub_buckets_per_shard=8)
+    applied = (
+        docs.select(
+            (
+                _hex_uniform_int(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("-shard"))
+                )
+                % 32
+            ).alias("sb"),
+            token_count(F.col("text")).alias("n_tok"),
+        )
+        .join(F.broadcast(m), "sb")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .collect()
+    )
+    assert {r.shard: (r.n_docs, r.n_tokens) for r in applied} == plan
