@@ -796,6 +796,11 @@ def incremental_minhash_dedup(
     if _cache_registry is not None:
         _cache_registry.append(banded)
 
+    # partner keeps its side bit through the candidate distinct: the same
+    # id can legitimately exist on BOTH sides (a doc re-ingested under
+    # its admitted id with edited text), and the re-attach must read
+    # that side's signature — a bare-id join would fan out across sides
+    # and compare an incoming signature with itself (spurious est 1.0)
     cand = (
         banded.where(~F.col("is_hist"))
         .alias("i")
@@ -804,11 +809,18 @@ def incremental_minhash_dedup(
         .select(
             F.col("i.doc").alias("doc_id"),
             F.col("p.doc").alias("partner"),
+            F.col("p.is_hist").alias("p_hist"),
         )
-        .dropDuplicates(["doc_id", "partner"])
+        .dropDuplicates(["doc_id", "partner", "p_hist"])
     )
-    sl = sigs.select(F.col("doc").alias("doc_id"), F.col("sig").alias("_si"))
-    sr = sigs.select(F.col("doc").alias("partner"), F.col("sig").alias("_sp"))
+    sl = sigs.where(~F.col("is_hist")).select(
+        F.col("doc").alias("doc_id"), F.col("sig").alias("_si")
+    )
+    sr = sigs.select(
+        F.col("doc").alias("partner"),
+        F.col("is_hist").alias("p_hist"),
+        F.col("sig").alias("_sp"),
+    )
     est = (
         F.size(
             F.filter(
@@ -820,8 +832,13 @@ def incremental_minhash_dedup(
     )
     hits = (
         cand.join(sl, "doc_id")
-        .join(sr, "partner")
+        .join(sr, ["partner", "p_hist"])
         .select("doc_id", "partner", est.alias("est"))
+        # a partner ID present on both sides carries two signatures;
+        # keep the strongest evidence per (doc, partner-id) so the
+        # min-partner verdict below stays deterministic
+        .groupBy("doc_id", "partner")
+        .agg(F.max("est").alias("est"))
         .where(F.col("est") >= threshold)
         .groupBy("doc_id")
         .agg(
@@ -830,16 +847,20 @@ def incremental_minhash_dedup(
         )
         .withColumnRenamed("doc_id", "rep")
     )
-    # expand rep verdicts to the whole batch: a non-representative is an
-    # exact duplicate of its (lower-id) rep — matched by the rep's own
-    # match when one exists (it sorts below the rep), else by the rep
+    # expand rep verdicts to the whole batch: a non-representative's min
+    # qualifying partner is the smaller of its rep (an exact dup at est
+    # 1.0) and the rep's own match — which can sort ABOVE the rep when
+    # history ids do, hence least(), not coalesce()
+    _nr_match = F.least(
+        F.coalesce(F.col("matched_id"), F.col("rep")), F.col("rep")
+    )
     return gmap.join(hits, "rep", "left").select(
         "doc_id",
         F.when(F.col("doc_id") == F.col("rep"), F.col("matched_id"))
-        .otherwise(F.coalesce(F.col("matched_id"), F.col("rep")))
+        .otherwise(_nr_match)
         .alias("matched_id"),
         F.when(F.col("doc_id") == F.col("rep"), F.col("est_jaccard"))
-        .when(F.col("matched_id").isNull(), F.lit(1.0))
+        .when(_nr_match == F.col("rep"), F.lit(1.0))
         .otherwise(F.col("est_jaccard"))
         .alias("est_jaccard"),
         F.when(

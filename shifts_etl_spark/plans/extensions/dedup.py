@@ -313,9 +313,11 @@ rhits AS (
 )
 SELECT g.doc_id,
        CASE WHEN g.doc_id = g.rep THEN h.matched_id
-            ELSE COALESCE(h.matched_id, g.rep) END AS matched_id,
+            ELSE least(COALESCE(h.matched_id, g.rep), g.rep) END
+         AS matched_id,
        CASE WHEN g.doc_id = g.rep THEN h.est_jaccard
-            WHEN h.matched_id IS NULL THEN 1.0
+            WHEN least(COALESCE(h.matched_id, g.rep), g.rep) = g.rep
+              THEN 1.0
             ELSE h.est_jaccard END AS est_jaccard,
        CASE WHEN g.doc_id = g.rep THEN h.matched_id IS NULL
             ELSE FALSE END AS keep

@@ -151,3 +151,40 @@ def test_balanced_shard_map_matches_plan(spark):
         .collect()
     )
     assert {r.shard: (r.n_docs, r.n_tokens) for r in applied} == plan
+
+
+def test_incremental_neardup_reingested_id_no_self_match(spark):
+    """A doc re-ingested under its previously-admitted id with EDITED
+    text must be judged against the history signature stored for that
+    id — never against its own incoming signature (the bare-id
+    re-attach bug produced a spurious est-1.0 self-match and dropped
+    the doc)."""
+    history = spark.createDataFrame([Row(doc_id=10, text=A)])
+    sidecar = minhash_signatures(history).withColumnRenamed("doc", "doc_id")
+    edited = B  # wholly different text under the same id
+    incoming = spark.createDataFrame([Row(doc_id=10, text=edited)])
+    out = incremental_minhash_dedup(
+        incoming, sidecar, history_sig_col="sig", threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 10 and r.keep and r.matched_id is None
+
+
+def test_incremental_neardup_history_ids_above_batch(spark):
+    """With history ids sorting ABOVE batch ids, a non-representative
+    exact dup must still report its min qualifying partner — the rep
+    itself at est 1.0 — not the rep's higher-id history match (the
+    coalesce-expansion bug)."""
+    history = spark.createDataFrame([Row(doc_id=1000, text=A)])
+    incoming = spark.createDataFrame(
+        [Row(doc_id=5, text=A), Row(doc_id=7, text=A)]
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_minhash_dedup(incoming, history).collect()
+    }
+    assert not out[5].keep and out[5].matched_id == 1000
+    assert out[5].est_jaccard == 1.0
+    assert not out[7].keep and out[7].matched_id == 5
+    assert out[7].est_jaccard == 1.0
