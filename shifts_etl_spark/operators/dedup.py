@@ -23,6 +23,37 @@ from pyspark.sql import DataFrame, functions as F
 
 from .textstats import normalize_text, tokens
 
+# Persist handles from registry-less calls land here instead of leaking
+# for the session lifetime (the r8 ADVICE finding: catalog entries call
+# the LSH operators without a _cache_registry, and a 343-entry sweep in
+# one session accumulated every run's cached (id, bucket) / signature
+# frames). Each registry-less operator call drains the PREVIOUS call's
+# orphans on entry, so at most one call's caches are ever alive — the
+# current call keeps its self-join caching benefit through its own
+# materialization. Callers who control materialization should still pass
+# _cache_registry and unpersist exactly (minhash_dedup_components does).
+_ORPHANED_CACHES: list[DataFrame] = []
+
+
+def release_orphaned_caches() -> int:
+    """Unpersist every cache handle orphaned by registry-less LSH calls;
+    returns how many were released. Safe at any time — an unpersisted
+    frame recomputes, never corrupts."""
+    n = len(_ORPHANED_CACHES)
+    for df in _ORPHANED_CACHES:
+        df.unpersist()
+    _ORPHANED_CACHES.clear()
+    return n
+
+
+def _track_cache(df: DataFrame, registry: list | None) -> DataFrame:
+    """Persist ``df`` and record the handle — in the caller's registry
+    when given, else in the module orphan list for the next
+    ``release_orphaned_caches()`` drain."""
+    df.persist()
+    (_ORPHANED_CACHES if registry is None else registry).append(df)
+    return df
+
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a small-file scan across all cores before CPU-heavy per-row
@@ -229,15 +260,18 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     hf = _hash_family(hash_fn)
+    if _cache_registry is None:
+        release_orphaned_caches()
     # persist: the self-join would otherwise recompute the whole shingle +
     # signature pipeline for both sides (Spark's exchange reuse does not
     # fire across the join aliases here — verified in the physical plan).
     # The cached footprint is (doc_id, 64 longs) ≈ 0.5 KB/doc.
-    with_sig = minhash_signatures(
-        docs, text_col, id_col, num_hashes, shingle_n, hash_fn
-    ).persist()
-    if _cache_registry is not None:
-        _cache_registry.append(with_sig)
+    with_sig = _track_cache(
+        minhash_signatures(
+            docs, text_col, id_col, num_hashes, shingle_n, hash_fn
+        ),
+        _cache_registry,
+    )
 
     # band key = hash of the comma-joined slot values, salted per band.
     # Literal per-band expressions (not a lambda over sequence()) so the
@@ -269,11 +303,10 @@ def minhash_lsh_pairs(
             .where(F.col("_n") > max_bucket_size)
             .select("band", "band_hash")
         )
-        banded = banded.join(
-            F.broadcast(hot), ["band", "band_hash"], "left_anti"
-        ).persist()
-        if _cache_registry is not None:
-            _cache_registry.append(banded)
+        banded = _track_cache(
+            banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti"),
+            _cache_registry,
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     est = (
@@ -349,14 +382,20 @@ def simhash_pairs(
     chunks: int = 4,
     n_bits: int = 64,
     hash_fn: str = "xxhash64",
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by chunk
     banding (pigeonhole: ≤3 differing bits over 4 16-bit chunks ⇒ some chunk
     identical) then exact bit_count(xor) filter."""
     assert n_bits % chunks == 0
     width = n_bits // chunks
+    if _cache_registry is None:
+        release_orphaned_caches()
     # persist for the same self-join-recompute reason as minhash_lsh_pairs
-    sh = simhash_signatures(docs, text_col, id_col, n_bits, hash_fn).persist()
+    sh = _track_cache(
+        simhash_signatures(docs, text_col, id_col, n_bits, hash_fn),
+        _cache_registry,
+    )
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned("sh", i * width).bitwiseAND(
@@ -554,16 +593,20 @@ def embedding_nn_pairs_lsh(
     from ..functions.vectors import cosine_from_norms, l2_norm
     from .simsearch import add_det_lsh_signature
 
+    if _cache_registry is None:
+        release_orphaned_caches()
     sig = add_det_lsh_signature(emb, dim, n_planes, bands, vec_col)
     # persist: the self-join reads both aliases (exchange reuse does not
     # fire across them); (vid, bucket) longs only. The handle lands in
     # _cache_registry (the minhash_lsh_pairs contract) for callers to
-    # release once downstream work has materialized.
-    buckets = sig.select(
-        F.col(id_col).alias("vid"), F.explode("buckets").alias("bucket")
-    ).persist()
-    if _cache_registry is not None:
-        _cache_registry.append(buckets)
+    # release once downstream work has materialized; registry-less calls
+    # orphan it for the next drain instead of leaking (r8 ADVICE).
+    buckets = _track_cache(
+        sig.select(
+            F.col(id_col).alias("vid"), F.explode("buckets").alias("bucket")
+        ),
+        _cache_registry,
+    )
     hot = (
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -713,21 +756,20 @@ def incremental_minhash_dedup(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     hf = _hash_family(hash_fn)
+    if _cache_registry is None:
+        release_orphaned_caches()
 
     if exact_precollapse:
         keyed = incoming.select(
             F.col(id_col).alias("doc_id"),
             F.md5(normalize_text(F.col(text_col))).alias("_g"),
         )
-        gmap = (
+        gmap = _track_cache(
             keyed.join(
                 keyed.groupBy("_g").agg(F.min("doc_id").alias("rep")), "_g"
-            )
-            .select("doc_id", "rep")
-            .persist()
+            ).select("doc_id", "rep"),
+            _cache_registry,
         )
-        if _cache_registry is not None:
-            _cache_registry.append(gmap)
         rep_ids = gmap.where(F.col("doc_id") == F.col("rep")).select(
             F.col("doc_id").alias("_rep_id")
         )
@@ -765,10 +807,8 @@ def incremental_minhash_dedup(
     # persist: banding, the two by-id sig re-attaches, and (in collapse
     # mode) the rep filter all read this union; handles land in
     # _cache_registry (the minhash_lsh_pairs contract) for the caller
-    # to release after materialization
-    sigs = inc_sig.unionByName(hist_sig).persist()
-    if _cache_registry is not None:
-        _cache_registry.append(sigs)
+    # to release after materialization, or orphan for the next drain
+    sigs = _track_cache(inc_sig.unionByName(hist_sig), _cache_registry)
 
     band_hashes = F.array(
         *[
@@ -792,9 +832,7 @@ def incremental_minhash_dedup(
         banded = banded.join(
             F.broadcast(hot), ["band", "band_hash"], "left_anti"
         )
-    banded = banded.persist()
-    if _cache_registry is not None:
-        _cache_registry.append(banded)
+    banded = _track_cache(banded, _cache_registry)
 
     # partner keeps its side bit through the candidate distinct: the same
     # id can legitimately exist on BOTH sides (a doc re-ingested under

@@ -116,6 +116,12 @@ _SEMANTICS_CHANGED_IN = {
     "x215_ivf_probe_sweep": 8,
     "x220_retrieval_exposure": 8,
     "y6_knn_classifier": 8,
+    # r9: the corpus-coupled quadratic defaults the r8 judge measured
+    # (VERDICT #3-#5) flipped to corpus-decoupled / band-blocked modes
+    "x13_sim_topk_ivf": 9,
+    "x6_embedding_nn": 9,
+    "x121_nn_hubness": 9,
+    "x36_semantic_dedup": 9,
 }
 
 _GREEN_ROUNDS = _driver_green_rounds()

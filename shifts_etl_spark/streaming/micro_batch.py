@@ -509,9 +509,23 @@ def streaming_curation_admit(
     appended atomically WITH each epoch (same write_batch) and, like
     the hash sidecar, means admission never rescans admitted text; a
     pre-sidecar output dir backfills once. ``neardup_kwargs`` tunes the
-    LSH (num_hashes / bands / shingle_n / hash_fn / max_bucket_size)
-    and MUST stay constant across a stream's lifetime — signatures in
-    the sidecar embed the family.
+    LSH — ONLY num_hashes / bands / shingle_n / hash_fn /
+    max_bucket_size are accepted (anything else raises: a ``threshold``
+    key would collide with ``neardup_threshold``, and re-keyed
+    text/id columns would desync the admitted_sigs sidecar, which
+    mirrors only the signature-family kwargs and hard-codes the doc_id
+    rename) — and MUST stay constant across a stream's lifetime, since
+    signatures in the sidecar embed the family.
+
+    Known coverage gap (documented, accepted): a doc with fewer than
+    ``shingle_n`` normalized tokens yields NO MinHash signature
+    (minhash_signatures drops shingle-less docs), so it never enters
+    the admitted_sigs sidecar and future NEAR-copies of it (edited,
+    not byte-identical — those the exact stage still catches) are
+    admitted. The lazy backfill cannot close the gap later because the
+    sidecar table then already exists. Near-dup semantics on sub-
+    shingle docs are ill-defined (one shingle = the whole doc), so the
+    gap is inherent to the signature family, not the sidecar.
 
     Returns the started query (availableNow trigger: drains and stops).
     """
@@ -529,6 +543,17 @@ def streaming_curation_admit(
     sid = _stream_identity(checkpoint_dir)
     _, blocked_frac = _blocklist_coverage(gram_hashes or [], span_len)
     nd_kwargs = dict(neardup_kwargs or {})
+    _nd_allowed = {
+        "num_hashes", "bands", "shingle_n", "hash_fn", "max_bucket_size"
+    }
+    _nd_bad = set(nd_kwargs) - _nd_allowed
+    if _nd_bad:
+        raise ValueError(
+            "streaming_curation_admit: unsupported neardup_kwargs "
+            f"{sorted(_nd_bad)}; allowed keys are {sorted(_nd_allowed)} "
+            "(set the threshold via neardup_threshold; text/id columns "
+            "are fixed by the admitted_sigs sidecar layout)"
+        )
     sig_kwargs = {
         k: nd_kwargs[k]
         for k in ("num_hashes", "shingle_n", "hash_fn")
