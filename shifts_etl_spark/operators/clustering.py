@@ -1,7 +1,7 @@
 """DataFrame-native k-means (Lloyd's algorithm) over an embedding column —
 the iterative-algorithm pattern on Spark, and the proper trainer for
-``simsearch.ivf_topk``'s cells (which defaults to stride-sampled centroids;
-pass ``kmeans_fit``'s output for trained ones).
+``simsearch.ivf_topk``'s cells (which defaults to a fixed md5-priority
+centroid sample since r9; pass ``kmeans_fit``'s output for trained ones).
 
 Scale design (100 TB):
   - **Assignment is shuffle-free.** Each iteration broadcasts the k×dim

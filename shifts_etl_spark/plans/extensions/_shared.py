@@ -85,18 +85,64 @@ SELECT id_a, id_b, est_jaccard FROM pairs
 """.replace("{norm}", _X67_NORM)
 
 
-X6_SQL = """
-WITH elem AS (
+# Since r9 (the x6/x121 re-key): the X239 md5 sign-LSH chain with a label
+# equality ANDed into hot detection and the candidate join — within-label
+# NN among (label ∧ band-bucket) candidates, pair work capped per bucket.
+# The legacy all-in-label brute-force oracle is gone with the quadratic
+# default it mirrored.
+X6_SQL = f"""
+WITH pw AS (
+  SELECT p, i,
+         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
+  FROM range(32) tp(p), range(64) ti(i)
+),
+planes AS (
+  SELECT p, i,
+         CASE ({_hex12_int_sql("hx")} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+  FROM pw
+),
+elem AS (
   SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
+         generate_subscripts(embedding, 1) - 1 AS i
   FROM embeddings
 ),
-dots AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
-  FROM elem a JOIN elem b ON a.label = b.label AND a.i = b.i AND a.vec_id <> b.vec_id
+proj AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(floor(e.v * 1000000.0) AS BIGINT) * pl.w) AS s
+  FROM elem e JOIN planes pl USING (i)
   GROUP BY 1, 2
 ),
+bkeys AS (
+  SELECT vec_id, p // 8 AS band,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
+  FROM proj GROUP BY 1, 2
+),
+buckets AS (
+  SELECT b.vec_id, e.label, b.band * 4294967296 + b.key AS bucket
+  FROM bkeys b JOIN embeddings e USING (vec_id)
+),
+hot AS (
+  SELECT label, bucket FROM buckets GROUP BY 1, 2 HAVING count(*) > 64
+),
+cool AS (
+  SELECT vec_id, label, bucket FROM buckets bu
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.label = bu.label AND h.bucket = bu.bucket)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id
+  FROM cool a JOIN cool c ON a.label = c.label AND a.bucket = c.bucket
+  WHERE a.vec_id <> c.vec_id
+),
 norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT c.vec_id, c.neighbor_id, SUM(q.v * n.v) AS dot
+  FROM cand c
+  JOIN elem q ON q.vec_id = c.vec_id
+  JOIN elem n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
 sims AS (
   SELECT d.vec_id, d.neighbor_id,
          round(d.dot / (na.nrm * nb.nrm), 6) AS cosine

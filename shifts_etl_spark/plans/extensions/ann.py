@@ -824,9 +824,12 @@ GROUP BY 1
 def x121_nn_hubness(spark, sf_dir):
     """Embedding hubness audit (profile.nn_hubness): in-degree
     distribution of the x6 blocked NN graph, zeros included — the
-    high-dimensional hub pathology check run before ANN serving. The
-    oracle extends X6's chain with the in-degree left join and
-    histogram."""
+    high-dimensional hub pathology check run before ANN serving. Since
+    round 9 it rides the re-keyed x6 generator — (label ∧ sign-LSH band
+    bucket) blocking, hot cap 64 — so the pair scan no longer grows
+    quadratically with label size (r8 judge: 9.8× on the 10× smoke).
+    The oracle extends the re-based X6 chain with the in-degree left
+    join and histogram."""
     return profile.nn_hubness(_t(spark, sf_dir, "embeddings"))
 
 
@@ -851,6 +854,7 @@ SELECT in_degree, n_vectors,
        round(CAST(n_vectors AS DOUBLE) / t.n, 6) AS share
 FROM hist CROSS JOIN tot t""",
 )
+assert X121_SQL != X6_SQL  # the surgery anchor (X6's final SELECT) must exist
 
 
 def x239_embedding_nn_lsh(spark, sf_dir):

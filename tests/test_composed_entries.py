@@ -58,15 +58,14 @@ def test_composed_entry_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
 
 
-def test_catalog_pin_343():
-    """Round-8 pin: the eleven composed entries merged (VERDICT r7 #2,
-    329 -> 340) plus the r8 additions — x239 (the x6/x121 LSH-band
-    linear mode, VERDICT r7 #4), x240 (incremental near-dup admission),
-    x241 (balanced shard planner) — total exactly 343. Growth beyond
-    this needs a deliberate pin bump, not an accidental leak."""
+def test_catalog_pin_344():
+    """Round-9 pin: the 343 of round 8 plus x242 (the history-signature
+    sidecar path of incremental near-dup admission, certified against
+    the x240 text-path oracle — VERDICT r8 #7). Growth beyond this
+    needs a deliberate pin bump, not an accidental leak."""
     from shifts_etl_spark.plans.catalog import CATALOG
 
-    assert len(CATALOG) == 343
+    assert len(CATALOG) == 344
     for name in COMPOSED:
         assert name in CATALOG
     for name in ("x239_embedding_nn_lsh", "x240_incremental_neardup",

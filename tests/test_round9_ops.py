@@ -45,6 +45,62 @@ def test_registry_calls_never_orphan(spark):
         c.unpersist()
 
 
+# --------------------------------------------------------------------------
+# re-keyed scale-correct defaults (VERDICT r8 #3-#5)
+# --------------------------------------------------------------------------
+
+def test_ivf_topk_fixed_cells_default_and_guard(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    got = simsearch.ivf_topk(emb, qids, k=5).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == set(qids)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # pre-flip call pattern fails loudly instead of silently running cells
+    with pytest.raises(ValueError, match="centroid_stride is ignored"):
+        simsearch.ivf_topk(emb, qids, centroid_stride=8)
+    # the legacy stride sample stays opt-in
+    legacy = simsearch.ivf_topk(emb, qids, k=5, n_cells=None)
+    assert legacy.count() > 0
+
+
+def test_block_lsh_pairs_stay_within_block_and_under_brute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    lsh = dedup.embedding_nn_pairs_lsh(emb, block_col="label").collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert lab[r["vec_id"]] == lab[r["neighbor_id"]]  # within-label
+    # the banded NN can never beat the brute-force in-label NN cosine
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in dedup.embedding_nn_pairs(emb).collect()
+    }
+    for r in lsh:
+        assert r["cosine"] <= brute[r["vec_id"]] + 1e-9
+
+
+def test_semantic_dedup_banded_drops_subset_of_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    kw = dict(k=8, threshold=0.9, max_iter=3, init="first", round_decimals=6)
+    banded = curation.semantic_dedup(emb, **kw)
+    exact = curation.semantic_dedup(emb, candidate_planes=None, **kw)
+    assert banded.count() == emb.count()  # one row per input, always
+    dropped_banded = {r["vec_id"] for r in banded.where("NOT keep").collect()}
+    dropped_exact = {r["vec_id"] for r in exact.where("NOT keep").collect()}
+    # banded candidates are a subset of cell pairs → drops can only shrink
+    assert dropped_banded <= dropped_exact
+    # cells are identical across modes (the candidate stage never moves them)
+    assert (
+        banded.select("vec_id", "cell").exceptAll(
+            exact.select("vec_id", "cell")
+        ).count() == 0
+    )
+
+
 def test_streaming_neardup_kwargs_validated(spark, tmp_path):
     from shifts_etl_spark.streaming.micro_batch import (
         streaming_curation_admit,
