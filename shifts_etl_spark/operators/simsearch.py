@@ -461,6 +461,10 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    band_planes: int | None = 32,
+    bands: int = 4,
+    hot_bucket_cap: int = 64,
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every anchor,
     the top-``k`` most-similar vectors carrying a DIFFERENT label — the
@@ -469,11 +473,19 @@ def hard_negative_topk(
     contrastive loss).
 
     Blocking is the label-independent 8-bit sign bucket (the x51/x76
-    shape): pair space stays Σ per-bucket², never n²; cross-label
-    neighbors remain visible because the bucket ignores labels. Cosine is
-    rounded to 6 dp before the rank window (the x13 convention) so float
-    summation order cannot flip a near-tie cross-engine; ties break by
-    negative id. Anchors with no cross-label bucket-mate emit no rows."""
+    shape) — cross-label neighbors remain visible because the bucket
+    ignores labels — AND, since r9, an x8 md5 sign-LSH band bucket
+    (``band_planes`` planes / ``bands`` bands, the
+    embedding_nn_pairs_lsh geometry) with (bkt, band-bucket) groups
+    hotter than ``hot_bucket_cap`` dropped: the raw 8-bit bucket alone
+    has FIXED cardinality (256), so per-bucket occupancy — and the pair
+    scan — grew with the corpus (the r9 sweep measured 3.5× at 10×);
+    the band term caps pair work by bucket geometry at any scale.
+    Cosine is rounded to 6 dp before the rank window (the x13
+    convention) so float summation order cannot flip a near-tie
+    cross-engine; ties break by negative id. Anchors with no surviving
+    cross-label candidate emit no rows. ``band_planes=None`` restores
+    the bucket-only scan (opt-in, small corpora)."""
     bucket = sum(
         F.coalesce(
             (F.get(vec_col, i) >= 0).cast("int"), F.lit(0)
@@ -485,23 +497,85 @@ def hard_negative_topk(
         F.col(id_col).alias("vid"), F.col(label_col).alias("lbl"), bucket,
         F.col(vec_col).alias("v"),
     ).withColumn("nrm", _l2_norm(F.col("v")))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bkt") == F.col("b.bkt"))
-        & (F.col("a.lbl") != F.col("b.lbl")),
-    ).select(
-        F.col("a.vid").alias("anchor_id"),
-        F.col("a.lbl").alias("anchor_label"),
-        F.col("b.vid").alias("neg_id"),
-        F.col("b.lbl").alias("neg_label"),
-        F.round(
-            _cosine_from_norms(
-                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+    if band_planes is not None:
+        from .dedup import _track_cache, release_orphaned_caches
+
+        if _cache_registry is None:
+            release_orphaned_caches()
+        first = emb.select(vec_col).first()
+        if first is None:
+            raise ValueError("hard_negative_topk: input has no rows")
+        dim = len(first[0])
+        sig = add_det_lsh_signature(
+            e.select("vid", "lbl", "bkt", "v"), dim, band_planes, bands, "v"
+        )
+        # (vid, lbl, bkt, bucket) only — vectors re-attach by id after
+        # the candidate distinct (the embedding_nn_pairs_lsh contract)
+        bb = _track_cache(
+            sig.select(
+                "vid", "lbl", "bkt", F.explode("buckets").alias("bucket")
             ),
-            6,
-        ).alias("cosine"),
-    )
+            _cache_registry,
+        )
+        hot = (
+            bb.groupBy("bkt", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > hot_bucket_cap)
+            .select("bkt", "bucket")
+        )
+        cool = bb.join(F.broadcast(hot), ["bkt", "bucket"], "left_anti")
+        cand = (
+            cool.alias("a")
+            .join(cool.alias("b"), ["bkt", "bucket"])
+            .where(F.col("a.lbl") != F.col("b.lbl"))
+            .select(
+                F.col("a.vid").alias("anchor_id"),
+                F.col("a.lbl").alias("anchor_label"),
+                F.col("b.vid").alias("neg_id"),
+                F.col("b.lbl").alias("neg_label"),
+            )
+            .dropDuplicates(["anchor_id", "neg_id"])
+        )
+        av = e.select(
+            F.col("vid").alias("anchor_id"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+        )
+        bv = e.select(
+            F.col("vid").alias("neg_id"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bnrm"),
+        )
+        pairs = cand.join(av, "anchor_id").join(bv, "neg_id").select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                _cosine_from_norms(
+                    F.col("av"), F.col("bv"), F.col("anrm"), F.col("bnrm")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    else:
+        a, b = e.alias("a"), e.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.lbl") != F.col("b.lbl")),
+        ).select(
+            F.col("a.vid").alias("anchor_id"),
+            F.col("a.lbl").alias("anchor_label"),
+            F.col("b.vid").alias("neg_id"),
+            F.col("b.lbl").alias("neg_label"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cosine"),
+        )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neg_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))

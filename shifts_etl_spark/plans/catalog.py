@@ -122,6 +122,12 @@ _SEMANTICS_CHANGED_IN = {
     "x6_embedding_nn": 9,
     "x121_nn_hubness": 9,
     "x36_semantic_dedup": 9,
+    # r9 VERDICT #6 sweep: the remaining fixed-cardinality-block
+    # self-joins (x76/y2 measured 3.6/3.5 at 10×; x73 flat at 0.8 but
+    # same N² row term) flipped to band-blocked / auto-bucket modes
+    "x76_label_noise": 9,
+    "y2_hard_negatives": 9,
+    "x73_negative_sampling": 9,
 }
 
 _GREEN_ROUNDS = _driver_green_rounds()

@@ -256,6 +256,15 @@ _X73_U = lambda col: " + ".join(  # noqa: E731 — SQL macro, mirrors _hex_unifo
 )
 
 
+# auto-sized bucket modulus (ceil(N/256) — constant occupancy, linear
+# pair work), the r8 X185/X220/Y6 surgery text; in _shared since r9 so
+# the curation-family oracles (x73) can apply the same flip
+_AUTOBKT = (
+    "% (SELECT greatest(CAST(1 AS BIGINT),"
+    " CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings) AS bkt"
+)
+
+
 # --------------------------------------------------------------------------
 # y — round-3 additions (verdict r2 #7: LM-quality scoring, hard-negative
 # mining, embedding covariance, cross-split n-gram contamination)

@@ -10,6 +10,7 @@ from ...operators.profile import profile_table
 from ...sources.tables import load_table as _t_impl
 from ._shared import (
     X6_SQL,
+    _AUTOBKT,
     _X67_NORM,
     _X73_U,
     _kmeans_cells_sql,
@@ -607,7 +608,11 @@ def y2_hard_negatives(spark, sf_dir):
     the top-3 most-similar DIFFERENT-label vectors inside the
     label-independent 8-bit sign bucket — the refinement over x73's
     random negative sampling (near-boundary cross-label pairs are the
-    ones that move a contrastive loss)."""
+    ones that move a contrastive loss). Since round 9 candidates must
+    ALSO share an x8 md5 sign-LSH band bucket (32 planes / 4 bands, hot
+    (bkt, bucket) cap 64): the raw bucket's 256 fixed cells made the
+    pair scan grow with the corpus (3.5× on the r9 10× sweep); the band
+    term caps it by bucket geometry."""
     return simsearch.hard_negative_topk(_t(spark, sf_dir, "embeddings"))
 
 
@@ -616,23 +621,67 @@ _Y2_BKT = " + ".join(
     for i in range(8)
 )
 
+# since r9: the X239 md5 band chain ANDed into the raw 8-bit sign bucket
+# (hot (bkt, bucket) groups dropped at 64) — the bucket-only scan's pair
+# space grew with the corpus (fixed 256 cells, 3.5× on the 10× smoke)
 Y2_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, embedding, {_Y2_BKT} AS bkt
   FROM embeddings
+),
+pw AS (
+  SELECT p, i,
+         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
+  FROM range(32) tp(p), range(64) ti(i)
+),
+planes AS (
+  SELECT p, i,
+         CASE ({_X8_HEX} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+  FROM pw
 ),
 elem AS (
   SELECT vec_id, bkt, label, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
   FROM e
 ),
+proj AS (
+  SELECT el.vec_id, pl.p,
+         SUM(CAST(floor(el.v * 1000000.0) AS BIGINT) * pl.w) AS s
+  FROM elem el JOIN planes pl ON pl.i = el.i - 1
+  GROUP BY 1, 2
+),
+bkeys AS (
+  SELECT vec_id, p // 8 AS band,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
+  FROM proj GROUP BY 1, 2
+),
+buckets AS (
+  SELECT k.vec_id, e.label, e.bkt, k.band * 4294967296 + k.key AS bucket
+  FROM bkeys k JOIN e USING (vec_id)
+),
+hot AS (
+  SELECT bkt, bucket FROM buckets GROUP BY 1, 2 HAVING count(*) > 64
+),
+cool AS (
+  SELECT vec_id, label, bkt, bucket FROM buckets bu
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.bkt = bu.bkt AND h.bucket = bu.bucket)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS neg_id, b.label AS neg_label
+  FROM cool a
+  JOIN cool b ON a.bkt = b.bkt AND a.bucket = b.bucket
+             AND a.label <> b.label
+),
 norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
 dots AS (
-  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
-         b.vec_id AS neg_id, b.label AS neg_label,
+  SELECT c.anchor_id, c.anchor_label, c.neg_id, c.neg_label,
          SUM(a.v * b.v) AS dot
-  FROM elem a
-  JOIN elem b ON a.bkt = b.bkt AND a.i = b.i AND a.label <> b.label
+  FROM cand c
+  JOIN elem a ON a.vec_id = c.anchor_id
+  JOIN elem b ON b.vec_id = c.neg_id AND b.i = a.i
   GROUP BY 1, 2, 3, 4
 ),
 sims AS (
@@ -1128,10 +1177,8 @@ def x185_knn_label_agreement(spark, sf_dir):
 # auto-bucket oracle (x185/x220/y6 defaults since r8, and their explicit
 # -arg twins x229/x235/x236): the linear-scale mode keeps bucket
 # OCCUPANCY fixed at ~256 instead of bucket COUNT fixed at 16
-_AUTOBKT = (
-    "% (SELECT greatest(CAST(1 AS BIGINT),"
-    " CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings) AS bkt"
-)
+# _AUTOBKT moved to _shared (r9) — imported below for the X185/X220/Y6
+# surgeries and reused by the curation-family oracles (x73)
 
 X185_FIXED_SQL = f"""
 WITH bucketed AS (

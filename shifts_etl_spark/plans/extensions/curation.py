@@ -11,10 +11,12 @@ from ...sources.tables import load_table as _t_impl
 from ._shared import (
     X3_SQL,
     X67_SQL,
+    _AUTOBKT,
     _STOP_EN,
     _X67_NORM,
     _X73_U,
     _Y_SPLIT_INNER,
+    _hex12_int_sql,
     _kmeans_cells_sql,
     _split_docs,
     _t,
@@ -667,24 +669,30 @@ GROUP BY 1
 def x73_negative_sampling(spark, sf_dir):
     """Contrastive negative sampling over embeddings: for each anchor
     vector, 3 deterministic cross-label negatives — the pair-mining
-    stage of contrastive/triplet training. Candidates are blocked on a
-    16-way md5 bucket of the NEGATIVE id, so each anchor joins one
-    bucket (1/16 of the corpus), never the full table: the per-anchor
-    candidate count is bounded and the draw stays a pure function of
-    the id pair (engine/run/partitioning reproducible). Shuffle carries
-    (ids, label, bucket) only — vectors are not needed for mining."""
+    stage of contrastive/triplet training. Candidates are blocked on an
+    md5 bucket of the NEGATIVE id, so each anchor joins one bucket,
+    never the full table, and the draw stays a pure function of the id
+    pair (engine/run/partitioning reproducible). Since r9 the bucket
+    count auto-sizes to ceil(N/256) (the x185 _AUTOBKT recipe) instead
+    of a fixed 16: with fixed buckets the join's row count carried an
+    N²/16 term (measured FLAT at 10× — 0.8, the pair rows are two longs
+    and overhead dominates — but the term loses to any corpus
+    eventually); auto-sizing pins per-anchor candidates at ~256 at any
+    scale. Shuffle carries (ids, label, bucket) only — vectors are not
+    needed for mining."""
     emb = _t(spark, sf_dir, "embeddings")
     from ...operators.curation import _hex_uniform_int
 
+    nb = max(1, -(-emb.count() // 256))
     a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label"))
-    neg_bucket = _hex_uniform_int(F.concat(F.col("vec_id").cast("string"), F.lit("-nb"))) % 16
+    neg_bucket = _hex_uniform_int(F.concat(F.col("vec_id").cast("string"), F.lit("-nb"))) % nb
     n = emb.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("n_label"),
         neg_bucket.alias("bkt"),
     )
     anchor_bucket = (
-        _hex_uniform_int(F.concat(F.col("anchor_id").cast("string"), F.lit("-ab"))) % 16
+        _hex_uniform_int(F.concat(F.col("anchor_id").cast("string"), F.lit("-ab"))) % nb
     )
     pri = _hex_uniform_int(
         F.concat(
@@ -709,12 +717,12 @@ def x73_negative_sampling(spark, sf_dir):
 X73_SQL = f"""
 WITH a AS (
   SELECT vec_id AS anchor_id, label AS a_label,
-         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-ab')")}) % 16 AS bkt
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-ab')")}) {_AUTOBKT}
   FROM embeddings
 ),
 n AS (
   SELECT vec_id AS neg_id, label AS n_label,
-         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-nb')")}) % 16 AS bkt
+         ({_X73_U("md5(CAST(vec_id AS VARCHAR) || '-nb')")}) {_AUTOBKT}
   FROM embeddings
 ),
 pairs AS (
@@ -736,15 +744,22 @@ FROM ranked WHERE rn <= 3
 def x76_label_noise(spark, sf_dir):
     """Label-noise detection via neighborhood disagreement (the
     confident-learning signal): for each vector, the fraction of its
-    k=5 nearest SIGN-BUCKET neighbors carrying a DIFFERENT label; high
+    k=5 nearest candidate neighbors carrying a DIFFERENT label; high
     disagreement with enough neighbors flags a suspect label. The
     block is the x51 8-bit sign bucket — label-independent (so
-    cross-label neighbors are visible) and deterministic; pair space
-    stays Σ per-bucket², never n². Cosine and ranking are JVM-side."""
+    cross-label neighbors are visible) and deterministic — ANDed,
+    since round 9, with an x8 md5 sign-LSH band bucket (32 planes / 4
+    bands, hot (bkt, bucket) cap 64): the raw bucket's 256 FIXED cells
+    made per-bucket occupancy — and the pair scan — grow with the
+    corpus (3.6× on the r9 10× sweep); the band term caps pair work by
+    bucket geometry. Cosine and ranking are JVM-side."""
     from pyspark.sql import Window
 
     from ...functions.vectors import cosine_from_norms, l2_norm
+    from ...operators.dedup import _track_cache, release_orphaned_caches
+    from ...operators.simsearch import add_det_lsh_signature
 
+    release_orphaned_caches()
     emb = _t(spark, sf_dir, "embeddings")
     bucket = sum(
         F.coalesce((F.get("embedding", i) >= 0).cast("int"), F.lit(0)) * (1 << i)
@@ -754,20 +769,48 @@ def x76_label_noise(spark, sf_dir):
     e = emb.select(
         F.col("vec_id").alias("vid"), "label", bucket, F.col("embedding").alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.vid") != F.col("b.vid"))
-    ).select(
-        F.col("a.vid").alias("vec_id"),
-        F.col("a.label").alias("label"),
-        F.col("b.label").alias("n_label"),
-        F.col("b.vid").alias("nid"),
-        # 6-decimal rounding BEFORE the rank window (the x13/x7 convention):
-        # Spark's sequential zip_with fold and DuckDB's unordered SUM can
-        # differ in the last ulp, which would flip row_number at near-ties
+    sig = add_det_lsh_signature(e.select("vid", "label", "bkt", "v"), 64, 32, 4, "v")
+    bb = _track_cache(
+        sig.select("vid", "label", "bkt", F.explode("buckets").alias("bucket")),
+        None,
+    )
+    hot = (
+        bb.groupBy("bkt", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 64)
+        .select("bkt", "bucket")
+    )
+    cool = bb.join(F.broadcast(hot), ["bkt", "bucket"], "left_anti")
+    cand = (
+        cool.alias("a")
+        .join(cool.alias("b"), ["bkt", "bucket"])
+        .where(F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.label").alias("n_label"),
+            F.col("b.vid").alias("nid"),
+        )
+        .dropDuplicates(["vec_id", "nid"])
+    )
+    # vectors re-attach by id AFTER the candidate distinct; 6-decimal
+    # rounding BEFORE the rank window (the x13/x7 convention): Spark's
+    # sequential zip_with fold and DuckDB's unordered SUM can differ in
+    # the last ulp, which would flip row_number at near-ties
+    av = e.select(
+        F.col("vid").alias("vec_id"), F.col("v").alias("av"), F.col("nrm").alias("anrm")
+    )
+    bv = e.select(
+        F.col("vid").alias("nid"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    )
+    pairs = cand.join(av, "vec_id").join(bv, "nid").select(
+        "vec_id",
+        "label",
+        "n_label",
+        "nid",
         F.round(
             cosine_from_norms(
-                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                F.col("av"), F.col("bv"), F.col("anrm"), F.col("bnrm")
             ),
             6,
         ).alias("sim"),
@@ -796,7 +839,10 @@ def x76_label_noise(spark, sf_dir):
     )
 
 
-X76_SQL = """
+# since r9: the X239 md5 band chain ANDed into the raw 8-bit sign bucket
+# (hot (bkt, bucket) groups dropped at 64) — the bucket-only scan's pair
+# space grew with the corpus (fixed 256 cells, 3.6× on the 10× smoke)
+X76_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, embedding,
          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
@@ -809,16 +855,58 @@ WITH e AS (
        + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bkt
   FROM embeddings
 ),
+pw AS (
+  SELECT p, i,
+         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
+  FROM range(32) tp(p), range(64) ti(i)
+),
+planes AS (
+  SELECT p, i,
+         CASE ({_hex12_int_sql("hx")} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+  FROM pw
+),
 elem AS (
   SELECT vec_id, bkt, label, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
   FROM e
 ),
+proj AS (
+  SELECT el.vec_id, pl.p,
+         SUM(CAST(floor(el.v * 1000000.0) AS BIGINT) * pl.w) AS s
+  FROM elem el JOIN planes pl ON pl.i = el.i - 1
+  GROUP BY 1, 2
+),
+bkeys AS (
+  SELECT vec_id, p // 8 AS band,
+         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
+  FROM proj GROUP BY 1, 2
+),
+buckets AS (
+  SELECT k.vec_id, e.label, e.bkt, k.band * 4294967296 + k.key AS bucket
+  FROM bkeys k JOIN e USING (vec_id)
+),
+hot AS (
+  SELECT bkt, bucket FROM buckets GROUP BY 1, 2 HAVING count(*) > 64
+),
+cool AS (
+  SELECT vec_id, label, bkt, bucket FROM buckets bu
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.bkt = bu.bkt AND h.bucket = bu.bucket)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, a.label AS label,
+         b.vec_id AS nid, b.label AS n_label
+  FROM cool a
+  JOIN cool b ON a.bkt = b.bkt AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+),
 norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
 dots AS (
-  SELECT a.vec_id, a.label, b.vec_id AS nid, b.label AS n_label,
-         SUM(a.v * b.v) AS dot
-  FROM elem a JOIN elem b ON a.bkt = b.bkt AND a.i = b.i AND a.vec_id <> b.vec_id
+  SELECT c.vec_id, c.label, c.nid, c.n_label, SUM(a.v * b.v) AS dot
+  FROM cand c
+  JOIN elem a ON a.vec_id = c.vec_id
+  JOIN elem b ON b.vec_id = c.nid AND b.i = a.i
   GROUP BY 1, 2, 3, 4
 ),
 sims AS (

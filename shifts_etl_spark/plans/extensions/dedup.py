@@ -520,7 +520,12 @@ def x51_within_label_topk(spark, sf_dir):
     after). The sign bucket is plain comparisons — deterministic and
     oracle-expressible, unlike seeded-hyperplane LSH. Cosine is
     JVM-side; the per-label top-3 is a window over the label
-    partition."""
+    partition. Known asymptotic class (r9 sweep, documented stance):
+    (label, bucket) cardinality is FIXED (~|labels|·256), so occupancy
+    still grows with N — measured 1.4 at 10× (labels dilute the raw
+    256-cell density 10×, unlike the pre-r9 x76/y2 shape); at a scale
+    where that density returns, AND in the x8 band bucket exactly as
+    x76/y2 did in r9 (the drop-in one-line surgery)."""
     from ...functions.vectors import cosine_from_norms, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
