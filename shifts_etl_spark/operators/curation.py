@@ -170,7 +170,7 @@ def semantic_dedup(
     ``candidate_planes=None`` restores the exact all-pairs-in-cell scan
     (opt-in, small corpora only)."""
     from ..functions.vectors import cosine_from_norms, l2_norm
-    from .dedup import _track_cache, release_orphaned_caches
+    from .dedup import _track_cache
 
     model = clustering.kmeans_fit(
         emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
@@ -190,8 +190,6 @@ def semantic_dedup(
     if candidate_planes is not None:
         from .simsearch import add_det_lsh_signature
 
-        if _cache_registry is None:
-            release_orphaned_caches()
         dim = len(emb.select(vec_col).first()[0])
         sig = add_det_lsh_signature(
             emb.select(F.col(id_col).alias("vid"), F.col(vec_col)),

