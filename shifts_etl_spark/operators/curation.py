@@ -170,7 +170,6 @@ def semantic_dedup(
     ``candidate_planes=None`` restores the exact all-pairs-in-cell scan
     (opt-in, small corpora only)."""
     from ..functions.vectors import cosine_from_norms, l2_norm
-    from .dedup import _track_cache
 
     model = clustering.kmeans_fit(
         emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
@@ -188,34 +187,28 @@ def semantic_dedup(
         F.col(vec_col).alias("v"),
     ).withColumn("nrm", l2_norm(F.col("v")))
     if candidate_planes is not None:
-        from .simsearch import add_det_lsh_signature
+        from .dedup import _cooled_band_buckets
 
-        dim = len(emb.select(vec_col).first()[0])
-        sig = add_det_lsh_signature(
-            emb.select(F.col(id_col).alias("vid"), F.col(vec_col)),
-            dim, candidate_planes, candidate_bands, vec_col,
-        )
-        # (vid, cell, bucket) longs only ride the candidate machinery;
-        # persisted for the self-join (the embedding_nn_pairs_lsh
-        # contract), orphan-tracked when no registry is passed
-        bucketed = _track_cache(
-            sig.select("vid", F.explode("buckets").alias("bucket")).join(
-                cells.select(F.col(id_col).alias("vid"), "cell"), "vid"
-            ),
-            _cache_registry,
-        )
-        hot = (
-            bucketed.groupBy("cell", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > hot_bucket_cap)
-            .select("cell", "bucket")
-        )
-        cool = bucketed.join(
-            F.broadcast(hot), ["cell", "bucket"], "left_anti"
+        first = emb.select(vec_col).first()
+        if first is None:
+            raise ValueError("semantic_dedup: input has no rows")
+        dim = len(first[0])
+        # (vid, cell, bucket) longs only ride the candidate machinery
+        # (the embedding_nn_pairs_lsh contract, shared implementation)
+        cool, keys = _cooled_band_buckets(
+            e.select("vid", "cell", "v"),
+            keep=["vid", "cell"],
+            block_keys=["cell"],
+            vec_col="v",
+            dim=dim,
+            n_planes=candidate_planes,
+            bands=candidate_bands,
+            hot_bucket_cap=hot_bucket_cap,
+            _cache_registry=_cache_registry,
         )
         cand = (
             cool.alias("cl")
-            .join(cool.alias("cr"), ["cell", "bucket"])
+            .join(cool.alias("cr"), keys)
             .where(F.col("cr.vid") < F.col("cl.vid"))
             .select(
                 F.col("cl.vid").alias("lvid"), F.col("cr.vid").alias("rvid")

@@ -40,14 +40,27 @@ _ORPHANED_CACHES: list[DataFrame] = []
 _ORPHAN_CACHE_BOUND = 12
 
 
+def _unpersist_quietly(df: DataFrame) -> None:
+    # a handle whose SparkSession has been stopped raises on unpersist;
+    # a dead context holds no cached blocks, so "already released" is
+    # the correct reading — swallowing keeps a NEW session's calls from
+    # crashing on a previous session's orphans
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def release_orphaned_caches() -> int:
     """Unpersist every cache handle orphaned by registry-less LSH calls;
     returns how many were released. Safe at any time — an unpersisted
-    frame recomputes, never corrupts."""
-    n = len(_ORPHANED_CACHES)
-    for df in _ORPHANED_CACHES:
-        df.unpersist()
-    _ORPHANED_CACHES.clear()
+    frame recomputes, never corrupts; handles from stopped sessions are
+    treated as already released. Pops as it goes so a surprise error
+    can never leave the list half-drained."""
+    n = 0
+    while _ORPHANED_CACHES:
+        _unpersist_quietly(_ORPHANED_CACHES.pop())
+        n += 1
     return n
 
 
@@ -61,8 +74,49 @@ def _track_cache(df: DataFrame, registry: list | None) -> DataFrame:
         return df
     _ORPHANED_CACHES.append(df)
     while len(_ORPHANED_CACHES) > _ORPHAN_CACHE_BOUND:
-        _ORPHANED_CACHES.pop(0).unpersist()
+        _unpersist_quietly(_ORPHANED_CACHES.pop(0))
     return df
+
+
+def _cooled_band_buckets(
+    base: DataFrame,
+    keep: list[str],
+    block_keys: list[str],
+    vec_col: str,
+    dim: int,
+    n_planes: int = 32,
+    bands: int = 4,
+    hot_bucket_cap: int = 64,
+    _cache_registry: list | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Shared banded-candidate machinery (one implementation for
+    embedding_nn_pairs_lsh, semantic_dedup, hard_negative_topk, and the
+    x76 entry): append the x8 md5 sign-LSH band buckets to ``base``,
+    explode to one (``keep``…, bucket) row per band, drop (``block_keys``
+    ∧ bucket) groups hotter than ``hot_bucket_cap`` via a broadcast
+    anti-join, and return the persisted cool frame plus the full
+    candidate-join key list (block_keys + ["bucket"]). Callers self-join
+    the cool frame on those keys with their own pair predicate; vectors
+    re-attach BY ID afterwards, so nothing here ever shuffles an
+    embedding. The persist handle follows the _track_cache contract
+    (caller registry, else the bounded orphan list)."""
+    from .simsearch import add_det_lsh_signature
+
+    sig = add_det_lsh_signature(base, dim, n_planes, bands, vec_col)
+    bucketed = _track_cache(
+        sig.select(*keep, F.explode("buckets").alias("bucket")),
+        _cache_registry,
+    )
+    keys = [*block_keys, "bucket"]
+    hot = (
+        bucketed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_bucket_cap)
+        .select(*keys)
+    )
+    # the hot set is bounded by |blocks| * bands * 2^(n_planes/bands)
+    # rows — broadcast the anti-join so cooling never shuffles members
+    return bucketed.join(F.broadcast(hot), keys, "left_anti"), keys
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -612,7 +666,6 @@ def embedding_nn_pairs_lsh(
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_from_norms, l2_norm
-    from .simsearch import add_det_lsh_signature
 
     if dim is None:
         # infer once from the data: a wrong literal dim would zip the
@@ -622,26 +675,20 @@ def embedding_nn_pairs_lsh(
         if first is None:
             raise ValueError("embedding_nn_pairs_lsh: input has no rows")
         dim = len(first[0])
-    sig = add_det_lsh_signature(emb, dim, n_planes, bands, vec_col)
-    keys = ["bucket"] if block_col is None else ["blk", "bucket"]
-    sel = [F.col(id_col).alias("vid"), F.explode("buckets").alias("bucket")]
+    sel = [F.col(id_col).alias("vid"), F.col(vec_col).alias("_v")]
     if block_col is not None:
         sel.insert(1, F.col(block_col).alias("blk"))
-    # persist: the self-join reads both aliases (exchange reuse does not
-    # fire across them); (vid[, blk], bucket) longs only. The handle
-    # lands in _cache_registry (the minhash_lsh_pairs contract) for
-    # callers to release once downstream work has materialized;
-    # registry-less calls orphan it for the next drain (r8 ADVICE).
-    buckets = _track_cache(sig.select(*sel), _cache_registry)
-    hot = (
-        buckets.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > hot_bucket_cap)
-        .select(*keys)
+    cool, keys = _cooled_band_buckets(
+        emb.select(*sel),
+        keep=["vid"] if block_col is None else ["vid", "blk"],
+        block_keys=[] if block_col is None else ["blk"],
+        vec_col="_v",
+        dim=dim,
+        n_planes=n_planes,
+        bands=bands,
+        hot_bucket_cap=hot_bucket_cap,
+        _cache_registry=_cache_registry,
     )
-    # the hot set is at most |blocks| * bands * 2^(n_planes/bands) rows —
-    # broadcast the anti-join so cooling never shuffles the membership
-    cool = buckets.join(F.broadcast(hot), keys, "left_anti")
     pairs = (
         cool.alias("l")
         .join(cool.alias("r"), keys)

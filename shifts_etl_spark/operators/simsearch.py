@@ -498,33 +498,29 @@ def hard_negative_topk(
         F.col(vec_col).alias("v"),
     ).withColumn("nrm", _l2_norm(F.col("v")))
     if band_planes is not None:
-        from .dedup import _track_cache
+        from .dedup import _cooled_band_buckets
 
         first = emb.select(vec_col).first()
         if first is None:
             raise ValueError("hard_negative_topk: input has no rows")
         dim = len(first[0])
-        sig = add_det_lsh_signature(
-            e.select("vid", "lbl", "bkt", "v"), dim, band_planes, bands, "v"
-        )
         # (vid, lbl, bkt, bucket) only — vectors re-attach by id after
-        # the candidate distinct (the embedding_nn_pairs_lsh contract)
-        bb = _track_cache(
-            sig.select(
-                "vid", "lbl", "bkt", F.explode("buckets").alias("bucket")
-            ),
-            _cache_registry,
+        # the candidate distinct (the embedding_nn_pairs_lsh contract,
+        # shared implementation)
+        cool, keys = _cooled_band_buckets(
+            e.select("vid", "lbl", "bkt", "v"),
+            keep=["vid", "lbl", "bkt"],
+            block_keys=["bkt"],
+            vec_col="v",
+            dim=dim,
+            n_planes=band_planes,
+            bands=bands,
+            hot_bucket_cap=hot_bucket_cap,
+            _cache_registry=_cache_registry,
         )
-        hot = (
-            bb.groupBy("bkt", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > hot_bucket_cap)
-            .select("bkt", "bucket")
-        )
-        cool = bb.join(F.broadcast(hot), ["bkt", "bucket"], "left_anti")
         cand = (
             cool.alias("a")
-            .join(cool.alias("b"), ["bkt", "bucket"])
+            .join(cool.alias("b"), keys)
             .where(F.col("a.lbl") != F.col("b.lbl"))
             .select(
                 F.col("a.vid").alias("anchor_id"),

@@ -85,13 +85,15 @@ SELECT id_a, id_b, est_jaccard FROM pairs
 """.replace("{norm}", _X67_NORM)
 
 
-# Since r9 (the x6/x121 re-key): the X239 md5 sign-LSH chain with a label
-# equality ANDed into hot detection and the candidate join — within-label
-# NN among (label ∧ band-bucket) candidates, pair work capped per bucket.
-# The legacy all-in-label brute-force oracle is gone with the quadratic
-# default it mirrored.
-X6_SQL = f"""
-WITH pw AS (
+def _sign_band_ctes(join: str = "ON pl.i = e.i - 1", a: str = "e") -> str:
+    """The pw/planes/proj/bkeys CTE block of the x8 md5 sign-LSH family
+    (32 planes over 64 dims, 4 bands of 8 bits) — ONE definition shared
+    by every banded-candidate oracle (X6/X121, Y2, X76, X36, X239), so
+    the plane family can never drift between siblings. ``join`` adapts
+    to the site's elem CTE subscript base: a 0-based elem joins
+    ``USING (i)``; a 1-based elem joins ``ON pl.i = <alias>.i - 1``.
+    Must appear AFTER the site's elem CTE (proj reads it)."""
+    return f"""pw AS (
   SELECT p, i,
          md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
   FROM range(32) tp(p), range(64) ti(i)
@@ -101,15 +103,10 @@ planes AS (
          CASE ({_hex12_int_sql("hx")} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
   FROM pw
 ),
-elem AS (
-  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) - 1 AS i
-  FROM embeddings
-),
 proj AS (
-  SELECT e.vec_id, pl.p,
-         SUM(CAST(floor(e.v * 1000000.0) AS BIGINT) * pl.w) AS s
-  FROM elem e JOIN planes pl USING (i)
+  SELECT {a}.vec_id, pl.p,
+         SUM(CAST(floor({a}.v * 1000000.0) AS BIGINT) * pl.w) AS s
+  FROM elem {a} JOIN planes pl {join}
   GROUP BY 1, 2
 ),
 bkeys AS (
@@ -117,7 +114,21 @@ bkeys AS (
          SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
              * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
   FROM proj GROUP BY 1, 2
+),"""
+
+
+# Since r9 (the x6/x121 re-key): the X239 md5 sign-LSH chain with a label
+# equality ANDed into hot detection and the candidate join — within-label
+# NN among (label ∧ band-bucket) candidates, pair work capped per bucket.
+# The legacy all-in-label brute-force oracle is gone with the quadratic
+# default it mirrored.
+X6_SQL = f"""
+WITH elem AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
 ),
+{_sign_band_ctes(join="USING (i)")}
 buckets AS (
   SELECT b.vec_id, e.label, b.band * 4294967296 + b.key AS bucket
   FROM bkeys b JOIN embeddings e USING (vec_id)

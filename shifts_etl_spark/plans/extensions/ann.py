@@ -13,6 +13,8 @@ from ._shared import (
     _AUTOBKT,
     _X67_NORM,
     _X73_U,
+    _hex12_int_sql,
+    _sign_band_ctes,
     _kmeans_cells_sql,
     _t,
 )
@@ -72,14 +74,10 @@ def x8_sim_topk_lsh(spark, sf_dir):
     )
 
 
-_X8_HEX = (
-    "(" + " + ".join(
-        f"CAST(ascii(substring(hx, {i}, 1)) - CASE WHEN "
-        f"ascii(substring(hx, {i}, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT)"
-        f" * {16 ** (12 - i)}"
-        for i in range(1, 13)
-    ) + ")"
-)
+# the md5 hex fold macro lives in _shared (_hex12_int_sql); the former
+# local _X8_HEX duplicate was deleted in r9 so the plane family has one
+# definition across every sign-LSH oracle
+_X8_HEX = _hex12_int_sql("hx")
 
 X8_SQL = f"""
 WITH pw AS (
@@ -629,33 +627,12 @@ WITH e AS (
   SELECT vec_id, label, embedding, {_Y2_BKT} AS bkt
   FROM embeddings
 ),
-pw AS (
-  SELECT p, i,
-         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
-  FROM range(32) tp(p), range(64) ti(i)
-),
-planes AS (
-  SELECT p, i,
-         CASE ({_X8_HEX} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
-  FROM pw
-),
 elem AS (
   SELECT vec_id, bkt, label, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
   FROM e
 ),
-proj AS (
-  SELECT el.vec_id, pl.p,
-         SUM(CAST(floor(el.v * 1000000.0) AS BIGINT) * pl.w) AS s
-  FROM elem el JOIN planes pl ON pl.i = el.i - 1
-  GROUP BY 1, 2
-),
-bkeys AS (
-  SELECT vec_id, p // 8 AS band,
-         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
-             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
-  FROM proj GROUP BY 1, 2
-),
+{_sign_band_ctes(join="ON pl.i = el.i - 1", a="el")}
 buckets AS (
   SELECT k.vec_id, e.label, e.bkt, k.band * 4294967296 + k.key AS bucket
   FROM bkeys k JOIN e USING (vec_id)
@@ -920,36 +897,15 @@ def x239_embedding_nn_lsh(spark, sf_dir):
     return dedup.embedding_nn_pairs_lsh(_t(spark, sf_dir, "embeddings"))
 
 
-# the X8 signature chain at 32 planes / 4 bands (8-bit keys), then the
+# the shared sign-band chain (32 planes / 4 bands, 8-bit keys), then the
 # x3-style hot-bucket drop and the x6 top-1/flag tail
 X239_SQL = f"""
-WITH pw AS (
-  SELECT p, i,
-         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
-  FROM range(32) tp(p), range(64) ti(i)
-),
-planes AS (
-  SELECT p, i,
-         CASE ({_X8_HEX} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
-  FROM pw
-),
-elem AS (
+WITH elem AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) - 1 AS i
   FROM embeddings
 ),
-proj AS (
-  SELECT e.vec_id, pl.p,
-         SUM(CAST(floor(e.v * 1000000.0) AS BIGINT) * pl.w) AS s
-  FROM elem e JOIN planes pl USING (i)
-  GROUP BY 1, 2
-),
-bkeys AS (
-  SELECT vec_id, p // 8 AS band,
-         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
-             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
-  FROM proj GROUP BY 1, 2
-),
+{_sign_band_ctes(join="USING (i)")}
 buckets AS (SELECT vec_id, band * 4294967296 + key AS bucket FROM bkeys),
 hot AS (
   SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) > 64

@@ -17,6 +17,7 @@ from ._shared import (
     _X73_U,
     _Y_SPLIT_INNER,
     _hex12_int_sql,
+    _sign_band_ctes,
     _kmeans_cells_sql,
     _split_docs,
     _t,
@@ -756,8 +757,7 @@ def x76_label_noise(spark, sf_dir):
     from pyspark.sql import Window
 
     from ...functions.vectors import cosine_from_norms, l2_norm
-    from ...operators.dedup import _track_cache
-    from ...operators.simsearch import add_det_lsh_signature
+    from ...operators.dedup import _cooled_band_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
     bucket = sum(
@@ -768,21 +768,19 @@ def x76_label_noise(spark, sf_dir):
     e = emb.select(
         F.col("vec_id").alias("vid"), "label", bucket, F.col("embedding").alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    sig = add_det_lsh_signature(e.select("vid", "label", "bkt", "v"), 64, 32, 4, "v")
-    bb = _track_cache(
-        sig.select("vid", "label", "bkt", F.explode("buckets").alias("bucket")),
-        None,
+    # dim inferred (not a 64 literal): a wrong literal would NULL every
+    # bucket via zip_with padding and silently emit zero candidates
+    dim = len(emb.select("embedding").first()[0])
+    cool, keys = _cooled_band_buckets(
+        e.select("vid", "label", "bkt", "v"),
+        keep=["vid", "label", "bkt"],
+        block_keys=["bkt"],
+        vec_col="v",
+        dim=dim,
     )
-    hot = (
-        bb.groupBy("bkt", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > 64)
-        .select("bkt", "bucket")
-    )
-    cool = bb.join(F.broadcast(hot), ["bkt", "bucket"], "left_anti")
     cand = (
         cool.alias("a")
-        .join(cool.alias("b"), ["bkt", "bucket"])
+        .join(cool.alias("b"), keys)
         .where(F.col("a.vid") != F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_id"),
@@ -854,33 +852,12 @@ WITH e AS (
        + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bkt
   FROM embeddings
 ),
-pw AS (
-  SELECT p, i,
-         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
-  FROM range(32) tp(p), range(64) ti(i)
-),
-planes AS (
-  SELECT p, i,
-         CASE ({_hex12_int_sql("hx")} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
-  FROM pw
-),
 elem AS (
   SELECT vec_id, bkt, label, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
   FROM e
 ),
-proj AS (
-  SELECT el.vec_id, pl.p,
-         SUM(CAST(floor(el.v * 1000000.0) AS BIGINT) * pl.w) AS s
-  FROM elem el JOIN planes pl ON pl.i = el.i - 1
-  GROUP BY 1, 2
-),
-bkeys AS (
-  SELECT vec_id, p // 8 AS band,
-         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
-             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
-  FROM proj GROUP BY 1, 2
-),
+{_sign_band_ctes(join="ON pl.i = el.i - 1", a="el")}
 buckets AS (
   SELECT k.vec_id, e.label, e.bkt, k.band * 4294967296 + k.key AS bucket
   FROM bkeys k JOIN e USING (vec_id)

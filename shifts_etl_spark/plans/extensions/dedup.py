@@ -16,6 +16,7 @@ from ._shared import (
     _Y_SPLIT_CASE,
     _Y_SPLIT_INNER,
     _hex12_int_sql,
+    _sign_band_ctes,
     _kmeans_cells_sql,
     _split_docs,
     _t,
@@ -428,28 +429,7 @@ def x36_semantic_dedup(spark, sf_dir):
 # chain keyed by (cell, bucket) instead of bucket alone; the kmeans elem
 # CTE is 1-based, the plane family 0-based, hence pl.i = e.i - 1.
 X36_SQL = f"""{_kmeans_cells_sql(8, 3, 6)},
-pw AS (
-  SELECT p, i,
-         md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
-  FROM range(32) tp(p), range(64) ti(i)
-),
-planes AS (
-  SELECT p, i,
-         CASE ({_hex12_int_sql("hx")} % 6) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
-  FROM pw
-),
-proj AS (
-  SELECT e.vec_id, pl.p,
-         SUM(CAST(floor(e.v * 1000000.0) AS BIGINT) * pl.w) AS s
-  FROM elem e JOIN planes pl ON pl.i = e.i - 1
-  GROUP BY 1, 2
-),
-bkeys AS (
-  SELECT vec_id, p // 8 AS band,
-         SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
-             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
-  FROM proj GROUP BY 1, 2
-),
+{_sign_band_ctes()}
 buckets AS (
   SELECT b.vec_id, a.cell, b.band * 4294967296 + b.key AS bucket
   FROM bkeys b JOIN a4 a USING (vec_id)

@@ -536,12 +536,9 @@ def streaming_curation_admit(
     )
     from ..operators.textstats import normalize_text, quality_score, scrub_pii
 
-    docs = spark.readStream.schema(
-        "doc_id long, source string, text string"
-    ).json(str(input_dir))
-    writer = StagedWriter(output_dir)
-    sid = _stream_identity(checkpoint_dir)
-    _, blocked_frac = _blocklist_coverage(gram_hashes or [], span_len)
+    # validate BEFORE any side effect: _stream_identity below mkdirs the
+    # checkpoint dir and writes the identity file, so a rejected call
+    # must bail out while the filesystem is still untouched
     nd_kwargs = dict(neardup_kwargs or {})
     _nd_allowed = {
         "num_hashes", "bands", "shingle_n", "hash_fn", "max_bucket_size"
@@ -554,6 +551,12 @@ def streaming_curation_admit(
             "(set the threshold via neardup_threshold; text/id columns "
             "are fixed by the admitted_sigs sidecar layout)"
         )
+    docs = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).json(str(input_dir))
+    writer = StagedWriter(output_dir)
+    sid = _stream_identity(checkpoint_dir)
+    _, blocked_frac = _blocklist_coverage(gram_hashes or [], span_len)
     sig_kwargs = {
         k: nd_kwargs[k]
         for k in ("num_hashes", "shingle_n", "hash_fn")
