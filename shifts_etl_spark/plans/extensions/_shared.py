@@ -85,18 +85,27 @@ SELECT id_a, id_b, est_jaccard FROM pairs
 """.replace("{norm}", _X67_NORM)
 
 
-def _sign_band_ctes(join: str = "ON pl.i = e.i - 1", a: str = "e") -> str:
+def _sign_band_ctes(
+    join: str = "ON pl.i = e.i - 1",
+    a: str = "e",
+    n_planes: int = 32,
+    bands: int = 4,
+) -> str:
     """The pw/planes/proj/bkeys CTE block of the x8 md5 sign-LSH family
-    (32 planes over 64 dims, 4 bands of 8 bits) — ONE definition shared
-    by every banded-candidate oracle (X6/X121, Y2, X76, X36, X239), so
-    the plane family can never drift between siblings. ``join`` adapts
-    to the site's elem CTE subscript base: a 0-based elem joins
-    ``USING (i)``; a 1-based elem joins ``ON pl.i = <alias>.i - 1``.
-    Must appear AFTER the site's elem CTE (proj reads it)."""
+    (``n_planes`` planes over 64 dims, ``bands`` bands of
+    n_planes/bands bits — defaults match add_det_lsh_signature's
+    32/4) — ONE definition shared by every banded-candidate oracle
+    (X6/X121, Y2, X76, X36, X239, and the knob twins), so the plane
+    family can never drift between siblings. ``join`` adapts to the
+    site's elem CTE subscript base: a 0-based elem joins ``USING (i)``;
+    a 1-based elem joins ``ON pl.i = <alias>.i - 1``. Must appear AFTER
+    the site's elem CTE (proj reads it)."""
+    assert n_planes % bands == 0
+    r = n_planes // bands  # bits per band, MSB-first packing
     return f"""pw AS (
   SELECT p, i,
          md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR) || '#lshw') AS hx
-  FROM range(32) tp(p), range(64) ti(i)
+  FROM range({n_planes}) tp(p), range(64) ti(i)
 ),
 planes AS (
   SELECT p, i,
@@ -110,9 +119,9 @@ proj AS (
   GROUP BY 1, 2
 ),
 bkeys AS (
-  SELECT vec_id, p // 8 AS band,
+  SELECT vec_id, p // {r} AS band,
          SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END
-             * (CAST(1 AS BIGINT) << CAST(7 - (p % 8) AS INT))) AS key
+             * (CAST(1 AS BIGINT) << CAST({r - 1} - (p % {r}) AS INT))) AS key
   FROM proj GROUP BY 1, 2
 ),"""
 

@@ -366,6 +366,7 @@ def x242_incremental_neardup_sidecar(spark, sf_dir):
 X242_SQL = X240_SQL  # the text path IS the spec the sidecar must equal
 
 
+
 def x35_benchmark_contamination(spark, sf_dir):
     """Eval-leakage audit (curation.benchmark_contamination): docs with
     doc_id < 20 stand in for the benchmark; every other doc reports what
@@ -466,6 +467,29 @@ dropped AS (
 SELECT a.vec_id, CAST(a.cell AS INT) AS cell, dr.vid IS NULL AS keep
 FROM a4 a LEFT JOIN dropped dr ON dr.vid = a.vec_id
 """
+
+def x243_semantic_dedup_bands(spark, sf_dir):
+    """The x36 SemDeDup with the band-geometry knob turned — 8 bands of
+    4 bits instead of the default 4×8 — certifying the recall-vs-
+    occupancy lever SCALE.md names as the 100 TB tuning control: more,
+    narrower bands collide more readily (per-band match probability
+    (1−θ/π)^4 vs ^8), so candidate recall at the threshold rises while
+    per-(cell, bucket) occupancy coarsens and leans harder on the hot
+    cap. Same kmeans cells, threshold, and drop rule as x36; only the
+    candidate geometry differs — the knob's SQL twin re-derives the
+    identical 4-bit band keys, so the driver hash-checks the
+    parameterization end to end (the x230/x235 knob-twin pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return curation.semantic_dedup(
+        emb, k=8, threshold=0.9, max_iter=3, init="first",
+        round_decimals=6, candidate_planes=32, candidate_bands=8,
+    )
+
+
+X243_SQL = X36_SQL.replace(
+    _sign_band_ctes(), _sign_band_ctes(bands=8), 1
+)
+assert X243_SQL != X36_SQL  # the default band block must anchor the swap
 
 
 def x43_substring_dupes(spark, sf_dir):

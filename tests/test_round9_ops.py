@@ -104,6 +104,28 @@ def test_semantic_dedup_banded_drops_subset_of_exact(spark):
     )
 
 
+def test_semantic_dedup_band_knob_certified_shape(spark):
+    """x243's knob (8 bands of 4 bits) against the x36 default (4×8):
+    same cells, one row per input, and — because 4-bit bands collide
+    strictly more readily than 8-bit bands built from the SAME 32
+    projections (a matching 8-bit band implies both its 4-bit halves
+    match) — every default-geometry drop is also dropped by the knob
+    when no hot cap binds (sf0.001 occupancy is far below 64)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    kw = dict(k=8, threshold=0.9, max_iter=3, init="first", round_decimals=6)
+    base = curation.semantic_dedup(emb, candidate_bands=4, **kw)
+    knob = curation.semantic_dedup(emb, candidate_bands=8, **kw)
+    assert knob.count() == emb.count()
+    d_base = {r["vec_id"] for r in base.where("NOT keep").collect()}
+    d_knob = {r["vec_id"] for r in knob.where("NOT keep").collect()}
+    assert d_base <= d_knob
+    assert (
+        knob.select("vec_id", "cell").exceptAll(
+            base.select("vec_id", "cell")
+        ).count() == 0
+    )
+
+
 def test_streaming_neardup_kwargs_validated(spark, tmp_path):
     from shifts_etl_spark.streaming.micro_batch import (
         streaming_curation_admit,
