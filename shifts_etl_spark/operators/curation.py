@@ -168,7 +168,12 @@ def semantic_dedup(
     high; missing a boundary-cosine pair trades exactly the recall any
     sub-quadratic SemDeDup trades at cell boundaries.
     ``candidate_planes=None`` restores the exact all-pairs-in-cell scan
-    (opt-in, small corpora only)."""
+    (opt-in, small corpora only).
+
+    Note: the banded-candidate path runs an EAGER .first() job at
+    plan-construction time to infer the vector dim; empty input raises
+    (in kmeans_fit — cells are undefined on an empty corpus, as they
+    always were)."""
     from ..functions.vectors import cosine_from_norms, l2_norm
 
     model = clustering.kmeans_fit(

@@ -19,7 +19,9 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import threading
+
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .textstats import normalize_text, tokens
 
@@ -38,6 +40,16 @@ from .textstats import normalize_text, tokens
 # unpersist exactly (minhash_dedup_components does).
 _ORPHANED_CACHES: list[DataFrame] = []
 _ORPHAN_CACHE_BOUND = 12
+# The bound is COUNT-based: at corpus scale each orphaned frame is
+# itself corpus-sized (~0.5 KB/doc signatures), so a long-lived driver
+# sweeping many entries can pin up to _ORPHAN_CACHE_BOUND corpus-scale
+# frames in executor storage between trims. Long-lived drivers at scale
+# should call release_orphaned_caches() between entries (storage
+# pressure only — an evicted or unpersisted frame recomputes, never
+# corrupts). The lock serializes append/trim/drain so concurrent driver
+# threads (parallel streaming queries, thread-pooled entry sweeps)
+# cannot race a pop against a concurrent drain.
+_ORPHAN_LOCK = threading.Lock()
 
 
 def _unpersist_quietly(df: DataFrame) -> None:
@@ -58,10 +70,13 @@ def release_orphaned_caches() -> int:
     treated as already released. Pops as it goes so a surprise error
     can never leave the list half-drained."""
     n = 0
-    while _ORPHANED_CACHES:
-        _unpersist_quietly(_ORPHANED_CACHES.pop())
+    while True:
+        with _ORPHAN_LOCK:
+            if not _ORPHANED_CACHES:
+                return n
+            df = _ORPHANED_CACHES.pop()
+        _unpersist_quietly(df)
         n += 1
-    return n
 
 
 def _track_cache(df: DataFrame, registry: list | None) -> DataFrame:
@@ -72,9 +87,13 @@ def _track_cache(df: DataFrame, registry: list | None) -> DataFrame:
     if registry is not None:
         registry.append(df)
         return df
-    _ORPHANED_CACHES.append(df)
-    while len(_ORPHANED_CACHES) > _ORPHAN_CACHE_BOUND:
-        _unpersist_quietly(_ORPHANED_CACHES.pop(0))
+    evicted: list[DataFrame] = []
+    with _ORPHAN_LOCK:
+        _ORPHANED_CACHES.append(df)
+        while len(_ORPHANED_CACHES) > _ORPHAN_CACHE_BOUND:
+            evicted.append(_ORPHANED_CACHES.pop(0))
+    for old in evicted:  # unpersist outside the lock (it can block on the JVM)
+        _unpersist_quietly(old)
     return df
 
 
@@ -346,7 +365,6 @@ def minhash_lsh_pairs(
     )
     banded = with_sig.select(
         "doc",
-        "sig",
         F.posexplode(band_hashes).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
@@ -369,26 +387,37 @@ def minhash_lsh_pairs(
             banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti"),
             _cache_registry,
         )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # candidate ids first, signatures re-attached BY ID after the
+    # distinct (the x242/embedding_nn_pairs_lsh contract): the banded
+    # self-join and the pair dedup shuffle (band, hash, doc) longs only —
+    # carrying the 64-long sig through both join sides cost ~0.5 KB ×
+    # bands per doc of shuffle for nothing, since est_jaccard only needs
+    # one sig lookup per side per DISTINCT pair.
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "band_hash"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = with_sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = with_sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("_sb"))
     est = (
         F.size(
             F.filter(
-                F.zip_with("l.sig", "r.sig", lambda x, y: (x == y).cast("int")),
+                F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
                 lambda v: v == 1,
             )
         )
         / F.lit(float(num_hashes))
     )
     return (
-        left.join(right, ["band", "band_hash"])
-        .where(F.col("l.doc") < F.col("r.doc"))
-        .select(
-            F.col("l.doc").alias("id_a"),
-            F.col("r.doc").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
     )
 
 
@@ -668,12 +697,27 @@ def embedding_nn_pairs_lsh(
     from ..functions.vectors import cosine_from_norms, l2_norm
 
     if dim is None:
-        # infer once from the data: a wrong literal dim would zip the
-        # plane weights against a shorter vector and NULL every bucket
-        # (the silent no-candidates failure mode)
+        # infer once from the data — an EAGER .first() job at plan-
+        # construction time (pass dim explicitly to stay fully lazy): a
+        # wrong literal dim would zip the plane weights against a shorter
+        # vector and NULL every bucket (the silent no-candidates failure
+        # mode). An empty corpus has no dim to infer and no pairs to
+        # emit — return the documented empty result frame (the pre-r9
+        # contract) instead of raising.
         first = emb.select(vec_col).first()
         if first is None:
-            raise ValueError("embedding_nn_pairs_lsh: input has no rows")
+            idt = emb.schema[id_col].dataType
+            return emb.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("vec_id", idt),
+                        T.StructField("neighbor_id", idt),
+                        T.StructField("cosine", T.DoubleType()),
+                        T.StructField("is_near_dup", T.BooleanType()),
+                    ]
+                ),
+            )
         dim = len(first[0])
     sel = [F.col(id_col).alias("vid"), F.col(vec_col).alias("_v")]
     if block_col is not None:

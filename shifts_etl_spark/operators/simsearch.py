@@ -95,7 +95,7 @@ def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    centroid_stride: int = 16,
+    centroid_stride: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -126,17 +126,21 @@ def ivf_topk(
             schema="cent_id long, cent_v array<double>",
         )
     elif n_cells is not None:
-        if centroid_stride != 16:
+        if centroid_stride is not None:
             # the r9 default flip made n_cells win over the stride
-            # sample; a non-default stride alongside it is a pre-flip
-            # call pattern that would otherwise silently run fixed
-            # cells — fail loudly instead (the x215 knob guard)
+            # sample; ANY explicit stride alongside it (16 included —
+            # None is the unset sentinel, so explicit-default is
+            # distinguishable) is a pre-flip call pattern that would
+            # otherwise silently run fixed cells — fail loudly instead
+            # (the x215 knob guard)
             raise ValueError(
                 "centroid_stride is ignored when n_cells is set; pass "
                 "n_cells=None to use the legacy stride sample"
             )
         cents = _md5_priority_centroids(emb, n_cells, id_col, vec_col)
     else:
+        if centroid_stride is None:
+            centroid_stride = 16
         cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
         )
@@ -500,9 +504,26 @@ def hard_negative_topk(
     if band_planes is not None:
         from .dedup import _cooled_band_buckets
 
+        # EAGER .first() at plan-construction time (dim inference); an
+        # empty corpus returns the documented empty result frame (the
+        # pre-r9 contract) instead of raising
         first = emb.select(vec_col).first()
         if first is None:
-            raise ValueError("hard_negative_topk: input has no rows")
+            idt = emb.schema[id_col].dataType
+            lblt = emb.schema[label_col].dataType
+            return emb.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("anchor_id", idt),
+                        T.StructField("anchor_label", lblt),
+                        T.StructField("neg_id", idt),
+                        T.StructField("neg_label", lblt),
+                        T.StructField("cosine", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
         dim = len(first[0])
         # (vid, lbl, bkt, bucket) only — vectors re-attach by id after
         # the candidate distinct (the embedding_nn_pairs_lsh contract,
@@ -810,7 +831,7 @@ def ivf_probe_sweep(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    centroid_stride: int = 16,
+    centroid_stride: int | None = None,
     probes: tuple[int, ...] = (1, 2, 4, 8),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -842,10 +863,11 @@ def ivf_probe_sweep(
     (18.2× on the 10× smoke); it stays opt-in for parity only."""
     from .dedup import _fan_out
 
-    if n_cells is not None and centroid_stride != 16:
-        # the r8 default flip made n_cells win over the stride sample; a
-        # non-default stride alongside it is a pre-flip call pattern that
-        # would otherwise silently run fixed cells — fail loudly instead
+    if n_cells is not None and centroid_stride is not None:
+        # the r8 default flip made n_cells win over the stride sample;
+        # ANY explicit stride alongside it (16 included — None is the
+        # unset sentinel) is a pre-flip call pattern that would
+        # otherwise silently run fixed cells — fail loudly instead
         raise ValueError(
             "centroid_stride is ignored when n_cells is set; pass "
             "n_cells=None to use the legacy stride sample"
@@ -853,6 +875,8 @@ def ivf_probe_sweep(
     if n_cells is not None:
         cents = _md5_priority_centroids(emb, n_cells, id_col, vec_col)
     else:
+        if centroid_stride is None:
+            centroid_stride = 16
         cents = emb.where((F.col(id_col) % centroid_stride) == 0).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
         )
