@@ -36,18 +36,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TWO_63 = float(2**63)
+TWO_48 = float(2**48)
 
 
-def _uhash(col: Column, seed: int = 0) -> Column:
-    """xxhash64 mapped to a uniform double in (0, 1]. Signed-long range
-    is shifted, not abs'd, so no value doubles up; exact 0 is dropped by
-    the builder (theta must stay > 0)."""
+def _uhash(col: Column, seed: int = 0, hash_fn: str = "xxhash64") -> Column:
+    """Uniform double in (0, 1] from the chosen hash family.
+
+    ``xxhash64`` (default): signed-long range is shifted, not abs'd, so
+    no value doubles up; exact 0 is dropped by the builder (theta must
+    stay > 0). ``md5``: the cross-engine 48-bit fold
+    (dedup._md5_hash48 over CAST(value AS STRING) with the seed as
+    salt) mapped to (h+1)/2^48 — every value is a dyadic rational, so
+    the division, ordering, and the (k-1)/theta estimate are bit-exact
+    in ANY IEEE-754 engine; DuckDB re-derives the identical u from the
+    same md5 hex (the X3_SQL positional base-16 fold). ~2× slower
+    JVM-side, which is why xxhash64 stays the default and md5 backs the
+    oracle-checked catalog entry (x244)."""
+    if hash_fn == "md5":
+        from .dedup import _md5_hash48
+
+        h = _md5_hash48(col.cast("string"), seed)
+        return (h.cast("double") + 1.0) / TWO_48
     h = F.xxhash64(col.cast("string"), F.lit(seed))
     return (h.cast("double") + TWO_63 + 1.0) / (TWO_63 * 2.0 + 2.0)
 
 
 def theta_sketch(
-    df: DataFrame, key_cols: list[str], value_col: str, k: int = 1024
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One sketch row per key: ``ks`` = sorted array of the k smallest
     distinct hashes of ``value_col``, plus ``k`` for the estimators.
@@ -57,7 +76,7 @@ def theta_sketch(
     input bounded (first window is per (key, shuffle-partition), second
     sees <= k * P survivors per key)."""
     hashed = (
-        df.select(*key_cols, _uhash(F.col(value_col)).alias("_u"))
+        df.select(*key_cols, _uhash(F.col(value_col), hash_fn=hash_fn).alias("_u"))
         .where(F.col("_u") > 0.0)
         .dropDuplicates([*key_cols, "_u"])
     )

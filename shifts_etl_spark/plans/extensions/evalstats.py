@@ -13,6 +13,7 @@ from ._shared import (
     _X19X_DAILY,
     _X67_NORM,
     _X73_U,
+    _hex12_int_sql,
     _t,
 )
 
@@ -181,6 +182,142 @@ def x33_theta_set_sketches(spark, sf_dir):
         ).alias("approx_distinct"),
     )
     return leaf.unionAll(union).unionAll(inter)
+
+
+def x244_theta_sketch_md5(spark, sf_dir):
+    """x33's theta/KMV sketches re-keyed to the md5 hash family
+    (VERDICT r9 #2, the x243 knob-twin pattern): the uniform hash is
+    (dedup._md5_hash48(value, 0) + 1) / 2^48 — a dyadic rational DuckDB
+    re-derives bit-for-bit from the same md5 hex — so min-k retention,
+    theta, and the (k-1)/theta estimator all become closed-form SQL and
+    the driver hash-checks the WHOLE estimator, not just row counts.
+    Same shape as x33: per-type distinct-event_id estimates at k=256
+    (smaller than the true distinct so the estimator is exercised), the
+    sketch UNION, and the click∩view user-set intersection at k=1024.
+    The oracle replays the sketch as pure set algebra: a KMV sketch IS
+    the k smallest distinct hashes, union-of-sketches = k smallest of
+    the distinct-hash union, and every hash below min(theta_a, theta_b)
+    is retained by both sides — so full-set SQL windows reproduce the
+    sketch results exactly (operators/theta.py docstring, Dasgupta et
+    al. 2016). xxhash64 (x33) stays the library default — ~2× faster
+    JVM-side; this entry certifies the estimator pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    sk = theta.theta_sketch(ev, ["event_type"], "event_id", k=256, hash_fn="md5")
+    leaf = sk.select(
+        F.col("event_type").alias("set_name"),
+        F.round(theta.theta_estimate(F.col("ks"), F.col("k")), 2).alias(
+            "approx_distinct"
+        ),
+    )
+    union = sk.agg(theta.theta_union_agg(F.col("ks"), 256).alias("ks")).select(
+        F.lit("__union__").alias("set_name"),
+        F.round(theta.theta_estimate(F.col("ks"), F.lit(256)), 2).alias(
+            "approx_distinct"
+        ),
+    )
+    usk = theta.theta_sketch(
+        ev.where(F.col("event_type").isin("click", "view")),
+        ["event_type"],
+        "user_id",
+        k=1024,
+        hash_fn="md5",
+    )
+    inter = usk.agg(
+        F.any_value(
+            F.when(F.col("event_type") == "click", F.col("ks")), True
+        ).alias("ks_a"),
+        F.any_value(
+            F.when(F.col("event_type") == "view", F.col("ks")), True
+        ).alias("ks_b"),
+    ).select(
+        F.lit("click&view:user_id").alias("set_name"),
+        F.round(
+            theta.theta_intersect_estimate(
+                F.col("ks_a"), F.col("ks_b"), F.lit(1024), F.lit(1024)
+            ),
+            2,
+        ).alias("approx_distinct"),
+    )
+    return leaf.unionAll(union).unionAll(inter)
+
+
+# The sketch replayed as set algebra over the full hash sets (see the
+# x244 docstring for why that is exact): u = (md5-fold + 1) / 2^48; per
+# type the k-th smallest distinct u is theta, estimate = (k-1)/theta or
+# the exact count while unfilled; union = the same window over the
+# distinct-u union; intersection counts u present in BOTH full sets
+# strictly below min(theta_a, theta_b).
+X244_SQL = f"""
+WITH h0 AS (
+  SELECT DISTINCT event_type, md5(CAST(event_id AS VARCHAR) || '#0') AS hx
+  FROM events
+),
+hu AS (
+  SELECT DISTINCT event_type,
+         ({_hex12_int_sql('hx')} + 1) / 281474976710656.0 AS u
+  FROM h0
+),
+rk AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hu
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         max(CASE WHEN rn = 256 THEN u END) AS theta
+  FROM rk GROUP BY 1
+),
+leaf AS (
+  SELECT event_type AS set_name,
+         round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                    ELSE 255.0 / theta END, 2) AS approx_distinct
+  FROM stats
+),
+urk AS (
+  SELECT u, row_number() OVER (ORDER BY u) AS rn
+  FROM (SELECT DISTINCT u FROM hu)
+),
+ustats AS (
+  SELECT count(*) AS n, max(CASE WHEN rn = 256 THEN u END) AS theta FROM urk
+),
+uni AS (
+  SELECT '__union__' AS set_name,
+         round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                    ELSE 255.0 / theta END, 2) AS approx_distinct
+  FROM ustats
+),
+uh0 AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR) || '#0') AS hx
+  FROM events WHERE event_type IN ('click', 'view')
+),
+uhu AS (
+  SELECT DISTINCT event_type,
+         ({_hex12_int_sql('hx')} + 1) / 281474976710656.0 AS u
+  FROM uh0
+),
+upar AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM uhu
+),
+ts AS (
+  SELECT
+    coalesce(max(CASE WHEN event_type = 'click' AND rn = 1024 THEN u END), 1.0) AS ta,
+    coalesce(max(CASE WHEN event_type = 'view' AND rn = 1024 THEN u END), 1.0) AS tb
+  FROM upar
+),
+inter AS (
+  SELECT 'click&view:user_id' AS set_name,
+         round(CAST(count(*) AS DOUBLE)
+               / (SELECT least(ta, tb) FROM ts), 2) AS approx_distinct
+  FROM uhu c JOIN uhu v ON c.u = v.u
+  WHERE c.event_type = 'click' AND v.event_type = 'view'
+    AND c.u < (SELECT least(ta, tb) FROM ts)
+)
+SELECT * FROM leaf
+UNION ALL SELECT * FROM uni
+UNION ALL SELECT * FROM inter
+"""
 
 
 def x41_heavy_hitters(spark, sf_dir):

@@ -58,15 +58,15 @@ def test_composed_entry_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
 
 
-def test_catalog_pin_345():
-    """Round-9 pin: the 343 of round 8 plus x242 (the history-signature
-    sidecar path of incremental near-dup admission, certified against
-    the x240 text-path oracle — VERDICT r8 #7) and x243 (x36's
-    band-geometry knob twin, 8×4-bit bands). Growth beyond this needs
-    a deliberate pin bump, not an accidental leak."""
+def test_catalog_pin_346():
+    """Round-10 pin: the 345 of round 9 plus x244 (x33's theta/KMV
+    sketches re-keyed to the md5 hash family so the (k-1)/theta
+    estimator, union, and intersection are DuckDB-replayable — VERDICT
+    r9 #2). Growth beyond this needs a deliberate pin bump, not an
+    accidental leak."""
     from shifts_etl_spark.plans.catalog import CATALOG
 
-    assert len(CATALOG) == 345
+    assert len(CATALOG) == 346
     for name in COMPOSED:
         assert name in CATALOG
     for name in ("x239_embedding_nn_lsh", "x240_incremental_neardup",

@@ -119,3 +119,56 @@ def test_x33_catalog_query_bounds(spark):
         .count()
     )
     assert got["click&view:user_id"] == exact_overlap
+
+
+def test_md5_family_same_bounds_and_uniform_range(spark, two_sets):
+    """The md5 hash family (the x244 oracle key) keeps the estimator
+    contract: uniform u in (0, 1], error within the k=512 bound, and
+    partition independence."""
+    sk = theta.theta_sketch(two_sets, ["s"], "id", k=512, hash_fn="md5")
+    vals = {
+        r["s"]: r["est"]
+        for r in sk.select(
+            "s", theta.theta_estimate(F.col("ks"), F.col("k")).alias("est")
+        ).collect()
+    }
+    assert vals["a"] == pytest.approx(10_000, rel=0.18)
+    assert vals["b"] == pytest.approx(10_000, rel=0.18)
+    bounds = sk.select(
+        F.min(F.element_at("ks", 1)).alias("lo"),
+        F.max(F.element_at("ks", F.size("ks"))).alias("hi"),
+    ).first()
+    assert 0.0 < bounds["lo"] <= bounds["hi"] <= 1.0
+    one = theta.theta_sketch(
+        two_sets.repartition(1), ["s"], "id", k=128, hash_fn="md5"
+    )
+    many = theta.theta_sketch(
+        two_sets.repartition(13), ["s"], "id", k=128, hash_fn="md5"
+    )
+    assert {r["s"]: r["ks"] for r in one.collect()} == {
+        r["s"]: r["ks"] for r in many.collect()
+    }
+
+
+def test_x244_catalog_query_bounds(spark):
+    """The md5 twin's estimates track x33's contract: within bound of
+    exact counts; the unfilled intersection regime is EXACT."""
+    from shifts_etl_spark.plans.extensions import x244_theta_sketch_md5
+
+    got = {
+        r["set_name"]: r["approx_distinct"]
+        for r in x244_theta_sketch_md5(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for et in ["click", "view", "error", "purchase", "signup"]:
+        exact = ev.where(F.col("event_type") == et).select("event_id").distinct().count()
+        assert got[et] == pytest.approx(exact, rel=0.25), et
+    exact_union = ev.select("event_id").distinct().count()
+    assert got["__union__"] == pytest.approx(exact_union, rel=0.25)
+    exact_overlap = (
+        ev.where("event_type = 'click'")
+        .select("user_id")
+        .intersect(ev.where("event_type = 'view'").select("user_id"))
+        .count()
+    )
+    assert got["click&view:user_id"] == exact_overlap

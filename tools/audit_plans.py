@@ -46,6 +46,7 @@ SINGLE_PARTITION_OK = {
     "x32_expectations",  # all rules fold into ONE 1-row global aggregate
     "q25_promo_revenue_share",  # global ratio: single-row aggregate
     "x33_theta_set_sketches",  # sketch merges: <= G k-double rows → 1-row agg
+    "x244_theta_sketch_md5",  # same sketch merges, md5 oracle family
     "x38_collocation_pmi",  # corpus totals N/Nb: vocab-count → 1-row aggs
     "x39_unigram_logprob",  # corpus totals N/V: vocab-count → 1-row agg
     "x41_heavy_hitters",  # total token count N: 1-row aggregate
