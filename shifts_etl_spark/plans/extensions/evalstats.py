@@ -525,6 +525,62 @@ def x63_approx_groupby(spark, sf_dir):
     )
 
 
+def x245_approx_groupby_md5(spark, sf_dir):
+    """x63's approximate grouped revenue with the sampler re-keyed to
+    the deterministic md5-Bernoulli predicate (VERDICT r9 #3, the x243
+    knob-twin pattern): a row is sampled iff
+    (md5-fold(event_id # aqp42) + 1) / 2^48 <= 0.1 — a dyadic-rational
+    compare DuckDB replays bit-for-bit — so the sample membership, the
+    Horvitz-Thompson scale-up, and the CLT standard errors are ALL
+    value-checked by the driver, not just row counts. Same plan shape
+    as x63 (sample predicate pushed into the scan, one map-side-
+    combinable aggregate); the built-in sampler stays the operator
+    default (faster per row; x63 pins its CI semantics via pytest).
+    The hash-Bernoulli sample is also relayout-stable: the same rows
+    are in the sample regardless of partitioning — the reproducibility
+    property a 100 TB interactive tier actually wants."""
+    from ...operators.aqp import approx_groupby_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = approx_groupby_sum(
+        ev, ["event_type"], "value", fraction=0.1, seed=42,
+        method="md5", sample_key="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n_sampled",
+        F.round("est_count", 2).alias("est_count"),
+        F.round("est_total", 2).alias("est_total"),
+        F.round("se_total", 2).alias("se_total"),
+    )
+
+
+X245_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM (
+    SELECT event_type, value,
+           md5(CAST(event_id AS VARCHAR) || '#aqp42') AS hx
+    FROM events
+  )
+  WHERE ({_hex12_int_sql('hx')} + 1) / 281474976710656.0 <= 0.1
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS n_sampled,
+         SUM(v) AS sv,
+         SUM(v * v) AS sv2
+  FROM s GROUP BY 1
+)
+SELECT event_type,
+       n_sampled,
+       round(n_sampled / 0.1, 2) AS est_count,
+       round(sv / 0.1, 2) AS est_total,
+       round(sqrt(sv2 * (1.0 - 0.1) / (0.1 * 0.1)), 2) AS se_total
+FROM agg
+"""
+
+
 def x64_group_quantiles(spark, sf_dir):
     """Per-group quantiles from keyed mergeable sketches
     (operators/quantiles.py:group_quantiles): p50/p90 of events.value per

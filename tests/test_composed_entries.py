@@ -58,15 +58,17 @@ def test_composed_entry_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
 
 
-def test_catalog_pin_346():
+def test_catalog_pin_347():
     """Round-10 pin: the 345 of round 9 plus x244 (x33's theta/KMV
     sketches re-keyed to the md5 hash family so the (k-1)/theta
-    estimator, union, and intersection are DuckDB-replayable — VERDICT
-    r9 #2). Growth beyond this needs a deliberate pin bump, not an
+    estimator, union, and intersection are DuckDB-replayable) and x245
+    (x63's sampled group-by re-keyed to the md5-Bernoulli predicate so
+    sample membership and the HT/CLT estimators value-check) — VERDICT
+    r9 #2/#3. Growth beyond this needs a deliberate pin bump, not an
     accidental leak."""
     from shifts_etl_spark.plans.catalog import CATALOG
 
-    assert len(CATALOG) == 346
+    assert len(CATALOG) == 347
     for name in COMPOSED:
         assert name in CATALOG
     for name in ("x239_embedding_nn_lsh", "x240_incremental_neardup",
