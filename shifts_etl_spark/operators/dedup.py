@@ -651,11 +651,34 @@ def embedding_nn_pairs(
     )
 
 
+def auto_band_bits(
+    n: int, n_planes: int = 32, occupancy_target: int = 64
+) -> int:
+    """Bits per LSH band sized from the corpus: the smallest band width
+    (a divisor of ``n_planes``, >= 4 so a band still discriminates)
+    whose EXPECTED bucket occupancy n / 2^bits stays at or below
+    ``occupancy_target``. Wider bands as the corpus grows keep bucket
+    population constant by geometry instead of leaning on the hot cap
+    to truncate (VERDICT r9 #4 — the _AUTOBKT ceil(N/256) recipe
+    applied to band width): 4 bits to 1 024 docs, 8 to 16 384, 16 to
+    4.19 M, then the full 32-bit band to ~2.7e11 (64 * 2^32); past that
+    raise n_planes. Fewer, wider bands trade candidate recall at a
+    fixed threshold — the SCALE.md recall-vs-occupancy lever, now
+    turned automatically."""
+    valid = [b for b in (4, 8, 16, 32) if b <= n_planes and n_planes % b == 0]
+    if not valid:
+        raise ValueError(f"no valid band width for n_planes={n_planes}")
+    for bits in valid:
+        if n <= occupancy_target * (1 << bits):
+            return bits
+    return valid[-1]
+
+
 def embedding_nn_pairs_lsh(
     emb: DataFrame,
     dim: int | None = None,
     n_planes: int = 32,
-    bands: int = 4,
+    bands: int | str = 4,
     hot_bucket_cap: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -690,11 +713,26 @@ def embedding_nn_pairs_lsh(
 
     Deterministic end to end (md5 planes over floor(v·1e6) integer
     quantization, 6-dp cosine, neighbor-id tie-break), so the catalog
-    entries (x239 unblocked, x6/x121 label-blocked) carry full DuckDB
-    value oracles."""
+    entries (x239 unblocked, x6/x121 label-blocked, x246 auto-banded)
+    carry full DuckDB value oracles.
+
+    ``bands="auto"`` (r10, VERDICT r9 #4) sizes the band width from the
+    corpus via :func:`auto_band_bits` — an EAGER count() job at
+    plan-construction time — so expected bucket occupancy stays at or
+    below ``hot_bucket_cap`` by geometry as the corpus grows, instead
+    of relying on the hot cap to truncate ever-fuller buckets. The
+    chosen geometry is a deterministic function of N, so the auto mode
+    stays oracle-checkable (the twin derives the same width from
+    count(*))."""
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_from_norms, l2_norm
+
+    if bands == "auto":
+        bits = auto_band_bits(emb.count(), n_planes, hot_bucket_cap)
+        bands = n_planes // bits
+    elif not isinstance(bands, int):
+        raise ValueError(f"bands must be an int or 'auto', got {bands!r}")
 
     if dim is None:
         # infer once from the data — an EAGER .first() job at plan-

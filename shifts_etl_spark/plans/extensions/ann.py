@@ -945,6 +945,86 @@ FROM ranked WHERE rn = 1
 """
 
 
+def x246_embedding_nn_autoband(spark, sf_dir):
+    """x239's LSH-banded NN with the band geometry sized from the
+    corpus (dedup.auto_band_bits — VERDICT r9 #4, the _AUTOBKT recipe
+    applied to band width): band bits = the smallest divisor-of-32
+    width whose EXPECTED occupancy N/2^bits stays <= the hot cap 64, so
+    bucket population is bounded by geometry as the corpus grows
+    instead of leaning on the cap to truncate. At sf0.01 (500 vectors)
+    that is 8 bands of 4 bits; at sf0.1 (5 000) 4 bands of 8 bits — the
+    oracle derives the SAME width from count(*) and re-packs the
+    4-bit base band keys into the chosen width (adjacent-band merge:
+    MSB-first packing makes a 4k-bit key the base-16 fold of its k
+    4-bit words), so the driver hash-checks the geometry selection
+    end to end across both scale points."""
+    return dedup.embedding_nn_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), bands="auto"
+    )
+
+
+# the 8-band 4-bit base chain, then the count(*)-driven re-pack into
+# w = bits/4 words per final band (thresholds = 64 * 2^bits), and the
+# x239 hot/cool/top-1 tail over the re-packed buckets
+X246_SQL = f"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+{_sign_band_ctes(join="USING (i)", bands=8)}
+geom AS (
+  SELECT CASE WHEN count(*) <= 1024 THEN 1
+              WHEN count(*) <= 16384 THEN 2
+              WHEN count(*) <= 4194304 THEN 4
+              ELSE 8 END AS w
+  FROM embeddings
+),
+bfin AS (
+  SELECT k.vec_id, k.band // g.w AS band,
+         SUM(k.key << (4 * (g.w - 1 - (k.band % g.w)))) AS key
+  FROM bkeys k CROSS JOIN geom g
+  GROUP BY 1, 2
+),
+buckets AS (SELECT vec_id, band * 4294967296 + key AS bucket FROM bfin),
+hot AS (
+  SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) > 64
+),
+cool AS (
+  SELECT vec_id, bucket FROM buckets
+  WHERE bucket NOT IN (SELECT bucket FROM hot)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id
+  FROM cool a JOIN cool c USING (bucket)
+  WHERE a.vec_id <> c.vec_id
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM elem GROUP BY 1),
+dots AS (
+  SELECT c.vec_id, c.neighbor_id, SUM(q.v * n.v) AS dot
+  FROM cand c
+  JOIN elem q ON q.vec_id = c.vec_id
+  JOIN elem n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(d.dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.vec_id = nq.vec_id
+  JOIN norms nc ON d.neighbor_id = nc.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT vec_id, neighbor_id, cosine, cosine >= 0.9 AS is_near_dup
+FROM ranked WHERE rn = 1
+"""
+
+
 def x124_label_compactness(spark, sf_dir):
     """Intra-class compactness audit (profile.label_compactness): per
     label, member-to-centroid cosine mean/min and the below-0.5 outlier

@@ -150,3 +150,41 @@ def test_minhash_pairs_results_unchanged_by_reattach(spark):
         1 for a, b in zip(sigs[1], sigs[2]) if a == b
     ) / 64.0
     assert pairs[(1, 2)] == pytest.approx(expected)
+
+
+# --------------------------------------------------------------------------
+# auto-banding (VERDICT r9 #4): band width sized from the corpus
+# --------------------------------------------------------------------------
+
+def test_auto_band_bits_ladder():
+    from shifts_etl_spark.operators.dedup import auto_band_bits
+
+    assert auto_band_bits(500) == 4
+    assert auto_band_bits(1024) == 4
+    assert auto_band_bits(1025) == 8
+    assert auto_band_bits(16384) == 8
+    assert auto_band_bits(16385) == 16
+    assert auto_band_bits(4_194_304) == 16
+    assert auto_band_bits(4_194_305) == 32
+    assert auto_band_bits(10**12) == 32  # saturates at the full band
+    # n_planes=16 only allows widths 4/8/16
+    assert auto_band_bits(16385, n_planes=16) == 16
+    with pytest.raises(ValueError, match="no valid band width"):
+        auto_band_bits(100, n_planes=3)
+
+
+def test_embedding_nn_autoband_matches_explicit_geometry(spark):
+    """At a fixed corpus size the auto mode must equal the explicit
+    bands call it resolves to (500 vecs -> 4-bit bands -> bands=8)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    from shifts_etl_spark.operators.dedup import auto_band_bits
+
+    bits = auto_band_bits(n)
+    auto = dedup.embedding_nn_pairs_lsh(emb, bands="auto")
+    explicit = dedup.embedding_nn_pairs_lsh(emb, bands=32 // bits)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    with pytest.raises(ValueError, match="bands must be"):
+        dedup.embedding_nn_pairs_lsh(emb, bands="wide")
