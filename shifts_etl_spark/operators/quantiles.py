@@ -216,6 +216,70 @@ def sketch_quantiles(sketch: DataFrame, probs: list[float], k: int = 200) -> Dat
     )
 
 
+def det_quantile_sketch_quantiles(
+    df: DataFrame, col: str, probs: list[float], k: int = 200
+) -> DataFrame:
+    """The x58 sketch in its ORDER-INDEPENDENT configuration — the
+    result of feeding the whole multiset as ONE batch: update_batch puts
+    all n values in level 0 and _settle compacts each level exactly once
+    with the alternating offset (compaction counter % 2 == level % 2), so
+    the surviving level h holds precisely the sorted values at global
+    0-based ranks ≡ r (mod 2^h), r = Σ_{odd l<h} 2^l = 2(4^⌊h/2⌋−1)/3,
+    where h is the FIRST level whose survivor count
+    m_h = ⌊(n−r_h−1)/2^h⌋+1 drops to ≤ k (ceil-halving level sizes, so
+    not exactly ceil(log2(n/k)) at non-power boundaries); each survivor
+    carries weight 2^h and the weighted-rank query returns the kept
+    value at position ceil(prob·m) of the m survivors. A pure function of the multiset — no batch structure, no
+    merge tree — which is what makes it DuckDB-replayable (the x247
+    catalog entry value-checks the compaction rule AND the estimator;
+    the adaptive two-tier build of :func:`quantile_sketch` keeps the
+    same rule per compaction but batch-dependent counts, hence x58
+    stays rows-only).
+
+    Scale shape: global ranks come from the w4 two-pass prefix-count
+    (windows.scalable_running_sum — one data exchange, no
+    single-partition sort); the survivor frame is ≤ k rows and
+    broadcast-joined to the probe list. Runs an EAGER count() (and the
+    prefix helper's eager approxQuantile) at plan-construction time.
+    Prefer :func:`quantile_sketch` when sketches must persist and
+    re-merge; this variant answers the same quantile queries one-shot
+    with a certified result."""
+    from .windows import scalable_running_sum
+
+    probs = [float(p) for p in probs]
+    spark = df.sparkSession
+    probs_df = spark.createDataFrame([(p,) for p in probs], "prob double")
+    v = df.select(F.col(col).cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    n = v.count()
+    if n == 0:
+        return probs_df.withColumn(
+            "approx_value", F.lit(None).cast("double")
+        ).orderBy("prob")
+    h, r, step = 0, 0, 1
+    while (n - r - 1) // step + 1 > k:
+        r += (h % 2) * step
+        step <<= 1
+        h += 1
+    m = (n - r - 1) // step + 1
+    ranked = scalable_running_sum(
+        v.withColumn("_one", F.lit(1)), "_v", "_one", "_rk"
+    )
+    kept = (
+        ranked.withColumn("_i", F.col("_rk") - 1)
+        .where(F.col("_i") % step == r)
+        .select("_v", ((F.col("_i") - r) / step + 1).cast("long").alias("_j"))
+    )
+    target = F.ceil(F.col("prob") * F.lit(float(m))).cast("long")
+    return (
+        probs_df.withColumn("_j", target)
+        .join(F.broadcast(kept), "_j")
+        .select("prob", F.col("_v").alias("approx_value"))
+        .orderBy("prob")
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     keys: list[str],

@@ -504,6 +504,68 @@ def x58_quantile_sketch(spark, sf_dir):
     )
 
 
+def x247_det_quantile_sketch(spark, sf_dir):
+    """x58's quantile sketch in its order-independent configuration
+    (VERDICT r9 #6): the whole multiset as ONE batch makes the KLL/MRL
+    compaction a pure set function — the surviving level holds the
+    sorted values at ranks ≡ r (mod 2^h) with h the first level whose
+    survivor count drops to ≤ k — so the compaction rule AND the
+    weighted-rank estimator replay exactly in SQL
+    (quantiles.det_quantile_sketch_quantiles; the oracle picks the same
+    (h, r) from closed forms over count(*)). Same query shape as x58:
+    p50/p90/p99 of events.value at k=200. x58's adaptive two-tier build
+    stays rows-only (batch-dependent compaction counts ARE its point);
+    this entry certifies the shared rule the batches apply."""
+    from ...operators.quantiles import det_quantile_sketch_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return det_quantile_sketch_quantiles(
+        ev, "value", [0.5, 0.9, 0.99], k=200
+    ).select("prob", F.round("approx_value", 4).alias("approx_value"))
+
+
+# h selection: the first level whose survivor count m_h <= k, with
+# r_h = 2*(4^(h//2) - 1)/3 (sum of 2^l over odd l < h) and ceil-halving
+# survivor counts m_h = (n - r_h - 1) // 2^h + 1; then the kept values
+# are the sorted ranks ≡ r (mod 2^h) and the estimate is the
+# ceil(prob*m)-th kept value.
+X247_SQL = """
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+nn AS (SELECT count(*) AS n FROM v),
+hs AS (
+  SELECT l AS h,
+         2 * ((CAST(1 AS BIGINT) << (2 * (l // 2))) - 1) // 3 AS r,
+         (CAST(1 AS BIGINT) << l) AS step
+  FROM range(0, 48) t(l)
+),
+cand AS (
+  SELECT h, r, step, (n - r - 1) // step + 1 AS m
+  FROM hs CROSS JOIN nn WHERE n > r
+),
+g AS (
+  SELECT h, r, step, m FROM cand WHERE m <= 200 ORDER BY h LIMIT 1
+),
+idx AS (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS i FROM v
+),
+kept AS (
+  SELECT x.v, (x.i - g.r) // g.step + 1 AS j
+  FROM idx x CROSS JOIN g
+  WHERE x.i % g.step = g.r
+),
+probs(prob) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                       (CAST(0.99 AS DOUBLE)))
+SELECT p.prob,
+       round(k.v, 4) AS approx_value
+FROM probs p
+JOIN g ON TRUE
+JOIN kept k ON k.j = CAST(ceil(p.prob * g.m) AS BIGINT)
+ORDER BY p.prob
+"""
+
+
 def x63_approx_groupby(spark, sf_dir):
     """Approximate query processing (operators/aqp.py): per-event-type
     revenue totals from a 10% Bernoulli sample with Horvitz-Thompson

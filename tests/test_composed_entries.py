@@ -58,19 +58,20 @@ def test_composed_entry_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
 
 
-def test_catalog_pin_348():
+def test_catalog_pin_349():
     """Round-10 pin: the 345 of round 9 plus x244 (x33's theta/KMV
     sketches re-keyed to the md5 hash family so the (k-1)/theta
     estimator, union, and intersection are DuckDB-replayable), x245
     (x63's sampled group-by re-keyed to the md5-Bernoulli predicate so
-    sample membership and the HT/CLT estimators value-check), and x246
+    sample membership and the HT/CLT estimators value-check), x246
     (x239's banded NN with band width auto-sized from the corpus, the
-    oracle deriving the same geometry from count(*)) — VERDICT r9
-    #2/#3/#4. Growth beyond this needs a deliberate pin bump, not an
-    accidental leak."""
+    oracle deriving the same geometry from count(*)), and x247 (x58's
+    KLL compaction rule + weighted-rank estimator certified via the
+    order-independent one-batch form) — VERDICT r9 #2/#3/#4/#6. Growth
+    beyond this needs a deliberate pin bump, not an accidental leak."""
     from shifts_etl_spark.plans.catalog import CATALOG
 
-    assert len(CATALOG) == 348
+    assert len(CATALOG) == 349
     for name in COMPOSED:
         assert name in CATALOG
     for name in ("x239_embedding_nn_lsh", "x240_incremental_neardup",

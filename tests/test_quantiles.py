@@ -117,3 +117,49 @@ def test_group_quantiles_large_group_bounded_error(spark, values):
     }
     for p in (0.25, 0.75):
         assert _rank_error(vals, got[p], p) <= 0.02, (p, got[p])
+
+
+def test_det_variant_equals_single_batch_sketch(spark, values):
+    """The x247 deterministic configuration must equal the compactor fed
+    the whole multiset as ONE batch — same (h, r) selection, same
+    weighted-rank rule — and stay within the sketch error bound."""
+    vals, df = values
+    probs = [0.5, 0.9, 0.99]
+    got = {
+        r["prob"]: r["approx_value"]
+        for r in quantiles.det_quantile_sketch_quantiles(
+            df, "value", probs, k=200
+        ).collect()
+    }
+    sk = quantiles._Sketch(200)
+    sk.update_batch(vals)
+    for p in probs:
+        assert got[p] == sk.quantile(p), p
+        assert _rank_error(vals, got[p], p) < np.log2(len(vals) / 200) / 200 + 0.01
+
+
+def test_det_variant_boundary_sizes(spark):
+    """Ceil-halving boundaries (the h-selection off-by-one trap): sizes
+    straddling powers of two of k match the one-batch compactor."""
+    for n in (199, 200, 201, 400, 401, 800, 801):
+        vals = np.random.RandomState(n).gamma(2.0, 50.0, n)
+        df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+        got = {
+            r["prob"]: r["approx_value"]
+            for r in quantiles.det_quantile_sketch_quantiles(
+                df, "value", [0.5, 0.99], k=200
+            ).collect()
+        }
+        sk = quantiles._Sketch(200)
+        sk.update_batch(vals)
+        assert got[0.5] == sk.quantile(0.5), n
+        assert got[0.99] == sk.quantile(0.99), n
+
+
+def test_det_variant_empty_input(spark):
+    df = spark.createDataFrame([], "value double")
+    rows = quantiles.det_quantile_sketch_quantiles(
+        df, "value", [0.5, 0.9], k=50
+    ).collect()
+    assert [r["prob"] for r in rows] == [0.5, 0.9]
+    assert all(r["approx_value"] is None for r in rows)
