@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import shingle_rows
+from .dedup import shingle_explode
 from . import clustering
 
 
@@ -108,11 +108,11 @@ def benchmark_contamination(
     so the corpus side is ONE scan + shingle pipeline with a map-side
     hash-join probe — no shuffle of corpus text at all. The per-doc
     aggregate shuffles (doc_id, counts) pairs only."""
-    corpus = shingle_rows(
+    corpus = shingle_explode(
         docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n
     ).dropDuplicates(["doc", "s"])
     bench_set = (
-        shingle_rows(bench, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+        shingle_explode(bench, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
         .select("s")
         .distinct()
     )
@@ -961,10 +961,10 @@ def greedy_coverage_select(
     anti-join each round, and the pair frame shrinks monotonically).
     localCheckpoint truncates the k-join lineage. Driver holds k rows
     and one scalar — never data."""
-    from .dedup import shingle_rows
+    from .dedup import shingle_explode
 
     pairs = (
-        shingle_rows(docs, text_col, id_col, shingle_n)
+        shingle_explode(docs, text_col, id_col, shingle_n)
         .distinct()
         .persist()
     )

@@ -259,6 +259,49 @@ def shingle_rows(
     )
 
 
+def shingle_explode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, s) shingle rows via explode of the per-doc shingle ARRAY —
+    zero exchanges (r10). ``shingle_rows``'s window-LEAD shape shuffles
+    and sorts EVERY token row by (doc, pos) just to assemble adjacent
+    tokens; here the tokens array is materialized once per doc (the
+    two-projection shape — lambda-CSE blindspot, see word_shingles) and
+    shingles are sliced from it row-locally, so the first exchange a
+    consumer pays is its own aggregate's. Emits the same multiset as
+    ``shingle_rows``: per-position duplicates kept (no array_distinct —
+    MIN/vote/count consumers each decide), docs shorter than
+    ``shingle_n`` tokens emit their full token string once, zero-token
+    docs emit no row (explode of the NULL array).
+
+    Per-row memory holds one doc's shingle array (~shingle_n × the
+    token array already materialized) — bounded by doc length, the same
+    envelope as the text column itself, so this is not the scale hazard
+    the window shape was built to dodge; the token-row shuffle it
+    removes IS corpus-sized."""
+    t = F.col("_toks")
+    k = F.size(t) - (shingle_n - 1)
+    arr = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+        ),
+    ).otherwise(
+        F.when(F.size(t) > 0, F.array(F.concat_ws(" ", t)))
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalize_text(F.col(text_col))).alias("_toks"),
+        )
+        .select("doc", F.explode(arr).alias("s"))
+    )
+
+
 def _md5_hash48(col, salt) -> "F.Column":
     """48-bit integer hash from the first 12 hex chars of
     md5(col || '#' || salt) — the cross-engine-mirrorable hash family
@@ -293,9 +336,15 @@ def minhash_signatures(
     ``num_hashes`` map-side-combinable MIN aggregates (hash family =
     hash(shingle, j); xxhash64 by default, md5-derived 48-bit when the
     result must mirror into DuckDB). The shuffle carries (doc, 64
-    longs) — documents never move."""
+    longs) — documents never move. r10: shingles come from the
+    zero-exchange array shape (``shingle_explode``) — the prior
+    window-LEAD shape (``shingle_rows``) shuffled+sorted every token
+    row by (doc, pos) before the MIN aggregates ever ran, a full
+    corpus-sized exchange the signature math never needed (MIN is
+    position- and duplicate-insensitive, and ``shingle_explode`` emits
+    the identical shingle multiset)."""
     hf = _hash_family(hash_fn)
-    sh = shingle_rows(docs, text_col, id_col, shingle_n)
+    sh = shingle_explode(docs, text_col, id_col, shingle_n)
     aggs = [
         F.min(hf(F.col("s"), j)).alias(f"h{j}") for j in range(num_hashes)
     ]
@@ -1135,7 +1184,7 @@ def rare_shingle_pairs(
     df=1 shingles cannot witness a pair. Deterministic (no hash
     functions), hence DuckDB-oracle-checkable end to end.
     """
-    flat = shingle_rows(docs, text_col, id_col, shingle_n).distinct()
+    flat = shingle_explode(docs, text_col, id_col, shingle_n).distinct()
     rare = (
         flat.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1319,7 +1368,7 @@ def split_ngram_contamination(
         F.when(bucket < 5, "val").when(bucket < 15, "test").otherwise("train")
     )
     assigned = docs.select(F.col(id_col), split.alias("split"), F.col(text_col))
-    sh = shingle_rows(assigned, text_col, id_col, shingle_n).distinct()
+    sh = shingle_explode(assigned, text_col, id_col, shingle_n).distinct()
     with_split = sh.join(
         assigned.select(F.col(id_col).alias("doc"), "split"), "doc"
     )
@@ -1698,7 +1747,7 @@ def shingle_novelty(
     unique ids), hence oracle-checkable."""
     src = docs.select(F.col(id_col).alias("doc"), "source")
     flat = (
-        shingle_rows(docs, text_col, id_col, shingle_n)
+        shingle_explode(docs, text_col, id_col, shingle_n)
         .select("doc", "s")
         .distinct()
     )
@@ -1746,7 +1795,7 @@ def source_shingle_overlap(
     materializes."""
     src = docs.select(F.col(id_col).alias("doc"), "source")
     srcsh = (
-        shingle_rows(docs, text_col, id_col, shingle_n)
+        shingle_explode(docs, text_col, id_col, shingle_n)
         .select("doc", "s")
         .distinct()
         .join(src, "doc")

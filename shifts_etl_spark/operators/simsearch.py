@@ -36,15 +36,31 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query id (self excluded).
-    Query rows are broadcast; ties broken by neighbor id (deterministic)."""
+    Query rows are broadcast; ties broken by neighbor id (deterministic).
+    Norms are folded ONCE per vector below the cross join (r10): inline
+    cosine_similarity refolds both norms per (query, candidate) pair —
+    ~2/3 of the pair-stage flops for 64-dim vectors — where dot is the
+    only term that genuinely varies per pair. Same float path, so the
+    scores are bit-identical (see cosine_from_norms)."""
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     pairs = F.broadcast(q).crossJoin(c).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(
+        _cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+        ),
+        6,
+    )
     scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -145,11 +161,19 @@ def ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
         )
 
+    # assignment is |corpus| × |cells| cosines — fold each side's norm
+    # ONCE (per corpus row / per centroid) instead of per pair; only the
+    # dot varies per pair. Bit-identical scores (cosine_from_norms).
+    cents = cents.withColumn("_ctn", _l2_norm(F.col("cent_v")))
+
     def nearest_cells(side: DataFrame, id_name: str, v_name: str, n: int) -> DataFrame:
         # returns (id, cent_id) ONLY — vectors are dropped after the
         # centroid scoring so the cell join / pair dedup shuffle ids, not
         # embeddings
-        sim = cosine_similarity(F.col(v_name), F.col("cent_v"))
+        sim = _cosine_from_norms(
+            F.col(v_name), F.col("cent_v"), F.col("_vn"), F.col("_ctn")
+        )
+        side = side.withColumn("_vn", _l2_norm(F.col(v_name)))
         scored = side.crossJoin(F.broadcast(cents)).select(
             id_name, "cent_id", sim.alias("cent_sim")
         )
@@ -206,12 +230,23 @@ def ivf_topk(
     # broadcast; corpus side is one hash join keyed on neighbor_id
     qv = F.broadcast(
         emb.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _l2_norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     cand = pair_ids.join(qv, "query_id").join(cv, "neighbor_id")
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(
+        _cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+        ),
+        6,
+    )
     scored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -363,12 +398,23 @@ def lsh_topk(
     )
     qv = F.broadcast(
         emb.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _l2_norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     cand = pair_ids.join(qv, "query_id").join(cv, "neighbor_id")
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(
+        _cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+        ),
+        6,
+    )
     scored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -882,17 +928,25 @@ def ivf_probe_sweep(
         )
     max_probe = max(probes)
 
+    # fold each side's norm ONCE (per corpus row / per centroid) before
+    # the |corpus| × |cells| scoring — bit-identical (cosine_from_norms)
+    cents = cents.withColumn("_ctn", _l2_norm(F.col("cent_v")))
+
     corpus = (
         _fan_out(
             emb.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                _l2_norm(F.col(vec_col)).alias("_cn"),
             )
         )
         .crossJoin(F.broadcast(cents))
         .select(
             "neighbor_id",
             "cent_id",
-            cosine_similarity(F.col("cv"), F.col("cent_v")).alias("cent_sim"),
+            _cosine_from_norms(
+                F.col("cv"), F.col("cent_v"), F.col("_cn"), F.col("_ctn")
+            ).alias("cent_sim"),
         )
         .groupBy("neighbor_id")
         .agg(
@@ -906,12 +960,18 @@ def ivf_probe_sweep(
     )
     qcells = (
         emb.where(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _l2_norm(F.col(vec_col)).alias("_qn"),
+        )
         .crossJoin(F.broadcast(cents))
         .select(
             "query_id",
             "cent_id",
-            cosine_similarity(F.col("qv"), F.col("cent_v")).alias("cent_sim"),
+            _cosine_from_norms(
+                F.col("qv"), F.col("cent_v"), F.col("_qn"), F.col("_ctn")
+            ).alias("cent_sim"),
         )
         .withColumn("cell_rank", F.row_number().over(wq))
         .where(F.col("cell_rank") <= max_probe)
@@ -925,10 +985,16 @@ def ivf_probe_sweep(
     )
     qv = F.broadcast(
         emb.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _l2_norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         cand.join(qv, "query_id")
         .join(cv, "neighbor_id")
@@ -936,8 +1002,12 @@ def ivf_probe_sweep(
             "query_id",
             "neighbor_id",
             "first_probe",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
-            .alias("cosine"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     pdf = emb.sparkSession.createDataFrame(

@@ -650,7 +650,14 @@ FROM events GROUP BY event_type
 
 def q8_kpi_union(spark, sf_dir):
     """The reference's flagship 6-KPI VALUES-of-scalar-subqueries shape
-    (K3/Q1/Q3) recast over the testdata, fixed anchor 2001-08-01."""
+    (K3/Q1/Q3) recast over the testdata, fixed anchor 2001-08-01.
+
+    r10: the four orders KPIs fold into ONE scan + ONE 1-row conditional
+    aggregate, unpivoted back to rows with stack() — guide §2.4 (remove
+    shuffles outright) applied to four separate scan→agg→Exchange
+    branches. Per-KPI values are unchanged: MAX/COUNT over a filtered
+    frame ≡ MAX/COUNT of the CASE-guarded column (nulls ignored), and
+    AVG/MIN see the identical row set either way."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     anchor = F.to_date(F.lit("2001-08-01"))
@@ -662,26 +669,22 @@ def q8_kpi_union(spark, sf_dir):
         )
 
     mean_qty = one("mean_lineitem_qty", li.agg(F.coalesce(F.avg("l_quantity"), F.lit(0.0)).alias("v")))
-    mean_order = one("mean_order_value", o.agg(F.coalesce(F.avg("o_totalprice"), F.lit(0.0)).alias("v")))
-    max_14d = one(
-        "max_order_value_14d",
-        o.where(F.col("o_orderdate").cast("date") >= F.date_sub(anchor, 14)).agg(
-            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("v")
-        ),
-    )
-    min_order = one("min_order_value", o.agg(F.coalesce(F.min("o_totalprice"), F.lit(0.0)).alias("v")))
-    n_open = one(
-        "total_open_orders",
-        o.where(F.col("o_orderstatus") == "O").agg(F.count(F.lit(1)).cast("double").alias("v")),
+    in_14d = F.col("o_orderdate").cast("date") >= F.date_sub(anchor, 14)
+    order_kpis = o.agg(
+        F.round(F.coalesce(F.avg("o_totalprice"), F.lit(0.0)).cast("double"), 2).alias("_mean"),
+        F.round(F.coalesce(F.max(F.when(in_14d, F.col("o_totalprice"))), F.lit(0.0)).cast("double"), 2).alias("_max14"),
+        F.round(F.coalesce(F.min("o_totalprice"), F.lit(0.0)).cast("double"), 2).alias("_min"),
+        F.round(F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).cast("double"), 2).alias("_open"),
+    ).selectExpr(
+        "stack(4, 'mean_order_value', _mean, 'max_order_value_14d', _max14,"
+        " 'min_order_value', _min, 'total_open_orders', _open)"
+        " AS (kpi_name, kpi_value)"
     )
     streak = w2_gaps_islands(spark, sf_dir).select(
         F.lit("max_no_error_streak").alias("kpi_name"),
         F.col("max_streak").cast("double").alias("kpi_value"),
     )
-    out = mean_qty
-    for f in (mean_order, max_14d, min_order, n_open, streak):
-        out = out.unionByName(f)
-    return out
+    return mean_qty.unionByName(order_kpis).unionByName(streak)
 
 
 Q8_SQL = """

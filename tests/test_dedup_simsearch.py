@@ -207,3 +207,33 @@ def test_det_lsh_signature_matches_python_reference(spark):
                 key = key * 2 + bit
             keys.append(b * 2**32 + key)
         assert got[r.vec_id] == keys
+
+
+def test_shingle_explode_matches_shingle_rows_multiset(spark):
+    """r10 perf surgery: minhash/shingle consumers moved from the
+    window-LEAD shape (full token-row exchange + sort) to the
+    zero-exchange array shape. The contract is the identical (doc, s)
+    MULTISET — duplicates kept, short docs emit their full token string
+    once, zero-token docs emit nothing."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),                      # zero tokens → no rows
+            (9002, "   !!!   "),             # normalizes to zero tokens
+            (9003, "one"),                   # 1 token < n → full string
+            (9004, "one two"),               # 2 tokens < n → full string
+            (9005, "a b c"),                 # exactly n tokens → 1 shingle
+            (9006, "a b c a b c a b c a"),   # duplicate shingles kept
+        ],
+        schema="doc_id long, text string",
+    )
+    corpus = docs.unionByName(edge)
+    a = sorted(
+        (r.doc, r.s)
+        for r in dedup.shingle_rows(corpus, "text", "doc_id", 3).collect()
+    )
+    b = sorted(
+        (r.doc, r.s)
+        for r in dedup.shingle_explode(corpus, "text", "doc_id", 3).collect()
+    )
+    assert a == b
