@@ -631,16 +631,22 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                # a label can only move DOWN, and only when a strictly
+                # smaller neighbor label exists — carrying the flag
+                # through the checkpoint makes the convergence test a
+                # filter over the already-materialized frame instead of
+                # a second join-shaped job per round (r10: the old
+                # updated⋈labels check doubled each round's job count
+                # and was ~half of the loop's wall-clock at sweep scale)
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label"))
+                    < F.col("label")
+                ).alias("_moved"),
             )
         )
         updated = updated.localCheckpoint(eager=True)
-        converged = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .where(F.col("u.label") != F.col("l.label"))
-            .isEmpty()
-        )
-        labels = updated
+        converged = updated.where(F.col("_moved")).isEmpty()
+        labels = updated.drop("_moved")
         if converged:
             break
     edges.unpersist()
@@ -1285,31 +1291,31 @@ def duplicate_ngram_coverage(
     distinct documents. High coverage => boilerplate / templated text
     even when no whole-document near-dup exists.
 
-    Plan shape: posexplode(tokens) + LEAD assembles positioned shingles
-    once (same scale rationale as ``shingle_rows``); the df aggregate
-    shuffles (shingle, doc) pairs; coverage expands each duplicated
-    shingle hit into its shingle_n positions (bounded fan-out) and
-    counts distinct positions per doc — text never moves after the
-    scan, and every aggregate is map-side combinable.
+    Plan shape (r10): positioned shingles come from posexplode of the
+    per-doc shingle ARRAY (tokens materialized once — the
+    ``shingle_explode`` two-projection shape), so the old window-LEAD
+    assembly's corpus-sized (doc, pos, token) exchange+sort is gone;
+    the df aggregate shuffles (shingle, doc) pairs; coverage expands
+    each duplicated shingle hit into its shingle_n positions (bounded
+    fan-out) and counts distinct positions per doc — text never moves
+    after the scan, and every aggregate is map-side combinable.
     """
-    from pyspark.sql import Window
-
-    tok = _fan_out(docs).select(
+    base = _fan_out(docs).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "t"),
+        tokens(normalize_text(F.col(text_col))).alias("_toks"),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, shingle_n)]
-    sh = (
-        tok.select(
-            "doc",
-            "pos",
-            F.concat_ws(" ", *leads).alias("s"),
-            F.lead("t", shingle_n - 1).over(w).alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())  # full shingles only
-        .select("doc", "pos", "s")
+    t = F.col("_toks")
+    k = F.size(t) - (shingle_n - 1)
+    arr = F.when(  # full shingles only: NULL (no rows) when k <= 0
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+        ),
     )
+    sh = base.select(
+        "doc", F.posexplode(arr).alias("pos", "s")
+    )  # array index 0.. == token position of the shingle start
     dup = (
         sh.select("doc", "s")
         .distinct()
@@ -1325,7 +1331,11 @@ def duplicate_ngram_coverage(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("dup_tokens"))
     )
-    totals = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # per-doc token totals are row-local (size of the materialized
+    # array) — the old explode+count pass re-scanned every token row
+    totals = base.where(F.size(t) >= 1).select(
+        "doc", F.size(t).cast("long").alias("n_tokens")
+    )
     return (
         totals.join(covered, "doc", "left")
         .select(

@@ -366,29 +366,38 @@ def collocation_pmi(
     corpus-analysis pass for finding multi-word expressions worth
     protecting from tokenizer splits (Church & Hanks 1990).
 
-    Scale shape: the token frame is built once per aggregate branch
-    (posexplode + window LEAD, the dedup.shingle_rows idiom — array-lambda
-    bigrams re-inline the tokenizer per element); both the unigram and the
-    bigram aggregates are map-side combinable so the shuffles carry
-    vocab-sized (token, count) rows, never documents. The two count-table
-    joins are AQE-broadcastable; totals are a broadcast 1-row frame. No
-    LIMIT: the ``min_count`` filter bounds the result, so cross-engine
+    Scale shape (r10): tokens materialize ONCE per doc as an array (the
+    two-projection shape — lambda-CSE blindspot, see dedup.word_shingles)
+    and bigrams are sliced from it row-locally, so the old window-LEAD
+    assembly's corpus-sized (doc, pos, token) exchange+sort is gone —
+    the only shuffles left are the map-side-combinable unigram and
+    bigram count aggregates, which carry vocab-sized (token, count)
+    rows, never documents. The two count-table joins are
+    AQE-broadcastable; totals are a broadcast 1-row frame. No LIMIT:
+    the ``min_count`` filter bounds the result, so cross-engine
     comparison never depends on double-keyed top-k selection."""
-    from pyspark.sql import Window
-
     from .dedup import _fan_out
 
-    tok = _fan_out(docs).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "w"),
+    base = _fan_out(docs).select(
+        tokens(normalize_text(F.col(text_col))).alias("_t")
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    big = (
-        tok.select("doc", "w", F.lead("w", 1).over(w).alias("w2"))
-        .where(F.col("w2").isNotNull())
-        .select(F.col("w").alias("w1"), "w2")
+    t = F.col("_t")
+    pair_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
     )
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = base.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
+    uni = (
+        base.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     pairc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     totals = (
         uni.agg(F.sum("c").cast("double").alias("n"))
@@ -472,48 +481,97 @@ def repetition_stats(
     duplicate-bigram fraction (the published repetition filters for LLM
     training corpora — Rae et al. 2021 §A1.1, RefinedWeb §3.2).
 
-    All JVM-side: posexplode tokens → window LEAD for bigrams (the same
-    scale shape as dedup.shingle_rows — array-lambda forms re-inline the
-    tokenizer per element through projection collapse, measured ~100×
-    slower there). Two doc-keyed aggregate branches (per-doc counts and
-    per-(doc,token) mode) joined on doc — every aggregate is map-side
-    combinable and the join keys are the shuffle keys, so at 100 TB the
-    cost is two token-row shuffles and a doc-keyed merge."""
-    from pyspark.sql import Window
-
+    All JVM-side and — since r10 — fully ROW-LOCAL over the token array:
+    every signal here is a per-document function, so the prior shape's
+    two corpus-sized shuffles (the window-LEAD bigram exchange+sort and
+    count_distinct's (doc, value) expansion) bought nothing. Tokens
+    materialize once per row; bigrams are sliced from the array;
+    distinct counts are array_distinct sizes; the top-token count is the
+    max run length of the sorted array (identical to the per-(doc,token)
+    mode by definition). Zero exchanges at any scale; per-row memory is
+    one doc's token array, the same envelope as the text column."""
     from .dedup import _fan_out
 
-    tok = _fan_out(docs).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    # ≥1-token gate expressed on the RAW column (trim ≠ '' ⇔ tokens()
+    # non-empty) so it pushes to the scan instead of forcing the
+    # tokenizer into a pushed-down Filter copy
+    base = (
+        _fan_out(docs)
+        .where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc"),
+            tokens(F.col(text_col)).alias("_t"),
+        )
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    big = tok.select(
-        "doc", "t", F.lead("t", 1).over(w).alias("t2")
+    t = F.col("_t")
+    n_tok = F.size(t)
+    # EVERY non-cheap intermediate gets its own projection step: Catalyst
+    # substitutes Project aliases into filters it pushes down and into
+    # multi-reference consumers only when the alias is cheap
+    # (CollapseProject), so leaving these as inline Python expressions
+    # re-evaluated the bigram transform 3× per row and re-ran the whole
+    # pipeline inside callers' pushed dup_bigram_frac filters — measured
+    # 12.6 s vs ~1 s for the filtered join at sf0.1
+    staged = base.select(
+        "doc",
+        "_t",
+        F.when(
+            n_tok >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n_tok - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_big"),
     )
-    perdoc = big.groupBy("doc").agg(
-        F.count("t").alias("n_tokens"),
-        F.count_distinct("t").alias("n_distinct"),
-        F.count("t2").alias("n_bigrams"),
-        F.count_distinct(
-            F.when(F.col("t2").isNotNull(), F.concat_ws(" ", "t", "t2"))
-        ).alias("n_distinct_bigrams"),
+    # max token multiplicity == longest equal-run in the sorted array
+    # (tokens() never emits "", so the "" seed cannot collide)
+    run0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    topf = (
-        tok.groupBy("doc", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc")
-        .agg(F.max("c").alias("top_c"))
+
+    def _step(acc, tok):
+        run = F.when(tok == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            tok.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_c = F.aggregate(F.array_sort(t), run0, _step, lambda acc: acc["best"])
+    counted = staged.select(
+        "doc",
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("_nd"),
+        top_c.alias("_top_c"),
+        F.size("_big").alias("_nb"),
+        F.size(F.array_distinct("_big")).alias("_ndb"),
+    )
+    # doc is unique, so this single-row-group aggregate changes nothing —
+    # it exists as a PUSHDOWN BARRIER: without it, a caller filtering on
+    # an output column (prepare_training_data's dup_bigram_frac cutoff)
+    # gets the whole interpreted stat expression alias-substituted into a
+    # Filter that pushes below _fan_out's exchange, serializing the heavy
+    # per-doc work into the single-split scan task (measured 12.6 s vs
+    # ~1 s at sf0.1). The exchange it costs carries (doc, 4 ints) — the
+    # smallest frame in this operator by orders of magnitude.
+    counted = counted.groupBy("doc").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("_nd").alias("_nd"),
+        F.first("_top_c").alias("_top_c"),
+        F.first("_nb").alias("_nb"),
+        F.first("_ndb").alias("_ndb"),
     )
     n = F.col("n_tokens").cast("double")
-    return perdoc.join(topf, "doc").select(
+    return counted.select(
         F.col("doc").alias(id_col),
         "n_tokens",
-        (F.col("n_distinct") / n).alias("distinct_token_ratio"),
-        (F.col("top_c") / n).alias("top_token_frac"),
+        (F.col("_nd") / n).alias("distinct_token_ratio"),
+        (F.col("_top_c") / n).alias("top_token_frac"),
         F.when(
-            F.col("n_bigrams") > 0,
-            1 - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"),
+            F.col("_nb") > 0,
+            1 - F.col("_ndb") / F.col("_nb").cast("double"),
         )
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
@@ -643,22 +701,32 @@ def ndcg_eval(
 def positioned_bigrams(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, w1, w2) token transitions in document order — posexplode +
-    window LEAD (the dedup.shingle_rows scale shape: tokens materialize
-    once; an array-lambda form would re-inline the tokenizer per position
-    through Catalyst's projection collapse)."""
-    from pyspark.sql import Window
-
+    """(doc_id, w1, w2) token transitions in document order. r10: sliced
+    row-locally from the materialized token array (two-projection shape,
+    so the tokenizer runs once per doc — the lambda-CSE blindspot only
+    bites when the PIPELINE sits inside the lambda) — the old
+    posexplode + window LEAD shape shuffled+sorted every token row by
+    (doc, pos) first, a corpus-sized exchange the transition multiset
+    never needed."""
     from .dedup import _fan_out
 
-    tok = _fan_out(docs).select(
+    base = _fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "w1"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        tok.select("doc_id", "w1", F.lead("w1").over(w).alias("w2"))
-        .where(F.col("w2").isNotNull())
+    t = F.col("_t")
+    pair_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    )
+    return base.select("doc_id", F.explode(pair_arr).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
     )
 
 
