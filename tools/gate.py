@@ -47,6 +47,12 @@ FULL_STEPS = [
     ("determinism_sf0.1",
      [sys.executable, "tools/determinism_check.py", "/root/testdata/sf0.1"],
      ", 0 flipped"),
+    # the slow-marked pytest tail (composed/curate/ETL e2e tests) is
+    # deselected from the budgeted default run (pytest.ini, r11) — the
+    # full gate is where it always executes
+    ("pytest_slow",
+     [sys.executable, "-m", "pytest", "tests/", "-q", "-m", "slow"],
+     " passed"),
 ]
 
 
