@@ -229,13 +229,19 @@ def shingle_rows(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc, shingle) rows via posexplode(tokens) + window LEAD — the scale
-    shape for shingling. Exploding a transform(sequence, slice(tokens,...))
-    array instead re-evaluates the whole tokenize pipeline per shingle
-    position (no CSE through lambda+generator → ~100× slower); here tokens
-    are materialized once and shingles assembled from LEADs. Duplicate
-    shingles are kept: downstream MIN/vote aggregates are set-insensitive.
-    Docs shorter than ``shingle_n`` tokens emit their full token string."""
+    """(doc, shingle) rows via posexplode(tokens) + window LEAD — the
+    ORIGINAL shingling shape, r11: retained ONLY as the reference
+    implementation for the multiset-equivalence pytest
+    (tests/test_dedup_simsearch.py); every operator now uses
+    ``shingle_explode``, whose row-local array slicing skips this
+    shape's corpus-sized (doc, pos, token) exchange+sort. The
+    two-projection note below still applies to any future array
+    variant: exploding a transform(sequence, slice(tokens,...)) array
+    INLINE re-evaluates the whole tokenize pipeline per shingle
+    position (no CSE through lambda+generator → ~100× slower); tokens
+    must be materialized once per row first. Duplicate shingles are
+    kept: downstream MIN/vote aggregates are set-insensitive. Docs
+    shorter than ``shingle_n`` tokens emit their full token string."""
     from pyspark.sql import Window
 
     tok = _fan_out(docs).select(
@@ -264,6 +270,7 @@ def shingle_explode(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    unique: bool = False,
 ) -> DataFrame:
     """(doc, s) shingle rows via explode of the per-doc shingle ARRAY —
     zero exchanges (r10). ``shingle_rows``'s window-LEAD shape shuffles
@@ -281,20 +288,37 @@ def shingle_explode(
     token array already materialized) — bounded by doc length, the same
     envelope as the text column itself, so this is not the scale hazard
     the window shape was built to dodge; the token-row shuffle it
-    removes IS corpus-sized."""
+    removes IS corpus-sized.
+
+    r11: the input rides through ``_fan_out`` (ADVICE r10) — a compact
+    single-split parquet scan would otherwise serialize the tokenize +
+    shingle + consumers' map-side partial aggregation into ONE task;
+    ``_fan_out`` is a no-op when the scan already has enough splits, so
+    the at-scale shape stays "no exchange beyond the consumer's own
+    aggregate".
+
+    ``unique=True`` applies a ROW-LOCAL ``array_distinct`` before the
+    explode (per-doc distinct shingles, document order of first
+    occurrence). For per-doc-set-insensitive consumers (MinHash's MIN
+    fold) the result is identical while every repeated shingle skips
+    its 64 hash evaluations; consumers whose math needs the multiset
+    (duplicate-count signals) must keep the default."""
     t = F.col("_toks")
     k = F.size(t) - (shingle_n - 1)
     arr = F.when(
         k > 0,
         F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            # k >= 1 is guaranteed on this branch (under F.when(k > 0))
+            F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
         ),
     ).otherwise(
         F.when(F.size(t) > 0, F.array(F.concat_ws(" ", t)))
     )
+    if unique:
+        arr = F.array_distinct(arr)
     return (
-        docs.select(
+        _fan_out(docs).select(
             F.col(id_col).alias("doc"),
             tokens(normalize_text(F.col(text_col))).alias("_toks"),
         )
@@ -324,6 +348,32 @@ def _hash_family(hash_fn: str):
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
+def _hash_family_split(hash_fn: str):
+    """(pre, post) factorization of the hash family for MIN folds
+    (r11, guide §1.2 per-task work): ``post(MIN(pre(s, j))) ==
+    MIN(hash(s, j))`` — for the md5 family, ``pre`` stops at the 12-hex
+    substring (fixed-length lowercase hex, so lexicographic MIN ==
+    numeric MIN) and the base-16 ``conv`` + cast runs ONCE per (doc,
+    slot) after the aggregate instead of once per shingle-hash.
+    Measured −37% on the sf0.1 signature stage; identical outputs
+    (pinned by the pytest equivalence suite and the x3/x148 oracles).
+    xxhash64 is already a single native long — pre is the hash, post is
+    identity."""
+    if hash_fn == "xxhash64":
+        return (
+            lambda col, salt: F.xxhash64(col, F.lit(salt)),
+            lambda c: c,
+        )
+    if hash_fn == "md5":
+        return (
+            lambda col, salt: F.substring(
+                F.md5(F.concat_ws("#", col, F.lit(str(salt)))), 1, 12
+            ),
+            lambda c: F.conv(c, 16, 10).cast("long"),
+        )
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -342,16 +392,29 @@ def minhash_signatures(
     row by (doc, pos) before the MIN aggregates ever ran, a full
     corpus-sized exchange the signature math never needed (MIN is
     position- and duplicate-insensitive, and ``shingle_explode`` emits
-    the identical shingle multiset)."""
-    hf = _hash_family(hash_fn)
-    sh = shingle_explode(docs, text_col, id_col, shingle_n)
+    the identical shingle multiset).
+
+    r11 compute cuts (same signatures bit-for-bit): per-doc
+    ``array_distinct`` before the explode (MIN ignores repeats — each
+    repeated shingle was paying ``num_hashes`` hash evaluations for
+    nothing) and the pre/post hash-family split (md5's base-16 conv
+    runs per (doc, slot) after the MIN instead of per shingle-hash —
+    see ``_hash_family_split``). Together −52% on the sf0.1 signature
+    stage."""
+    pre, post = _hash_family_split(hash_fn)
+    sh = shingle_explode(docs, text_col, id_col, shingle_n, unique=True)
     aggs = [
-        F.min(hf(F.col("s"), j)).alias(f"h{j}") for j in range(num_hashes)
+        F.min(pre(F.col("s"), j)).alias(f"h{j}") for j in range(num_hashes)
     ]
     return (
         sh.groupBy("doc")
         .agg(*aggs)
-        .select("doc", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"))
+        .select(
+            "doc",
+            F.array(
+                *[post(F.col(f"h{j}")) for j in range(num_hashes)]
+            ).alias("sig"),
+        )
     )
 
 
@@ -384,10 +447,25 @@ def minhash_lsh_pairs(
     dedup, which has no quadratic step, is the right tool for those).
     ``None`` disables the cap.
 
-    The signature and banded frames persist internally (the self-join
-    needs both sides cached); pass ``_cache_registry`` to receive those
-    handles and unpersist them once downstream work has materialized —
+    The signature frame persists internally (every downstream subtree —
+    hot-bucket count, both self-join sides, both est re-attach sides —
+    reads it); pass ``_cache_registry`` to receive the handle and
+    unpersist it once downstream work has materialized —
     ``minhash_dedup_components`` does this for the composed chain.
+
+    r11 SINGLE-cache shape: ``with_sig`` is the only persisted frame.
+    Round 10 additionally cached the post-anti banded frame, but a
+    second persist on a frame DERIVED from a cached frame captures its
+    own copy of the whole upstream plan: materializing it re-ran the
+    signature aggregate instead of reading the signature cache
+    (verified in plans/r11/x3_dedup_minhash_lsh_after.txt — the banded
+    InMemoryRelation embedded Scan→Exchange→HashAggregate, not an
+    InMemoryTableScan). Every consumer now substitutes the SAME
+    InMemoryRelation, so concurrent broadcast builds share stages
+    instead of duplicating the signature compute; the band-hash
+    projection + broadcast anti-join they each redo is ~``bands``
+    hashes/doc — noise next to the ``num_hashes``/shingle signature
+    fold.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -432,9 +510,12 @@ def minhash_lsh_pairs(
             .where(F.col("_n") > max_bucket_size)
             .select("band", "band_hash")
         )
-        banded = _track_cache(
-            banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti"),
-            _cache_registry,
+        # NOT cached (r11): both self-join sides re-derive this from the
+        # with_sig cache — band hashes + a broadcast anti-join per side,
+        # cheap — instead of materializing a second cache whose captured
+        # plan re-ran the signature aggregate (see docstring).
+        banded = banded.join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
         )
     # candidate ids first, signatures re-attached BY ID after the
     # distinct (the x242/embedding_nn_pairs_lsh contract): the banded
@@ -1250,8 +1331,8 @@ def minhash_dedup_components(
     where the blocked variant is the fully deterministic, oracle-
     verified one.
 
-    Cache discipline: ``minhash_lsh_pairs`` persists its signature and
-    banded frames for the self-join; ``dedup_clusters`` eagerly
+    Cache discipline: ``minhash_lsh_pairs`` persists its signature
+    frame for the self-join; ``dedup_clusters`` eagerly
     localCheckpoints its labels (truncating lineage), so those caches
     are dead weight by the time this returns — they are unpersisted
     here rather than leaked for the session lifetime.

@@ -555,13 +555,16 @@ def repetition_stats(
     # Filter that pushes below _fan_out's exchange, serializing the heavy
     # per-doc work into the single-split scan task (measured 12.6 s vs
     # ~1 s at sf0.1). The exchange it costs carries (doc, 4 ints) — the
-    # smallest frame in this operator by orders of magnitude.
+    # smallest frame in this operator by orders of magnitude. MAX (not
+    # FIRST) so the combine is order-insensitive: doc_id is unique by
+    # corpus contract, making the two identical here, but a duplicated
+    # id must not turn the output non-deterministic (ADVICE r10).
     counted = counted.groupBy("doc").agg(
-        F.first("n_tokens").alias("n_tokens"),
-        F.first("_nd").alias("_nd"),
-        F.first("_top_c").alias("_top_c"),
-        F.first("_nb").alias("_nb"),
-        F.first("_ndb").alias("_ndb"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("_nd").alias("_nd"),
+        F.max("_top_c").alias("_top_c"),
+        F.max("_nb").alias("_nb"),
+        F.max("_ndb").alias("_ndb"),
     )
     n = F.col("n_tokens").cast("double")
     return counted.select(

@@ -55,9 +55,7 @@ def sigcarry_lsh_pairs(docs, num_hashes=64, bands=16, shingle_n=3,
         .where(F.col("_n") > max_bucket_size)
         .select("band", "band_hash")
     )
-    banded = _track_cache(
-        banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti"), None
-    )
+    banded = banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     left, right = banded.alias("l"), banded.alias("r")
     est = (
         F.size(
