@@ -348,30 +348,17 @@ def _hash_family(hash_fn: str):
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
-def _hash_family_split(hash_fn: str):
-    """(pre, post) factorization of the hash family for MIN folds
-    (r11, guide §1.2 per-task work): ``post(MIN(pre(s, j))) ==
-    MIN(hash(s, j))`` — for the md5 family, ``pre`` stops at the 12-hex
-    substring (fixed-length lowercase hex, so lexicographic MIN ==
-    numeric MIN) and the base-16 ``conv`` + cast runs ONCE per (doc,
-    slot) after the aggregate instead of once per shingle-hash.
-    Measured −37% on the sf0.1 signature stage; identical outputs
-    (pinned by the pytest equivalence suite and the x3/x148 oracles).
-    xxhash64 is already a single native long — pre is the hash, post is
-    identity."""
-    if hash_fn == "xxhash64":
-        return (
-            lambda col, salt: F.xxhash64(col, F.lit(salt)),
-            lambda c: c,
-        )
-    if hash_fn == "md5":
-        return (
-            lambda col, salt: F.substring(
-                F.md5(F.concat_ws("#", col, F.lit(str(salt)))), 1, 12
-            ),
-            lambda c: F.conv(c, 16, 10).cast("long"),
-        )
-    raise ValueError(f"unknown hash_fn: {hash_fn}")
+# r11 note — deferred-conv variant tried and REJECTED: MIN over the
+# fixed-length 12-hex md5 substring (lexicographic == numeric) with the
+# base-16 conv run once per (doc, slot) AFTER the aggregate is
+# value-identical and saves ~17M conv+cast evaluations at sf0.1, BUT a
+# string agg buffer demotes the signature aggregate from HashAggregate
+# to SortAggregate (Spark only hash-aggregates fixed-size mutable
+# buffers), inserting a per-partition sort of every shingle row and
+# shuffling hex strings (1.75x the partial-agg bytes of longs).
+# Fresh-process A/B at sf0.1: 2.16s (hash agg, conv per shingle) vs
+# 2.12s (sort agg, deferred conv) — a wash locally, and the hash-agg
+# shape is the scale-safe one on both counts, so it stays.
 
 
 def minhash_signatures(
@@ -394,27 +381,21 @@ def minhash_signatures(
     position- and duplicate-insensitive, and ``shingle_explode`` emits
     the identical shingle multiset).
 
-    r11 compute cuts (same signatures bit-for-bit): per-doc
+    r11 compute cut (same signatures bit-for-bit): per-doc
     ``array_distinct`` before the explode (MIN ignores repeats — each
     repeated shingle was paying ``num_hashes`` hash evaluations for
-    nothing) and the pre/post hash-family split (md5's base-16 conv
-    runs per (doc, slot) after the MIN instead of per shingle-hash —
-    see ``_hash_family_split``). Together −52% on the sf0.1 signature
-    stage."""
-    pre, post = _hash_family_split(hash_fn)
+    nothing). The aggregate stays on LONG buffers so it plans as
+    HashAggregate — see the deferred-conv note after ``_hash_family``
+    for the rejected string-buffer variant."""
+    hf = _hash_family(hash_fn)
     sh = shingle_explode(docs, text_col, id_col, shingle_n, unique=True)
     aggs = [
-        F.min(pre(F.col("s"), j)).alias(f"h{j}") for j in range(num_hashes)
+        F.min(hf(F.col("s"), j)).alias(f"h{j}") for j in range(num_hashes)
     ]
     return (
         sh.groupBy("doc")
         .agg(*aggs)
-        .select(
-            "doc",
-            F.array(
-                *[post(F.col(f"h{j}")) for j in range(num_hashes)]
-            ).alias("sig"),
-        )
+        .select("doc", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"))
     )
 
 
