@@ -145,6 +145,8 @@ def _fan_out(df: DataFrame) -> DataFrame:
     round-robin shuffle of the raw rows buys full parallelism. No-op cost
     at scale (big inputs already have many splits, and the shuffle is
     bounded by the input size)."""
+    if df.isStreaming:  # .rdd is illegal on streaming frames; the
+        return df       # source's own partitioning governs there
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
